@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered query: the Spark plan plus (when SQL-expressible) the
+  * equivalent ANSI SQL the driver runs in DuckDB over the same parquet
+  * tables. Column names MUST match between the two — the driver sorts
+  * columns by name and hash-compares values.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")
+
+object Registry {
+  def all: Seq[Q] =
+    operators.WordCountQueries.qs ++
+      operators.RelationalQueries.qs ++
+      operators.LogAnalyticsQueries.qs ++
+      operators.DedupQueries.qs ++
+      operators.SimilarityQueries.qs ++
+      operators.TextAnalysisQueries.qs ++
+      operators.MultimodalQueries.qs
+}
