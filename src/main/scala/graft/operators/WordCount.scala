@@ -22,10 +22,15 @@ import graft.{Q, Tables}
   */
 object WordCount {
 
+  /** Whitespace class shared with the DuckDB oracle: Java `\s` includes
+    * \x0B while RE2's does not, so both sides use this explicit class
+    * (= StringTokenizer's default delims " \t\n\r\f"). */
+  val WhitespaceRe = "[ \t\n\r\f]+"
+
   /** W1-W7: tokenize + count. Input: any DataFrame with a `text` column. */
   def wordCount(docs: DataFrame): DataFrame =
     docs
-      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .select(explode(split(col("text"), WhitespaceRe)).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
@@ -42,10 +47,14 @@ object WordCount {
       sum(col("cnt")).as("total_tokens"),
       count(lit(1)).as("distinct_words"))
 
-  /** W8 sink: tab-separated text, one file per partition, overwrite (W9). */
+  /** W8 sink: raw `word\tcount` lines (MR TextOutputFormat parity — the
+    * CSV writer would quote fields containing tabs/quotes), one file per
+    * partition, overwrite (W9). No global sort: MR only sorts within each
+    * reducer, and a total order is pure overhead at 100 TB. */
   def writeTsv(df: DataFrame, path: String): Unit =
-    df.orderBy("word").write.option("sep", "\t")
-      .mode("overwrite").csv(path)
+    df.sortWithinPartitions("word")
+      .select(concat_ws("\t", col("word"), col("cnt")).as("value"))
+      .write.mode("overwrite").text(path)
 }
 
 object WordCountQueries {
@@ -56,7 +65,7 @@ object WordCountQueries {
       "w1_wordcount",
       (s, d) => WordCount.wordCount(docs(s, d)).orderBy("word"),
       Some("""SELECT word, count(*) AS cnt
-             |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word
+             |FROM (SELECT unnest(string_split_regex(text, '[ \t\n\r\f]+')) AS word
              |      FROM documents)
              |WHERE length(word) > 0
              |GROUP BY word ORDER BY word""".stripMargin),
@@ -65,7 +74,7 @@ object WordCountQueries {
       "w2_top_words",
       (s, d) => WordCount.topWords(docs(s, d), 100),
       Some("""SELECT word, count(*) AS cnt
-             |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word
+             |FROM (SELECT unnest(string_split_regex(text, '[ \t\n\r\f]+')) AS word
              |      FROM documents)
              |WHERE length(word) > 0
              |GROUP BY word ORDER BY cnt DESC, word LIMIT 100""".stripMargin),
@@ -75,7 +84,7 @@ object WordCountQueries {
       (s, d) => WordCount.tokenTotals(docs(s, d)),
       Some("""SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens, count(*) AS distinct_words
              |FROM (SELECT word, count(*) AS cnt
-             |      FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word
+             |      FROM (SELECT unnest(string_split_regex(text, '[ \t\n\r\f]+')) AS word
              |            FROM documents)
              |      WHERE length(word) > 0 GROUP BY word)""".stripMargin),
       doc = "token-conservation invariant (W2 vs W7 counters)"),
