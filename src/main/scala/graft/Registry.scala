@@ -17,5 +17,6 @@ object Registry {
   // Only reference modules that exist — a phantom reference here zeroed
   // round 1 (see VERDICT.md). Append each module's `.qs` as it lands.
   def all: Seq[Q] =
-    operators.WordCountQueries.qs
+    operators.WordCountQueries.qs ++
+      operators.LogAnalyticsQueries.qs
 }

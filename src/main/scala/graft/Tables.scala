@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -21,7 +22,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects; read it as raw nanos (legacy conf) and convert with
+    * exact integer division to a naive micro timestamp — TIMESTAMP_NTZ,
+    * so sinks write isAdjustedToUTC=false and the DuckDB oracle (which
+    * reads the source as a naive timestamp) sees identical wall times. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events").withColumn("ts",
+      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
