@@ -18,5 +18,6 @@ object Registry {
   // round 1 (see VERDICT.md). Append each module's `.qs` as it lands.
   def all: Seq[Q] =
     operators.WordCountQueries.qs ++
-      operators.LogAnalyticsQueries.qs
+      operators.LogAnalyticsQueries.qs ++
+      operators.RelationalQueries.qs
 }

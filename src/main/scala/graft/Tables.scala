@@ -12,26 +12,36 @@ import org.apache.spark.sql.functions._
   * downstream operator should select only the columns it needs.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Testdata timestamps are parquet TIMESTAMP(NANOS), which the Spark
+    // reader rejects; read them as raw nano longs (converted per-table
+    // below with exact integer division).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Nano-long → naive micro timestamp (TIMESTAMP_NTZ, so parquet sinks
+    * write isAdjustedToUTC=false and DuckDB sees identical wall times).
+    * Micro-precision columns already load as TIMESTAMP_NTZ and are left
+    * alone — only NANOS columns surface as LongType under nanosAsLong. */
+  private def nanosToTs(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      if (d.schema(c).dataType == org.apache.spark.sql.types.LongType)
+        d.withColumn(c, timestamp_micros(expr(s"$c div 1000")).cast("timestamp_ntz"))
+      else d
+    }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; read it as raw nanos (legacy conf) and convert with
-    * exact integer division to a naive micro timestamp — TIMESTAMP_NTZ,
-    * so sinks write isAdjustedToUTC=false and the DuckDB oracle (which
-    * reads the source as a naive timestamp) sees identical wall times. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn("ts",
-      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-  }
+  def orders(s: SparkSession, d: String): DataFrame =
+    nanosToTs(table(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    nanosToTs(table(s, d, "lineitem"), "l_shipdate")
+  def events(s: SparkSession, d: String): DataFrame =
+    nanosToTs(table(s, d, "events"), "ts")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -3,9 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-
 import graft.{Q, Tables}
+import graft.functions.Parity.{exactAvg, pround}
 
 /** Log-analytics operators (SURVEY.md §2.C/§2.D, A1-A17 + C1-C2).
   *
@@ -24,25 +23,8 @@ import graft.{Q, Tables}
   */
 object LogAnalytics {
 
-  /** Exact-parity mean: decimal-sum of 6-dp-rounded values, then divide.
-    * Plain avg(double) is order-dependent (float addition is not
-    * associative, and Spark's partial aggregation order is
-    * non-deterministic); decimal sums are exact, so Spark and the DuckDB
-    * oracle agree bit-for-bit. SQL mirror:
-    * CAST(sum(CAST(round(x,6) AS DECIMAL(28,6))) AS DOUBLE)/count(*). */
-  def exactAvg(c: Column): Column =
-    sum(round(c, 6).cast(DecimalType(28, 6))).cast("double") / count(lit(1))
-
-  /** Portable k-dp rounding: floor(x·10^k + 0.5)/10^k over IEEE doubles —
-    * bit-identical in Spark and DuckDB. Plain round() diverges: Spark
-    * rounds the shortest decimal repr (BigDecimal HALF_UP), DuckDB the
-    * binary value, so 70.49125 (stored as 70.4912499…) rounds to .4913
-    * in Spark but .4912 in DuckDB. SQL mirror:
-    * floor(x * 1e{k} + 0.5) / 1e{k}. */
-  def pround(c: Column, k: Int): Column = {
-    val f = math.pow(10, k)
-    floor(c * f + 0.5) / f
-  }
+  // Numeric parity helpers come from graft.functions.Parity (file-level
+  // import): exactAvg / pround keep doubles bit-identical vs DuckDB.
 
   /** A1 analog input: a monitor-format line per event, built from integer
     * and string columns only (no double→string casts — their formatting
@@ -347,7 +329,7 @@ object LogAnalyticsQueries {
         .agg(pround(exactAvg(col("value")), 4).as("mean_value"))
         .orderBy("event_type", "user_id"),
       Some("""SELECT event_type, user_id,
-             |       floor(CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             |       floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE)
              |             / count(*) * 10000.0 + 0.5) / 10000.0 AS mean_value
              |FROM events GROUP BY event_type, user_id
              |ORDER BY event_type, user_id""".stripMargin),
@@ -361,11 +343,11 @@ object LogAnalyticsQueries {
         .orderBy("event_type"),
       Some("""WITH inner_m AS (
              |  SELECT event_type, user_id,
-             |         CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             |         CAST(sum(CAST(floor(value * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE)
              |           / count(*) AS inner_mean
              |  FROM events GROUP BY event_type, user_id)
              |SELECT event_type,
-             |       floor(CAST(sum(CAST(round(inner_mean, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             |       floor(CAST(sum(CAST(floor(inner_mean * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE)
              |             / count(*) * 10000.0 + 0.5) / 10000.0 AS mean_of_means
              |FROM inner_m GROUP BY event_type ORDER BY event_type""".stripMargin),
       doc = "A13 cross-run mean-of-means — two-level agg, NOT pooled (common_utils.py:245-344)"),
@@ -388,8 +370,8 @@ object LogAnalyticsQueries {
              |              ELSE CAST(CAST(floor(epoch(t_map_done)) AS BIGINT) - CAST(floor(epoch(t0)) AS BIGINT) AS DOUBLE) END AS map_s
              |  FROM st)
              |SELECT cohort,
-             |       floor(CAST(sum(CAST(round(total_s, 6) AS DECIMAL(28,6))) AS DOUBLE) / count(*) * 100.0 + 0.5) / 100.0 AS avg_total_s,
-             |       floor(CAST(sum(CAST(round(map_s, 6) AS DECIMAL(28,6))) AS DOUBLE) / count(*) * 100.0 + 0.5) / 100.0 AS avg_map_s
+             |       floor(CAST(sum(CAST(floor(total_s * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE) / count(*) * 100.0 + 0.5) / 100.0 AS avg_total_s,
+             |       floor(CAST(sum(CAST(floor(map_s * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE) / count(*) * 100.0 + 0.5) / 100.0 AS avg_map_s
              |FROM dur GROUP BY cohort ORDER BY cohort""".stripMargin),
       doc = "A14 cross-run stage-metric means (common_utils.py:322-344)"),
 

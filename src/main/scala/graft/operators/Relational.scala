@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{Q, Tables}
+import graft.functions.Parity.{exactAvg, pround}
+
+/** Relational / metrics-rollup operators (SURVEY.md §2.D2 R1-R7) plus the
+  * general relational surface (filter/join/agg/top-k) the analytics layer
+  * rests on.
+  *
+  * The reference's missing `analyze_all_metrices.py` is reconstructed from
+  * its committed CSV outputs (Analysis_Results dir): counter extraction → unit
+  * conversion → derived rates → pivot → best-parameter argmin with
+  * comma-joined ties (`result_map.csv:4` shows the "0.5,0.8" tie format).
+  *
+  * Scale notes: dimension joins (nation/region, per-group limits) are
+  * explicit `broadcast()`; pivots use an explicit value list so the plan
+  * is a single hash aggregate (no distinct-scan of the pivot column);
+  * top-k compiles to TakeOrderedAndProject (no global sort); all money
+  * sums are decimal (exact, and still map-side partially aggregated).
+  */
+object Relational {
+
+  /** R1: counter-block line extraction — `\t\tName=value` → (counter,
+    * value) rows (reference counters block `job_output.log:70-131`). */
+  def parseCounterLine(lines: DataFrame): DataFrame = {
+    val pat = "\\t\\t([\\w ]+)=(\\d+)"
+    lines.select(
+      col("event_id"),
+      regexp_extract(col("line"), pat, 1).as("counter"),
+      regexp_extract(col("line"), pat, 2).cast("long").as("cvalue"))
+  }
+
+  /** R6: argmin-with-ties — per group, the parameter values reaching the
+    * best metric, ascending comma-joined (result_map.csv:4 tie format). */
+  def bestParamTies(df: DataFrame, group: String, param: String,
+      metric: String, asc: Boolean): DataFrame = {
+    val ord = if (asc) col(metric).asc else col(metric).desc
+    val w = Window.partitionBy(group).orderBy(ord)
+    df.withColumn("rk", rank().over(w))
+      .where(col("rk") === 1)
+      .groupBy(group)
+      .agg(concat_ws(",", sort_array(collect_list(col(param))))
+        .as("best_param"))
+  }
+}
+
+object RelationalQueries {
+  import Relational._
+
+  val qs: Seq[Q] = Seq(
+    Q("r1_counter_parse",
+      (s, d) => parseCounterLine(
+        Tables.events(s, d).select(col("event_id"),
+          concat(lit("\t\t"), col("event_type"), lit(" records="),
+            col("event_id") * 7 + 1).as("line")))
+        .orderBy("event_id"),
+      Some("""WITH lines AS (
+             |  SELECT event_id,
+             |         chr(9) || chr(9) || event_type || ' records=' ||
+             |         (event_id * 7 + 1) AS line
+             |  FROM events)
+             |SELECT event_id,
+             |       regexp_extract(line, '\t\t([\w ]+)=(\d+)', 1) AS counter,
+             |       CAST(regexp_extract(line, '\t\t([\w ]+)=(\d+)', 2) AS BIGINT) AS cvalue
+             |FROM lines ORDER BY event_id""".stripMargin),
+      doc = "R1 counter-line extraction (job_output.log:70-131)"),
+
+    Q("r2_unit_conv",
+      (s, d) => Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice") * 1000).cast("long").as("bytes"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          pround(col("bytes") / 1048576.0, 2).as("mb"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       floor(CAST(floor(l_extendedprice * 1000) AS BIGINT) / 1048576.0 * 100.0 + 0.5) / 100.0 AS mb
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      doc = "R2 unit conversion bytes→MB ÷2^20, 2-dp (README.md:324-328)"),
+
+    Q("r3_derived_rate",
+      (s, d) => Tables.lineitem(s, d)
+        .where(col("l_quantity") > 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          pround(
+            (floor(col("l_extendedprice") * 1000).cast("long") / 1048576.0) /
+              col("l_quantity"), 2).as("mb_per_s"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       floor((CAST(floor(l_extendedprice * 1000) AS BIGINT) / 1048576.0)
+             |             / l_quantity * 100.0 + 0.5) / 100.0 AS mb_per_s
+             |FROM lineitem WHERE l_quantity > 0
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      doc = "R3 derived rate: MB per unit time (README.md:331-337)"),
+
+    Q("r4_avg_cpu",
+      (s, d) => Tables.events(s, d).groupBy("user_id")
+        .agg(pround(exactAvg(col("value")), 2).as("avg_cpu"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |       floor(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE)
+             |             / count(*) * 100.0 + 0.5) / 100.0 AS avg_cpu
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      doc = "R4 per-run average CPU (result_raw.csv Avg_CPU)"),
+
+    Q("r5_pivot",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = Tables.events(s, d)
+          .select((col("user_id") % 10).as("bucket"), col("event_type"))
+          .groupBy("bucket").pivot("event_type", types).count()
+        types.foldLeft(p)((df, t) =>
+          df.withColumn(t, coalesce(col(t), lit(0L))))
+          .orderBy("bucket")
+      },
+      Some("""SELECT user_id % 10 AS bucket,
+             |       count(*) FILTER (WHERE event_type = 'click') AS click,
+             |       count(*) FILTER (WHERE event_type = 'error') AS error,
+             |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             |       count(*) FILTER (WHERE event_type = 'view') AS view
+             |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin),
+      doc = "R5 long→wide pivot with explicit value list (result_time.csv shape)"),
+
+    Q("r6_best_ties",
+      (s, d) => bestParamTies(
+        Tables.events(s, d)
+          .groupBy(col("event_type"), lpad(hour(col("ts")).cast("string"), 2, "0").as("hh"))
+          .agg(count(lit(1)).as("cnt")),
+        "event_type", "hh", "cnt", asc = false)
+        .orderBy("event_type"),
+      Some("""WITH cnts AS (
+             |  SELECT event_type, lpad(CAST(hour(ts) AS VARCHAR), 2, '0') AS hh,
+             |         count(*) AS cnt
+             |  FROM events GROUP BY event_type, hh),
+             |rk AS (
+             |  SELECT event_type, hh,
+             |         rank() OVER (PARTITION BY event_type ORDER BY cnt DESC) AS rk
+             |  FROM cnts)
+             |SELECT event_type,
+             |       array_to_string(list_sort(list(hh)), ',') AS best_param
+             |FROM rk WHERE rk = 1 GROUP BY event_type
+             |ORDER BY event_type""".stripMargin),
+      doc = "R6 best-parameter argmax with ascending comma-joined ties (result_map.csv:4)"),
+
+    Q("q1_pricing_summary",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base"),
+          sum(pround(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .cast(DecimalType(28, 4))).cast("double").as("sum_disc_price"),
+          pround(exactAvg(col("l_quantity")), 4).as("avg_qty"),
+          pround(exactAvg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+             |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+             |       floor(CAST(sum(CAST(floor(l_quantity * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+             |       floor(CAST(sum(CAST(floor(l_discount * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+             |       count(*) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      doc = "TPC-H Q1-style pricing summary; decimal-exact money sums"),
+
+    Q("q2_region_rollup",
+      (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("sum_acctbal"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name, count(*) AS n_cust,
+             |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin),
+      doc = "star-schema rollup; both dims broadcast (no shuffle of customer)"),
+
+    Q("q3_topk_orders",
+      (s, d) => Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+      doc = "top-k via TakeOrderedAndProject (no global sort)"),
+
+    Q("q4_revenue_filter",
+      (s, d) => Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_discount") >= 0.03 && col("l_quantity") < 24)
+        .agg(sum(pround(col("l_extendedprice") * col("l_discount"), 4)
+          .cast(DecimalType(28, 4))).cast("double").as("revenue"),
+          count(lit(1)).as("n_rows")),
+      Some("""SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000.0 + 0.5) / 10000.0 AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+             |       count(*) AS n_rows
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_discount >= 0.03 AND l_quantity < 24""".stripMargin),
+      doc = "TPC-H Q6-style selective scan — date+range predicates push to parquet"),
+  )
+}
