@@ -19,5 +19,7 @@ object Registry {
   def all: Seq[Q] =
     operators.WordCountQueries.qs ++
       operators.LogAnalyticsQueries.qs ++
-      operators.RelationalQueries.qs
+      operators.RelationalQueries.qs ++
+      operators.DedupQueries.qs ++
+      operators.SimilarityQueries.qs
 }

@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.Parity.pround
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (SURVEY.md §2.G [EXT]): exact, MinHash+LSH banding, SimHash, and
+  * n-gram Jaccard verification.
+  *
+  * Design for 100 TB:
+  *  - Exact dedup is a hash groupBy on the normalized text — one shuffle,
+  *    map-side partial agg.
+  *  - Near-dup NEVER does all-pairs: MinHash signatures (b bands × min
+  *    hash per band) turn similarity into equality — candidate pairs come
+  *    from a shuffle join on the (band, min-hash) bucket key, which is
+  *    exactly the banded-LSH plan that scales linearly in corpus size.
+  *  - Jaccard verification runs only on pairs sharing a shingle (an
+  *    inverted-index join), never on the cross product.
+  *
+  * Hash portability: signatures use md5 prefixes — MD5 is bit-identical
+  * in every engine (unlike Spark's murmur3 `hash()` vs DuckDB's xxhash),
+  * so the whole pipeline is DuckDB-oracle-checkable.
+  */
+object Dedup {
+
+  /** Whitespace-tokenize into a non-empty-token array (same class as
+    * WordCount.WhitespaceRe on both engines). NOTE: this string is parsed
+    * by Spark's SQL parser, whose single-quoted literals process
+    * backslash escapes ('\f' collapses to 'f', silently making f a
+    * delimiter!) — hence the doubled backslashes. */
+  val tokensExpr = "filter(split(text, '[ \\\\t\\\\n\\\\r\\\\f]+'), x -> x != '')"
+
+  /** 3-word shingles, 1-based positions (matches DuckDB list indexing). */
+  val shinglesExpr =
+    s"""CASE WHEN size($tokensExpr) >= 3
+       | THEN transform(sequence(1, size($tokensExpr) - 2),
+       |        i -> concat_ws(' ', element_at($tokensExpr, i),
+       |                            element_at($tokensExpr, i + 1),
+       |                            element_at($tokensExpr, i + 2)))
+       | ELSE array() END""".stripMargin
+
+  /** G1: exact dedup on whitespace-normalized lowercased text; survivor =
+    * min doc_id per group. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      lower(trim(regexp_replace(col("text"), "[ \\t\\n\\r\\f]+", " ")))
+        .as("norm"))
+      .groupBy("norm")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+
+  /** G2a: banded MinHash signature — for each of `bands` hash families,
+    * the min md5(band:shingle) prefix over the doc's shingles. */
+  def minhashSignature(docs: DataFrame, bands: Int): DataFrame =
+    docs.select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
+      .groupBy("doc_id", "band")
+      .agg(min(substring(md5(concat(col("band"), lit(":"), col("sh"))), 1, 16))
+        .as("minh"))
+
+  /** G2b: LSH candidate pairs — equality join on the (band, minh) bucket
+    * key. This is the scale path: no all-pairs comparison ever happens. */
+  def minhashCandidates(docs: DataFrame, bands: Int): DataFrame = {
+    val sig = minhashSignature(docs, bands)
+    sig.as("a").join(sig.as("b"),
+        col("a.band") === col("b.band") && col("a.minh") === col("b.minh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** G3: 16-bit SimHash — per-bit majority vote over md5-derived token
+    * hashes (with multiplicity); ties vote 1. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(expr(tokensExpr)).as("w"))
+      .select(col("doc_id"),
+        expr("cast(conv(substr(md5(w), 1, 4), 16, 10) as bigint)").as("h"))
+      .select(col("doc_id"), col("h"),
+        explode(expr("sequence(0, 15)")).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(sum(when(expr("(h div cast(pow(2, j) as bigint)) % 2") === 1, 1)
+        .otherwise(-1)).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") >= 0, expr("cast(pow(2, j) as bigint)"))
+        .otherwise(0L)).as("simhash"))
+
+  /** G4: n-gram Jaccard over distinct 3-shingles, computed with an
+    * inverted-index join (pairs sharing >= 1 shingle only). */
+  def ngramJaccardTop(docs: DataFrame, k: Int): DataFrame = {
+    val shingleSet = docs
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh")).distinct()
+    val sizes = shingleSet.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = shingleSet.as("x").join(shingleSet.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
+      .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
+      .limit(k)
+      .select(col("doc_a"), col("doc_b"), pround(col("jac"), 6).as("jaccard"))
+  }
+}
+
+object DedupQueries {
+  import Dedup._
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  private val toksSql = "list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '')"
+  private val shinglesSqlCte =
+    s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |         unnest(CASE WHEN len(t) >= 3
+       |                THEN list_transform(range(1, len(t) - 1),
+       |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |                ELSE CAST([] AS VARCHAR[]) END) AS sh
+       |  FROM toks)""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    Q("g1_exact_dedup",
+      (s, d) => exactDedup(docs(s, d)).orderBy("doc_id"),
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+             |FROM (SELECT doc_id,
+             |             lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))) AS norm
+             |      FROM documents)
+             |GROUP BY norm ORDER BY doc_id""".stripMargin),
+      doc = "G1 exact dedup via hash groupBy on normalized text"),
+
+    Q("g2_minhash_sig",
+      (s, d) => minhashSignature(docs(s, d), 4).orderBy("doc_id", "band"),
+      Some(s"""WITH $shinglesSqlCte,
+              |b AS (SELECT doc_id, sh, unnest(range(0, 4)) AS band FROM sh)
+              |SELECT doc_id, band,
+              |       min(substr(md5(band || ':' || sh), 1, 16)) AS minh
+              |FROM b GROUP BY doc_id, band ORDER BY doc_id, band""".stripMargin),
+      doc = "G2a banded MinHash signatures (md5-based, engine-portable)"),
+
+    Q("g2_minhash_pairs",
+      (s, d) => minhashCandidates(docs(s, d), 4).orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $shinglesSqlCte,
+              |b AS (SELECT doc_id, sh, unnest(range(0, 4)) AS band FROM sh),
+              |sig AS (
+              |  SELECT doc_id, band,
+              |         min(substr(md5(band || ':' || sh), 1, 16)) AS minh
+              |  FROM b GROUP BY doc_id, band)
+              |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |FROM sig a JOIN sig b
+              |  ON a.band = b.band AND a.minh = b.minh AND a.doc_id < b.doc_id
+              |ORDER BY doc_a, doc_b""".stripMargin),
+      doc = "G2b LSH candidate pairs: equality join on (band, min-hash) bucket"),
+
+    Q("g3_simhash",
+      (s, d) => simhash(docs(s, d)).orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+              |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 4))::BIGINT AS h FROM toks),
+              |bits AS (
+              |  SELECT doc_id, j,
+              |         sum(CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+              |                  THEN 1 ELSE -1 END) AS s
+              |  FROM h, (SELECT unnest(range(0, 16)) AS j)
+              |  GROUP BY doc_id, j)
+              |SELECT doc_id,
+              |       CAST(sum(CASE WHEN s >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+              |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "G3 16-bit SimHash: per-bit majority of md5-derived token hashes"),
+
+    Q("g4_ngram_jaccard",
+      (s, d) => ngramJaccardTop(docs(s, d), 20),
+      Some(s"""WITH $shinglesSqlCte,
+              |ss AS (SELECT DISTINCT doc_id, sh FROM sh),
+              |sz AS (SELECT doc_id, count(*) AS n FROM ss GROUP BY doc_id),
+              |inter AS (
+              |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+              |  FROM ss x JOIN ss y ON x.sh = y.sh AND x.doc_id < y.doc_id
+              |  GROUP BY doc_a, doc_b),
+              |j AS (
+              |  SELECT doc_a, doc_b,
+              |         CAST(inter AS DOUBLE) / CAST(a.n + b.n - inter AS DOUBLE) AS jac
+              |  FROM inter
+              |  JOIN sz a ON a.doc_id = doc_a
+              |  JOIN sz b ON b.doc_id = doc_b)
+              |SELECT doc_a, doc_b, floor(jac * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+              |FROM j ORDER BY jac DESC, doc_a, doc_b LIMIT 20""".stripMargin),
+      doc = "G4 n-gram Jaccard via inverted-index join (never all-pairs)"),
+  )
+}
