@@ -21,5 +21,7 @@ object Registry {
       operators.LogAnalyticsQueries.qs ++
       operators.RelationalQueries.qs ++
       operators.DedupQueries.qs ++
-      operators.SimilarityQueries.qs
+      operators.SimilarityQueries.qs ++
+      operators.TextAnalysisQueries.qs ++
+      operators.MultimodalQueries.qs
 }

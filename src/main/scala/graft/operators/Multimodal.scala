@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+import graft.functions.Parity.pround
+
+/** Multimodal-column operators (SURVEY.md §2.G [EXT]): typed extraction
+  * from JSON property blobs, and the Spark-side plumbing for opaque
+  * binary media columns (schema, partitioning, batch decode shape).
+  *
+  * The real decode step (image/audio codecs) is STUBBED with a
+  * deterministic fake — the codec libraries are not in this container —
+  * but everything around it is real and tested: the binary column flows
+  * through a typed schema, the decode runs per-partition (the shape a
+  * vectorized/Arrow UDF takes on a cluster), and downstream metadata
+  * aggregation is plain declarative Spark.
+  */
+object Multimodal {
+
+  /** Typed props extraction: events.props is a JSON string column;
+    * from_json with an explicit schema (never schema inference at scale). */
+  def propsExtract(events: DataFrame): DataFrame =
+    events.select(col("event_id"),
+      from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+        .getField("k").as("k"))
+
+  /** Media-record framing: documents become (doc_id, media binary, meta).
+    * The binary is the utf-8 payload of the text — a stand-in for image
+    * bytes; at scale this column comes straight from parquet BINARY. */
+  def mediaFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      col("source"), col("n_chars"))
+
+  /** Deterministic fake "decode": width/height/n_frames derived from the
+    * byte length. Declarative projection — stays in whole-stage codegen. */
+  def decodeMeta(framed: DataFrame): DataFrame =
+    framed.select(col("doc_id"), octet_length(col("media")).as("n_bytes"))
+      .select(col("doc_id"), col("n_bytes"),
+        (col("n_bytes") % 640 + 1).as("width"),
+        ((col("n_bytes") * 7) % 480 + 1).as("height"),
+        (col("n_bytes") % 30 + 1).as("n_frames"))
+
+  /** The per-partition batch-decode shape: a mapPartitions pipeline with
+    * the codec call stubbed. On a cluster this is where an Arrow-batched
+    * decode (or JNI codec) plugs in; partitioning and batch iteration are
+    * the real thing. Not oracle-gated (the oracle can't run a codec);
+    * covered by a unit spec instead. */
+  def decodeBatches(framed: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_bytes", IntegerType),
+      StructField("checksum", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    framed.select("doc_id", "media").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        // --- codec stub: a real implementation decodes `bytes` here ---
+        val checksum = bytes.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0xffffffffL)
+        Row(id, bytes.length, checksum)
+      }
+    }(enc)
+  }
+
+  /** Frame-sampling analog: every stride-th frameBytes-sized "frame" —
+    * pure arithmetic on typed columns, no codec needed for offsets. */
+  def frameSample(docs: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+      explode(expr(s"sequence(0, greatest(cast(octet_length(encode(text, 'UTF-8')) div $frameBytes as int) - 1, 0), $stride)"))
+        .as("frame_no"))
+      .select(col("doc_id"), col("frame_no"),
+        expr(s"ascii(substring(text, frame_no * $frameBytes + 1, 1))")
+          .as("frame_lead_byte"))
+}
+
+object MultimodalQueries {
+  import Multimodal._
+
+  val qs: Seq[Q] = Seq(
+    Q("m1_props_extract",
+      (s, d) => propsExtract(Tables.events(s, d)).orderBy("event_id"),
+      Some("""SELECT event_id,
+             |       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+             |FROM events ORDER BY event_id""".stripMargin),
+      doc = "typed from_json extraction over the props JSON column"),
+
+    Q("m2_props_rollup",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"),
+          pround(sum(col("k")).cast("double") / count(lit(1)), 4).as("avg_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+             |       count(*) AS n,
+             |       floor(CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE)
+             |             / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "aggregate over JSON-extracted typed values (exact long sums)"),
+
+    Q("m3_media_meta",
+      (s, d) => decodeMeta(mediaFrame(Tables.documents(s, d)))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |       octet_length(encode(text)) AS n_bytes,
+             |       octet_length(encode(text)) % 640 + 1 AS width,
+             |       (octet_length(encode(text)) * 7) % 480 + 1 AS height,
+             |       octet_length(encode(text)) % 30 + 1 AS n_frames
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "binary media column + deterministic metadata 'decode' (codec stubbed)"),
+
+    Q("m4_frame_sample",
+      (s, d) => frameSample(Tables.documents(s, d), 64, 2)
+        .select("doc_id", "frame_no", "frame_lead_byte")
+        .orderBy("doc_id", "frame_no"),
+      Some("""WITH f AS (
+             |  SELECT doc_id, text,
+             |         unnest(range(0, greatest(octet_length(encode(text)) // 64, 1), 2)) AS frame_no
+             |  FROM documents)
+             |SELECT doc_id, frame_no,
+             |       ascii(substr(text, frame_no * 64 + 1, 1)) AS frame_lead_byte
+             |FROM f ORDER BY doc_id, frame_no""".stripMargin),
+      doc = "frame sampling over binary media: every 2nd 64-byte frame"),
+  )
+}

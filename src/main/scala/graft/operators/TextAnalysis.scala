@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.Parity.pround
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §2.G
+  * [EXT]): language ID, quality scoring, token counting, fingerprinting,
+  * TF-IDF.
+  *
+  * All are per-document projections or two-level aggregations — they
+  * partition on doc_id / word and never materialize anything driver-side,
+  * so the same plans run unchanged over a 100 TB corpus. Ratios divide
+  * exact longs (deterministic doubles); ln() results are pround-ed before
+  * comparison/ordering so last-ulp libm differences can't flip ranks.
+  */
+object TextAnalysis {
+
+  import Dedup.tokensExpr // SQL-parsed tokenizer (escape caveat documented there)
+
+  /** Tiny English stopword list used by the n-gram language heuristic. */
+  val Stopwords = Seq("the", "a", "of", "and", "is", "to", "in", "that",
+    "it", "on")
+
+  /** Per-doc token stats: total tokens, stopword hits, char sum. */
+  private def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+      explode(expr(tokensExpr)).as("w"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("w").isin(Stopwords: _*), 1L).otherwise(0L)).as("n_stop"),
+        sum(length(col("w"))).as("sum_wlen"),
+        first(col("lang")).as("lang"),
+        first(col("n_chars")).as("n_chars"))
+
+  /** Language-ID heuristic: stopword-ratio threshold → 'en' vs 'other'. */
+  def langId(docs: DataFrame, threshold: Double = 0.05): DataFrame =
+    tokenStats(docs).select(col("doc_id"),
+      (col("n_stop").cast("double") / col("n_tokens").cast("double"))
+        .as("stop_ratio"),
+      col("lang"))
+      .select(col("doc_id"), pround(col("stop_ratio"), 6).as("stop_ratio"),
+        when(col("stop_ratio") >= threshold, lit("en")).otherwise(lit("other"))
+          .as("pred_lang"),
+        (col("lang") === "en").cast("int").as("is_en"))
+
+  /** Quality scoring: length, mean word length, stopword ratio →
+    * composite score (deterministic integer-ratio arithmetic). */
+  def qualityScore(docs: DataFrame): DataFrame =
+    tokenStats(docs).select(
+      col("doc_id"), col("n_tokens"),
+      pround(col("sum_wlen").cast("double") / col("n_tokens").cast("double"), 4)
+        .as("avg_wlen"),
+      pround(col("n_stop").cast("double") / col("n_tokens").cast("double"), 4)
+        .as("stop_ratio"),
+      pround(
+        least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.5 +
+          (col("n_stop").cast("double") / col("n_tokens").cast("double")) * 0.5,
+        4).as("quality"))
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other chars). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr(s"size($tokensExpr)").cast("long").as("ws_tokens"),
+      expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+        .cast("long").as("bpe_tokens"))
+
+  /** Document fingerprint: md5 of the normalized text (16-hex prefix). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      substring(md5(lower(trim(
+        regexp_replace(col("text"), "[ \\t\\n\\r\\f]+", " ")))), 1, 16)
+        .as("fp"))
+
+  /** TF-IDF: top-k terms per doc by tf·ln(N/df), pround-ed so ordering is
+    * engine-stable; ties broken by word. */
+  def tfidfTop(docs: DataFrame, k: Int): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(expr(tokensExpr)).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(df_, "w").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("w"),
+        pround(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+          .as("tfidf"))
+    val win = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("w"))
+    scored.withColumn("rn", row_number().over(win))
+      .where(col("rn") <= k)
+      .select(col("doc_id"), col("rn").as("rank"), col("w").as("term"),
+        col("tfidf"))
+  }
+}
+
+object TextAnalysisQueries {
+  import TextAnalysis._
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  private val toksSql = "list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '')"
+  private val stopSql = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+  private val statsSqlCte =
+    s"""tok AS (SELECT doc_id, lang, n_chars, unnest($toksSql) AS w FROM documents),
+       |st AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |         sum(CASE WHEN w IN $stopSql THEN 1 ELSE 0 END) AS n_stop,
+       |         sum(length(w)) AS sum_wlen,
+       |         min(lang) AS lang, min(n_chars) AS n_chars
+       |  FROM tok GROUP BY doc_id)""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    Q("t1_langid",
+      (s, d) => langId(docs(s, d)).orderBy("doc_id"),
+      Some(s"""WITH $statsSqlCte
+              |SELECT doc_id,
+              |       floor(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
+              |       CASE WHEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.05
+              |            THEN 'en' ELSE 'other' END AS pred_lang,
+              |       CAST(lang = 'en' AS INT) AS is_en
+              |FROM st ORDER BY doc_id""".stripMargin),
+      doc = "language-ID n-gram/stopword heuristic"),
+
+    Q("t2_quality",
+      (s, d) => qualityScore(docs(s, d)).orderBy("doc_id"),
+      Some(s"""WITH $statsSqlCte
+              |SELECT doc_id, n_tokens,
+              |       floor(CAST(sum_wlen AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS avg_wlen,
+              |       floor(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+              |       floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 +
+              |              (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5)
+              |             * 10000.0 + 0.5) / 10000.0 AS quality
+              |FROM st ORDER BY doc_id""".stripMargin),
+      doc = "document quality scoring (length/stopword/word-length ratios)"),
+
+    Q("t3_token_counts",
+      (s, d) => tokenCounts(docs(s, d)).orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |       CAST(len($toksSql) AS BIGINT) AS ws_tokens,
+              |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "token counting: whitespace + BPE-ish regex segmentation"),
+
+    Q("t4_fingerprint",
+      (s, d) => fingerprint(docs(s, d)).orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |       substr(md5(lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')))), 1, 16) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "document fingerprinting (md5 of normalized text)"),
+
+    Q("t5_tfidf",
+      (s, d) => tfidfTop(docs(s, d), 3).orderBy("doc_id", "rank"),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+              |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+              |idf AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+              |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+              |scored AS (
+              |  SELECT doc_id, w,
+              |         floor(CAST(tf AS DOUBLE) *
+              |               ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+              |               * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+              |  FROM tf JOIN idf USING (w) CROSS JOIN nd),
+              |r AS (
+              |  SELECT doc_id, w, tfidf,
+              |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rn
+              |  FROM scored)
+              |SELECT doc_id, rn AS rank, w AS term, tfidf
+              |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin),
+      doc = "TF-IDF top-terms per doc (tf·ln(N/df), join + window)"),
+  )
+}
