@@ -37,14 +37,20 @@ object LogAnalytics {
         lit("] CPU: "), floor(col("value") * 10).cast("long"),
         lit("% | MEM: "), col("user_id") % 100, lit("%")).as("line"))
 
+  /** Non-matching regexp_extract yields '' — under ANSI mode casting ''
+    * throws, so null it first (headers/delimiter lines must parse to
+    * null, not kill the job; reference skips them at common_utils.py:35). */
+  private def numOrNull(c: Column, t: String): Column =
+    when(c === "", lit(null)).otherwise(c).cast(t)
+
   /** A1: regex record parse of monitor lines (common_utils.py:27-44). */
   def parseMonitorLine(lines: DataFrame): DataFrame = {
     val pat = "\\[(\\w+-\\w+)\\] CPU: (\\d+)% \\| MEM: (\\d+)%"
     lines.select(
       col("event_id"),
       regexp_extract(col("line"), pat, 1).as("node"),
-      regexp_extract(col("line"), pat, 2).cast("long").as("cpu"),
-      regexp_extract(col("line"), pat, 3).cast("long").as("mem"))
+      numOrNull(regexp_extract(col("line"), pat, 2), "long").as("cpu"),
+      numOrNull(regexp_extract(col("line"), pat, 3), "long").as("mem"))
   }
 
   /** A3 analog input: a Hadoop job progress line per event
@@ -65,8 +71,8 @@ object LogAnalytics {
       col("event_id"),
       to_timestamp(regexp_extract(col("line"), pat, 1),
         "yyyy-MM-dd HH:mm:ss").as("pts"),
-      regexp_extract(col("line"), pat, 2).cast("int").as("map_pct"),
-      regexp_extract(col("line"), pat, 3).cast("int").as("red_pct"))
+      numOrNull(regexp_extract(col("line"), pat, 2), "int").as("map_pct"),
+      numOrNull(regexp_extract(col("line"), pat, 3), "int").as("red_pct"))
   }
 
   /** A10 analog input: run-directory paths like the reference's
@@ -91,7 +97,7 @@ object LogAnalytics {
     paths.select(
       col("event_id"),
       upper(regexp_extract(col("path"), pat, 1)).as("dataset"),
-      regexp_extract(col("path"), pat, 2).cast("double").as("slowstart"))
+      numOrNull(regexp_extract(col("path"), pat, 2), "double").as("slowstart"))
   }
 
   /** A5: first-match stage detection as conditional aggregates per run

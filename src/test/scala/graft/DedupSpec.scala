@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "spark makes big data small again and again and again"),
+    (1L, "spark  makes\tbig data small again and again and again"), // ws variant of 0
+    (2L, "completely different content with many unique words here"),
+    (3L, "spark makes big data small again and again and again"),   // exact dup of 0
+    (4L, "tiny doc")                                                // < 3 tokens → no shingles
+  ).toDF("doc_id", "text")
+
+  test("G1: exact dedup groups whitespace-normalized duplicates, min-id survivor") {
+    val got = Dedup.exactDedup(docs).orderBy("doc_id")
+      .as[(Long, Long)].collect().toList
+    assert(got === List(0L -> 3L, 2L -> 1L, 4L -> 1L))
+  }
+
+  test("G1: dedup is idempotent") {
+    val once = Dedup.exactDedup(docs)
+    val docs2 = docs.join(once.select("doc_id"), "doc_id").select("doc_id", "text")
+    val twice = Dedup.exactDedup(docs2).orderBy("doc_id")
+      .select("doc_id").as[Long].collect().toList
+    assert(twice === List(0L, 2L, 4L))
+  }
+
+  test("G2: identical docs get identical MinHash signatures; distinct docs differ") {
+    val sig = Dedup.minhashSignature(docs, 4)
+      .groupBy("doc_id").agg(concat_ws("|", collect_list(col("minh"))).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(sig(0L) === sig(3L))
+    assert(sig(0L) !== sig(2L))
+    assert(!sig.contains(4L)) // too short for 3-shingles
+  }
+
+  test("G2b: LSH candidates include the exact-dup pair, not the unrelated doc") {
+    val pairs = Dedup.minhashCandidates(docs, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("G3: SimHash is deterministic and equal for identical docs") {
+    val h = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(h(0L) === h(3L))
+    assert(h.values.forall(v => v >= 0 && v < 65536))
+  }
+
+  test("G4: Jaccard of exact/ws-variant dups is 1.0 and tops the ranking") {
+    // docs 0, 1, 3 tokenize identically → all three pairs tie at 1.0,
+    // ordered by (doc_a, doc_b)
+    val top = Dedup.ngramJaccardTop(docs, 5).as[(Long, Long, Double)].collect()
+    assert(top.take(3).toList ===
+      List((0L, 1L, 1.0), (0L, 3L, 1.0), (1L, 3L, 1.0)))
+  }
+}
