@@ -67,10 +67,11 @@ object LogAnalytics {
   /** A3: progress-event parse — regexp_extract + to_timestamp. */
   def parseProgressLine(lines: DataFrame): DataFrame = {
     val pat = "(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}),\\d+ INFO mapreduce.Job:  map (\\d+)% reduce (\\d+)%"
+    val tsStr = regexp_extract(col("line"), pat, 1)
     lines.select(
       col("event_id"),
-      to_timestamp(regexp_extract(col("line"), pat, 1),
-        "yyyy-MM-dd HH:mm:ss").as("pts"),
+      when(tsStr === "", lit(null)).otherwise(
+        to_timestamp(tsStr, "yyyy-MM-dd HH:mm:ss")).as("pts"),
       numOrNull(regexp_extract(col("line"), pat, 2), "int").as("map_pct"),
       numOrNull(regexp_extract(col("line"), pat, 3), "int").as("red_pct"))
   }
