@@ -33,14 +33,22 @@ object Dedup {
     * delimiter!) — hence the doubled backslashes. */
   val tokensExpr = "filter(split(text, '[ \\\\t\\\\n\\\\r\\\\f]+'), x -> x != '')"
 
-  /** 3-word shingles, 1-based positions (matches DuckDB list indexing). */
-  val shinglesExpr =
-    s"""CASE WHEN size($tokensExpr) >= 3
-       | THEN transform(sequence(1, size($tokensExpr) - 2),
-       |        i -> concat_ws(' ', element_at($tokensExpr, i),
-       |                            element_at($tokensExpr, i + 1),
-       |                            element_at($tokensExpr, i + 2)))
-       | ELSE array() END""".stripMargin
+  /** 3-word shingles over a materialized `toks` column, 1-based positions
+    * (matches DuckDB list indexing). The tokenizer regex runs ONCE per row
+    * — inlining $tokensExpr here would re-split the text for every
+    * element_at call. */
+  private val shinglesFromToks =
+    """CASE WHEN size(toks) >= 3
+      | THEN transform(sequence(1, size(toks) - 2),
+      |        i -> concat_ws(' ', element_at(toks, i),
+      |                            element_at(toks, i + 1),
+      |                            element_at(toks, i + 2)))
+      | ELSE array() END""".stripMargin
+
+  /** (doc_id, sh): exploded 3-shingles, tokenizer evaluated once per doc. */
+  def shingleRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(tokensExpr).as("toks"))
+      .select(col("doc_id"), explode(expr(shinglesFromToks)).as("sh"))
 
   /** G1: exact dedup on whitespace-normalized lowercased text; survivor =
     * min doc_id per group. */
@@ -55,7 +63,7 @@ object Dedup {
   /** G2a: banded MinHash signature — for each of `bands` hash families,
     * the min md5(band:shingle) prefix over the doc's shingles. */
   def minhashSignature(docs: DataFrame, bands: Int): DataFrame =
-    docs.select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+    shingleRows(docs)
       .select(col("doc_id"), col("sh"),
         explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
       .groupBy("doc_id", "band")
@@ -65,7 +73,10 @@ object Dedup {
   /** G2b: LSH candidate pairs — equality join on the (band, minh) bucket
     * key. This is the scale path: no all-pairs comparison ever happens. */
   def minhashCandidates(docs: DataFrame, bands: Int): DataFrame = {
-    val sig = minhashSignature(docs, bands)
+    // The signature table is tiny (docs × bands) and feeds both join
+    // sides — materialize it once instead of recomputing the md5 scan
+    // twice. At warehouse scale this is the persisted signature table.
+    val sig = minhashSignature(docs, bands).cache()
     sig.as("a").join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.minh") === col("b.minh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -77,6 +88,7 @@ object Dedup {
     * hashes (with multiplicity); ties vote 1. */
   def simhash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(expr(tokensExpr)).as("w"))
+      .select(col("doc_id"), col("w"))
       .select(col("doc_id"),
         expr("cast(conv(substr(md5(w), 1, 4), 16, 10) as bigint)").as("h"))
       .select(col("doc_id"), col("h"),
@@ -91,18 +103,19 @@ object Dedup {
   /** G4: n-gram Jaccard over distinct 3-shingles, computed with an
     * inverted-index join (pairs sharing >= 1 shingle only). */
   def ngramJaccardTop(docs: DataFrame, k: Int): DataFrame = {
-    val shingleSet = docs
-      .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh")).distinct()
+    // distinct shingle set feeds three consumers (sizes + both join
+    // sides) — materialize once; per-doc sizes are small → broadcast.
+    val shingleSet = shingleRows(docs).distinct().cache()
     val sizes = shingleSet.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = shingleSet.as("x").join(shingleSet.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n", "nb"), "doc_b")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
