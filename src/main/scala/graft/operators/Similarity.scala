@@ -30,16 +30,27 @@ object Similarity {
   val fixedExpr =
     "transform(embedding, x -> cast(floor(cast(x as double) * 100000.0) as bigint))"
 
+  /** Exact long dot product: the native codegen'd fp_dot expression when
+    * graft.plans.GraftExtensions is installed (Verify/Bench sessions),
+    * otherwise the equivalent — but interpreted, per-row-allocating —
+    * higher-order-function form. Identical results either way. */
+  def dotExpr(s: SparkSession, a: String, b: String): String =
+    if (scala.util.Try(s.catalog.functionExists("fp_dot")).getOrElse(false))
+      s"fp_dot($a, $b)"
+    else
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+
   /** Per-vector squared norm of the fixed-point embedding (exact long). */
-  private def withFixed(vecs: DataFrame): DataFrame =
+  private def withFixed(vecs: DataFrame): DataFrame = {
+    val dot = dotExpr(vecs.sparkSession, "f", "f")
     vecs.select(col("vec_id"), col("label"), expr(fixedExpr).as("f"))
-      .withColumn("nrm",
-        expr("aggregate(transform(f, x -> x * x), 0L, (acc, x) -> acc + x)"))
+      .withColumn("nrm", expr(dot))
+  }
 
   /** Exact cosine between two fixed-point vectors (columns fa/fb with
     * norms na/nb): long dot / (sqrt·sqrt). */
-  private val cosExpr =
-    "cast(aggregate(zip_with(fa, fb, (x, y) -> x * y), 0L, (acc, x) -> acc + x) as double)" +
+  private def cosExpr(s: SparkSession): String =
+    s"cast(${dotExpr(s, "fa", "fb")} as double)" +
       " / (sqrt(cast(na as double)) * sqrt(cast(nb as double)))"
 
   /** Brute-force cosine top-k: queries (tiny) broadcast against all. */
@@ -51,7 +62,8 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), col("f").as("fb"), col("nrm").as("nb"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(queries).join(corpus, col("q_id") =!= col("neighbor_id"))
-      .select(col("q_id"), col("neighbor_id"), expr(cosExpr).as("cos"))
+      .select(col("q_id"), col("neighbor_id"),
+        expr(cosExpr(vecs.sparkSession)).as("cos"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
       .select(col("q_id"), col("neighbor_id"), col("rn").as("rank"),

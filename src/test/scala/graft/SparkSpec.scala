@@ -14,6 +14,7 @@ object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
