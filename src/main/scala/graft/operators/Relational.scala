@@ -35,6 +35,14 @@ object Relational {
       regexp_extract(col("line"), pat, 2).cast("long").as("cvalue"))
   }
 
+  /** R7: result CSV sinks — long-form result_raw.csv and the wide pivot
+    * CSVs (`Analysis_Results/` shape): header row, single file for
+    * golden-diff parity (coalesce(1) is fine for these tiny rollups —
+    * never for data-scale outputs). */
+  def writeResultCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(path)
+
   /** R6: argmin-with-ties — per group, the parameter values reaching the
     * best metric, ascending comma-joined (result_map.csv:4 tie format). */
   def bestParamTies(df: DataFrame, group: String, param: String,

@@ -60,6 +60,19 @@ class LogFilesSpec extends SparkSpec {
       "Reduce shuffle bytes" -> 45810576L))
   }
 
+  test("R7: result CSV sink writes a single headered file, overwrite-safe") {
+    import graft.operators.Relational
+    val out = java.nio.file.Files.createTempDirectory("csvout").toString + "/result_raw"
+    val df = LogFiles.cpuTrends(spark, root)
+    Relational.writeResultCsv(df, out)
+    Relational.writeResultCsv(df, out) // idempotent overwrite
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length === 1)
+    val lines = scala.io.Source.fromFile(files.head).getLines().toList
+    assert(lines.head === "dataset,slowstart,time_step,cpu")
+    assert(lines.length === df.count() + 1)
+  }
+
   test("A10-A13 full pipeline: cpuTrends over the swept tree") {
     val t = LogFiles.cpuTrends(spark, root)
     val row = t.where(col("dataset") === "100MB" && col("slowstart") === 0.2 &&
