@@ -132,11 +132,29 @@ object LogAnalytics {
   /** A7: stage-duration arithmetic (common_utils.py:122-135), seconds as
     * exact long diffs of floored epochs, with the degenerate zero-shuffle
     * path (:131-133) preserved. A6 fallback substitutes a missing
-    * shuffle-end. */
+    * shuffle-end.
+    *
+    * Single-shuffle plan: the fallback needs per-run event order, so we
+    * rank with a window partitioned by user_id and aggregate on the SAME
+    * key — Catalyst reuses the window's hash partitioning for the
+    * groupBy, so stage detection + fallback + durations cost one exchange
+    * (the previous two-aggregation + join shape cost three). */
   def stageDurations(events: DataFrame): DataFrame = {
-    val st = stageDetect(events)
-    val fb = nthFromEnd(events)
-    st.join(fb, "user_id").select(
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val st = events
+      .withColumn("rn_desc", row_number().over(w))
+      .groupBy("user_id").agg(
+        min(col("ts")).as("t0"),
+        max(col("ts")).as("t_end"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_map_done"),
+        min(when(col("value") > 5, col("ts"))).as("t_shuf_start"),
+        min(when(col("event_type") === "purchase" && col("value") >= 9,
+          col("ts"))).as("t_shuf_end"),
+        coalesce(
+          max(when(col("rn_desc") === 2, col("ts"))),
+          max(when(col("rn_desc") === 1, col("ts")))).as("fallback_ts"))
+    st.select(
       col("user_id"),
       (unix_timestamp(col("t_end")) - unix_timestamp(col("t0")))
         .cast("double").as("total_s"),
