@@ -224,6 +224,32 @@ object LogAnalyticsQueries {
              |FROM events ORDER BY event_id""".stripMargin),
       doc = "A2 delimiter sessionization: running sum over per-run window (common_utils.py:24-33)"),
 
+    Q("a2b_gap_sessions",
+      (s, d) => {
+        val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d).select(col("event_id"), col("user_id"), col("ts"),
+          (unix_timestamp(col("ts")) -
+            lag(unix_timestamp(col("ts")), 1).over(wOrd)).as("gap_s"))
+          .select(col("event_id"), col("user_id"),
+            sum(when(col("gap_s").isNull || col("gap_s") > 1800, 1)
+              .otherwise(0)).over(wRun).as("session_id"))
+          .orderBy("event_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT event_id, user_id, ts,
+             |         CAST(floor(epoch(ts)) AS BIGINT) -
+             |           lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+             |             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+             |  FROM events)
+             |SELECT event_id, user_id,
+             |       sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+             |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |FROM g ORDER BY event_id""".stripMargin),
+      doc = "gap-based sessionization (30-min inactivity): lag + running sum (batch analog of session_window)"),
+
     Q("a3_progress_parse",
       (s, d) => parseProgressLine(progressLine(ev(s, d))).orderBy("event_id"),
       Some("""WITH lines AS (

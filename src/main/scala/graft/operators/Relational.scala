@@ -205,6 +205,32 @@ object RelationalQueries {
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
       doc = "top-k via TakeOrderedAndProject (no global sort)"),
 
+    Q("q5_order_revenue",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(sum(pround(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .cast(DecimalType(28, 4))).cast("double").as("revenue"))
+        // large-large equi-join: shuffle (sort-merge at scale) on the
+        // order key, then top-k — no global sort materialization
+        Tables.orders(s, d)
+          .where(col("o_orderstatus") === "O")
+          .select("o_orderkey", "o_orderdate")
+          .join(rev, col("o_orderkey") === col("l_orderkey"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+          .select(col("o_orderkey"), col("o_orderdate"), col("revenue"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_orderkey,
+             |         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+             |  FROM lineitem GROUP BY l_orderkey)
+             |SELECT o_orderkey, o_orderdate, revenue
+             |FROM orders JOIN rev ON o_orderkey = l_orderkey
+             |WHERE o_orderstatus = 'O'
+             |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),
+      doc = "TPC-H Q3-style large-large shuffle join + top-k"),
+
     Q("q4_revenue_filter",
       (s, d) => Tables.lineitem(s, d)
         .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
