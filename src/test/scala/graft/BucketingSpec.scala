@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Bucketing
+
+class BucketingSpec extends SparkSpec {
+
+  private def withNoBroadcast[A](f: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("same-key bucketed tables join without a shuffle exchange") {
+    val orders = Tables.orders(spark, sf("sf0.001"))
+      .select("o_orderkey", "o_totalprice")
+    val lineitem = Tables.lineitem(spark, sf("sf0.001"))
+      .select("l_orderkey", "l_quantity")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+
+    Bucketing.writeBucketed(orders, "b_orders", "o_orderkey", 4,
+      sortCols = Seq("o_orderkey"))
+    Bucketing.writeBucketed(lineitem, "b_lineitem", "o_orderkey", 4,
+      sortCols = Seq("o_orderkey"))
+
+    withNoBroadcast {
+      val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_lineitem",
+        "o_orderkey")
+      // correctness: same result as the plain join
+      val expected = orders.join(lineitem, "o_orderkey").count()
+      assert(joined.count() === expected)
+      // the point of bucketing: no Exchange in the physical plan
+      assert(Bucketing.isExchangeFree(joined),
+        joined.queryExecution.executedPlan.toString.take(2000))
+      // while the unbucketed join does shuffle
+      val plain = orders.join(
+        lineitem.withColumnRenamed("l_quantity", "q2"), "o_orderkey")
+      assert(!Bucketing.isExchangeFree(plain))
+    }
+  }
+
+  test("bucketed aggregation on the bucket key is exchange-free") {
+    val agg = spark.table("b_lineitem").groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n"))
+    assert(Bucketing.isExchangeFree(agg))
+  }
+}
