@@ -188,6 +188,24 @@ object DedupQueries {
               |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       doc = "G3 16-bit SimHash: per-bit majority of md5-derived token hashes"),
 
+    Q("g5_embedding_neardup",
+      (s, d) => Similarity.embeddingNearDupTop(Tables.embeddings(s, d), 4, 20),
+      Some(s"""WITH ${SimilarityQueries.fixedSqlCte},
+              |b AS (
+              |  SELECT vec_id, ${SimilarityQueries.bucketSqlExpr} AS bucket
+              |  FROM n),
+              |nb AS (
+              |  SELECT n.vec_id, n.f, n.nrm, b.bucket
+              |  FROM n JOIN b ON n.vec_id = b.vec_id),
+              |p AS (
+              |  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+              |         ${SimilarityQueries.pairCosSql("a", "c")} AS cos
+              |  FROM nb a JOIN nb c
+              |    ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+              |SELECT vec_a, vec_b, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+              |FROM p ORDER BY cos DESC, vec_a, vec_b LIMIT 20""".stripMargin),
+      doc = "G5 embedding-cosine near-dup: exact cosine only within LSH buckets"),
+
     Q("g4_ngram_jaccard",
       (s, d) => ngramJaccardTop(docs(s, d), 20),
       Some(s"""WITH $shinglesSqlCte,

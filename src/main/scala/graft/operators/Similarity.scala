@@ -84,6 +84,45 @@ object Similarity {
           .otherwise(lit("0"))
       }: _*).as("bucket"))
 
+  /** Embedding-cosine near-dup pairs, LSH-prefiltered: exact cosine runs
+    * only on pairs sharing a sign-LSH bucket (the dedup scale path — the
+    * bucket key is the shuffle key, never all-pairs). Top-k by similarity
+    * with deterministic tie-breaks. */
+  def embeddingNearDupTop(vecs: DataFrame, planes: Int, k: Int): DataFrame = {
+    val withB = withFixed(vecs).join(lshBuckets(vecs, planes), "vec_id")
+    val a = withB.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("f").as("fa"), col("nrm").as("na"))
+    val b = withB.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("f").as("fb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket")).where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        expr(cosExpr(vecs.sparkSession)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+      .limit(k)
+      .select(col("vec_a"), col("vec_b"), pround(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** IVF coarse quantization: deterministic centroid subset (vec_id ≡ 0
+    * mod `mod`), every vector assigned to its max-cosine centroid (ties →
+    * smaller centroid id). At scale: centroids broadcast, assignment is a
+    * map-only pass, and the centroid id becomes the partition key an
+    * in-bucket search shuffles on. */
+  def ivfAssign(vecs: DataFrame, mod: Int): DataFrame = {
+    val base = withFixed(vecs)
+    val cents = base.where(col("vec_id") % mod === 0)
+      .select(col("vec_id").as("centroid_id"), col("f").as("fb"),
+        col("nrm").as("nb"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("centroid_id"))
+    base.select(col("vec_id"), col("f").as("fa"), col("nrm").as("na"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        expr(cosExpr(vecs.sparkSession)).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+  }
+
   /** k-NN label vote: majority label of the top-k neighbors per query;
     * ties broken by smaller label. */
   def knnLabelVote(vecs: DataFrame, nQueries: Int, k: Int): DataFrame = {
@@ -102,7 +141,7 @@ object SimilarityQueries {
   import Similarity._
   private def vecs(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
-  private val fixedSqlCte =
+  private[operators] val fixedSqlCte =
     """f AS (
       |  SELECT vec_id, label,
       |         list_transform(embedding,
@@ -113,7 +152,36 @@ object SimilarityQueries {
       |         CAST(list_sum(list_transform(f, x -> x * x)) AS BIGINT) AS nrm
       |  FROM f)""".stripMargin
 
+  /** SQL fragment: the 4-plane sign-LSH bucket id over a fixed-point
+    * column `f` (mirrors Similarity.lshBuckets). */
+  private[operators] val bucketSqlExpr = (0 until 4).map(p =>
+    s"""(CASE WHEN CAST(list_sum(list_transform(range(1, len(f) + 1),
+       |   i -> f[i] * CAST(((i - 1) * 37 + $p * 61) % 19 - 9 AS BIGINT))) AS BIGINT) >= 0
+       |   THEN '1' ELSE '0' END)""".stripMargin).mkString(" || ")
+
+  /** SQL fragment: exact pair cosine between rows a/c of the `n` CTE. */
+  private[operators] def pairCosSql(a: String, b: String) =
+    s"""CAST(CAST(list_sum(list_transform(range(1, len($a.f) + 1),
+       |     i -> $a.f[i] * $b.f[i])) AS BIGINT) AS DOUBLE)
+       |  / (sqrt(CAST($a.nrm AS DOUBLE)) * sqrt(CAST($b.nrm AS DOUBLE)))""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("s5_ivf_assign",
+      (s, d) => ivfAssign(vecs(s, d), 97).orderBy("vec_id"),
+      Some(s"""WITH $fixedSqlCte,
+              |cents AS (
+              |  SELECT vec_id AS centroid_id, f, nrm FROM n WHERE vec_id % 97 = 0),
+              |p AS (
+              |  SELECT n.vec_id, c.centroid_id,
+              |         ${pairCosSql("n", "c")} AS cos
+              |  FROM n, cents c),
+              |r AS (
+              |  SELECT vec_id, centroid_id,
+              |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+              |  FROM p)
+              |SELECT vec_id, centroid_id FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+      doc = "IVF coarse quantization: max-cosine centroid assignment (broadcast centroids)"),
+
     Q("s1_cosine_topk",
       (s, d) => cosineTopK(vecs(s, d), 5, 5).orderBy("q_id", "rank"),
       Some(s"""WITH $fixedSqlCte,
