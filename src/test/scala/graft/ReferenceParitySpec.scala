@@ -82,6 +82,25 @@ class ReferenceParitySpec extends SparkSpec {
     }
   }
 
+  test("R1 counters: shuffle bytes invariant over slowstart (README.md:324-328)") {
+    assume(new java.io.File(RefLogs).isDirectory)
+    val paths = LogFiles.globPaths(spark, s"$RefLogs/_100mb_*/*/job_output.log")
+    val counters = LogFiles.counterRows(LogFiles.readLines(spark, paths: _*))
+    // the reference's own sanity cross-check: shuffle volume must not vary
+    // with the slowstart parameter — all 12 100MB runs agree byte-for-byte
+    val shuffleBytes = counters
+      .where(col("counter") === "Reduce shuffle bytes")
+      .select("cvalue").distinct().as[Long].collect().toList
+    assert(shuffleBytes === List(45810576L))
+    val nRuns = counters.where(col("counter") === "Reduce shuffle bytes").count()
+    assert(nRuns === 12)
+    // golden: 781,397 distinct words at 100MB (BASELINE.md output rows)
+    val outRecords = counters
+      .where(col("counter") === "Reduce output records")
+      .select("cvalue").distinct().as[Long].collect().toList
+    assert(outRecords === List(781397L))
+  }
+
   test("flat-layout 1G/5G runs are scanned too (reference's scanner missed them)") {
     assume(new java.io.File(RefLogs).isDirectory)
     val flat = LogFiles.globPaths(spark, s"$RefLogs/_1G_*/job_output.log") ++
