@@ -28,6 +28,13 @@ object MonitorStream {
 
   private val pat = "\\[(\\w+-\\w+)\\] CPU: ([\\d.]+)% \\| MEM: (\\d+)%"
 
+  /** File-source ingestion: tail a monitor-log directory as a stream.
+    * Arrival time stands in for event time (the reference's monitor lines
+    * carry no timestamps); downstream windowing is identical either way. */
+  def fileLines(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.text(dir)
+      .select(current_timestamp().as("ts"), col("value").as("line"))
+
   /** Parse a stream of (ts, line) into typed samples; non-sample lines
     * (headers, delimiters) are dropped here but kept by the sessionizer. */
   def samples(lines: DataFrame): DataFrame =

@@ -30,6 +30,27 @@ class MonitorStreamSpec extends SparkSpec {
     assert(rows === List(("worker1-a", 20.0, 2L), ("worker1-a", 50.0, 1L)))
   }
 
+  test("file-source stream ingests and parses a real monitor.log directory") {
+    val dir = java.nio.file.Files.createTempDirectory("monstream").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/monitor.log"),
+      """===== Real Performance Monitor Started =====
+        |[worker1-zzh] CPU: 10.00% | MEM: 21%
+        |[worker2-zrt] CPU: 36.00% | MEM: 28%
+        |----
+        |[worker1-zzh] CPU: 55.00% | MEM: 22%
+        |""".stripMargin)
+    val q = MonitorStream.samples(MonitorStream.fileLines(spark, dir))
+      .writeStream.format("memory").queryName("filesrc")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT node, cpu, mem FROM filesrc ORDER BY cpu")
+      .as[(String, Double, Double)].collect().toList
+    q.stop()
+    assert(rows === List(("worker1-zzh", 10.0, 21.0),
+      ("worker2-zrt", 36.0, 28.0), ("worker1-zzh", 55.0, 22.0)))
+  }
+
   test("stateful sessionizer assigns time steps across micro-batches") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[MonitorLine]
