@@ -50,6 +50,14 @@ object Dedup {
     docs.select(col("doc_id"), expr(tokensExpr).as("toks"))
       .select(col("doc_id"), explode(expr(shinglesFromToks)).as("sh"))
 
+  /** (doc_id, sh_h): shingles as 56-bit md5-prefix longs. Joining and
+    * grouping on fixed-width longs instead of ~20-char strings cuts
+    * shuffle bytes and key-compare cost in the inverted-index join;
+    * md5 keeps it engine-portable. Collision odds ≈ 2^-56 per pair. */
+  def shingleHashRows(docs: DataFrame): DataFrame =
+    shingleRows(docs).select(col("doc_id"),
+      expr("cast(conv(substr(md5(sh), 1, 14), 16, 10) as bigint)").as("sh_h"))
+
   /** G1: exact dedup on whitespace-normalized lowercased text; survivor =
     * min doc_id per group. */
   def exactDedup(docs: DataFrame): DataFrame =
@@ -67,7 +75,8 @@ object Dedup {
       .select(col("doc_id"), col("sh"),
         explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
       .groupBy("doc_id", "band")
-      .agg(min(substring(md5(concat(col("band"), lit(":"), col("sh"))), 1, 16))
+      .agg(min(expr(
+        "cast(conv(substr(md5(concat(band, ':', sh)), 1, 14), 16, 10) as bigint)"))
         .as("minh"))
 
   /** G2b: LSH candidate pairs — equality join on the (band, minh) bucket
@@ -105,10 +114,10 @@ object Dedup {
   def ngramJaccardTop(docs: DataFrame, k: Int): DataFrame = {
     // distinct shingle set feeds three consumers (sizes + both join
     // sides) — materialize once; per-doc sizes are small → broadcast.
-    val shingleSet = shingleRows(docs).distinct().cache()
+    val shingleSet = shingleHashRows(docs).distinct().cache()
     val sizes = shingleSet.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = shingleSet.as("x").join(shingleSet.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        col("x.sh_h") === col("y.sh_h") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -155,7 +164,7 @@ object DedupQueries {
       Some(s"""WITH $shinglesSqlCte,
               |b AS (SELECT doc_id, sh, unnest(range(0, 4)) AS band FROM sh)
               |SELECT doc_id, band,
-              |       min(substr(md5(band || ':' || sh), 1, 16)) AS minh
+              |       min(('0x' || substr(md5(band || ':' || sh), 1, 14))::BIGINT) AS minh
               |FROM b GROUP BY doc_id, band ORDER BY doc_id, band""".stripMargin),
       doc = "G2a banded MinHash signatures (md5-based, engine-portable)"),
 
@@ -165,7 +174,7 @@ object DedupQueries {
               |b AS (SELECT doc_id, sh, unnest(range(0, 4)) AS band FROM sh),
               |sig AS (
               |  SELECT doc_id, band,
-              |         min(substr(md5(band || ':' || sh), 1, 16)) AS minh
+              |         min(('0x' || substr(md5(band || ':' || sh), 1, 14))::BIGINT) AS minh
               |  FROM b GROUP BY doc_id, band)
               |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               |FROM sig a JOIN sig b
@@ -209,11 +218,12 @@ object DedupQueries {
     Q("g4_ngram_jaccard",
       (s, d) => ngramJaccardTop(docs(s, d), 20),
       Some(s"""WITH $shinglesSqlCte,
-              |ss AS (SELECT DISTINCT doc_id, sh FROM sh),
+              |ss AS (SELECT DISTINCT doc_id,
+              |         ('0x' || substr(md5(sh), 1, 14))::BIGINT AS sh_h FROM sh),
               |sz AS (SELECT doc_id, count(*) AS n FROM ss GROUP BY doc_id),
               |inter AS (
               |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
-              |  FROM ss x JOIN ss y ON x.sh = y.sh AND x.doc_id < y.doc_id
+              |  FROM ss x JOIN ss y ON x.sh_h = y.sh_h AND x.doc_id < y.doc_id
               |  GROUP BY doc_a, doc_b),
               |j AS (
               |  SELECT doc_a, doc_b,
