@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the cat sat on the mat and it is a good mat", "en", "s0", 43L),
+    (1L, "der hund lief schnell durch den park heute morgen", "de", "s1", 49L),
+    (2L, "a b", "en", "s2", 3L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("langId: stopword-dense text is 'en', stopword-free text is 'other'") {
+    val got = TextAnalysis.langId(docs).orderBy("doc_id")
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toList
+    assert(got === List(0L -> "en", 1L -> "other", 2L -> "en"))
+  }
+
+  test("quality score combines length and stopword signals, bounded [0,1]") {
+    val q = TextAnalysis.qualityScore(docs)
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(0L) > q(1L)) // stopword-rich English scores higher
+  }
+
+  test("token counts: whitespace vs BPE-ish regex segmentation") {
+    val t = TextAnalysis.tokenCounts(docs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(t(0L)._1 === 12L)
+    assert(t(2L)._1 === 2L)
+    assert(t(0L)._2 >= t(0L)._1) // regex segmentation never merges ws tokens
+  }
+
+  test("fingerprint: whitespace-insensitive, content-sensitive") {
+    val variant = Seq((10L, "the cat sat on the mat and it is a good  mat"))
+      .toDF("doc_id", "text")
+    val fp0 = TextAnalysis.fingerprint(docs).where(col("doc_id") === 0)
+      .select("fp").as[String].head()
+    val fp10 = TextAnalysis.fingerprint(variant).select("fp").as[String].head()
+    assert(fp0 === fp10) // double space normalized away
+    val fp1 = TextAnalysis.fingerprint(docs).where(col("doc_id") === 1)
+      .select("fp").as[String].head()
+    assert(fp0 !== fp1)
+  }
+
+  test("tfidf: corpus-wide words score 0, doc-unique words rank first") {
+    val corpus = Seq(
+      (0L, "alpha beta shared"), (1L, "gamma delta shared"),
+      (2L, "epsilon zeta shared")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTop(corpus, 3)
+      .where(col("doc_id") === 0).orderBy("rank")
+      .select("term", "tfidf").as[(String, Double)].collect().toList
+    assert(top.map(_._1) === List("alpha", "beta", "shared"))
+    assert(top(0)._2 > 0.0)
+    assert(top(2)._2 === 0.0) // ln(3/3) = 0 for the corpus-wide word
+  }
+}
