@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Locks in the physical-plan properties the 100 TB story depends on —
+  * a regression here is invisible at test scale but fatal at cluster
+  * scale, so it fails the suite instead. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val q = Registry.all.find(_.name == name).get
+    q.run(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+  }
+
+  test("w1: partial+final hash aggregate around a single hash exchange") {
+    val p = plan("w1_wordcount")
+    assert(p.contains("partial_count"))
+    assert(p.contains("Exchange hashpartitioning(word"))
+  }
+
+  test("q2: both dimension joins are broadcast — the fact side never shuffles") {
+    val p = plan("q2_region_rollup")
+    assert(p.split("BroadcastHashJoin").length >= 3, p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q4: date + range predicates are pushed into the parquet scan") {
+    val p = plan("q4_revenue_filter")
+    assert(p.contains("PushedFilters: [IsNotNull"))
+    assert(p.contains("GreaterThanOrEqual(l_shipda") || p.contains("GreaterThanOrEqual(l_disc"))
+    // column pruning: scan must not read unused money columns
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"))
+  }
+
+  test("q3: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q3_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("a17: per-group limits join is broadcast") {
+    assert(plan("a17_truncate").contains("BroadcastExchange"))
+  }
+
+  test("s1: query side of cosine top-k is broadcast") {
+    assert(plan("s1_cosine_topk").contains("BroadcastExchange"))
+  }
+
+  test("w1 scan prunes to the text column only") {
+    assert(plan("w1_wordcount").contains("ReadSchema: struct<text:string>"))
+  }
+}
