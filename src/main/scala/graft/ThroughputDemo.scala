@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Same-data-scale throughput comparison against the reference's headline
+  * numbers (BASELINE.md: 100MB WordCount best = 129.39 s, 1GB best =
+  * 847.96 s, on a 4-VM Hadoop cluster).
+  *
+  * Builds a corpus of the requested size from the testdata documents
+  * (replicated, with per-replica synthetic tokens so the aggregation
+  * state grows with scale like a real corpus), writes it as plain text,
+  * then times the full W1-W8 pipeline: recursive text scan → tokenize →
+  * count → TSV sink.
+  *
+  * Usage: runMain graft.ThroughputDemo [targetMB]
+  */
+object ThroughputDemo {
+  def main(args: Array[String]): Unit = {
+    val targetMB = args.headOption.map(_.toInt).getOrElse(100)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+    val baseBytes = base.select(sum(length(col("text")) + 1)).first().getLong(0)
+    val replicas = math.max(1, (targetMB * 1024L * 1024L / baseBytes).toInt)
+    val corpusDir = s"/tmp/graft_corpus_${targetMB}mb"
+    // per-replica token suffix grows the vocabulary with corpus size
+    // (a pure repeat would keep the aggregation state unrealistically tiny)
+    base.select(col("doc_id"), col("text"))
+      .withColumn("replica", explode(expr(s"sequence(1, $replicas)")))
+      .select(concat(col("text"), lit(" tok"), col("replica"),
+        lit("_"), col("doc_id") % 997).as("value"))
+      .write.mode("overwrite").text(corpusDir)
+
+    val corpus = spark.read.option("recursiveFileLookup", "true")
+      .text(corpusDir).withColumnRenamed("value", "text")
+    val inBytes = corpus.select(sum(length(col("text")) + 1)).first().getLong(0)
+    val inMB = inBytes / 1048576.0
+
+    val t0 = System.nanoTime()
+    operators.WordCount.writeTsv(
+      operators.WordCount.wordCount(corpus), s"/tmp/graft_wc_${targetMB}mb")
+    val sec = (System.nanoTime() - t0) / 1e9
+    val distinct = spark.read.text(s"/tmp/graft_wc_${targetMB}mb").count()
+
+    val refSec = targetMB match {
+      case m if m >= 1000 => 847.96 // 1GB best, README.md:528-530
+      case _ => 129.39              // 100MB best, README.md:270-272
+    }
+    println(f"""{"demo":"wordcount_throughput","input_mb":$inMB%.1f,"seconds":$sec%.2f,"mb_per_s":${inMB / sec}%.2f,"distinct_words":$distinct,"reference_seconds_same_scale":$refSec,"speedup_vs_reference":${refSec / sec}%.1f}""")
+    spark.stop()
+  }
+}
