@@ -42,6 +42,19 @@ object Tables {
     nanosToTs(table(s, d, "lineitem"), "l_shipdate")
   def events(s: SparkSession, d: String): DataFrame =
     nanosToTs(table(s, d, "events"), "ts")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every testdata table as a temp view so ad-hoc
+    * `spark.sql(...)` works against the same loaders (timestamp handling
+    * included). */
+  def registerAll(s: SparkSession, d: String): Unit = Seq(
+    "region" -> region _, "nation" -> nation _, "customer" -> customer _,
+    "supplier" -> supplier _, "part" -> part _, "orders" -> orders _,
+    "lineitem" -> lineitem _, "events" -> events _,
+    "documents" -> documents _, "embeddings" -> embeddings _)
+    .foreach { case (n, f) => f(s, d).createOrReplaceTempView(n) }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -231,6 +231,42 @@ object RelationalQueries {
              |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),
       doc = "TPC-H Q3-style large-large shuffle join + top-k"),
 
+    Q("q6_cust_no_orders",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_inactive"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n_inactive
+             |FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      doc = "anti-join: customers with no orders, per segment"),
+
+    Q("q7_priority_semi",
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.lineitem(s, d)
+          .where(col("l_quantity") >= 45).select("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS n_orders
+             |FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      doc = "semi-join (TPC-H Q4 flavor): orders with any heavy lineitem"),
+
+    Q("q8_union_distinct",
+      (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy("nationkey"),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |UNION SELECT s_nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin),
+      doc = "union + distinct over two sources"),
+
     Q("q4_revenue_filter",
       (s, d) => Tables.lineitem(s, d)
         .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
