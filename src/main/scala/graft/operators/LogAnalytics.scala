@@ -427,7 +427,13 @@ object LogAnalyticsQueries {
       doc = "A14 cross-run stage-metric means (common_utils.py:322-344)"),
 
     Q("a15_natural_sort",
-      (s, d) => parseRunPath(runPath(ev(s, d)))
+      // distinct FIRST (25 combos), then synthesize+parse — same output
+      // as synthesizing 100k paths, without the wasted projection work
+      (s, d) => parseRunPath(runPath(
+        ev(s, d).select((col("user_id") % 5).as("m"), col("event_type"))
+          .distinct()
+          .select(lit(0L).as("event_id"), col("m").as("user_id"),
+            col("event_type"))))
         .select(col("dataset")).distinct()
         .select(col("dataset"),
           (regexp_extract(col("dataset"), "(\\d+)", 1).cast("long") *
