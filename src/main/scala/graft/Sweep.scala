@@ -40,8 +40,11 @@ object Sweep {
       val dir = runDir(root, cfg, ts)
       Files.createDirectories(Paths.get(dir))
       val (progress, counters) = job(cfg)
+      val base = java.time.LocalDateTime.of(2025, 11, 28, 19, 24, 0)
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss")
       val progLines = progress.map { case (sec, m, r) =>
-        f"2025-11-28 19:${24 + sec / 60}%02d:${sec % 60}%02d,000 INFO mapreduce.Job:  map $m%% reduce $r%%"
+        s"${base.plusSeconds(sec).format(fmt)},000 INFO mapreduce.Job:  map $m% reduce $r%"
       }
       val counterLines = "\tGraft Counters" +:
         counters.toSeq.sortBy(_._1).map { case (k, v) => s"\t\t$k=$v" }

@@ -27,7 +27,13 @@ object Tables {
   private def nanosToTs(df: DataFrame, cols: String*): DataFrame =
     cols.foldLeft(df) { (d, c) =>
       if (d.schema(c).dataType == org.apache.spark.sql.types.LongType)
-        d.withColumn(c, timestamp_micros(expr(s"$c div 1000")).cast("timestamp_ntz"))
+        // convert_timezone pins the NTZ wall time to the UTC rendering of
+        // the instant regardless of spark.sql.session.timeZone (a bare
+        // cast to timestamp_ntz renders in the session zone, silently
+        // shifting wall times for non-UTC sessions)
+        d.withColumn(c, expr(
+          s"convert_timezone(current_timezone(), 'UTC', " +
+            s"cast(timestamp_micros($c div 1000) as timestamp_ntz))"))
       else d
     }
 

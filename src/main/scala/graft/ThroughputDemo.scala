@@ -27,7 +27,7 @@ object ThroughputDemo {
     spark.sparkContext.setLogLevel("WARN")
 
     val base = Tables.documents(spark, "/root/testdata/sf0.1")
-    val baseBytes = base.select(sum(length(col("text")) + 1)).first().getLong(0)
+    val baseBytes = base.select(sum(octet_length(col("text")) + 1)).first().getLong(0)
     val replicas = math.max(1, (targetMB * 1024L * 1024L / baseBytes).toInt)
     val corpusDir = s"/tmp/graft_corpus_${targetMB}mb"
     // per-replica token suffix grows the vocabulary with corpus size
@@ -40,7 +40,7 @@ object ThroughputDemo {
 
     val corpus = spark.read.option("recursiveFileLookup", "true")
       .text(corpusDir).withColumnRenamed("value", "text")
-    val inBytes = corpus.select(sum(length(col("text")) + 1)).first().getLong(0)
+    val inBytes = corpus.select(sum(octet_length(col("text")) + 1)).first().getLong(0)
     val inMB = inBytes / 1048576.0
 
     val t0 = System.nanoTime()
@@ -49,11 +49,10 @@ object ThroughputDemo {
     val sec = (System.nanoTime() - t0) / 1e9
     val distinct = spark.read.text(s"/tmp/graft_wc_${targetMB}mb").count()
 
-    val refSec = targetMB match {
-      case m if m >= 1000 => 847.96 // 1GB best, README.md:528-530
-      case _ => 129.39              // 100MB best, README.md:270-272
-    }
-    println(f"""{"demo":"wordcount_throughput","input_mb":$inMB%.1f,"seconds":$sec%.2f,"mb_per_s":${inMB / sec}%.2f,"distinct_words":$distinct,"reference_seconds_same_scale":$refSec,"speedup_vs_reference":${refSec / sec}%.1f}""")
+    // nearest documented reference scale (README.md §4 best times)
+    val refPoints = Seq(100 -> 129.39, 500 -> 545.09, 1000 -> 847.96)
+    val (refMB, refSec) = refPoints.minBy { case (m, _) => math.abs(m - targetMB) }
+    println(f"""{"demo":"wordcount_throughput","input_mb":$inMB%.1f,"seconds":$sec%.2f,"mb_per_s":${inMB / sec}%.2f,"distinct_words":$distinct,"reference_mb":$refMB,"reference_seconds":$refSec,"speedup_vs_reference":${refSec / sec}%.1f}""")
     spark.stop()
   }
 }

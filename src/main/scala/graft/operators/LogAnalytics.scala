@@ -101,6 +101,24 @@ object LogAnalytics {
       numOrNull(regexp_extract(col("path"), pat, 2), "double").as("slowstart"))
   }
 
+  /** A16 core: per-group outlier-robust limit — if max > 2nd-max × 1.1,
+    * use the 2nd-max (analyze_cpu_slowstart.py:22-38). Shared by the
+    * a16 report and the a17 truncation filter so the rule can't drift
+    * between them. Returns (event_type, axis_limit) unrounded. */
+  def axisLimits(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id").desc)
+    events.select(col("event_type"), col("value"),
+      row_number().over(w).as("rn"))
+      .where(col("rn") <= 2)
+      .groupBy("event_type")
+      .agg(max(when(col("rn") === 1, col("value"))).as("mx"),
+        max(when(col("rn") === 2, col("value"))).as("second"))
+      .select(col("event_type"),
+        when(col("mx") > col("second") * 1.1, col("second"))
+          .otherwise(col("mx")).as("axis_limit"))
+  }
+
   /** A5: first-match stage detection as conditional aggregates per run
     * (= user_id). Mirrors common_utils.py:84-110: t_map_done = first
     * map=100 event; t_shuf_start = first red>0; t_shuf_end = first
@@ -454,20 +472,9 @@ object LogAnalyticsQueries {
       doc = "A15 unit-aware natural sort key (common_utils.py:347-353)"),
 
     Q("a16_outlier_limit",
-      (s, d) => {
-        val w = Window.partitionBy("event_type")
-          .orderBy(col("value").desc, col("event_id").desc)
-        ev(s, d).select(col("event_type"), col("value"),
-          row_number().over(w).as("rn"))
-          .where(col("rn") <= 2)
-          .groupBy("event_type")
-          .agg(max(when(col("rn") === 1, col("value"))).as("mx"),
-            max(when(col("rn") === 2, col("value"))).as("second"))
-          .select(col("event_type"),
-            pround(when(col("mx") > col("second") * 1.1, col("second"))
-              .otherwise(col("mx")), 2).as("axis_limit"))
-          .orderBy("event_type")
-      },
+      (s, d) => axisLimits(ev(s, d))
+        .select(col("event_type"), pround(col("axis_limit"), 2).as("axis_limit"))
+        .orderBy("event_type"),
       Some("""WITH r AS (
              |  SELECT event_type, value,
              |         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rn
@@ -484,18 +491,7 @@ object LogAnalyticsQueries {
 
     Q("a17_truncate",
       (s, d) => {
-        val w = Window.partitionBy("event_type")
-          .orderBy(col("value").desc, col("event_id").desc)
-        val limits = ev(s, d)
-          .select(col("event_type"), col("value"), row_number().over(w).as("rn"))
-          .where(col("rn") <= 2)
-          .groupBy("event_type")
-          .agg(max(when(col("rn") === 1, col("value"))).as("mx"),
-            max(when(col("rn") === 2, col("value"))).as("second"))
-          .select(col("event_type"),
-            when(col("mx") > col("second") * 1.1, col("second"))
-              .otherwise(col("mx")).as("axis_limit"))
-        ev(s, d).join(broadcast(limits), "event_type")
+        ev(s, d).join(broadcast(axisLimits(ev(s, d))), "event_type")
           .where(col("value") <= col("axis_limit"))
           .groupBy("event_type").agg(count(lit(1)).as("kept"))
           .orderBy("event_type")

@@ -206,10 +206,7 @@ object SimilarityQueries {
       Some(s"""WITH $fixedSqlCte,
               |b AS (
               |  SELECT vec_id,
-              |         ${(0 until 4).map(p =>
-                 s"""(CASE WHEN CAST(list_sum(list_transform(range(1, len(f) + 1),
-                    |   i -> f[i] * CAST(((i - 1) * 37 + $p * 61) % 19 - 9 AS BIGINT))) AS BIGINT) >= 0
-                    |   THEN '1' ELSE '0' END)""".stripMargin).mkString(" || ")} AS bucket
+              |         $bucketSqlExpr AS bucket
               |  FROM n)
               |SELECT vec_id, bucket FROM b ORDER BY vec_id""".stripMargin),
       doc = "sign-LSH bucketing with deterministic integer hyperplanes (scale path)"),
@@ -221,10 +218,7 @@ object SimilarityQueries {
       Some(s"""WITH $fixedSqlCte,
               |b AS (
               |  SELECT vec_id,
-              |         ${(0 until 4).map(p =>
-                 s"""(CASE WHEN CAST(list_sum(list_transform(range(1, len(f) + 1),
-                    |   i -> f[i] * CAST(((i - 1) * 37 + $p * 61) % 19 - 9 AS BIGINT))) AS BIGINT) >= 0
-                    |   THEN '1' ELSE '0' END)""".stripMargin).mkString(" || ")} AS bucket
+              |         $bucketSqlExpr AS bucket
               |  FROM n)
               |SELECT bucket, count(*) AS n_vectors FROM b
               |GROUP BY bucket ORDER BY bucket""".stripMargin),

@@ -5,6 +5,20 @@ import graft.sources.Bucketing
 
 class BucketingSpec extends SparkSpec {
 
+  // shared fixture: both tests need the bucketed tables, independent of
+  // execution order
+  private lazy val tablesReady: Unit = {
+    val orders = Tables.orders(spark, sf("sf0.001"))
+      .select("o_orderkey", "o_totalprice")
+    val lineitem = Tables.lineitem(spark, sf("sf0.001"))
+      .select("l_orderkey", "l_quantity")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    Bucketing.writeBucketed(orders, "b_orders", "o_orderkey", 4,
+      sortCols = Seq("o_orderkey"))
+    Bucketing.writeBucketed(lineitem, "b_lineitem", "o_orderkey", 4,
+      sortCols = Seq("o_orderkey"))
+  }
+
   private def withNoBroadcast[A](f: => A): A = {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -12,16 +26,12 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("same-key bucketed tables join without a shuffle exchange") {
+    tablesReady
     val orders = Tables.orders(spark, sf("sf0.001"))
       .select("o_orderkey", "o_totalprice")
     val lineitem = Tables.lineitem(spark, sf("sf0.001"))
       .select("l_orderkey", "l_quantity")
       .withColumnRenamed("l_orderkey", "o_orderkey")
-
-    Bucketing.writeBucketed(orders, "b_orders", "o_orderkey", 4,
-      sortCols = Seq("o_orderkey"))
-    Bucketing.writeBucketed(lineitem, "b_lineitem", "o_orderkey", 4,
-      sortCols = Seq("o_orderkey"))
 
     withNoBroadcast {
       val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_lineitem",
@@ -40,6 +50,7 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("bucketed aggregation on the bucket key is exchange-free") {
+    tablesReady
     val agg = spark.table("b_lineitem").groupBy("o_orderkey")
       .agg(count(lit(1)).as("n"))
     assert(Bucketing.isExchangeFree(agg))

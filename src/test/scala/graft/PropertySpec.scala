@@ -26,8 +26,11 @@ class PropertySpec extends SparkSpec {
       val buf = evs.map { case (t, m, r) => ProgressEvent("r", t, m, r) }
         .foldLeft(StageAggregator.agg.zero)(StageAggregator.agg.reduce)
       val st = StageAggregator.agg.finish(buf)
-      assert(st.totalS >= 0.0 && st.mapS >= 0.0 &&
-        st.shuffleS >= 0.0 && st.reduceS >= 0.0)
+      assert(st.totalS >= 0.0 && st.mapS >= 0.0 && st.reduceS >= 0.0)
+      // NOTE: shuffleS has no non-negativity invariant — the reference's
+      // 2nd-from-end fallback (common_utils.py:112-119, copied as-is per
+      // SURVEY §7 risk 4) can end the shuffle before its detected start
+      // for pathological event orders; parity beats sanity here.
       assert(st.overlapPct >= 0.0 && st.overlapPct <= 100.0)
       assert(st.totalS >= st.mapS)
     }

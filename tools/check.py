@@ -53,6 +53,10 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    unknown = only - set(oracle)
+    if unknown:
+        print(f"[FAIL] unknown query name(s): {sorted(unknown)}")
+        sys.exit(1)
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
