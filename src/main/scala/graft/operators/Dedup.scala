@@ -93,6 +93,21 @@ object Dedup {
       .distinct()
   }
 
+  /** G2c: AND-amplified near-dup pairs — candidates must collide in at
+    * least `minShared` bands. Cuts false positives (and the candidate
+    * count) sharply on low-vocabulary corpora where single-band
+    * collisions are common; this is the knob that keeps the LSH join
+    * bounded as the corpus grows. */
+  def minhashNearDups(docs: DataFrame, bands: Int, minShared: Int): DataFrame = {
+    val sig = minhashSignature(docs, bands).cache()
+    sig.as("a").join(sig.as("b"),
+        col("a.band") === col("b.band") && col("a.minh") === col("b.minh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_bands"))
+      .where(col("shared_bands") >= minShared)
+  }
+
   /** G3: 16-bit SimHash — per-bit majority vote over md5-derived token
     * hashes (with multiplicity); ties vote 1. */
   def simhash(docs: DataFrame): DataFrame =

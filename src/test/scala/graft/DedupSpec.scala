@@ -44,6 +44,14 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("G2c: AND-amplification keeps true dups and only tightens candidates") {
+    val all = Dedup.minhashCandidates(docs, 4).as[(Long, Long)].collect().toSet
+    val strict = Dedup.minhashNearDups(docs, 4, 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(strict.contains((0L, 3L))) // identical docs share all 4 bands
+    assert(strict.subsetOf(all))      // amplification never adds pairs
+  }
+
   test("G3: SimHash is deterministic and equal for identical docs") {
     val h = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     assert(h(0L) === h(3L))
