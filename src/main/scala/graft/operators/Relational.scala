@@ -267,6 +267,49 @@ object RelationalQueries {
              |ORDER BY nationkey""".stripMargin),
       doc = "union + distinct over two sources"),
 
+    Q("q9_part_strings",
+      (s, d) => Tables.part(s, d)
+        .where(col("p_type").startsWith("STANDARD") ||
+          col("p_name").contains("green"))
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_uc"),
+          substring(col("p_type"), 1, 8).as("type_prefix"),
+          length(col("p_name")).as("name_len"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, upper(p_brand) AS brand_uc,
+             |       substr(p_type, 1, 8) AS type_prefix,
+             |       length(p_name) AS name_len
+             |FROM part
+             |WHERE p_type LIKE 'STANDARD%' OR contains(p_name, 'green')
+             |ORDER BY p_partkey""".stripMargin),
+      doc = "string-function surface over part (prefix/contains filters pushed)"),
+
+    Q("q10_cumulative_revenue",
+      (s, d) => {
+        val daily = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"),
+            date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("month_rev"))
+        val w = Window.partitionBy("o_orderpriority").orderBy("month")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.select(col("o_orderpriority"), col("month"),
+          pround(sum(pround(col("month_rev"), 2).cast(DecimalType(28, 2)))
+            .over(w).cast("double"), 2).as("cum_rev"))
+          .orderBy("o_orderpriority", "month")
+      },
+      Some("""WITH daily AS (
+             |  SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month,
+             |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_rev
+             |  FROM orders GROUP BY o_orderpriority, month)
+             |SELECT o_orderpriority, month,
+             |       floor(CAST(sum(CAST(floor(month_rev * 100.0 + 0.5) / 100.0 AS DECIMAL(28,2)))
+             |               OVER (PARTITION BY o_orderpriority ORDER BY month
+             |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |             * 100.0 + 0.5) / 100.0 AS cum_rev
+             |FROM daily ORDER BY o_orderpriority, month""".stripMargin),
+      doc = "cumulative time-series window: monthly revenue running sum per priority"),
+
     Q("q4_revenue_filter",
       (s, d) => Tables.lineitem(s, d)
         .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
