@@ -152,6 +152,26 @@ object TextAnalysisQueries {
              |FROM documents ORDER BY doc_id""".stripMargin),
       doc = "document fingerprinting (md5 of normalized text)"),
 
+    Q("t6_normalize_stopwords",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), explode(expr(Dedup.tokensExpr)).as("w"))
+        .select(col("doc_id"), lower(col("w")).as("w"))
+        .where(!col("w").isin(Stopwords: _*))
+        .select(col("doc_id"),
+          regexp_replace(col("w"), "(ing|ed|es|s)$", "").as("stem"))
+        .where(length(col("stem")) > 0)
+        .groupBy("doc_id", "stem").agg(count(lit(1)).as("tf"))
+        .orderBy("doc_id", "stem"),
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, lower(unnest($toksSql)) AS w FROM documents),
+              |st AS (
+              |  SELECT doc_id, regexp_replace(w, '(ing|ed|es|s)$$', '') AS stem
+              |  FROM tok WHERE w NOT IN $stopSql)
+              |SELECT doc_id, stem, count(*) AS tf
+              |FROM st WHERE length(stem) > 0
+              |GROUP BY doc_id, stem ORDER BY doc_id, stem""".stripMargin),
+      doc = "token normalization + stopword removal + suffix-strip stemming"),
+
     Q("t5_tfidf",
       (s, d) => tfidfTop(docs(s, d), 3).orderBy("doc_id", "rank"),
       Some(s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
