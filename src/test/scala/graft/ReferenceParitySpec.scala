@@ -99,6 +99,12 @@ class ReferenceParitySpec extends SparkSpec {
       .where(col("counter") === "Reduce output records")
       .select("cvalue").distinct().as[Long].collect().toList
     assert(outRecords === List(781397L))
+    // R2 unit conversion reproduces the README's derived 43.69 MB
+    // (README.md:324-328: 45,810,576 B ÷ 2^20, 2-dp)
+    val mb = counters.where(col("counter") === "Reduce shuffle bytes")
+      .select(graft.functions.Parity.pround(col("cvalue") / 1048576.0, 2))
+      .distinct().as[Double].collect().toList
+    assert(mb === List(43.69))
   }
 
   test("flat-layout 1G/5G runs are scanned too (reference's scanner missed them)") {
