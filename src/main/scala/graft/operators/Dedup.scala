@@ -79,34 +79,47 @@ object Dedup {
         "cast(conv(substr(md5(concat(band, ':', sh)), 1, 14), 16, 10) as bigint)"))
         .as("minh"))
 
-  /** G2b: LSH candidate pairs — equality join on the (band, minh) bucket
-    * key. This is the scale path: no all-pairs comparison ever happens. */
-  def minhashCandidates(docs: DataFrame, bands: Int): DataFrame = {
-    // The signature table is tiny (docs × bands) and feeds both join
-    // sides — materialize it once instead of recomputing the md5 scan
-    // twice. At warehouse scale this is the persisted signature table.
-    val sig = minhashSignature(docs, bands).cache()
-    sig.as("a").join(sig.as("b"),
-        col("a.band") === col("b.band") && col("a.minh") === col("b.minh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+  /** Cache `src`, build the (much smaller) derived result from it, force
+    * the result with an eager localCheckpoint, then release `src`. This
+    * keeps the "compute the shared input once" win without leaking cached
+    * blocks into library callers (round-2 advice: cache() without
+    * unpersist accumulates). The checkpointed result's blocks are freed by
+    * the ContextCleaner once the returned DataFrame is unreferenced. At
+    * warehouse scale the equivalent is persisting the intermediate as a
+    * table; the eager compute-at-call-time trade-off is documented here. */
+  private def viaSharedScan(src: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
+    val cached = src.persist()
+    try build(cached).localCheckpoint(eager = true)
+    finally cached.unpersist(blocking = false)
   }
+
+  /** G2b: LSH candidate pairs — equality join on the (band, minh) bucket
+    * key. This is the scale path: no all-pairs comparison ever happens.
+    * The signature table feeds both join sides — computed once via
+    * [[viaSharedScan]] instead of recomputing the md5 scan twice. */
+  def minhashCandidates(docs: DataFrame, bands: Int): DataFrame =
+    viaSharedScan(minhashSignature(docs, bands)) { sig =>
+      sig.as("a").join(sig.as("b"),
+          col("a.band") === col("b.band") && col("a.minh") === col("b.minh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    }
 
   /** G2c: AND-amplified near-dup pairs — candidates must collide in at
     * least `minShared` bands. Cuts false positives (and the candidate
     * count) sharply on low-vocabulary corpora where single-band
     * collisions are common; this is the knob that keeps the LSH join
     * bounded as the corpus grows. */
-  def minhashNearDups(docs: DataFrame, bands: Int, minShared: Int): DataFrame = {
-    val sig = minhashSignature(docs, bands).cache()
-    sig.as("a").join(sig.as("b"),
-        col("a.band") === col("b.band") && col("a.minh") === col("b.minh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared_bands"))
-      .where(col("shared_bands") >= minShared)
-  }
+  def minhashNearDups(docs: DataFrame, bands: Int, minShared: Int): DataFrame =
+    viaSharedScan(minhashSignature(docs, bands)) { sig =>
+      sig.as("a").join(sig.as("b"),
+          col("a.band") === col("b.band") && col("a.minh") === col("b.minh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared_bands"))
+        .where(col("shared_bands") >= minShared)
+    }
 
   /** G3: 16-bit SimHash — per-bit majority vote over md5-derived token
     * hashes (with multiplicity); ties vote 1. */
@@ -126,27 +139,28 @@ object Dedup {
 
   /** G4: n-gram Jaccard over distinct 3-shingles, computed with an
     * inverted-index join (pairs sharing >= 1 shingle only). */
-  def ngramJaccardTop(docs: DataFrame, k: Int): DataFrame = {
+  def ngramJaccardTop(docs: DataFrame, k: Int): DataFrame =
     // distinct shingle set feeds three consumers (sizes + both join
-    // sides) — materialize once; per-doc sizes are small → broadcast.
-    val shingleSet = shingleHashRows(docs).distinct().cache()
-    val sizes = shingleSet.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = shingleSet.as("x").join(shingleSet.as("y"),
-        col("x.sh_h") === col("y.sh_h") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n", "na")), "doc_a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n", "nb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
-      .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
-      .limit(k)
-      .select(col("doc_a"), col("doc_b"), pround(col("jac"), 6).as("jaccard"))
-  }
+    // sides) — computed once via viaSharedScan; per-doc sizes are small
+    // → broadcast.
+    viaSharedScan(shingleHashRows(docs).distinct()) { shingleSet =>
+      val sizes = shingleSet.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = shingleSet.as("x").join(shingleSet.as("y"),
+          col("x.sh_h") === col("y.sh_h") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("n", "na")), "doc_a")
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("n", "nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
+        .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
+        .limit(k)
+        .select(col("doc_a"), col("doc_b"), pround(col("jac"), 6).as("jaccard"))
+    }
 }
 
 object DedupQueries {

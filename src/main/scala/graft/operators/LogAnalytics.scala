@@ -236,9 +236,9 @@ object LogAnalyticsQueries {
             .as("time_step")).orderBy("event_id")
       },
       Some("""SELECT event_id, user_id,
-             |       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
              |         OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS time_step
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS time_step
              |FROM events ORDER BY event_id""".stripMargin),
       doc = "A2 delimiter sessionization: running sum over per-run window (common_utils.py:24-33)"),
 
@@ -262,9 +262,9 @@ object LogAnalyticsQueries {
              |             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
              |  FROM events)
              |SELECT event_id, user_id,
-             |       sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+             |       CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
              |         OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
              |FROM g ORDER BY event_id""".stripMargin),
       doc = "gap-based sessionization (30-min inactivity): lag + running sum (batch analog of session_window)"),
 

@@ -98,7 +98,7 @@ object MultimodalQueries {
           pround(sum(col("k")).cast("double") / count(lit(1)), 4).as("avg_k"))
         .orderBy("event_type"),
       Some("""SELECT event_type,
-             |       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+             |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              |       count(*) AS n,
              |       floor(CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE)
              |             / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_k

@@ -30,6 +30,17 @@ def compare(name, spark_df, oracle_df):
         return f"ROWS mismatch: spark={len(a)} oracle={len(b)}"
     for c in a.columns:
         av, bv = a[c].values, b[c].values
+        # The driver's hash compare rejects int64-vs-float64 even when the
+        # numbers agree (r2: a2_sessionize et al.), but tolerates integer
+        # width differences (r2: int32-vs-int64 columns all hashed equal).
+        # Mirror that: fail only on an integer-vs-floating kind mismatch.
+        a_int = np.issubdtype(a[c].dtype, np.integer)
+        b_int = np.issubdtype(b[c].dtype, np.integer)
+        a_flt = np.issubdtype(a[c].dtype, np.floating)
+        b_flt = np.issubdtype(b[c].dtype, np.floating)
+        if (a_int and b_flt) or (a_flt and b_int):
+            return (f"DTYPE mismatch col={c}: spark={a[c].dtype} oracle={b[c].dtype} "
+                    f"(driver hash compare would fail; CAST the oracle side)")
         if np.issubdtype(a[c].dtype, np.floating) or np.issubdtype(b[c].dtype, np.floating):
             af = av.astype(float); bf = bv.astype(float)
             ok = (af == bf) | (np.isnan(af) & np.isnan(bf))
