@@ -21,6 +21,7 @@ object Registry {
       operators.LogAnalyticsQueries.qs ++
       operators.RelationalQueries.qs ++
       operators.DedupQueries.qs ++
+      operators.AsOfQueries.qs ++
       operators.SimilarityQueries.qs ++
       operators.TextAnalysisQueries.qs ++
       operators.MultimodalQueries.qs

@@ -68,16 +68,33 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
 
-  /** G2a: banded MinHash signature — for each of `bands` hash families,
-    * the min md5(band:shingle) prefix over the doc's shingles. */
-  def minhashSignature(docs: DataFrame, bands: Int): DataFrame =
-    shingleRows(docs)
-      .select(col("doc_id"), col("sh"),
-        explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
-      .groupBy("doc_id", "band")
-      .agg(min(expr(
-        "cast(conv(substr(md5(concat(band, ':', sh)), 1, 14), 16, 10) as bigint)"))
-        .as("minh"))
+  /** Modulus for the per-band affine permutations: the largest prime below
+    * 2^30, so `(2b+1) * (h % P) + B_b` stays far under 2^63 in BOTH engines
+    * (DuckDB BIGINT multiply raises on overflow; Spark wraps silently). */
+  val MinhashP = 1000000007L
+
+  /** G2a: banded MinHash signature. The shingle is md5-hashed ONCE
+    * (shingleHashRows), then each band applies a cheap affine permutation
+    * `(2b+1)·(h mod P) + b·2654435761 mod P` — the classic
+    * one-strong-hash + k-universal-permutations MinHash construction.
+    * Compared to hashing `band:shingle` per band, this does `bands`×
+    * fewer md5 calls and never multiplies the row count before the
+    * aggregate: the `bands` mins are computed in ONE groupBy(doc_id) pass
+    * and unpivoted with `stack` afterwards (rows out = docs × bands, same
+    * schema as before). */
+  def minhashSignature(docs: DataFrame, bands: Int): DataFrame = {
+    val mins = (0 until bands).map { b =>
+      val a = 2L * b + 1
+      val off = (b.toLong * 2654435761L) % MinhashP
+      min(expr(s"($a * (sh_h % $MinhashP) + $off) % $MinhashP")).as(s"m$b")
+    }
+    val stackArgs = (0 until bands).map(b => s"$b, m$b").mkString(", ")
+    shingleHashRows(docs)
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        expr(s"stack($bands, $stackArgs)").as(Seq("band", "minh")))
+  }
 
   /** Cache `src`, build the (much smaller) derived result from it, force
     * the result with an eager localCheckpoint, then release `src`. This
@@ -120,6 +137,52 @@ object Dedup {
         .agg(count(lit(1)).as("shared_bands"))
         .where(col("shared_bands") >= minShared)
     }
+
+  /** G6: dedup clusters — connected components over the candidate-pair
+    * graph by min-label propagation with pointer jumping (Pregel-style).
+    * Each round does (a) a one-hop neighbor-min, then (b) a label-of-label
+    * jump — the doubling step that makes convergence O(log diameter)
+    * instead of O(diameter) (real LSH graphs chain: sf0.01 already has a
+    * 220-node component of diameter 23). Labels only decrease, so the
+    * fixpoint is the component minimum. Lineage is truncated per round
+    * with localCheckpoint, the standard guard against iterative-plan
+    * blowup. Output: (doc_id, cluster) where cluster = min doc_id in the
+    * component; survivors of cluster-dedup are the rows with
+    * doc_id == cluster. */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("cluster"))
+      .localCheckpoint()
+    var converged = labels.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
+      val stepped = labels.join(nbrMin, col("node") === col("src"), "left")
+        .select(col("node"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"))
+      // pointer jump: follow the label one more hop (label of label)
+      val next = stepped
+        .join(labels.select(col("node").as("c2"), col("cluster").as("lbl2")),
+          col("cluster") === col("c2"), "left")
+        .select(col("node"),
+          least(col("cluster"), coalesce(col("lbl2"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("cluster", "prev"), "node")
+        .where(col("cluster") =!= col("prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.withColumnRenamed("node", "doc_id")
+  }
 
   /** G3: 16-bit SimHash — per-bit majority vote over md5-derived token
     * hashes (with multiplicity); ties vote 1. */
@@ -191,19 +254,21 @@ object DedupQueries {
     Q("g2_minhash_sig",
       (s, d) => minhashSignature(docs(s, d), 4).orderBy("doc_id", "band"),
       Some(s"""WITH $shinglesSqlCte,
-              |b AS (SELECT doc_id, sh, unnest(range(0, 4)) AS band FROM sh)
+              |hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT AS h FROM sh),
+              |b AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh)
               |SELECT doc_id, band,
-              |       min(('0x' || substr(md5(band || ':' || sh), 1, 14))::BIGINT) AS minh
+              |       min(((2*band+1) * (h % 1000000007) + (band * 2654435761) % 1000000007) % 1000000007) AS minh
               |FROM b GROUP BY doc_id, band ORDER BY doc_id, band""".stripMargin),
-      doc = "G2a banded MinHash signatures (md5-based, engine-portable)"),
+      doc = "G2a banded MinHash signatures (one md5 per shingle + affine band permutations)"),
 
     Q("g2_minhash_pairs",
       (s, d) => minhashCandidates(docs(s, d), 4).orderBy("doc_a", "doc_b"),
       Some(s"""WITH $shinglesSqlCte,
-              |b AS (SELECT doc_id, sh, unnest(range(0, 4)) AS band FROM sh),
+              |hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT AS h FROM sh),
+              |b AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh),
               |sig AS (
               |  SELECT doc_id, band,
-              |         min(('0x' || substr(md5(band || ':' || sh), 1, 14))::BIGINT) AS minh
+              |         min(((2*band+1) * (h % 1000000007) + (band * 2654435761) % 1000000007) % 1000000007) AS minh
               |  FROM b GROUP BY doc_id, band)
               |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               |FROM sig a JOIN sig b
@@ -243,6 +308,31 @@ object DedupQueries {
               |SELECT vec_a, vec_b, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
               |FROM p ORDER BY cos DESC, vec_a, vec_b LIMIT 20""".stripMargin),
       doc = "G5 embedding-cosine near-dup: exact cosine only within LSH buckets"),
+
+    Q("g6_dedup_clusters",
+      (s, d) => dedupClusters(minhashCandidates(docs(s, d), 4))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $shinglesSqlCte,
+              |hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT AS h FROM sh),
+              |b AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh),
+              |sig AS (
+              |  SELECT doc_id, band,
+              |         min(((2*band+1) * (h % 1000000007) + (band * 2654435761) % 1000000007) % 1000000007) AS minh
+              |  FROM b GROUP BY doc_id, band),
+              |pairs AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM sig a JOIN sig b
+              |    ON a.band = b.band AND a.minh = b.minh AND a.doc_id < b.doc_id),
+              |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |walk(node, lbl) AS (
+              |  SELECT src, src FROM e
+              |  UNION
+              |  SELECT e.src, walk.lbl FROM e JOIN walk ON e.dst = walk.node)
+              |SELECT node AS doc_id, min(lbl) AS cluster
+              |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin),
+      doc = "G6 dedup clusters: connected components of the LSH candidate " +
+        "graph via min-label propagation (oracle: recursive CTE)"),
 
     Q("g4_ngram_jaccard",
       (s, d) => ngramJaccardTop(docs(s, d), 20),

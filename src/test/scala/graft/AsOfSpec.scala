@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOf
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val quotes = Seq(
+    (1L, ts("2024-01-01 00:00:00"), 10L, 1.0),
+    (1L, ts("2024-01-01 00:00:10"), 11L, 2.0),
+    (1L, ts("2024-01-01 00:00:10"), 12L, 3.0), // tie on ts → higher tie wins
+    (2L, ts("2024-01-01 00:00:05"), 13L, 9.0)
+  ).toDF("key", "ts", "event_id", "value")
+
+  private val trades = Seq(
+    (1L, ts("2024-01-01 00:00:05"), 20L),  // after first quote
+    (1L, ts("2024-01-01 00:00:10"), 21L),  // equal ts → inclusive, tie 12 wins
+    (2L, ts("2024-01-01 00:00:01"), 22L),  // before any quote → null
+    (3L, ts("2024-01-01 00:00:01"), 23L)   // key with no quotes → null
+  ).toDF("key", "ts", "event_id")
+
+  private def run() =
+    AsOf.asofLatest(trades, quotes, "key", "ts", "event_id", "value", "v")
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+
+  test("as-of picks the latest right row at-or-before the left ts") {
+    val got = run()
+    assert(got(20L) === Some(1.0))
+    assert(got(21L) === Some(3.0)) // inclusive at equal ts, tie-broken by event_id
+  }
+
+  test("left rows with no prior right row get null") {
+    val got = run()
+    assert(got(22L) === None)
+    assert(got(23L) === None)
+  }
+
+  test("plan is a single window pass — no join, one exchange") {
+    val plan = AsOf.asofLatest(trades, quotes, "key", "ts", "event_id",
+      "value", "v").queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "as-of must not plan a range join")
+    assert("Exchange".r.findAllIn(plan).length <= 1)
+  }
+}
