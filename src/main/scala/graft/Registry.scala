@@ -22,6 +22,7 @@ object Registry {
       operators.RelationalQueries.qs ++
       operators.DedupQueries.qs ++
       operators.AsOfQueries.qs ++
+      operators.RangeJoinQueries.qs ++
       operators.SimilarityQueries.qs ++
       operators.TextAnalysisQueries.qs ++
       operators.MultimodalQueries.qs

@@ -163,22 +163,21 @@ object Dedup {
       val nbrMin = edges.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
       val stepped = labels.join(nbrMin, col("node") === col("src"), "left")
-        .select(col("node"),
+        .select(col("node"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"))
-      // pointer jump: follow the label one more hop (label of label)
+      // pointer jump: follow the label one more hop (label of label);
+      // `prev` rides along so convergence needs no extra join — the check
+      // below is a scan of the just-checkpointed blocks, not a new job
       val next = stepped
         .join(labels.select(col("node").as("c2"), col("cluster").as("lbl2")),
           col("cluster") === col("c2"), "left")
-        .select(col("node"),
+        .select(col("node"), col("prev"),
           least(col("cluster"), coalesce(col("lbl2"), col("cluster")))
             .as("cluster"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("cluster", "prev"), "node")
-        .where(col("cluster") =!= col("prev"))
-        .isEmpty
-      labels = next
+      converged = next.where(col("cluster") =!= col("prev")).isEmpty
+      labels = next.select("node", "cluster")
       iter += 1
     }
     labels.withColumnRenamed("node", "doc_id")
