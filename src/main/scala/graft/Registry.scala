@@ -23,6 +23,7 @@ object Registry {
       operators.DedupQueries.qs ++
       operators.AsOfQueries.qs ++
       operators.RangeJoinQueries.qs ++
+      operators.ProfilingQueries.qs ++
       operators.SimilarityQueries.qs ++
       operators.TextAnalysisQueries.qs ++
       operators.MultimodalQueries.qs

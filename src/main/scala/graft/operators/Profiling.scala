@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.Parity.{pround, proundSql}
+
+/** Corpus/data profiling — the distribution statistics a training-data
+  * pipeline computes before and after each filtering stage (what fraction
+  * of docs survive a length cut, where the quality threshold should sit,
+  * how skewed the per-language mix is).
+  *
+  * Percentiles are EXACT rank-based selections (`row_number` over a
+  * per-group window with a total order), not `percentile_approx`:
+  * approximate sketches are engine-specific and would never hash-match a
+  * DuckDB oracle, while the rank rule `rn = ceil(p * n)` is deterministic
+  * in any engine. At 100 TB you'd flip `exactPercentiles` to
+  * `percentile_approx` (one pass, mergeable sketch, no per-group sort) —
+  * the query shape stays the same; the window variant is the
+  * correctness-checkable reference implementation.
+  */
+object Profiling {
+
+  /** Exact p50/p95 of `valueCol` per `keyCol`, tie-broken by `tieCol` so
+    * the selected row is unique. */
+  def exactPercentiles(df: DataFrame, keyCol: String, valueCol: String,
+                       tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(valueCol), col(tieCol))
+    val n = Window.partitionBy(keyCol)
+    df.select(col(keyCol), col(valueCol),
+        row_number().over(w).as("rn"), count(lit(1)).over(n).as("n"))
+      .groupBy(keyCol)
+      .agg(
+        min(when(col("rn") === ceil(col("n") * 0.5), col(valueCol))).as("p50"),
+        min(when(col("rn") === ceil(col("n") * 0.95), col(valueCol))).as("p95"))
+  }
+
+  /** Fixed-width histogram of `valueCol` with an overflow bucket:
+    * bucket = min(floor(v / width), maxBucket). */
+  def histogram(df: DataFrame, valueCol: String, width: Double,
+                maxBucket: Long): DataFrame =
+    df.select(
+        least(floor(col(valueCol) / width), lit(maxBucket)).cast("long")
+          .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+}
+
+object ProfilingQueries {
+  val qs: Seq[Q] = Seq(
+    Q("p1_value_percentiles",
+      (s, d) => Profiling.exactPercentiles(
+          Tables.events(s, d), "event_type", "value", "event_id")
+        .orderBy("event_type"),
+      Some("""WITH r AS (
+             |  SELECT event_type, value,
+             |         row_number() OVER (PARTITION BY event_type
+             |                            ORDER BY value, event_id) AS rn,
+             |         count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events)
+             |SELECT event_type,
+             |       min(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50,
+             |       min(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN value END) AS p95
+             |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "exact rank-based p50/p95 per group (portable percentile; " +
+        "percentile_approx is the 100 TB variant)"),
+
+    Q("p2_length_histogram",
+      (s, d) => Profiling.histogram(Tables.documents(s, d), "n_chars",
+          500.0, 10L)
+        .orderBy("bucket"),
+      Some("""SELECT CAST(least(floor(n_chars / 500.0), 10) AS BIGINT) AS bucket,
+             |       count(*) AS n
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "doc-length histogram with overflow bucket (filter-stage profiling)"),
+
+    Q("p3_lang_profile",
+      (s, d) => Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          pround(sum(col("n_chars")).cast("double") / count(lit(1)), 4)
+            .as("avg_chars"))
+        .orderBy("lang"),
+      Some(s"""SELECT lang, count(*) AS n_docs,
+              |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+              |       ${proundSql("CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*)", 4)} AS avg_chars
+              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      doc = "per-language corpus mix: counts + length envelope + exact avg"),
+  )
+}

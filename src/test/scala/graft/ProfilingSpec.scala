@@ -1,0 +1,33 @@
+package graft
+
+import graft.operators.Profiling
+
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact percentiles follow the ceil(p*n) rank rule") {
+    // n=10, values 1..10 → p50 = rank 5 → 5.0; p95 = rank ceil(9.5)=10 → 10.0
+    val df = (1 to 10).map(i => ("a", i.toDouble, i.toLong))
+      .toDF("k", "v", "id")
+    val got = Profiling.exactPercentiles(df, "k", "v", "id")
+      .as[(String, Double, Double)].collect().head
+    assert(got === (("a", 5.0, 10.0)))
+  }
+
+  test("percentiles are computed independently per group") {
+    val df = ((1 to 4).map(i => ("lo", i.toDouble, i.toLong)) ++
+      (1 to 4).map(i => ("hi", i * 100.0, (i + 10).toLong)))
+      .toDF("k", "v", "id")
+    val got = Profiling.exactPercentiles(df, "k", "v", "id")
+      .as[(String, Double, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(got === Map("lo" -> 2.0, "hi" -> 200.0)) // rank ceil(4*0.5)=2
+  }
+
+  test("histogram clamps the overflow bucket and conserves rows") {
+    val df = Seq(0L, 499L, 500L, 5001L, 99999L).toDF("n_chars")
+    val got = Profiling.histogram(df, "n_chars", 500.0, 10L)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 2L, 1L -> 1L, 10L -> 2L))
+    assert(got.values.sum === 5L)
+  }
+}
