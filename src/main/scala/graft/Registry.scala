@@ -24,6 +24,7 @@ object Registry {
       operators.AsOfQueries.qs ++
       operators.RangeJoinQueries.qs ++
       operators.ProfilingQueries.qs ++
+      operators.SketchQueries.qs ++
       operators.SimilarityQueries.qs ++
       operators.TextAnalysisQueries.qs ++
       operators.MultimodalQueries.qs
