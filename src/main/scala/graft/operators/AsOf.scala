@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 import graft.{Q, Tables}
 
@@ -30,25 +31,33 @@ object AsOf {
 
   /** Left columns are preserved; the right `valueCol` arrives as `outCol`
     * (null when no right row precedes the left row). `key`, `ts`, and
-    * `tieBreak` must exist on both sides. */
+    * `tieBreak` must exist on both sides.
+    *
+    * Row semantics, not value semantics: the right value is wrapped in a
+    * single-field struct before the running `last(_, ignoreNulls)`, so a
+    * right ROW whose value is null still wins as "most recent row" and
+    * yields null (matching pandas merge_asof) instead of being skipped in
+    * favor of a stale earlier value. */
   def asofLatest(left: DataFrame, right: DataFrame, key: String, ts: String,
                  tieBreak: String, valueCol: String, outCol: String): DataFrame = {
     val lCols = left.columns.toSeq
     val vType = right.schema(valueCol).dataType
+    val rvType = StructType(Seq(StructField("v", vType)))
     val l = left.select(
       col(key).as("__k"), col(ts).as("__ts"), lit(1).as("__side"),
-      col(tieBreak).as("__tie"), lit(null).cast(vType).as("__rv"),
+      col(tieBreak).as("__tie"), lit(null).cast(rvType).as("__rv"),
       struct(lCols.map(col): _*).as("__l"))
     val lStructType = l.schema("__l").dataType
     val r = right.select(
       col(key).as("__k"), col(ts).as("__ts"), lit(0).as("__side"),
-      col(tieBreak).as("__tie"), col(valueCol).as("__rv"),
+      col(tieBreak).as("__tie"), struct(col(valueCol).as("v")).as("__rv"),
       lit(null).cast(lStructType).as("__l"))
     val w = Window.partitionBy("__k")
       .orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .withColumn(outCol, last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn(outCol,
+        last(col("__rv"), ignoreNulls = true).over(w).getField("v"))
       .where(col("__side") === 1)
       .select(lCols.map(c => col("__l").getField(c).as(c)) :+ col(outCol): _*)
   }
@@ -70,17 +79,17 @@ object AsOfQueries {
       },
       Some("""WITH u AS (
              |  SELECT user_id, ts, 1 AS side, event_id, event_id AS tie,
-             |         CAST(NULL AS DOUBLE) AS rv
+             |         CAST(NULL AS STRUCT(v DOUBLE)) AS rv
              |  FROM events WHERE event_type = 'purchase'
              |  UNION ALL
              |  SELECT user_id, ts, 0 AS side, NULL AS event_id, event_id AS tie,
-             |         value AS rv
+             |         struct_pack(v := value) AS rv
              |  FROM events WHERE event_type = 'view'),
              |j AS (
              |  SELECT event_id, user_id, side,
-             |         last_value(rv IGNORE NULLS)
+             |         (last_value(rv IGNORE NULLS)
              |           OVER (PARTITION BY user_id ORDER BY ts, side, tie
-             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).v AS asof_value
              |  FROM u)
              |SELECT event_id, user_id, asof_value
              |FROM j WHERE side = 1 ORDER BY event_id""".stripMargin),

@@ -103,8 +103,16 @@ object Dedup {
     * unpersist accumulates). The checkpointed result's blocks are freed by
     * the ContextCleaner once the returned DataFrame is unreferenced. At
     * warehouse scale the equivalent is persisting the intermediate as a
-    * table; the eager compute-at-call-time trade-off is documented here. */
-  private def viaSharedScan(src: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
+    * table.
+    *
+    * Trade-offs, so use it deliberately: the result computes EAGERLY at
+    * call time (constructing the DataFrame runs the job), and the
+    * returned plan is a checkpoint scan — not auditable with explain().
+    * Reserve it for shapes with 3+ distinct consumers of the shared
+    * input (e.g. broadcast sides, which exchange reuse cannot dedup);
+    * plain self-joins should stay lazy and let runtime exchange reuse
+    * compute the shared subtree once. */
+  private[graft] def viaSharedScan(src: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
     val cached = src.persist()
     try build(cached).localCheckpoint(eager = true)
     finally cached.unpersist(blocking = false)
@@ -112,31 +120,33 @@ object Dedup {
 
   /** G2b: LSH candidate pairs — equality join on the (band, minh) bucket
     * key. This is the scale path: no all-pairs comparison ever happens.
-    * The signature table feeds both join sides — computed once via
-    * [[viaSharedScan]] instead of recomputing the md5 scan twice. */
-  def minhashCandidates(docs: DataFrame, bands: Int): DataFrame =
-    viaSharedScan(minhashSignature(docs, bands)) { sig =>
-      sig.as("a").join(sig.as("b"),
-          col("a.band") === col("b.band") && col("a.minh") === col("b.minh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-    }
+    * Deliberately LAZY (no cache/checkpoint): both join sides are the
+    * identical signature subtree partitioned on the same join key, so
+    * exchange reuse computes it once at runtime, and the full plan stays
+    * auditable with explain() (see PLANS.md). */
+  def minhashCandidates(docs: DataFrame, bands: Int): DataFrame = {
+    val sig = minhashSignature(docs, bands)
+    sig.as("a").join(sig.as("b"),
+        col("a.band") === col("b.band") && col("a.minh") === col("b.minh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
 
   /** G2c: AND-amplified near-dup pairs — candidates must collide in at
     * least `minShared` bands. Cuts false positives (and the candidate
     * count) sharply on low-vocabulary corpora where single-band
     * collisions are common; this is the knob that keeps the LSH join
     * bounded as the corpus grows. */
-  def minhashNearDups(docs: DataFrame, bands: Int, minShared: Int): DataFrame =
-    viaSharedScan(minhashSignature(docs, bands)) { sig =>
-      sig.as("a").join(sig.as("b"),
-          col("a.band") === col("b.band") && col("a.minh") === col("b.minh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("shared_bands"))
-        .where(col("shared_bands") >= minShared)
-    }
+  def minhashNearDups(docs: DataFrame, bands: Int, minShared: Int): DataFrame = {
+    val sig = minhashSignature(docs, bands)
+    sig.as("a").join(sig.as("b"),
+        col("a.band") === col("b.band") && col("a.minh") === col("b.minh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_bands"))
+      .where(col("shared_bands") >= minShared)
+  }
 
   /** G6: dedup clusters — connected components over the candidate-pair
     * graph by min-label propagation with pointer jumping (Pregel-style).
@@ -150,9 +160,13 @@ object Dedup {
     * component; survivors of cluster-dedup are the rows with
     * doc_id == cluster. */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // both directions from ONE scan of `pairs` (an explode, not a union —
+    // a union would execute the upstream candidate pipeline twice)
     val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("cluster"))

@@ -35,27 +35,38 @@ object Sketch {
     s"(($a * (h % $P) + $off) % $P) % $width"
   }
 
-  /** (word, n, cms_est) for every distinct token: exact count next to the
-    * CMS estimate from a depth×width sketch. */
-  def cmsWordCounts(docs: DataFrame, depth: Int, width: Int): DataFrame = {
-    val counts = docs
-      .select(explode(expr(Dedup.tokensExpr)).as("word"))
+  private def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(expr(Dedup.tokensExpr)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .withColumn("h", expr(md5Long))
+
+  private def positioned(counts: DataFrame, depth: Int, width: Int): DataFrame = {
     val rows = (0 until depth).map(j =>
       s"struct($j as row, ${pos(j, width)} as pos)").mkString(", ")
-    val positioned = counts
+    counts
       .select(col("word"), col("n"),
         explode(expr(s"array($rows)")).as("rp"))
       .select(col("word"), col("n"),
         col("rp.row").as("row"), col("rp.pos").as("pos"))
-    val sketch = positioned.groupBy("row", "pos")
-      .agg(sum(col("n")).as("bucket_n"))
-    positioned
-      .join(broadcast(sketch), Seq("row", "pos"))
-      .groupBy("word", "n")
-      .agg(min(col("bucket_n")).as("cms_est"))
   }
+
+  /** The sketch itself: (row, pos, bucket_n), depth×width rows. */
+  def cmsSketch(docs: DataFrame, depth: Int, width: Int): DataFrame =
+    positioned(tokenCounts(docs), depth, width)
+      .groupBy("row", "pos").agg(sum(col("n")).as("bucket_n"))
+
+  /** (word, n, cms_est) for every distinct token: exact count next to the
+    * CMS estimate from a depth×width sketch. The token-count table feeds
+    * both the sketch (whose broadcast side exchange reuse cannot dedup)
+    * and the estimate join, so it is computed once via viaSharedScan. */
+  def cmsWordCounts(docs: DataFrame, depth: Int, width: Int): DataFrame =
+    Dedup.viaSharedScan(tokenCounts(docs)) { counts =>
+      val p = positioned(counts, depth, width)
+      val sketch = p.groupBy("row", "pos").agg(sum(col("n")).as("bucket_n"))
+      p.join(broadcast(sketch), Seq("row", "pos"))
+        .groupBy("word", "n")
+        .agg(min(col("bucket_n")).as("cms_est"))
+    }
 }
 
 object SketchQueries {

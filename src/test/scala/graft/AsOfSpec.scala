@@ -40,6 +40,19 @@ class AsOfSpec extends SparkSpec {
     assert(got(23L) === None)
   }
 
+  test("a null-valued right ROW wins as most recent (row semantics)") {
+    val nullQuotes = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, Some(1.0)),
+      (1L, ts("2024-01-01 00:00:10"), 11L, None) // most recent row, null value
+    ).toDF("key", "ts", "event_id", "value")
+    val oneTrade = Seq((1L, ts("2024-01-01 00:00:20"), 20L))
+      .toDF("key", "ts", "event_id")
+    val got = AsOf.asofLatest(oneTrade, nullQuotes, "key", "ts", "event_id",
+        "value", "v")
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(got(20L) === None, "must return the latest ROW's null, not a stale 1.0")
+  }
+
   test("plan is a single window pass — no join, one exchange") {
     val plan = AsOf.asofLatest(trades, quotes, "key", "ts", "event_id",
       "value", "v").queryExecution.executedPlan.toString

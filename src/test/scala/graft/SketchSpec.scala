@@ -31,9 +31,12 @@ class SketchSpec extends SparkSpec {
   }
 
   test("total mass is conserved in every sketch row") {
-    val est = Sketch.cmsWordCounts(docs, 4, 8).as[(String, Long, Long)]
+    val buckets = Sketch.cmsSketch(docs, 4, 8).as[(Int, Long, Long)]
       .collect()
-    val totalTokens = est.map(_._2).sum // exact counts sum to token count
-    assert(totalTokens === 26L)
+    val perRow = buckets.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(perRow.keySet === Set(0, 1, 2, 3))
+    perRow.foreach { case (row, mass) =>
+      assert(mass === 26L, s"sketch row $row lost mass: $mass != 26")
+    }
   }
 }
