@@ -49,8 +49,10 @@ object ThroughputDemo {
     val sec = (System.nanoTime() - t0) / 1e9
     val distinct = spark.read.text(s"/tmp/graft_wc_${targetMB}mb").count()
 
-    // nearest documented reference scale (README.md §4 best times)
-    val refPoints = Seq(100 -> 129.39, 500 -> 545.09, 1000 -> 847.96)
+    // nearest documented reference scale (README.md §4 best times; the 5G
+    // point is BASELINE.md's log-derived single-run best, no README row)
+    val refPoints = Seq(100 -> 129.39, 500 -> 545.09, 1000 -> 847.96,
+      5000 -> 4479.0)
     val (refMB, refSec) = refPoints.minBy { case (m, _) => math.abs(m - targetMB) }
     println(f"""{"demo":"wordcount_throughput","input_mb":$inMB%.1f,"seconds":$sec%.2f,"mb_per_s":${inMB / sec}%.2f,"distinct_words":$distinct,"reference_mb":$refMB,"reference_seconds":$refSec,"speedup_vs_reference":${refSec / sec}%.1f}""")
     spark.stop()
