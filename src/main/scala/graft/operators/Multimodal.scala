@@ -66,6 +66,37 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic "resize" of decoded media metadata: integer
+    * aspect-preserving downscale into a (maxW × maxH) box. The scale
+    * factor is the max of the two ceil-divided overflows — all integer
+    * arithmetic, so the fake is portable to the oracle while the
+    * plumbing (metadata projection feeding a resize stage) is the real
+    * pipeline shape. */
+  def resizeMeta(meta: DataFrame, maxW: Int, maxH: Int): DataFrame =
+    meta.select(col("doc_id"), col("width"), col("height"),
+        greatest(
+          (col("width") + maxW - 1).divide(maxW).cast("long"),
+          (col("height") + maxH - 1).divide(maxH).cast("long"),
+          lit(1L)).as("k"))
+      .select(col("doc_id"),
+        greatest(col("width").divide(col("k")).cast("long"), lit(1L))
+          .as("out_w"),
+        greatest(col("height").divide(col("k")).cast("long"), lit(1L))
+          .as("out_h"))
+      .withColumn("out_bytes", col("out_w") * col("out_h") * 3)
+
+  /** Deterministic fake feature extraction: a 4-dim embedding from md5 of
+    * the payload, each dim a 24-bit slice scaled by 2^-24 (exact binary
+    * division → bit-identical everywhere). The real path is an
+    * Arrow-batched model forward pass per partition (decodeBatches shows
+    * that shape); this keeps the schema and downstream joins testable. */
+  def extractFeatures(docs: DataFrame): DataFrame = {
+    val dims = (0 until 4).map(i =>
+      (expr(s"cast(conv(substr(md5(text), ${1 + 6 * i}, 6), 16, 10) as bigint)")
+        / 16777216.0).as(s"f$i"))
+    docs.select(col("doc_id") +: dims: _*)
+  }
+
   /** Frame-sampling analog: every stride-th frameBytes-sized "frame" —
     * pure arithmetic on typed columns, no codec needed for offsets. */
   def frameSample(docs: DataFrame, frameBytes: Int, stride: Int): DataFrame =
@@ -128,5 +159,37 @@ object MultimodalQueries {
              |       ascii(substr(text, frame_no * 64 + 1, 1)) AS frame_lead_byte
              |FROM f ORDER BY doc_id, frame_no""".stripMargin),
       doc = "frame sampling over binary media: every 2nd 64-byte frame"),
+
+    Q("m5_resize",
+      (s, d) => resizeMeta(decodeMeta(mediaFrame(Tables.documents(s, d))),
+          320, 240)
+        .orderBy("doc_id"),
+      Some("""WITH meta AS (
+             |  SELECT doc_id,
+             |         octet_length(encode(text)) % 640 + 1 AS width,
+             |         (octet_length(encode(text)) * 7) % 480 + 1 AS height
+             |  FROM documents),
+             |k AS (
+             |  SELECT doc_id, width, height,
+             |         greatest((width + 319) // 320, (height + 239) // 240, 1) AS k
+             |  FROM meta)
+             |SELECT doc_id,
+             |       greatest(width // k, 1) AS out_w,
+             |       greatest(height // k, 1) AS out_h,
+             |       greatest(width // k, 1) * greatest(height // k, 1) * 3 AS out_bytes
+             |FROM k ORDER BY doc_id""".stripMargin),
+      doc = "aspect-preserving integer resize of decoded media metadata " +
+        "into a 320x240 box (codec-free deterministic fake)"),
+
+    Q("m6_features",
+      (s, d) => extractFeatures(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |       ('0x' || substr(md5(text), 1, 6))::BIGINT / 16777216.0 AS f0,
+             |       ('0x' || substr(md5(text), 7, 6))::BIGINT / 16777216.0 AS f1,
+             |       ('0x' || substr(md5(text), 13, 6))::BIGINT / 16777216.0 AS f2,
+             |       ('0x' || substr(md5(text), 19, 6))::BIGINT / 16777216.0 AS f3
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "feature extraction stub: 4-dim md5-derived embedding, exact " +
+        "2^-24 scaling (real path: Arrow-batched model pass per partition)"),
   )
 }

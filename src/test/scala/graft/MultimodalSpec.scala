@@ -34,6 +34,37 @@ class MultimodalSpec extends SparkSpec {
     assert(k.where(col("k").isNull).count() === 0)
   }
 
+  test("resize fits the box, preserves aspect by integer factor, floors at 1") {
+    val meta = Seq(
+      (1L, 640, 480),  // k = max(2,2) = 2 → 320x240
+      (2L, 100, 100),  // already fits → unchanged
+      (3L, 1, 480),    // k = 2 → width floors at 1
+      (4L, 641, 1)     // k = ceil(641/320) = 3 → 213x1
+    ).toDF("doc_id", "width", "height")
+    val byId = Multimodal.resizeMeta(meta, 320, 240)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(1L) === ((320L, 240L)))
+    assert(byId(2L) === ((100L, 100L)))
+    assert(byId(3L) === ((1L, 240L)))
+    assert(byId(4L) === ((213L, 1L)))
+    Multimodal.resizeMeta(meta, 320, 240).as[(Long, Long, Long, Long)]
+      .collect().foreach { case (_, w, h, _) =>
+        assert(w <= 320 && h <= 240 && w >= 1 && h >= 1)
+      }
+  }
+
+  test("feature extraction is deterministic, 4-dim, in [0,1)") {
+    val f = Multimodal.extractFeatures(docs)
+      .as[(Long, Double, Double, Double, Double)].collect()
+    assert(f.nonEmpty)
+    f.foreach { case (_, f0, f1, f2, f3) =>
+      Seq(f0, f1, f2, f3).foreach(v => assert(v >= 0.0 && v < 1.0))
+    }
+    val again = Multimodal.extractFeatures(docs)
+      .as[(Long, Double, Double, Double, Double)].collect()
+    assert(f.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
   test("frame sampling yields stride-spaced offsets starting at 0") {
     val fs = Multimodal.frameSample(docs, 64, 2)
       .groupBy("doc_id").agg(collect_list("frame_no").as("frames"))
