@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale sweep for the LLM-pipeline operators: replicate the sf0.1
+  * corpus/embeddings F× and time each operator at 1× and F×, printing a
+  * JSON line per run. Near-linear growth in wall time (and candidate
+  * counts that stay bounded by design) is the evidence that the operator
+  * shapes — bucketed LSH joins instead of all-pairs, single-pass
+  * signatures, mergeable sketches, pointer-jumping components — survive
+  * scale-up; a quadratic shape would blow up visibly at F=20 already.
+  *
+  * Replication is NOT a pure copy: replica r of a doc keeps the text but
+  * gets a distinct doc_id, so exact/near-dup operators see F-sized
+  * duplicate cliques — the worst (densest) case for candidate generation
+  * and clustering, which is exactly what we want to stress.
+  *
+  * Usage: runMain graft.ScaleDemo [factor]
+  */
+object ScaleDemo {
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def replicateDocs(docs: DataFrame, factor: Int): DataFrame =
+    docs.withColumn("replica", explode(expr(s"sequence(0, ${factor - 1})")))
+      .select((col("doc_id") * factor + col("replica")).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+
+  def replicateVecs(vecs: DataFrame, factor: Int): DataFrame =
+    vecs.withColumn("replica", explode(expr(s"sequence(0, ${factor - 1})")))
+      .select((col("vec_id") * factor + col("replica")).as("vec_id"),
+        col("embedding"), col("label"))
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(20)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // materialize the replicated inputs once so operator timings measure
+    // the operator, not the replication explode
+    val docs1 = Tables.documents(spark, sfDir).localCheckpoint()
+    val docsF = replicateDocs(docs1, factor).localCheckpoint()
+    val vecs1 = Tables.embeddings(spark, sfDir).localCheckpoint()
+    val vecsF = replicateVecs(vecs1, factor).localCheckpoint()
+
+    val ops: Seq[(String, DataFrame => Long)] = Seq(
+      "exact_dedup" -> (d => operators.Dedup.exactDedup(d).count()),
+      "minhash_sig" -> (d => operators.Dedup.minhashSignature(d, 4).count()),
+      "minhash_pairs" -> (d => operators.Dedup.minhashCandidates(d, 4).count()),
+      "dedup_clusters" -> (d =>
+        operators.Dedup.dedupClusters(operators.Dedup.minhashCandidates(d, 4))
+          .count()),
+      "simhash" -> (d => operators.Dedup.simhash(d).count()),
+      "cms_sketch" -> (d => operators.Sketch.cmsSketch(d, 4, 64).count()),
+      "langid" -> (d => operators.TextAnalysis.langId(d).count()))
+    val vecOps: Seq[(String, DataFrame => Long)] = Seq(
+      "lsh_buckets" -> (v => operators.Similarity.lshBuckets(v, 4).count()),
+      "ivf_assign" -> (v => operators.Similarity.ivfAssign(v, 16).count()))
+
+    def sweep(name: String, base: DataFrame, big: DataFrame,
+              fns: Seq[(String, DataFrame => Long)]): Seq[String] =
+      fns.flatMap { case (op, fn) =>
+        val (n1, s1) = time(fn(base))
+        val (nF, sF) = time(fn(big))
+        val ratio = if (s1 > 0) sF / s1 else 0.0
+        Seq(f"""{"op":"$op","input":"$name","rows_1x":$n1,"sec_1x":$s1%.2f,"rows_${factor}x":$nF,"sec_${factor}x":$sF%.2f,"time_ratio":$ratio%.1f}""")
+      }
+
+    val lines = sweep("documents", docs1, docsF, ops) ++
+      sweep("embeddings", vecs1, vecsF, vecOps)
+    lines.foreach(println)
+    println(s"""{"demo":"scale_sweep","factor":$factor,"docs_1x":${docs1.count()},"docs_${factor}x":${docsF.count()}}""")
+    spark.stop()
+  }
+}

@@ -102,14 +102,21 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), pround(col("cos"), 6).as("cos_sim"))
   }
 
-  /** IVF coarse quantization: deterministic centroid subset (vec_id ≡ 0
-    * mod `mod`), every vector assigned to its max-cosine centroid (ties →
-    * smaller centroid id). At scale: centroids broadcast, assignment is a
-    * map-only pass, and the centroid id becomes the partition key an
-    * in-bucket search shuffles on. */
-  def ivfAssign(vecs: DataFrame, mod: Int): DataFrame = {
+  /** IVF coarse quantization: a BOUNDED deterministic centroid subset
+    * (the `nCents` smallest vec_ids — in production, k-means on a
+    * sample), every vector assigned to its max-cosine centroid (ties →
+    * smaller centroid id). At scale: centroids broadcast, assignment is
+    * a map-only pass, and the centroid id becomes the partition key an
+    * in-bucket search shuffles on.
+    *
+    * The centroid count MUST be independent of the input size: an
+    * earlier draft selected `vec_id % mod == 0` — a sampling RATE — so
+    * centroids (and the broadcast cross product) grew linearly with the
+    * data, making assignment quadratic overall. The 20× ScaleDemo sweep
+    * surfaced it as an 81× wall-time blowup. */
+  def ivfAssign(vecs: DataFrame, nCents: Int): DataFrame = {
     val base = withFixed(vecs)
-    val cents = base.where(col("vec_id") % mod === 0)
+    val cents = base.orderBy("vec_id").limit(nCents)
       .select(col("vec_id").as("centroid_id"), col("f").as("fb"),
         col("nrm").as("nb"))
     val w = Window.partitionBy("vec_id")
@@ -167,10 +174,11 @@ object SimilarityQueries {
 
   val qs: Seq[Q] = Seq(
     Q("s5_ivf_assign",
-      (s, d) => ivfAssign(vecs(s, d), 97).orderBy("vec_id"),
+      (s, d) => ivfAssign(vecs(s, d), 6).orderBy("vec_id"),
       Some(s"""WITH $fixedSqlCte,
               |cents AS (
-              |  SELECT vec_id AS centroid_id, f, nrm FROM n WHERE vec_id % 97 = 0),
+              |  SELECT vec_id AS centroid_id, f, nrm FROM n
+              |  ORDER BY vec_id LIMIT 6),
               |p AS (
               |  SELECT n.vec_id, c.centroid_id,
               |         ${pairCosSql("n", "c")} AS cos
