@@ -38,6 +38,8 @@ object ScaleDemo {
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(20)
+    require(factor >= 1, s"factor must be >= 1, got $factor " +
+      "(sequence(0, factor-1) would count DOWNWARD and corrupt doc_ids)")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -47,6 +49,11 @@ object ScaleDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    // untimed warmup so the first measured operator isn't charged JVM /
+    // codegen startup (same rationale as Bench)
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    operators.Dedup.exactDedup(Tables.documents(spark, sfDir)).count()
 
     // materialize the replicated inputs once so operator timings measure
     // the operator, not the replication explode

@@ -56,7 +56,7 @@ object Dedup {
     * md5 keeps it engine-portable. Collision odds ≈ 2^-56 per pair. */
   def shingleHashRows(docs: DataFrame): DataFrame =
     shingleRows(docs).select(col("doc_id"),
-      expr("cast(conv(substr(md5(sh), 1, 14), 16, 10) as bigint)").as("sh_h"))
+      expr(md5Long56("sh")).as("sh_h"))
 
   /** G1: exact dedup on whitespace-normalized lowercased text; survivor =
     * min doc_id per group. */
@@ -73,6 +73,22 @@ object Dedup {
     * (DuckDB BIGINT multiply raises on overflow; Spark wraps silently). */
   val MinhashP = 1000000007L
 
+  /** Offset mixer for the affine family (Knuth's 2^32 golden ratio). */
+  val MinhashMixer = 2654435761L
+
+  /** SQL fragment: 56-bit md5-prefix long of string column/expr `c` — the
+    * engine-portable hash (DuckDB mirror: ('0x'||substr(md5(c),1,14))::BIGINT). */
+  def md5Long56(c: String): String =
+    s"cast(conv(substr(md5($c), 1, 14), 16, 10) as bigint)"
+
+  /** SQL fragment: the j-th affine permutation of non-negative long `h`.
+    * Products stay < 2^63 for any j < ~2^31 (see MinhashP). */
+  def affinePerm(j: Int, h: String): String = {
+    val a = 2L * j + 1
+    val off = (j.toLong * MinhashMixer) % MinhashP
+    s"($a * ($h % $MinhashP) + $off) % $MinhashP"
+  }
+
   /** G2a: banded MinHash signature. The shingle is md5-hashed ONCE
     * (shingleHashRows), then each band applies a cheap affine permutation
     * `(2b+1)·(h mod P) + b·2654435761 mod P` — the classic
@@ -83,11 +99,8 @@ object Dedup {
     * and unpivoted with `stack` afterwards (rows out = docs × bands, same
     * schema as before). */
   def minhashSignature(docs: DataFrame, bands: Int): DataFrame = {
-    val mins = (0 until bands).map { b =>
-      val a = 2L * b + 1
-      val off = (b.toLong * 2654435761L) % MinhashP
-      min(expr(s"($a * (sh_h % $MinhashP) + $off) % $MinhashP")).as(s"m$b")
-    }
+    val mins = (0 until bands).map(b =>
+      min(expr(affinePerm(b, "sh_h"))).as(s"m$b"))
     val stackArgs = (0 until bands).map(b => s"$b, m$b").mkString(", ")
     shingleHashRows(docs)
       .groupBy("doc_id")

@@ -24,21 +24,13 @@ import graft.{Q, Tables}
   * murmur3 `hash()` and DuckDB's hash() disagree; md5 never does). */
 object Sketch {
 
-  private val P = 1000000007L
-
-  private val md5Long =
-    "cast(conv(substr(md5(word), 1, 14), 16, 10) as bigint)"
-
-  private def pos(row: Int, width: Int): String = {
-    val a = 2L * row + 1
-    val off = (row.toLong * 2654435761L) % P
-    s"(($a * (h % $P) + $off) % $P) % $width"
-  }
+  private def pos(row: Int, width: Int): String =
+    s"(${Dedup.affinePerm(row, "h")}) % $width"
 
   private def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(explode(expr(Dedup.tokensExpr)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
-      .withColumn("h", expr(md5Long))
+      .withColumn("h", expr(Dedup.md5Long56("word")))
 
   private def positioned(counts: DataFrame, depth: Int, width: Int): DataFrame = {
     val rows = (0 until depth).map(j =>
