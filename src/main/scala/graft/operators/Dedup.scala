@@ -162,49 +162,68 @@ object Dedup {
   }
 
   /** G6: dedup clusters — connected components over the candidate-pair
-    * graph by min-label propagation with pointer jumping (Pregel-style).
-    * Each round does (a) a one-hop neighbor-min, then (b) a label-of-label
-    * jump — the doubling step that makes convergence O(log diameter)
-    * instead of O(diameter) (real LSH graphs chain: sf0.01 already has a
-    * 220-node component of diameter 23). Labels only decrease, so the
-    * fixpoint is the component minimum. Lineage is truncated per round
-    * with localCheckpoint, the standard guard against iterative-plan
-    * blowup. Output: (doc_id, cluster) where cluster = min doc_id in the
-    * component; survivors of cluster-dedup are the rows with
-    * doc_id == cluster. */
+    * graph by min-label propagation WITH GRAPH CONTRACTION. Each round:
+    * (a) every cluster takes the min of itself and its neighboring
+    * clusters plus one pointer jump (the doubling step → O(log diameter)
+    * rounds; real LSH graphs chain — sf0.01 already has a 220-node
+    * component of diameter 23); (b) node labels are composed through the
+    * relabel map; (c) the edge set is CONTRACTED to distinct
+    * inter-cluster edges. Contraction is what makes this scale: duplicate
+    * cliques (the dominant near-dup shape — the 20× sweep graph has 35M
+    * directed edges, mostly 20-cliques) collapse to a single node after
+    * one round, so later rounds join a vanishing edge set instead of
+    * re-scanning all edges every round. Terminates when no inter-cluster
+    * edge remains. Labels only decrease and always name a component
+    * member, so the fixpoint is the component minimum. Lineage is
+    * truncated per round with localCheckpoint, the standard guard
+    * against iterative-plan blowup. Output: (doc_id, cluster) where
+    * cluster = min doc_id in the component; survivors of cluster-dedup
+    * are the rows with doc_id == cluster. */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     // both directions from ONE scan of `pairs` (an explode, not a union —
     // a union would execute the upstream candidate pipeline twice)
-    val edges = pairs
+    var edges = pairs
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
       .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("cluster"))
       .localCheckpoint()
-    var converged = labels.isEmpty
     var iter = 0
-    while (!converged && iter < maxIter) {
-      val nbrMin = edges.join(labels, col("dst") === col("node"))
-        .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
-      val stepped = labels.join(nbrMin, col("node") === col("src"), "left")
-        .select(col("node"), col("cluster").as("prev"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-            .as("cluster"))
-      // pointer jump: follow the label one more hop (label of label);
-      // `prev` rides along so convergence needs no extra join — the check
-      // below is a scan of the just-checkpointed blocks, not a new job
-      val next = stepped
-        .join(labels.select(col("node").as("c2"), col("cluster").as("lbl2")),
-          col("cluster") === col("c2"), "left")
-        .select(col("node"), col("prev"),
-          least(col("cluster"), coalesce(col("lbl2"), col("cluster")))
-            .as("cluster"))
+    while (!edges.isEmpty && iter < maxIter) {
+      // every endpoint appears as src (edges are symmetric), so the
+      // relabel map covers every cluster that still has an edge
+      val step = edges.groupBy(col("src"))
+        .agg(least(col("src"), min(col("dst"))).as("lu"))
+        .select(col("src").as("u"), col("lu"))
+      // pointer jump: follow the relabel one more hop
+      val jumped = step
+        .join(step.select(col("u").as("u2"), col("lu").as("l2")),
+          col("lu") === col("u2"), "left")
+        .select(col("u"),
+          least(col("lu"), coalesce(col("l2"), col("lu"))).as("lu"))
         .localCheckpoint()
-      converged = next.where(col("cluster") =!= col("prev")).isEmpty
-      labels = next.select("node", "cluster")
+      // compose node labels through the relabel map
+      labels = labels
+        .join(jumped, col("cluster") === col("u"), "left")
+        .select(col("node"),
+          coalesce(col("lu"), col("cluster")).as("cluster"))
+        .localCheckpoint()
+      // contract: map both endpoints, drop intra-cluster edges, dedupe.
+      // Symmetry is preserved (both directions map pairwise).
+      edges = edges
+        .join(jumped.select(col("u").as("su"), col("lu").as("sl")),
+          col("src") === col("su"), "left")
+        .join(jumped.select(col("u").as("du"), col("lu").as("dl")),
+          col("dst") === col("du"), "left")
+        .select(coalesce(col("sl"), col("src")).as("src"),
+          coalesce(col("dl"), col("dst")).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint()
       iter += 1
     }
     labels.withColumnRenamed("node", "doc_id")
