@@ -51,6 +51,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("affine permutations are injective mod P and distinct across bands") {
+    import operators.Dedup.{MinhashP, affinePerm}
+    // (2j+1) is odd and < P (prime), so h -> (2j+1)h + off is a bijection
+    // on [0, P): distinct inputs mod P must map to distinct outputs
+    def evalPerm(j: Int, h: Long): Long = {
+      val a = 2L * j + 1
+      val off = (j.toLong * operators.Dedup.MinhashMixer) % MinhashP
+      (a * (h % MinhashP) + off) % MinhashP
+    }
+    forAllSamples(Gen.zip(Gen.choose(0L, MinhashP - 1), Gen.choose(0L, MinhashP - 1)), n = 200) {
+      case (h1, h2) =>
+        (0 until 4).foreach { j =>
+          if (h1 != h2) assert(evalPerm(j, h1) !== evalPerm(j, h2))
+          assert(evalPerm(j, h1) >= 0 && evalPerm(j, h1) < MinhashP)
+        }
+    }
+    // the Scala evaluation must agree with the SQL fragment both engines run
+    import spark.implicits._
+    val hs = Seq(0L, 1L, MinhashP - 1, 123456789L, (1L << 56) - 1).toDF("h")
+    (0 until 4).foreach { j =>
+      val sql = hs.selectExpr(s"h", s"${affinePerm(j, "h")} as p")
+        .as[(Long, Long)].collect().toMap
+      sql.foreach { case (h, p) => assert(p === evalPerm(j, h)) }
+    }
+  }
+
+  test("replicateDocs mints globally unique doc_ids at any factor") {
+    import spark.implicits._
+    val docs = Seq((0L, "a", "en", "s", 1L), (1L, "b", "en", "s", 1L),
+      (7L, "c", "de", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Seq(1, 3, 20).foreach { f =>
+      val ids = ScaleDemo.replicateDocs(docs, f).select("doc_id")
+        .as[Long].collect()
+      assert(ids.length === 3 * f)
+      assert(ids.distinct.length === ids.length, s"factor $f: id collision")
+    }
+  }
+
   test("wordCount conserves tokens for arbitrary ascii text") {
     import spark.implicits._
     val textGen = Gen.listOf(Gen.oneOf(
