@@ -284,6 +284,25 @@ object RelationalQueries {
              |ORDER BY p_partkey""".stripMargin),
       doc = "string-function surface over part (prefix/contains filters pushed)"),
 
+    Q("q11_rollup",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping(col("l_returnflag")).cast("long").as("g1"),
+          grouping(col("l_linestatus")).cast("long").as("g2"),
+          count(lit(1)).as("n"),
+          pround(sum(pround(col("l_quantity"), 6).cast(DecimalType(28, 6)))
+            .cast("double"), 2).as("sum_qty"))
+        .orderBy("g1", "g2", "l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       GROUPING(l_returnflag) AS g1, GROUPING(l_linestatus) AS g2,
+             |       count(*) AS n,
+             |       floor(CAST(sum(CAST(floor(l_quantity * 1000000.0 + 0.5) / 1000000.0
+             |                          AS DECIMAL(28,6))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY g1, g2, l_returnflag, l_linestatus""".stripMargin),
+      doc = "grouping-sets rollup: per-(flag,status), per-flag, and grand " +
+        "totals in one Expand pass (OLAP subtotal surface)"),
+
     Q("q10_cumulative_revenue",
       (s, d) => {
         val daily = Tables.orders(s, d)
