@@ -284,6 +284,52 @@ object RelationalQueries {
              |ORDER BY p_partkey""".stripMargin),
       doc = "string-function surface over part (prefix/contains filters pushed)"),
 
+    Q("q12_full_outer",
+      (s, d) => {
+        val a = Tables.customer(s, d).where(col("c_acctbal") > 9000)
+          .groupBy(col("c_nationkey").as("nk_a"))
+          .agg(count(lit(1)).as("n_cust"))
+        val b = Tables.supplier(s, d).where(col("s_acctbal") > 9000)
+          .groupBy(col("s_nationkey").as("nk_b"))
+          .agg(count(lit(1)).as("n_supp"))
+        a.join(b, col("nk_a") === col("nk_b"), "full_outer")
+          .select(coalesce(col("nk_a"), col("nk_b")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("nationkey")
+      },
+      Some("""WITH a AS (
+             |  SELECT c_nationkey AS nk_a, count(*) AS n_cust
+             |  FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey),
+             |b AS (
+             |  SELECT s_nationkey AS nk_b, count(*) AS n_supp
+             |  FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey)
+             |SELECT coalesce(nk_a, nk_b) AS nationkey,
+             |       coalesce(n_cust, 0) AS n_cust,
+             |       coalesce(n_supp, 0) AS n_supp
+             |FROM a FULL JOIN b ON nk_a = nk_b
+             |ORDER BY nationkey""".stripMargin),
+      doc = "full outer join of filtered per-nation aggregates (both null " +
+        "sides exercised; completes the join-type surface)"),
+
+    Q("q13_sliding_window",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_timestamp(col("ts")))
+          .rangeBetween(-3600L, 0L)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("n_last_hour"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |       count(*) OVER (PARTITION BY user_id
+             |                      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             |                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
+             |FROM events ORDER BY event_id""".stripMargin),
+      doc = "time-RANGE window frame: trailing-hour event count per user " +
+        "(value-based frame with peer grouping, not a ROWS frame)"),
+
     Q("q11_rollup",
       (s, d) => Tables.lineitem(s, d)
         .rollup("l_returnflag", "l_linestatus")
