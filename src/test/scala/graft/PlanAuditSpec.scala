@@ -48,4 +48,36 @@ class PlanAuditSpec extends SparkSpec {
   test("w1 scan prunes to the text column only") {
     assert(plan("w1_wordcount").contains("ReadSchema: struct<text:string>"))
   }
+
+  test("a18: as-of join plans NO join operator — union + one window") {
+    val p = plan("a18_asof_value")
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("Window"))
+  }
+
+  test("r8: range join is an equality join, never nested-loop/cartesian") {
+    val p = plan("r8_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
+
+  test("q11: grouping sets compile to a single Expand pass") {
+    val p = plan("q11_rollup")
+    assert(p.contains("Expand"))
+    // one scan feeds the rollup — no union of per-level re-scans
+    assert("Scan parquet".r.findAllIn(p).length === 1)
+  }
+
+  test("q13: RANGE frame is one window pass with no self-join") {
+    val p = plan("q13_sliding_window")
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"), p.take(800))
+  }
+
+  test("g2: lazy LSH self-join keeps the full signature pipeline auditable") {
+    val p = plan("g2_minhash_pairs")
+    // both sides visible in the plan (not a checkpoint scan), stack unpivot present
+    assert(!p.contains("ExistingRDD"), p.take(400))
+    assert(p.contains("Generate stack") || p.contains("stack("))
+  }
 }
