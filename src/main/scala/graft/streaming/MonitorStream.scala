@@ -55,6 +55,29 @@ object MonitorStream {
       .agg(avg(col("cpu")).as("avg_cpu"), avg(col("mem")).as("avg_mem"),
         count(lit(1)).as("n_samples"))
 
+  /** Streaming stage detection (A5-A8 as a LIVE query): fold arriving
+    * progress events into the same fixed-size `StageBuf` the batch
+    * [[graft.plans.StageAggregator]] uses and emit the refreshed
+    * `StageTimes` for the run after every trigger — the dashboard view of
+    * "where is this job right now". State is one O(1) buffer per run;
+    * exactly the batch semantics (same reduce, same finish), so batch and
+    * streaming answers can never drift. */
+  def stageTimes(events: Dataset[graft.plans.StageAggregator.ProgressEvent])
+      : Dataset[(String, graft.plans.StageAggregator.StageTimes)] = {
+    import events.sparkSession.implicits._
+    import graft.plans.StageAggregator
+    events.groupByKey(_.run)
+      .mapGroupsWithState[StageAggregator.StageBuf,
+        (String, StageAggregator.StageTimes)](GroupStateTimeout.NoTimeout()) {
+        case (run, evs, state: GroupState[StageAggregator.StageBuf]) =>
+          val buf = evs.foldLeft(
+            state.getOption.getOrElse(StageAggregator.agg.zero))(
+            StageAggregator.agg.reduce)
+          state.update(buf)
+          (run, StageAggregator.agg.finish(buf))
+      }
+  }
+
   /** Stateful delimiter sessionization (streaming A2): per run (= one
     * monitor feed, the batch per-file key), count `----` lines seen so
     * far and tag every sample with the current step. State is one long

@@ -51,6 +51,39 @@ class MonitorStreamSpec extends SparkSpec {
       ("worker2-zrt", 36.0, 28.0), ("worker1-zzh", 55.0, 22.0)))
   }
 
+  test("streaming stage detection matches the batch aggregator across micro-batches") {
+    import graft.plans.StageAggregator.ProgressEvent
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[ProgressEvent]
+    val q = MonitorStream.stageTimes(in.toDS())
+      .writeStream.format("memory").queryName("stages")
+      .outputMode(OutputMode.Update()).start()
+    in.addData(
+      ProgressEvent("r1", 100L, 0, 0),
+      ProgressEvent("r1", 110L, 50, 0))
+    q.processAllAvailable()
+    in.addData( // state must carry: map done + shuffle end arrive later
+      ProgressEvent("r1", 120L, 100, 10),
+      ProgressEvent("r1", 130L, 100, 95),
+      ProgressEvent("r1", 140L, 100, 100))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT _1, _2.* FROM stages")
+      .as[(String, Double, Double, Double, Double, Double)].collect()
+      .groupBy(_._1).map { case (k, vs) => k -> vs.last }
+    // batch answer over the full event list
+    val batch = Seq(
+      ProgressEvent("r1", 100L, 0, 0), ProgressEvent("r1", 110L, 50, 0),
+      ProgressEvent("r1", 120L, 100, 10), ProgressEvent("r1", 130L, 100, 95),
+      ProgressEvent("r1", 140L, 100, 100))
+      .foldLeft(graft.plans.StageAggregator.agg.zero)(
+        graft.plans.StageAggregator.agg.reduce)
+    val bt = graft.plans.StageAggregator.agg.finish(batch)
+    q.stop()
+    val (_, totalS, mapS, shuffleS, reduceS, overlapPct) = got("r1")
+    assert((totalS, mapS, shuffleS, reduceS, overlapPct) ===
+      ((bt.totalS, bt.mapS, bt.shuffleS, bt.reduceS, bt.overlapPct)))
+  }
+
   test("stateful sessionizer assigns time steps across micro-batches") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[MonitorLine]
