@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import graft.plans.StageAggregator
@@ -87,6 +88,67 @@ class PropertySpec extends SparkSpec {
         .as[Long].collect()
       assert(ids.length === 3 * f)
       assert(ids.distinct.length === ids.length, s"factor $f: id collision")
+    }
+  }
+
+  test("as-of join agrees with a naive per-row reference on random data") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rowGen = for {
+      key <- Gen.choose(1L, 3L)     // few keys → dense per-key history
+      t <- Gen.choose(0L, 50L)      // coarse ts → frequent ties
+      id <- Gen.choose(0L, 10000L)
+      v <- Gen.choose(0, 100).map(_.toDouble)
+    } yield (key, t, id, v)
+    forAllSamples(Gen.zip(Gen.nonEmptyListOf(rowGen), Gen.nonEmptyListOf(rowGen)), n = 6) {
+      case (lRaw, rRaw) =>
+        // unique tie-break ids per side (the operator requires a total order)
+        val l = lRaw.zipWithIndex.map { case ((k, t, _, v), i) => (k, t, i.toLong, v) }
+        val r = rRaw.zipWithIndex.map { case ((k, t, _, v), i) => (k, t, i.toLong, v) }
+        val left = l.map { case (k, t, id, _) =>
+          (k, new Timestamp(t * 1000), id) }.toDF("key", "ts", "event_id")
+        val right = r.map { case (k, t, id, v) =>
+          (k, new Timestamp(t * 1000), id, v) }.toDF("key", "ts", "event_id", "value")
+        val got = operators.AsOf.asofLatest(left, right, "key", "ts",
+            "event_id", "value", "v")
+          .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+        l.foreach { case (k, t, id, _) =>
+          // naive reference: latest right row at-or-before (ties: max id)
+          val cand = r.filter(rr => rr._1 == k && rr._2 <= t)
+          val expect = if (cand.isEmpty) None
+            else Some(cand.maxBy(rr => (rr._2, rr._3))._4)
+          assert(got(id) === expect, s"key=$k t=$t")
+        }
+    }
+  }
+
+  test("range join agrees with a naive filter join on random intervals") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ptGen = for {
+      k <- Gen.choose(1L, 3L); t <- Gen.choose(0L, 100L)
+    } yield (k, t)
+    val ivGen = for {
+      k <- Gen.choose(1L, 3L); s <- Gen.choose(0L, 100L)
+      len <- Gen.choose(0L, 40L)
+    } yield (k, s, s + len)
+    forAllSamples(Gen.zip(Gen.nonEmptyListOf(ptGen), Gen.nonEmptyListOf(ivGen)), n = 6) {
+      case (ps, ivs) =>
+        val points = ps.zipWithIndex.map { case ((k, t), i) =>
+          (k, new Timestamp(t * 1000), i.toLong) }.toDF("key", "ts", "event_id")
+        val intervals = ivs.zipWithIndex.map { case ((k, s, e), i) =>
+          (k, i.toLong, new Timestamp(s * 1000), new Timestamp(e * 1000))
+        }.toDF("key", "iv_id", "start_ts", "end_ts")
+        val got = operators.RangeJoin.pointInInterval(points, intervals,
+            "key", "ts", "start_ts", "end_ts", bucketSec = 17L)
+          .select(col("iv_id"), col("pt_event_id"))
+          .as[(Long, Long)].collect().toSet
+        val expect = (for {
+          ((ik, s, e), ii) <- ivs.zipWithIndex
+          ((pk, t), pi) <- ps.zipWithIndex
+          if ik == pk && t >= s && t < e
+        } yield (ii.toLong, pi.toLong)).toSet
+        assert(got === expect)
     }
   }
 
