@@ -22,18 +22,23 @@ object Bench {
     // min reported — scheduler noise shrinks, real work doesn't.
     val runsPerQuery = 2
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val secs = (1 to runsPerQuery).map { _ =>
+      val runs = (1 to runsPerQuery).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
             if (!failed.contains(name)) failed ::= name
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
         }
         val sec = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // untimed; bounds cross-query cache growth
-        sec
+        (ok, sec)
       }
-      name -> secs.min
+      // min over SUCCESSFUL runs only — a fast failure must not report a
+      // bogus fast time; all-failed falls back to the max so the error
+      // still costs, never flatters, the total
+      val good = runs.filter(_._1).map(_._2)
+      name -> (if (good.nonEmpty) good.min else runs.map(_._2).max)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -182,12 +182,16 @@ object Dedup {
   def dedupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     // both directions from ONE scan of `pairs` (an explode, not a union —
     // a union would execute the upstream candidate pipeline twice)
+    // No up-front distinct: the doubled set of a doc_a<doc_b pair table
+    // cannot contain duplicates (forward edges have src<dst, reversed
+    // src>dst), and duplicate edges from arbitrary inputs are absorbed by
+    // the groupBy below anyway — a distinct here would be a full shuffle
+    // of the pipeline's largest dataset (220M rows at the 50x sweep)
     var edges = pairs
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct()
       .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("cluster"))

@@ -314,6 +314,9 @@ object RelationalQueries {
 
     Q("q13_sliding_window",
       (s, d) => {
+        // unix_timestamp on an NTZ column reads the session zone — pinned
+        // to UTC for every forked run by build.sbt (same contract a2b and
+        // r8 rely on), matching the oracle's epoch(ts)
         val w = Window.partitionBy("user_id")
           .orderBy(unix_timestamp(col("ts")))
           .rangeBetween(-3600L, 0L)

@@ -68,6 +68,13 @@ class PropertySpec extends SparkSpec {
           assert(evalPerm(j, h1) >= 0 && evalPerm(j, h1) < MinhashP)
         }
     }
+    // bands must be DISTINCT permutations: for every band pair, at least
+    // one probe input maps differently (a regression collapsing all bands
+    // to one permutation would turn banded LSH into a single band)
+    val probes = Seq(0L, 1L, 2L, 12345L, MinhashP - 1)
+    for (j1 <- 0 until 4; j2 <- j1 + 1 until 4)
+      assert(probes.exists(h => evalPerm(j1, h) != evalPerm(j2, h)),
+        s"bands $j1 and $j2 are the same permutation")
     // the Scala evaluation must agree with the SQL fragment both engines run
     import spark.implicits._
     val hs = Seq(0L, 1L, MinhashP - 1, 123456789L, (1L << 56) - 1).toDF("h")
