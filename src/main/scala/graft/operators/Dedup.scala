@@ -61,9 +61,7 @@ object Dedup {
   /** G1: exact dedup on whitespace-normalized lowercased text; survivor =
     * min doc_id per group. */
   def exactDedup(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      lower(trim(regexp_replace(col("text"), "[ \\t\\n\\r\\f]+", " ")))
-        .as("norm"))
+    docs.select(col("doc_id"), normText(col("text")).as("norm"))
       .groupBy("norm")
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
@@ -87,6 +85,25 @@ object Dedup {
     val a = 2L * j + 1
     val off = (j.toLong * MinhashMixer) % MinhashP
     s"($a * ($h % $MinhashP) + $off) % $MinhashP"
+  }
+
+  private def normText(c: org.apache.spark.sql.Column) =
+    lower(trim(regexp_replace(c, "[ \\t\\n\\r\\f]+", " ")))
+
+  /** G1b: INCREMENTAL exact dedup — dedupe an incoming batch against an
+    * existing corpus and within itself, the production shape for a
+    * continuously-growing dataset (never re-deduplicate the whole
+    * corpus per batch). The existing side reduces to its distinct norm
+    * set; the anti-join is an equality join on the norm key, so at scale
+    * it is one shuffle of the (small) incoming batch against the
+    * bucketed/persisted norm index. */
+  def exactDedupIncremental(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val known = existing.select(normText(col("text")).as("norm")).distinct()
+    incoming.select(col("doc_id"), normText(col("text")).as("norm"))
+      .join(known, Seq("norm"), "left_anti")
+      .groupBy("norm")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
   }
 
   /** G2a: banded MinHash signature. The shingle is md5-hashed ONCE
@@ -299,6 +316,24 @@ object DedupQueries {
              |      FROM documents)
              |GROUP BY norm ORDER BY doc_id""".stripMargin),
       doc = "G1 exact dedup via hash groupBy on normalized text"),
+
+    Q("g8_incremental_dedup",
+      (s, d) => exactDedupIncremental(
+          docs(s, d).where(col("doc_id") < 250),
+          docs(s, d).where(col("doc_id") >= 250))
+        .orderBy("doc_id"),
+      Some("""WITH e AS (
+             |  SELECT DISTINCT lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))) AS norm
+             |  FROM documents WHERE doc_id < 250),
+             |i AS (
+             |  SELECT doc_id, lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))) AS norm
+             |  FROM documents WHERE doc_id >= 250)
+             |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+             |FROM i
+             |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.norm = i.norm)
+             |GROUP BY i.norm ORDER BY doc_id""".stripMargin),
+      doc = "G1b incremental dedup: new batch anti-joined against the " +
+        "existing corpus's norm index, then deduped within itself"),
 
     Q("g2_minhash_sig",
       (s, d) => minhashSignature(docs(s, d), 4).orderBy("doc_id", "band"),

@@ -28,6 +28,25 @@ class DedupSpec extends SparkSpec {
     assert(twice === List(0L, 2L, 4L))
   }
 
+  test("G1b: incremental dedup drops docs known to the existing corpus") {
+    val existing = Seq((100L, "spark makes big data small again and again and again"))
+      .toDF("doc_id", "text")
+    // doc 0/1/3 normalize to the existing text → dropped; 2 and 4 survive,
+    // and within-batch dedup keeps min ids
+    val got = Dedup.exactDedupIncremental(existing, docs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toList
+    assert(got === List(2L -> 1L, 4L -> 1L))
+  }
+
+  test("G1b: incremental of an empty corpus equals plain exact dedup") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val inc = Dedup.exactDedupIncremental(empty, docs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toList
+    val full = Dedup.exactDedup(docs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toList
+    assert(inc === full)
+  }
+
   test("G2: identical docs get identical MinHash signatures; distinct docs differ") {
     val sig = Dedup.minhashSignature(docs, 4)
       .groupBy("doc_id").agg(concat_ws("|", collect_list(col("minh"))).as("s"))
