@@ -80,12 +80,27 @@ object Dedup {
     s"cast(conv(substr(md5($c), 1, 14), 16, 10) as bigint)"
 
   /** SQL fragment: the j-th affine permutation of non-negative long `h`.
-    * Products stay < 2^63 for any j < ~2^31 (see MinhashP). */
+    * The per-band offset is XOR-mixed into `h` BEFORE the mod so two
+    * hashes that collide mod P do NOT collide in every band (a plain
+    * affine map of `h % P` makes band collisions perfectly correlated,
+    * inflating LSH false positives on mod-P-colliding shingles). After
+    * the mix, `(2j+1)` odd and P prime keep it a bijection on [0, P).
+    * Products stay < 2^63 for any j < ~2^31 (see MinhashP).
+    * DuckDB mirror: xor(h, off) — both engines XOR BIGINTs identically
+    * (h is a non-negative 56-bit md5 prefix, off < P < 2^30). */
   def affinePerm(j: Int, h: String): String = {
     val a = 2L * j + 1
     val off = (j.toLong * MinhashMixer) % MinhashP
-    s"($a * ($h % $MinhashP) + $off) % $MinhashP"
+    s"($a * (($h ^ $off) % $MinhashP) + $off) % $MinhashP"
   }
+
+  /** DuckDB mirror of [[affinePerm]] with the band index as a SQL
+    * expression `j` (a column, e.g. from unnest(range(...))) instead of a
+    * compile-time constant. Kept next to affinePerm so the two stay in
+    * lockstep — every oracle that mirrors the hash family uses this. */
+  def affinePermSqlDuck(j: String, h: String): String =
+    s"((2*$j+1) * (xor($h, ($j * $MinhashMixer) % $MinhashP) % $MinhashP)" +
+      s" + ($j * $MinhashMixer) % $MinhashP) % $MinhashP"
 
   private def normText(c: org.apache.spark.sql.Column) =
     lower(trim(regexp_replace(c, "[ \\t\\n\\r\\f]+", " ")))
@@ -108,7 +123,7 @@ object Dedup {
 
   /** G2a: banded MinHash signature. The shingle is md5-hashed ONCE
     * (shingleHashRows), then each band applies a cheap affine permutation
-    * `(2b+1)·(h mod P) + b·2654435761 mod P` — the classic
+    * `(2b+1)·((h XOR off_b) mod P) + off_b mod P` — the classic
     * one-strong-hash + k-universal-permutations MinHash construction.
     * Compared to hashing `band:shingle` per band, this does `bands`×
     * fewer md5 calls and never multiplies the row count before the
@@ -247,6 +262,15 @@ object Dedup {
         .localCheckpoint()
       iter += 1
     }
+    // A silent partial clustering would make cluster-dedup keep extra
+    // survivors with no signal — converging graphs finish in O(log
+    // diameter) rounds, so hitting maxIter means the input is
+    // pathological (or maxIter was lowered); surface it loudly.
+    if (!edges.isEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dedupClusters: $maxIter rounds exhausted with inter-cluster " +
+          "edges remaining — the returned clustering is PARTIAL (labels " +
+          "are valid upper approximations, components may stay split)")
     labels.withColumnRenamed("node", "doc_id")
   }
 
@@ -341,7 +365,7 @@ object DedupQueries {
               |hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT AS h FROM sh),
               |b AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh)
               |SELECT doc_id, band,
-              |       min(((2*band+1) * (h % 1000000007) + (band * 2654435761) % 1000000007) % 1000000007) AS minh
+              |       min(${affinePermSqlDuck("band", "h")}) AS minh
               |FROM b GROUP BY doc_id, band ORDER BY doc_id, band""".stripMargin),
       doc = "G2a banded MinHash signatures (one md5 per shingle + affine band permutations)"),
 
@@ -352,7 +376,7 @@ object DedupQueries {
               |b AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh),
               |sig AS (
               |  SELECT doc_id, band,
-              |         min(((2*band+1) * (h % 1000000007) + (band * 2654435761) % 1000000007) % 1000000007) AS minh
+              |         min(${affinePermSqlDuck("band", "h")}) AS minh
               |  FROM b GROUP BY doc_id, band)
               |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               |FROM sig a JOIN sig b
@@ -401,7 +425,7 @@ object DedupQueries {
               |b AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh),
               |sig AS (
               |  SELECT doc_id, band,
-              |         min(((2*band+1) * (h % 1000000007) + (band * 2654435761) % 1000000007) % 1000000007) AS minh
+              |         min(${affinePermSqlDuck("band", "h")}) AS minh
               |  FROM b GROUP BY doc_id, band),
               |pairs AS (
               |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -436,6 +460,8 @@ object DedupQueries {
               |  JOIN sz b ON b.doc_id = doc_b)
               |SELECT doc_a, doc_b, floor(jac * 1000000.0 + 0.5) / 1000000.0 AS jaccard
               |FROM j ORDER BY jac DESC, doc_a, doc_b LIMIT 20""".stripMargin),
-      doc = "G4 n-gram Jaccard via inverted-index join (never all-pairs)"),
+      doc = "G4 n-gram Jaccard via inverted-index join (never all-pairs). " +
+        "EAGER: building this DataFrame runs the job (viaSharedScan " +
+        "checkpoint) — keep it out of explain()/plan-dump paths"),
   )
 }

@@ -33,10 +33,16 @@ object RangeJoin {
       d.withColumnRenamed(c, s"pt_$c"))
       .withColumn("__bucket",
         (unix_timestamp(col(s"pt_$pointTs")) / bucketSec).cast("long"))
-    val iv = intervals.withColumn("__bucket",
-      explode(sequence(
-        (unix_timestamp(col(startCol)) / bucketSec).cast("long"),
-        (unix_timestamp(col(endCol)) / bucketSec).cast("long"))))
+    // guard malformed intervals (end < start): sequence() would count
+    // DOWNWARD, generating |diff| bucket rows of pure fan-out that the
+    // residual predicate then discards — an inverted interval can match
+    // nothing, so it should cost nothing
+    val iv = intervals
+      .where(col(endCol) >= col(startCol))
+      .withColumn("__bucket",
+        explode(sequence(
+          (unix_timestamp(col(startCol)) / bucketSec).cast("long"),
+          (unix_timestamp(col(endCol)) / bucketSec).cast("long"))))
     iv.join(pt,
         iv("__bucket") === pt("__bucket") &&
           col(keyCol) === col(s"pt_$keyCol") &&

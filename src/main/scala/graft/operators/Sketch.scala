@@ -18,10 +18,11 @@ import graft.{Q, Tables}
   * upper bound: estimate >= true count, over-counting only from bucket
   * collisions).
   *
-  * Hash family: one 56-bit md5 prefix per word, then affine permutations
-  * `(2j+1)·(h mod P) + j·2654435761 mod P` per sketch row — the same
-  * engine-portable construction as [[Dedup.minhashSignature]] (Spark's
-  * murmur3 `hash()` and DuckDB's hash() disagree; md5 never does). */
+  * Hash family: one 56-bit md5 prefix per word, then XOR-mixed affine
+  * permutations `(2j+1)·((h XOR off_j) mod P) + off_j mod P` per sketch
+  * row — the same engine-portable construction as
+  * [[Dedup.minhashSignature]] (Spark's murmur3 `hash()` and DuckDB's
+  * hash() disagree; md5 never does). */
 object Sketch {
 
   private def pos(row: Int, width: Int): String =
@@ -66,7 +67,7 @@ object SketchQueries {
     Q("g7_cms_wordcounts",
       (s, d) => Sketch.cmsWordCounts(Tables.documents(s, d), 4, 64)
         .orderBy("word"),
-      Some("""WITH counts AS (
+      Some(s"""WITH counts AS (
              |  SELECT word, count(*) AS n,
              |         ('0x' || substr(md5(word), 1, 14))::BIGINT AS h
              |  FROM (SELECT unnest(list_filter(
@@ -76,7 +77,7 @@ object SketchQueries {
              |  GROUP BY word),
              |positioned AS (
              |  SELECT word, n, j AS row,
-             |         (((2*j+1) * (h % 1000000007) + (j * 2654435761) % 1000000007) % 1000000007) % 64 AS pos
+             |         (${Dedup.affinePermSqlDuck("j", "h")}) % 64 AS pos
              |  FROM counts, (SELECT unnest(range(0, 4)) AS j)),
              |sketch AS (
              |  SELECT row, pos, CAST(sum(n) AS BIGINT) AS bucket_n
@@ -85,6 +86,8 @@ object SketchQueries {
              |FROM positioned p JOIN sketch s ON p.row = s.row AND p.pos = s.pos
              |GROUP BY p.word, p.n ORDER BY p.word""".stripMargin),
       doc = "Count-Min Sketch (depth 4 x width 64) next to exact counts — " +
-        "mergeable-sketch heavy-hitter counting, relationally formulated"),
+        "mergeable-sketch heavy-hitter counting, relationally formulated. " +
+        "EAGER: building this DataFrame runs the job (viaSharedScan " +
+        "checkpoint) — keep it out of explain()/plan-dump paths"),
   )
 }

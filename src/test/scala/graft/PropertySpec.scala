@@ -52,21 +52,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("affine permutations are injective mod P and distinct across bands") {
+  test("affine permutations: range, collisions only via the mixed residue, bands distinct") {
     import operators.Dedup.{MinhashP, affinePerm}
-    // (2j+1) is odd and < P (prime), so h -> (2j+1)h + off is a bijection
-    // on [0, P): distinct inputs mod P must map to distinct outputs
     def evalPerm(j: Int, h: Long): Long = {
       val a = 2L * j + 1
       val off = (j.toLong * operators.Dedup.MinhashMixer) % MinhashP
-      (a * (h % MinhashP) + off) % MinhashP
+      (a * ((h ^ off) % MinhashP) + off) % MinhashP
     }
+    // (2j+1) is odd and < P (prime), so x -> (2j+1)x + off is a bijection
+    // on [0, P): a band collision can ONLY come from the XOR-mixed
+    // residues colliding mod P, never from the affine map itself
     forAllSamples(Gen.zip(Gen.choose(0L, MinhashP - 1), Gen.choose(0L, MinhashP - 1)), n = 200) {
       case (h1, h2) =>
         (0 until 4).foreach { j =>
-          if (h1 != h2) assert(evalPerm(j, h1) !== evalPerm(j, h2))
+          val off = (j.toLong * operators.Dedup.MinhashMixer) % MinhashP
+          if (((h1 ^ off) % MinhashP) != ((h2 ^ off) % MinhashP))
+            assert(evalPerm(j, h1) !== evalPerm(j, h2))
           assert(evalPerm(j, h1) >= 0 && evalPerm(j, h1) < MinhashP)
         }
+    }
+    // decorrelation (the point of the XOR pre-mix): raw hashes that
+    // collide mod P — h and h + P — must NOT collide in every band.
+    // Under the old family ((2j+1)·(h%P)+off) they collided in ALL bands.
+    forAllSamples(Gen.choose(0L, (1L << 55) - 1), n = 100) { h =>
+      assert((1 until 4).exists(j => evalPerm(j, h) != evalPerm(j, h + MinhashP)),
+        s"h=$h and h+P collide in every band — bands are correlated")
     }
     // bands must be DISTINCT permutations: for every band pair, at least
     // one probe input maps differently (a regression collapsing all bands
