@@ -27,5 +27,9 @@ object Registry {
       operators.SketchQueries.qs ++
       operators.SimilarityQueries.qs ++
       operators.TextAnalysisQueries.qs ++
-      operators.MultimodalQueries.qs
+      operators.MultimodalQueries.qs ++
+      operators.SamplingQueries.qs ++
+      operators.StatsQueries.qs ++
+      operators.FunnelQueries.qs ++
+      operators.KMeansQueries.qs
 }

@@ -235,13 +235,17 @@ object Dedup {
       val step = edges.groupBy(col("src"))
         .agg(least(col("src"), min(col("dst"))).as("lu"))
         .select(col("src").as("u"), col("lu"))
-      // pointer jump: follow the relabel one more hop
-      val jumped = step
-        .join(step.select(col("u").as("u2"), col("lu").as("l2")),
+      // pointer jumping: follow the relabel map through itself twice
+      // (label -> label-of-label -> ...), quadrupling the effective hop
+      // distance per round. The map is one row per still-active cluster —
+      // far smaller than the edge set — so two extra self-joins on it are
+      // much cheaper than the whole-graph rounds they replace.
+      def jump(m: DataFrame): DataFrame = m
+        .join(m.select(col("u").as("u2"), col("lu").as("l2")),
           col("lu") === col("u2"), "left")
         .select(col("u"),
           least(col("lu"), coalesce(col("l2"), col("lu"))).as("lu"))
-        .localCheckpoint()
+      val jumped = jump(jump(step)).localCheckpoint()
       // compose node labels through the relabel map
       labels = labels
         .join(jumped, col("cluster") === col("u"), "left")

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.Parity.pround
+
+/** One Lloyd iteration of k-means over the embedding table (SURVEY.md
+  * §2.G [EXT] extension) — the building block of embedding-space corpus
+  * curation (topic bucketing, semantic dedup regions, IVF training).
+  *
+  * Deterministic throughout: seed centroids are the k smallest vec_ids
+  * (in production, a k-means|| sample), assignment is max-cosine with
+  * ties to the smaller centroid id (exactly [[Similarity.ivfAssign]]),
+  * and the centroid update aggregates the fixed-point vectors with
+  * exact BIGINT per-dimension sums — so the updated means are
+  * oracle-reproducible, unlike any float-accumulating implementation.
+  *
+  * Design for 100 TB: centroids broadcast (k·d longs), assignment is a
+  * map-only pass over the corpus, and the update is ONE shuffle of k×d
+  * partial sums per partition (posexplode feeds a groupBy(centroid, dim)
+  * whose partial aggregation collapses each partition to at most k·d
+  * rows before the exchange). Iterating is a driver-side loop over this
+  * same plan with the new centroids re-broadcast.
+  */
+object KMeans {
+
+  /** One centroid-update step: per-(centroid, dimension) member count
+    * and fixed-point mean after assigning every vector to its
+    * max-cosine seed centroid. */
+  def kmeansStep(vecs: DataFrame, k: Int): DataFrame = {
+    val assigned = Similarity.ivfAssign(vecs, k)
+    val fixed = Similarity.withFixed(vecs).select(col("vec_id"), col("f"))
+    assigned.join(fixed, "vec_id")
+      .select(col("centroid_id"), posexplode(col("f")).as(Seq("dim", "v")))
+      .groupBy("centroid_id", "dim")
+      .agg(count(lit(1)).as("n_members"), sum(col("v")).as("sum_f"))
+      .select(col("centroid_id"), col("dim"), col("n_members"),
+        pround(col("sum_f").cast("double") / col("n_members").cast("double"), 4)
+          .as("mean_fp"))
+  }
+}
+
+object KMeansQueries {
+  import KMeans._
+
+  val qs: Seq[Q] = Seq(
+    Q("k1_kmeans_step",
+      (s, d) => kmeansStep(Tables.embeddings(s, d), 6).orderBy("centroid_id", "dim"),
+      Some(s"""WITH ${SimilarityQueries.fixedSqlCte},
+              |cents AS (
+              |  SELECT vec_id AS centroid_id, f, nrm FROM n
+              |  ORDER BY vec_id LIMIT 6),
+              |p AS (
+              |  SELECT n.vec_id, n.f AS vf, c.centroid_id,
+              |         ${SimilarityQueries.pairCosSql("n", "c")} AS cos
+              |  FROM n, cents c),
+              |r AS (
+              |  SELECT vec_id, vf, centroid_id,
+              |         row_number() OVER (PARTITION BY vec_id
+              |           ORDER BY cos DESC, centroid_id) AS rn
+              |  FROM p),
+              |a AS (SELECT centroid_id, vf FROM r WHERE rn = 1),
+              |ex AS (
+              |  SELECT centroid_id, i AS dim, vf[i + 1] AS v
+              |  FROM a, (SELECT unnest(range(0, 64)) AS i)
+              |  WHERE i < len(vf))
+              |SELECT centroid_id, dim, count(*) AS n_members,
+              |       floor(CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)
+              |             / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS mean_fp
+              |FROM ex GROUP BY centroid_id, dim
+              |ORDER BY centroid_id, dim""".stripMargin),
+      doc = "one deterministic Lloyd step: broadcast-centroid assignment + " +
+        "exact fixed-point centroid update (k x d partial-sum shuffle)"),
+  )
+}

@@ -41,7 +41,7 @@ object Similarity {
       s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
 
   /** Per-vector squared norm of the fixed-point embedding (exact long). */
-  private def withFixed(vecs: DataFrame): DataFrame = {
+  private[operators] def withFixed(vecs: DataFrame): DataFrame = {
     val dot = dotExpr(vecs.sparkSession, "f", "f")
     vecs.select(col("vec_id"), col("label"), expr(fixedExpr).as("f"))
       .withColumn("nrm", expr(dot))

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.Parity.pround
+
+/** Sketch/statistics operators beyond Count-Min (SURVEY.md §2.G [EXT]
+  * extension): a HyperLogLog-style distinct counter, exact Pearson
+  * correlation, and a Z-order clustering key for multi-dimensional data
+  * skipping.
+  *
+  * All three are built from exact integer arithmetic so the DuckDB
+  * oracle reproduces them bit-for-bit:
+  *  - the HLL registers use the portable 56-bit md5 hash and a
+  *    trailing-zero rank computed with pure integer ops; the harmonic
+  *    mean is an exact BIGINT sum of powers of two (scaled by 2^51)
+  *    with a single double division at the end;
+  *  - correlation sums exact longs and evaluates one fixed IEEE
+  *    expression tree over the six moments;
+  *  - the Z-order key is a bit-interleave.
+  *
+  * Design for 100 TB:
+  *  - HLL registers ARE mergeable state: per-partition max per register,
+  *    then max across partitions — the aggregation is a groupBy(register)
+  *    max, which Catalyst executes with map-side partials, so the full
+  *    sketch costs one tiny shuffle of <= 64 rows per partition. (The
+  *    exact-distinct column next to it is verification-only; at corpus
+  *    scale you'd drop it — computing it is the thing HLL avoids.)
+  *  - Correlation moments are a single map-side-combinable aggregate.
+  *  - Z-ordering is the standard layout trick for two-column min/max
+  *    pruning: sort/partition by the interleaved key and BOTH dimensions
+  *    stay range-clustered per file, so scans filtering on either column
+  *    skip most files. The query reports per-bucket min/max spans —
+  *    exactly the file-level statistics a reader would prune on.
+  */
+object Stats {
+
+  import Dedup.md5Long56
+
+  /** HLL-style distinct-word estimate with m=64 registers.
+    *
+    * Register index = h % 64; rank rho = 1 + trailing-zeros of the
+    * remaining 50 bits (rho = 51 when they are all zero). Harmonic
+    * denominator: sum over registers of 2^(-M_j), computed exactly as
+    * BIGINT sum of 2^(51-M_j) (missing registers contribute 2^51), so
+    * the only float ops are the final constant product and division.
+    * alpha_64 = 0.709 (Flajolet et al. 2007's alpha_m for m=64). */
+  def hllDistinctWords(docs: DataFrame): DataFrame = {
+    val words = docs.select(explode(expr(Dedup.tokensExpr)).as("w")).distinct()
+    val regs = words
+      .select(expr(md5Long56("w")).as("h"))
+      .select((col("h") % 64).as("j"), expr("h div 64").as("r"))
+      .select(col("j"),
+        expr("1 + size(filter(sequence(1, 50), k -> r % shiftleft(cast(1 as bigint), k) = 0))")
+          .as("rho"))
+      .groupBy("j").agg(max(col("rho")).as("m"))
+    val pow51 = "shiftleft(cast(1 as bigint), 51)"
+    val sketch = regs.agg(
+      sum(expr(s"shiftleft(cast(1 as bigint), cast(51 - m as int))")).as("s_present"),
+      count(lit(1)).as("nz"))
+      .select(
+        (col("s_present") + (lit(64L) - col("nz")) * expr(pow51)).as("s_total"),
+        col("nz").as("nonzero_registers"))
+    val exact = words.agg(count(lit(1)).as("exact_distinct"))
+    // Small-range correction (Flajolet et al. §4): when zero registers
+    // remain and the raw estimate is under 5/2·m, linear counting
+    // m·ln(m/V) is the accurate estimator — without it the raw harmonic
+    // formula reads ~2x high on low-cardinality inputs.
+    val raw = s"0.709 * 4096.0 * cast($pow51 as double) / cast(s_total as double)"
+    val est = s"""CASE WHEN nonzero_registers < 64 AND $raw <= 160.0
+                 | THEN 64.0 * ln(64.0 / cast(64 - nonzero_registers as double))
+                 | ELSE $raw END""".stripMargin
+    exact.crossJoin(sketch).select(
+      col("exact_distinct"), col("nonzero_registers"),
+      pround(expr(est), 4).as("hll_estimate"))
+  }
+
+  /** Exact Pearson correlation between two integer columns via the six
+    * moments (all exact longs), one fixed float expression at the end.
+    * Built-in corr() is a float accumulation — order-dependent, so never
+    * oracle-stable; this is the portable formulation. */
+  def corrExact(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    df.select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").as("n_rows"),
+        pround(expr(
+          """cast(n * sxy - sx * sy as double) /
+            |  (sqrt(cast(n * sxx - sx * sx as double)) *
+            |   sqrt(cast(n * syy - sy * sy as double)))""".stripMargin), 6)
+          .as("corr"))
+
+  /** 8-bit-per-dimension Z-order (Morton) key: bits of x land on even
+    * positions, bits of y on odd. Pure integer arithmetic (shared
+    * generator with the DuckDB mirror via [[zorderTerms]]). */
+  def zorderKeyExpr(x: String, y: String): String = zorderTerms(x, y, "div")
+
+  /** The interleave polynomial with a pluggable integer-division operator
+    * ("div" for Spark, "//" for DuckDB) so both engines evaluate the
+    * identical term list. */
+  def zorderTerms(x: String, y: String, divOp: String): String =
+    (0 until 8).flatMap { b =>
+      Seq(s"(($x $divOp ${1L << b}) % 2) * ${1L << (2 * b)}",
+        s"(($y $divOp ${1L << b}) % 2) * ${1L << (2 * b + 1)}")
+    }.mkString(" + ")
+
+  /** Z-order clustering demo over events: key on (user_id mod 256,
+    * floor(value) mod 256), bucket into 64 coarse ranges of the z-key,
+    * and report each bucket's span in BOTH source dimensions — small
+    * spans on both axes are what make min/max file pruning effective on
+    * either filter column. */
+  def zorderClustering(events: DataFrame): DataFrame =
+    events.select(
+      (col("user_id") % 256).as("x"),
+      (floor(col("value")).cast("long") % 256).as("y"))
+      .select(col("x"), col("y"),
+        expr(zorderKeyExpr("x", "y")).as("zkey"))
+      // integer division on both engines — a double divide + cast would
+      // trunc in Spark but round in DuckDB at bucket boundaries
+      .groupBy(expr("zkey div 1024").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"))
+}
+
+object StatsQueries {
+  import Stats._
+
+  private val toksSql =
+    "list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '')"
+
+  val qs: Seq[Q] = Seq(
+    Q("x4_hll_distinct",
+      (s, d) => hllDistinctWords(Tables.documents(s, d)),
+      Some(s"""WITH toks AS (SELECT DISTINCT unnest($toksSql) AS w FROM documents),
+              |h AS (SELECT ('0x' || substr(md5(w), 1, 14))::BIGINT AS h FROM toks),
+              |reg AS (SELECT h % 64 AS j, h // 64 AS r FROM h),
+              |rho AS (SELECT j, 1 + len(list_filter(range(1, 51), k -> r % (1::BIGINT << k) = 0)) AS rho FROM reg),
+              |m AS (SELECT j, max(rho) AS m FROM rho GROUP BY j),
+              |sk AS (SELECT CAST(sum(1::BIGINT << CAST(51 - m AS INT)) AS BIGINT) AS s_present,
+              |              count(*) AS nz FROM m),
+              |e AS (SELECT count(*) AS exact_distinct FROM toks),
+              |est AS (
+              |  SELECT nz, 0.709 * 4096.0 * CAST((1::BIGINT << 51) AS DOUBLE)
+              |             / CAST(s_present + (64 - nz) * (1::BIGINT << 51) AS DOUBLE) AS raw
+              |  FROM sk)
+              |SELECT exact_distinct, nz AS nonzero_registers,
+              |       floor((CASE WHEN nz < 64 AND raw <= 160.0
+              |               THEN 64.0 * ln(64.0 / CAST(64 - nz AS DOUBLE))
+              |               ELSE raw END)
+              |             * 10000.0 + 0.5) / 10000.0 AS hll_estimate
+              |FROM e, est""".stripMargin),
+      doc = "HLL-style distinct count: 64 mergeable registers, exact-integer " +
+        "harmonic sum, exact count alongside for verification"),
+
+    Q("x5_corr_len_tokens",
+      (s, d) => corrExact(
+        Tables.documents(s, d)
+          .select(col("n_chars"),
+            expr(s"cast(size(${Dedup.tokensExpr}) as bigint)").as("n_toks")),
+        "n_chars", "n_toks"),
+      Some(s"""WITH v AS (
+              |  SELECT n_chars AS x, CAST(len($toksSql) AS BIGINT) AS y FROM documents),
+              |mo AS (
+              |  SELECT count(*) AS n,
+              |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              |         CAST(sum(x * x) AS BIGINT) AS sxx,
+              |         CAST(sum(y * y) AS BIGINT) AS syy,
+              |         CAST(sum(x * y) AS BIGINT) AS sxy
+              |  FROM v)
+              |SELECT n AS n_rows,
+              |       floor(CAST(n * sxy - sx * sy AS DOUBLE) /
+              |             (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+              |              sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+              |             * 1000000.0 + 0.5) / 1000000.0 AS corr
+              |FROM mo""".stripMargin),
+      doc = "exact Pearson correlation (chars vs tokens) from integer moments " +
+        "— one map-side-combinable aggregate"),
+
+    Q("x6_zorder_clustering",
+      (s, d) => zorderClustering(Tables.events(s, d)).orderBy("bucket"),
+      Some(s"""WITH k AS (
+              |  SELECT user_id % 256 AS x,
+              |         CAST(floor(value) AS BIGINT) % 256 AS y
+              |  FROM events),
+              |z AS (SELECT x, y, ${zorderTerms("x", "y", "//")} AS zkey FROM k)
+              |SELECT zkey // 1024 AS bucket, count(*) AS n_rows,
+              |       min(x) AS x_min, max(x) AS x_max,
+              |       min(y) AS y_min, max(y) AS y_max
+              |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin),
+      doc = "Z-order (Morton) clustering key + per-bucket two-dimension " +
+        "min/max spans — the layout stats multi-column data skipping prunes on"),
+  )
+}

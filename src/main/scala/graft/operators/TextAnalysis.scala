@@ -77,6 +77,19 @@ object TextAnalysis {
         regexp_replace(col("text"), "[ \\t\\n\\r\\f]+", " ")))), 1, 16)
         .as("fp"))
 
+  /** Top-k terms per language by corpus frequency — the per-group top-k
+    * shape (word-count shuffle, then a window over the handful of
+    * (lang, word) aggregates; the second shuffle moves only the already-
+    * reduced counts, never raw tokens). */
+  def topTermsPerLang(docs: DataFrame, k: Int): DataFrame = {
+    val win = Window.partitionBy("lang").orderBy(col("n").desc, col("w"))
+    docs.select(col("lang"), explode(expr(tokensExpr)).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(win))
+      .where(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("w").as("term"), col("n"))
+  }
+
   /** TF-IDF: top-k terms per doc by tf·ln(N/df), pround-ed so ordering is
     * engine-stable; ties broken by word. */
   def tfidfTop(docs: DataFrame, k: Int): DataFrame = {
@@ -171,6 +184,18 @@ object TextAnalysisQueries {
               |FROM st WHERE length(stem) > 0
               |GROUP BY doc_id, stem ORDER BY doc_id, stem""".stripMargin),
       doc = "token normalization + stopword removal + suffix-strip stemming"),
+
+    Q("t7_top_terms_per_lang",
+      (s, d) => topTermsPerLang(docs(s, d), 5).orderBy("lang", "rank"),
+      Some(s"""WITH tok AS (SELECT lang, unnest($toksSql) AS w FROM documents),
+              |c AS (SELECT lang, w, count(*) AS n FROM tok GROUP BY lang, w),
+              |r AS (
+              |  SELECT lang, w, n,
+              |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, w) AS rank
+              |  FROM c)
+              |SELECT lang, rank, w AS term, n FROM r
+              |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin),
+      doc = "top-k terms per language (per-group top-k over reduced counts)"),
 
     Q("t5_tfidf",
       (s, d) => tfidfTop(docs(s, d), 3).orderBy("doc_id", "rank"),

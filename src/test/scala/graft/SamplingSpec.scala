@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  private def docs = Tables.documents(spark, sf("sf0.001"))
+
+  test("hash sample is deterministic and a strict subset at a lower rate") {
+    val s10 = Sampling.hashSample(docs, 10).select("doc_id").collect().map(_.getLong(0)).toSet
+    val s10b = Sampling.hashSample(docs, 10).select("doc_id").collect().map(_.getLong(0)).toSet
+    val s50 = Sampling.hashSample(docs, 50).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s10 == s10b, "same rate must reproduce the identical sample")
+    assert(s10.subsetOf(s50), "raising the rate must only add rows")
+    assert(Sampling.hashSample(docs, 100).count() == docs.count())
+  }
+
+  test("stratified sample takes at most n per stratum, ranked 1..n") {
+    val s = Sampling.stratifiedSample(docs, "lang", 5)
+      .groupBy("lang").agg(count(lit(1)).as("n"), max("rank").as("mr"), min("rank").as("lo"))
+      .collect()
+    s.foreach { r =>
+      assert(r.getLong(1) <= 5 && r.getInt(2) <= 5 && r.getInt(3) == 1,
+        s"stratum ${r.getString(0)} violated the top-n contract: $r")
+    }
+  }
+
+  test("split is exhaustive and disjoint: per-lang split sizes sum to the census") {
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySplit = Sampling.splitCounts(docs).groupBy("lang")
+      .agg(sum("n_docs").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit == total, "every doc must land in exactly one split")
+  }
+}
