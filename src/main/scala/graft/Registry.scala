@@ -31,5 +31,7 @@ object Registry {
       operators.SamplingQueries.qs ++
       operators.StatsQueries.qs ++
       operators.FunnelQueries.qs ++
-      operators.KMeansQueries.qs
+      operators.KMeansQueries.qs ++
+      operators.BloomQueries.qs ++
+      operators.SnapshotQueries.qs
 }

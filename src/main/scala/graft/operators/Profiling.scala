@@ -45,6 +45,33 @@ object Profiling {
         least(floor(col(valueCol) / width), lit(maxBucket)).cast("long")
           .as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
+
+  /** Sketch-based approximate quantiles: quantize values to integer
+    * centi-bins, reduce to (group, bin, count) — a MERGEABLE sketch whose
+    * size is bounded by the value range, not the row count — then read
+    * p50/p95 off the cumulative bin counts (upper edge of the first bin
+    * whose running count reaches ceil(p·n)). This is the one-pass
+    * 100 TB quantile path (same contract as percentile_approx but
+    * engine-portable): the shuffle moves only bin counts, never rows,
+    * and bin tables from different partitions/days merge by addition.
+    * Bias is bounded by the bin width (1 centi-unit). */
+  def sketchQuantiles(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val bins = df
+      .select(col(keyCol), floor(col(valueCol) * 100.0).cast("long").as("bin"))
+      .groupBy(keyCol, "bin").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(keyCol).orderBy("bin")
+    val n = Window.partitionBy(keyCol)
+    bins
+      .select(col(keyCol), col("bin"), col("c"),
+        sum(col("c")).over(w).as("cum"), sum(col("c")).over(n).as("n"))
+      .groupBy(keyCol)
+      .agg(
+        min(when(col("cum") >= ceil(col("n") * 0.5), col("bin"))).as("b50"),
+        min(when(col("cum") >= ceil(col("n") * 0.95), col("bin"))).as("b95"))
+      .select(col(keyCol),
+        ((col("b50") + 1L).cast("double") / 100.0).as("p50_approx"),
+        ((col("b95") + 1L).cast("double") / 100.0).as("p95_approx"))
+  }
 }
 
 object ProfilingQueries {
@@ -89,5 +116,30 @@ object ProfilingQueries {
               |       ${proundSql("CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*)", 4)} AS avg_chars
               |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
       doc = "per-language corpus mix: counts + length envelope + exact avg"),
+
+    Q("p4_sketch_quantiles",
+      (s, d) => Profiling.sketchQuantiles(Tables.events(s, d),
+          "event_type", "value")
+        .orderBy("event_type"),
+      Some("""WITH bins AS (
+             |  SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS bin,
+             |         count(*) AS c
+             |  FROM events GROUP BY event_type, bin),
+             |cum AS (
+             |  SELECT event_type, bin, c,
+             |         sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             |         sum(c) OVER (PARTITION BY event_type) AS n
+             |  FROM bins),
+             |q AS (
+             |  SELECT event_type,
+             |         min(CASE WHEN cum >= ceil(n * 0.5) THEN bin END) AS b50,
+             |         min(CASE WHEN cum >= ceil(n * 0.95) THEN bin END) AS b95
+             |  FROM cum GROUP BY event_type)
+             |SELECT event_type,
+             |       CAST(b50 + 1 AS DOUBLE) / 100.0 AS p50_approx,
+             |       CAST(b95 + 1 AS DOUBLE) / 100.0 AS p95_approx
+             |FROM q ORDER BY event_type""".stripMargin),
+      doc = "mergeable bin-count quantile sketch: shuffle moves bin counts, " +
+        "not rows — the portable percentile_approx shape"),
   )
 }

@@ -30,4 +30,19 @@ class ProfilingSpec extends SparkSpec {
     assert(got === Map(0L -> 2L, 1L -> 1L, 10L -> 2L))
     assert(got.values.sum === 5L)
   }
+
+  test("sketch quantiles sit within one bin width above the exact percentiles") {
+    val ev = Tables.events(spark, sf("sf0.01"))
+    val exact = Profiling
+      .exactPercentiles(ev, "event_type", "value", "event_id")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = Profiling
+      .sketchQuantiles(ev, "event_type", "value")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    approx.foreach { case (k, (a50, a95)) =>
+      val (e50, e95) = exact(k)
+      assert(a50 >= e50 && a50 - e50 <= 0.011, s"$k p50: sketch $a50 vs exact $e50")
+      assert(a95 >= e95 && a95 - e95 <= 0.011, s"$k p95: sketch $a95 vs exact $e95")
+    }
+  }
 }
