@@ -36,6 +36,13 @@ object ScaleDemo {
       .select((col("vec_id") * factor + col("replica")).as("vec_id"),
         col("embedding"), col("label"))
 
+  /** Replicated events keep their user_id, so per-user streams grow F× —
+    * the worst case for the user-partitioned window operators. */
+  def replicateEvents(events: DataFrame, factor: Int): DataFrame =
+    events.withColumn("replica", explode(expr(s"sequence(0, ${factor - 1})")))
+      .select((col("event_id") * factor + col("replica")).as("event_id"),
+        col("ts"), col("user_id"), col("event_type"), col("value"))
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(20)
     require(factor >= 1, s"factor must be >= 1, got $factor " +
@@ -71,10 +78,20 @@ object ScaleDemo {
           .count()),
       "simhash" -> (d => operators.Dedup.simhash(d).count()),
       "cms_sketch" -> (d => operators.Sketch.cmsSketch(d, 4, 64).count()),
-      "langid" -> (d => operators.TextAnalysis.langId(d).count()))
+      "langid" -> (d => operators.TextAnalysis.langId(d).count()),
+      "hll_distinct" -> (d => operators.Stats.hllDistinctWords(d).count()),
+      "stratified_sample" -> (d =>
+        operators.Sampling.stratifiedSample(d, "lang", 20).count()))
     val vecOps: Seq[(String, DataFrame => Long)] = Seq(
       "lsh_buckets" -> (v => operators.Similarity.lshBuckets(v, 4).count()),
-      "ivf_assign" -> (v => operators.Similarity.ivfAssign(v, 16).count()))
+      "ivf_assign" -> (v => operators.Similarity.ivfAssign(v, 16).count()),
+      "kmeans_step" -> (v => operators.KMeans.kmeansStep(v, 6).count()))
+    val eventOps: Seq[(String, DataFrame => Long)] = Seq(
+      "event_transitions" -> (e => operators.Funnel.eventTransitions(e).count()),
+      "funnel" -> (e => operators.Funnel.funnelConversion(e).count()),
+      "sketch_quantiles" -> (e =>
+        operators.Profiling.sketchQuantiles(e, "event_type", "value").count()),
+      "zorder_stats" -> (e => operators.Stats.zorderClustering(e).count()))
 
     def sweep(name: String, base: DataFrame, big: DataFrame,
               fns: Seq[(String, DataFrame => Long)]): Seq[String] =
@@ -85,8 +102,14 @@ object ScaleDemo {
         Seq(f"""{"op":"$op","input":"$name","rows_1x":$n1,"sec_1x":$s1%.2f,"rows_${factor}x":$nF,"sec_${factor}x":$sF%.2f,"time_ratio":$ratio%.1f}""")
       }
 
+    val ev1 = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .localCheckpoint()
+    val evF = replicateEvents(ev1, factor).localCheckpoint()
+
     val lines = sweep("documents", docs1, docsF, ops) ++
-      sweep("embeddings", vecs1, vecsF, vecOps)
+      sweep("embeddings", vecs1, vecsF, vecOps) ++
+      sweep("events", ev1, evF, eventOps)
     lines.foreach(println)
     println(s"""{"demo":"scale_sweep","factor":$factor,"docs_1x":${docs1.count()},"docs_${factor}x":${docsF.count()}}""")
     spark.stop()

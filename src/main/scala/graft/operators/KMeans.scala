@@ -28,12 +28,29 @@ object KMeans {
 
   /** One centroid-update step: per-(centroid, dimension) member count
     * and fixed-point mean after assigning every vector to its
-    * max-cosine seed centroid. */
+    * max-cosine seed centroid (ties to the smaller centroid id, same
+    * rule as [[Similarity.ivfAssign]]).
+    *
+    * The assignment is a max_by aggregate, not a rank window + join-back:
+    * the crossJoin against the broadcast centroids emits each vector's k
+    * candidates contiguously in its own partition, so partial aggregation
+    * collapses them to one row BEFORE the exchange — one corpus-row
+    * shuffle total, carrying the vector straight into the update, where a
+    * window + join would shuffle the corpus twice more. */
   def kmeansStep(vecs: DataFrame, k: Int): DataFrame = {
-    val assigned = Similarity.ivfAssign(vecs, k)
-    val fixed = Similarity.withFixed(vecs).select(col("vec_id"), col("f"))
-    assigned.join(fixed, "vec_id")
-      .select(col("centroid_id"), posexplode(col("f")).as(Seq("dim", "v")))
+    val fixed = Similarity.withFixed(vecs)
+    val cents = fixed.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("centroid_id"), col("f").as("fb"),
+        col("nrm").as("nb"))
+    fixed.select(col("vec_id"), col("f").as("fa"), col("nrm").as("na"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("fa"), col("centroid_id"),
+        expr(Similarity.cosExpr(vecs.sparkSession)).as("cos"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("centroid_id"), col("fa")),
+        struct(col("cos"), (-col("centroid_id")).as("tie"))).as("pick"))
+      .select(col("pick.centroid_id").as("centroid_id"),
+        posexplode(col("pick.fa")).as(Seq("dim", "v")))
       .groupBy("centroid_id", "dim")
       .agg(count(lit(1)).as("n_members"), sum(col("v")).as("sum_f"))
       .select(col("centroid_id"), col("dim"), col("n_members"),

@@ -49,7 +49,7 @@ object Similarity {
 
   /** Exact cosine between two fixed-point vectors (columns fa/fb with
     * norms na/nb): long dot / (sqrt·sqrt). */
-  private def cosExpr(s: SparkSession): String =
+  private[operators] def cosExpr(s: SparkSession): String =
     s"cast(${dotExpr(s, "fa", "fb")} as double)" +
       " / (sqrt(cast(na as double)) * sqrt(cast(nb as double)))"
 
