@@ -33,5 +33,7 @@ object Registry {
       operators.FunnelQueries.qs ++
       operators.KMeansQueries.qs ++
       operators.BloomQueries.qs ++
-      operators.SnapshotQueries.qs
+      operators.SnapshotQueries.qs ++
+      operators.PackingQueries.qs ++
+      operators.ContaminationQueries.qs
 }

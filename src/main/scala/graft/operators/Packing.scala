@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Sequence-assembly operators for LLM training pipelines (SURVEY.md
+  * §2.G [EXT] extension): packing documents into fixed-token-budget
+  * training batches (the concat-then-split discipline) and chunking
+  * long documents into overlapping context windows.
+  *
+  * Design for 100 TB:
+  *  - Packing needs a running token total, which is only scalable WITHIN
+  *    a partition-friendly key — so the operator packs per shard (here:
+  *    per lang), exactly how production packers shard the corpus first
+  *    and pack greedily inside each shard. The window is one shuffle on
+  *    the shard key; batch ids derive from the running sum with integer
+  *    division, no second pass.
+  *  - Chunking is a pure map + explode: rows out ~= total_tokens /
+  *    stride, no shuffle at all. The chunk text is sliced from the
+  *    tokenized array in the same projection, so nothing is re-scanned.
+  */
+object Packing {
+
+  /** Greedy in-order packing of docs into `budget`-token batches within
+    * each `shard` group: a doc starts a new batch when the tokens BEFORE
+    * it fill the current one. Per-batch census output. */
+  def seqPacking(docs: DataFrame, shard: String, budget: Int): DataFrame = {
+    val w = Window.partitionBy(shard).orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(shard), col("doc_id"),
+        expr(s"cast(size(${Dedup.tokensExpr}) as bigint)").as("n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("batch", expr(s"(cum - n_toks) div $budget"))
+      .groupBy(col(shard), col("batch"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tok_sum"))
+  }
+
+  /** Overlapping context windows of `size` tokens at `stride` over each
+    * doc; the final window is truncated, empty docs yield no chunks.
+    * chunk_id i starts at token i·stride (0-based). */
+  def chunkWindows(docs: DataFrame, size: Int, stride: Int): DataFrame = {
+    require(stride > 0 && size >= stride,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    docs
+      .select(col("doc_id"), expr(Dedup.tokensExpr).as("toks"))
+      .select(col("doc_id"), col("toks"), size_(col("toks")).as("n"))
+      .where(col("n") > 0)
+      // last chunk index = ceil((n - size) / stride) clamped at 0; the
+      // integer form (n - size + stride - 1) div stride agrees between
+      // Spark (trunc) and DuckDB (floor) after the greatest(, 0) clamp
+      // because both round the lone negative case up into the clamp
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(expr(
+          s"sequence(0, greatest((n - $size + ${stride - 1}) div $stride, 0))"))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("chunk_start"),
+        least(lit(size), col("n") - col("chunk_id") * stride).as("chunk_len"),
+        expr(s"array_join(slice(toks, chunk_id * $stride + 1, " +
+          s"least($size, n - chunk_id * $stride)), ' ')").as("chunk_text"))
+  }
+
+  private def size_(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.size(c).cast("long")
+}
+
+object PackingQueries {
+  import Packing._
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  private val toksSql =
+    "list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '')"
+
+  val qs: Seq[Q] = Seq(
+    Q("y1_seq_packing",
+      (s, d) => seqPacking(docs(s, d), "lang", 512).orderBy("lang", "batch"),
+      Some(s"""WITH t AS (
+              |  SELECT lang, doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+              |  FROM documents),
+              |c AS (
+              |  SELECT lang, doc_id, n_toks,
+              |         sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+              |           ROWS UNBOUNDED PRECEDING) AS cum
+              |  FROM t)
+              |SELECT lang, CAST((cum - n_toks) // 512 AS BIGINT) AS batch,
+              |       count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS tok_sum
+              |FROM c GROUP BY lang, batch ORDER BY lang, batch""".stripMargin),
+      doc = "greedy per-shard sequence packing into 512-token batches " +
+        "(concat-then-split training batch assembly)"),
+
+    Q("y2_chunk_windows",
+      (s, d) => chunkWindows(docs(s, d), 32, 24).orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, $toksSql AS toks, CAST(len($toksSql) AS BIGINT) AS n
+              |  FROM documents),
+              |e AS (
+              |  SELECT doc_id, toks, n,
+              |         unnest(range(0, greatest((n - 32 + 23) // 24, 0) + 1)) AS chunk_id
+              |  FROM t WHERE n > 0)
+              |SELECT doc_id, chunk_id, chunk_id * 24 AS chunk_start,
+              |       least(32, n - chunk_id * 24) AS chunk_len,
+              |       array_to_string(list_slice(toks, chunk_id * 24 + 1,
+              |         chunk_id * 24 + least(32, n - chunk_id * 24)), ' ') AS chunk_text
+              |FROM e ORDER BY doc_id, chunk_id""".stripMargin),
+      doc = "overlapping context-window chunking (size 32, stride 24) — " +
+        "map+explode only, no shuffle"),
+  )
+}
