@@ -80,4 +80,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("ExistingRDD"), p.take(400))
     assert(p.contains("Generate stack") || p.contains("stack("))
   }
+
+  test("x4: HLL registers partial-aggregate before their exchange (mergeable sketch)") {
+    val p = plan("x4_hll_distinct")
+    assert(p.contains("partial_max") || p.contains("partial_"), p.take(800))
+  }
+
+  test("x7: bloom bit set reaches the probe side via broadcast") {
+    val p = plan("x7_bloom_prefilter")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("f2: funnel has exactly one user_id exchange feeding chained windows") {
+    val p = plan("f2_funnel_conversion")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length === 1, p.take(800))
+    assert("Window".r.findAllIn(p).nonEmpty)
+  }
+
+  test("k1: kmeans step plans NO vector join — broadcast centroids + aggregates only") {
+    val p = plan("k1_kmeans_step")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(800))
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("y2: chunking is map+explode only — no exchange anywhere") {
+    // the registered query adds an orderBy purely for oracle determinism;
+    // audit the operator itself
+    val p = operators.Packing
+      .chunkWindows(Tables.documents(spark, sf("sf0.001")), 32, 24)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(p.contains("Generate explode") || p.contains("explode"))
+  }
+
+  test("x1: hash sample filter evaluates next to the scan, no shuffle") {
+    val p = operators.Sampling
+      .hashSample(Tables.documents(spark, sf("sf0.001")), 10)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(800))
+  }
 }
