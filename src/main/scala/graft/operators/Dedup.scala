@@ -102,7 +102,7 @@ object Dedup {
     s"((2*$j+1) * (xor($h, ($j * $MinhashMixer) % $MinhashP) % $MinhashP)" +
       s" + ($j * $MinhashMixer) % $MinhashP) % $MinhashP"
 
-  private def normText(c: org.apache.spark.sql.Column) =
+  private[graft] def normText(c: org.apache.spark.sql.Column) =
     lower(trim(regexp_replace(c, "[ \\t\\n\\r\\f]+", " ")))
 
   /** G1b: INCREMENTAL exact dedup — dedupe an incoming batch against an

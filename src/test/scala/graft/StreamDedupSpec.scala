@@ -1,0 +1,52 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamDedup
+
+class StreamDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  final case class Doc(ts: Timestamp, doc_id: Long, text: String)
+  private def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+
+  test("within-stream dedup keeps the first occurrence across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = StreamDedup.dedupStream(in.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      Doc(ts(1), 1, "alpha beta"),
+      Doc(ts(2), 2, "  alpha   beta "), // same normalized text
+      Doc(ts(3), 3, "gamma"))
+    q.processAllAvailable()
+    in.addData(Doc(ts(10), 4, "ALPHA beta"), Doc(ts(11), 5, "delta"))
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT doc_id FROM sdedup ORDER BY doc_id")
+      .as[Long].collect().toList
+    q.stop()
+    assert(kept === List(1L, 3L, 5L),
+      "later duplicates (same norm) must be dropped, firsts kept")
+  }
+
+  test("against-corpus dedup drops known texts, passes new ones") {
+    implicit val sq = spark.sqlContext
+    val corpus = Seq((100L, "alpha beta"), (101L, "gamma"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[Doc]
+    val q = StreamDedup.dedupAgainstCorpus(in.toDF(), corpus)
+      .writeStream.format("memory").queryName("scorpus")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      Doc(ts(1), 1, " Alpha   BETA "), // known after normalization
+      Doc(ts(2), 2, "delta"))
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT doc_id FROM scorpus").as[Long].collect().toList
+    q.stop()
+    assert(kept === List(2L))
+  }
+}
