@@ -35,5 +35,6 @@ object Registry {
       operators.BloomQueries.qs ++
       operators.SnapshotQueries.qs ++
       operators.PackingQueries.qs ++
-      operators.ContaminationQueries.qs
+      operators.ContaminationQueries.qs ++
+      operators.SimilarityJoinQueries.qs
 }

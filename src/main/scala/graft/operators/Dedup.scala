@@ -325,7 +325,7 @@ object DedupQueries {
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
   private val toksSql = "list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '')"
-  private val shinglesSqlCte =
+  private[operators] val shinglesSqlCte =
     s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
        |sh AS (
        |  SELECT doc_id,

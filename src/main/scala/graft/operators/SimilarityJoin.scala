@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.Parity.pround
+
+/** Exact threshold similarity join with prefix filtering (SURVEY.md
+  * §2.G [EXT] extension) — all document pairs with shingle-Jaccard >=
+  * t, computed with the All-Pairs/PPJoin candidate-pruning discipline
+  * (Bayardo et al., WWW'07; Xiao et al., WWW'08) instead of the full
+  * inverted-index join:
+  *
+  *  1. order each doc's distinct shingles by ascending global document
+  *     frequency (rarest first, ties by hash — any total order works);
+  *  2. index only each doc's PREFIX: the first n − ceil(t·n) + 1
+  *     shingles. A pair with J >= t must share >= ceil(t·n) shingles on
+  *     each side, so it MUST collide inside these prefixes — dropping
+  *     the rest of the index loses no qualifying pair;
+  *  3. join prefixes on the shingle (plus the size filter
+  *     ceil(t·max(na,nb)) <= min(na,nb), which kills cross-size pairs
+  *     before they exist);
+  *  4. verify each surviving candidate EXACTLY: count its true
+  *     intersection and filter on the real Jaccard.
+  *
+  * Why it matters at 100 TB: the frequent shingles are precisely the
+  * ones that explode an inverted-index join (df² pairs per shingle) —
+  * and frequency-ascending prefixes exclude them from the index for
+  * most docs, so candidate volume tracks the number of genuinely
+  * similar pairs rather than the df² of stopword-like shingles. The
+  * verify step costs sum(|prefix-candidate| · |a|), proportional to
+  * candidates, never to all-pairs. The DuckDB oracle computes the
+  * NAIVE full-join answer, so the correctness gate proves the pruning
+  * is lossless, not just fast.
+  */
+object SimilarityJoin {
+
+  /** All pairs with Jaccard(3-shingle sets) >= t, prefix-filtered but
+    * exact. EAGER: builds via a shared persisted shingle scan
+    * (viaSharedScan — 5 consumers), so constructing the DataFrame runs
+    * the job; keep out of explain()/plan-dump paths. */
+  def jaccardThresholdJoin(docs: DataFrame, t: Double): DataFrame = {
+    require(t > 0 && t <= 1, s"threshold must be in (0, 1], got $t")
+    Dedup.viaSharedScan(Dedup.shingleHashRows(docs).distinct()) { ss =>
+      val sizes = ss.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val dfreq = ss.groupBy("sh_h").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy("df", "sh_h")
+      val prefix = ss.join(dfreq, "sh_h")
+        .withColumn("r", row_number().over(w))
+        .join(broadcast(sizes), "doc_id")
+        .where(col("r") <= col("n") - ceil(col("n") * t) + 1)
+        .select("doc_id", "sh_h", "n")
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.sh_h") === col("b.sh_h") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            col("b.n") >= ceil(col("a.n") * t) &&
+            col("a.n") >= ceil(col("b.n") * t))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val inter = cand
+        .join(ss.select(col("doc_id").as("doc_a"), col("sh_h")), "doc_a")
+        .join(ss.select(col("doc_id").as("doc_b"), col("sh_h")),
+          Seq("doc_b", "sh_h"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
+        .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
+        .withColumn("jac", col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+        .where(col("jac") >= t)
+        .select(col("doc_a"), col("doc_b"), pround(col("jac"), 6).as("jaccard"))
+    }
+  }
+}
+
+object SimilarityJoinQueries {
+  import SimilarityJoin._
+
+  val qs: Seq[Q] = Seq(
+    Q("y4_jaccard_threshold",
+      (s, d) => jaccardThresholdJoin(Tables.documents(s, d), 0.5)
+        .orderBy("doc_a", "doc_b"),
+      // the oracle is deliberately the NAIVE full inverted-index join —
+      // matching it proves the prefix filter loses no qualifying pair
+      Some(s"""WITH ${DedupQueries.shinglesSqlCte},
+              |ss AS (SELECT DISTINCT doc_id,
+              |         ('0x' || substr(md5(sh), 1, 14))::BIGINT AS sh_h FROM sh),
+              |sz AS (SELECT doc_id, count(*) AS n FROM ss GROUP BY doc_id),
+              |inter AS (
+              |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+              |  FROM ss x JOIN ss y ON x.sh_h = y.sh_h AND x.doc_id < y.doc_id
+              |  GROUP BY doc_a, doc_b),
+              |j AS (
+              |  SELECT doc_a, doc_b,
+              |         CAST(i AS DOUBLE) / CAST(a.n + b.n - i AS DOUBLE) AS jac
+              |  FROM inter
+              |  JOIN sz a ON a.doc_id = doc_a
+              |  JOIN sz b ON b.doc_id = doc_b)
+              |SELECT doc_a, doc_b,
+              |       floor(jac * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+              |FROM j WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+      doc = "exact threshold similarity join (J >= 0.5) with All-Pairs " +
+        "prefix filtering — oracle is the naive full join, proving the " +
+        "pruning lossless. EAGER (viaSharedScan)"),
+  )
+}
