@@ -36,5 +36,6 @@ object Registry {
       operators.SnapshotQueries.qs ++
       operators.PackingQueries.qs ++
       operators.ContaminationQueries.qs ++
-      operators.SimilarityJoinQueries.qs
+      operators.SimilarityJoinQueries.qs ++
+      operators.GraphQueries.qs
 }

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{Q, Tables}
+import graft.functions.Parity.pround
+
+/** PageRank over the near-dup candidate graph — the standard iterative
+  * message-passing workload, here used to rank "hub" documents inside
+  * duplicate neighborhoods (a doc whose text links many near-dup
+  * clusters scores high; per-cluster survivors can then prefer
+  * high-centrality members instead of min-id).
+  *
+  * Determinism: float summation order would make ranks differ between
+  * engines AND between cluster sizes (partial aggregation), so each
+  * neighbor contribution r/deg is quantized to 12 dp and summed as
+  * DECIMAL(38,12) — exact and order-free; the damping arithmetic is a
+  * fixed IEEE expression tree. The DuckDB oracle unrolls the same three
+  * iterations and matches bit-for-bit.
+  *
+  * Design for 100 TB: each iteration is one shuffle — contributions
+  * groupBy(dst) with map-side partial sums; degrees and ranks stay
+  * joined on the node key; the plan for a FIXED iteration count is a
+  * lazy chain (three joins deep — well under plan-blowup territory; an
+  * open-ended solver would localCheckpoint per round like
+  * [[Dedup.dedupClusters]]).
+  */
+object Graph {
+
+  /** `iters` damped PageRank rounds (d=0.85) over the symmetric pair
+    * graph; every node in `pairs` has degree >= 1 so there are no
+    * dangling nodes. Returns (doc_id, pagerank) at 6 dp. */
+  def pagerank(pairs: DataFrame, iters: Int): DataFrame = {
+    // both directions from one scan (same discipline as dedupClusters)
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = deg.select(col("src").as("node"), lit(1.0).as("r"))
+    (1 to iters).foreach { _ =>
+      val contrib = edges
+        .join(ranks, col("src") === col("node"))
+        .join(deg, "src")
+        .select(col("dst"),
+          pround(col("r") / col("deg").cast("double"), 12).as("c"))
+      ranks = contrib.groupBy(col("dst").as("node"))
+        .agg((lit(0.15) + lit(0.85) *
+          sum(col("c").cast(DecimalType(38, 12))).cast("double")).as("r"))
+    }
+    ranks.select(col("node").as("doc_id"), pround(col("r"), 6).as("pagerank"))
+  }
+}
+
+object GraphQueries {
+  import Graph._
+
+  /** One unrolled oracle iteration: ranks `prev` -> new CTE `out`. */
+  private def iterSql(prev: String, out: String) =
+    s"""$out AS (
+       |  SELECT e.dst AS node,
+       |         0.15 + 0.85 * CAST(sum(CAST(
+       |             floor(p.r / CAST(d.deg AS DOUBLE) * 1000000000000.0 + 0.5)
+       |               / 1000000000000.0 AS DECIMAL(38,12))) AS DOUBLE) AS r
+       |  FROM e JOIN $prev p ON e.src = p.node
+       |         JOIN deg d ON e.src = d.src
+       |  GROUP BY e.dst)""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    Q("g9_pagerank",
+      (s, d) => pagerank(
+        Dedup.minhashCandidates(Tables.documents(s, d), 4), 3)
+        .orderBy("doc_id"),
+      Some(s"""WITH ${DedupQueries.shinglesSqlCte},
+              |hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT AS h FROM sh),
+              |b AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh),
+              |sig AS (
+              |  SELECT doc_id, band,
+              |         min(${Dedup.affinePermSqlDuck("band", "h")}) AS minh
+              |  FROM b GROUP BY doc_id, band),
+              |pairs AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM sig a JOIN sig b
+              |    ON a.band = b.band AND a.minh = b.minh AND a.doc_id < b.doc_id),
+              |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+              |r0 AS (SELECT src AS node, 1.0 AS r FROM deg),
+              |${iterSql("r0", "r1")},
+              |${iterSql("r1", "r2")},
+              |${iterSql("r2", "r3")}
+              |SELECT node AS doc_id,
+              |       floor(r * 1000000.0 + 0.5) / 1000000.0 AS pagerank
+              |FROM r3 ORDER BY doc_id""".stripMargin),
+      doc = "3-round damped PageRank over the LSH candidate graph — " +
+        "decimal-exact contribution sums make ranks engine- and " +
+        "partitioning-independent"),
+  )
+}

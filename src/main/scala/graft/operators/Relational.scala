@@ -205,6 +205,56 @@ object RelationalQueries {
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
       doc = "top-k via TakeOrderedAndProject (no global sort)"),
 
+    Q("q14_small_qty_revenue",
+      (s, d) => {
+        // TPC-H Q17 shape: the correlated per-part average decorrelates
+        // into an aggregate of the same table joined back on the key —
+        // at scale both sides shuffle once on l_partkey (co-partitioned)
+        val li = Tables.lineitem(s, d)
+        val avgQ = li.groupBy("l_partkey").agg(exactAvg(col("l_quantity")).as("avg_qty"))
+        li.join(avgQ, "l_partkey")
+          .where(col("l_quantity") < col("avg_qty") * 0.2)
+          .agg(
+            sum(pround(col("l_extendedprice"), 4).cast(DecimalType(28, 4)))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""WITH a AS (
+             |  SELECT l_partkey,
+             |         CAST(sum(CAST(floor(l_quantity * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_qty
+             |  FROM lineitem GROUP BY l_partkey)
+             |SELECT CAST(sum(CAST(floor(l_extendedprice * 10000.0 + 0.5) / 10000.0 AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+             |       count(*) AS n_rows
+             |FROM lineitem JOIN a USING (l_partkey)
+             |WHERE l_quantity < avg_qty * 0.2""".stripMargin),
+      doc = "TPC-H Q17-style correlated aggregate: rows below 20% of their " +
+        "part's average quantity (decorrelated self-agg join)"),
+
+    Q("q15_top_supplier",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .groupBy("l_suppkey")
+          .agg(sum(pround(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .cast(DecimalType(28, 4))).cast("double").as("total_rev"))
+        val w = Window.orderBy(col("total_rev").desc)
+        rev.withColumn("rk", rank().over(w))
+          .where(col("rk") === 1)
+          .join(Tables.supplier(s, d),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(28,4))) AS DOUBLE) AS total_rev
+             |  FROM lineitem GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name, total_rev
+             |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+             |ORDER BY s_suppkey""".stripMargin),
+      doc = "TPC-H Q15-style top supplier with ALL ties kept (rank over the " +
+        "reduced revenue aggregate; exact decimal revenue makes ties stable)"),
+
     Q("q5_order_revenue",
       (s, d) => {
         val rev = Tables.lineitem(s, d)
