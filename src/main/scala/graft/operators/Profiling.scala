@@ -141,5 +141,23 @@ object ProfilingQueries {
              |FROM q ORDER BY event_type""".stripMargin),
       doc = "mergeable bin-count quantile sketch: shuffle moves bin counts, " +
         "not rows — the portable percentile_approx shape"),
+
+    Q("p5_data_quality",
+      (s, d) => Tables.events(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("props").isNull, 1L).otherwise(0L)).as("n_null_props"),
+        sum(when(col("value") < 0.0, 1L).otherwise(0L)).as("n_neg_value"),
+        countDistinct(col("event_type")).as("n_event_types"),
+        (count(lit(1)) - countDistinct(col("event_id"))).as("n_dup_ids"),
+        min(col("ts")).as("ts_min"), max(col("ts")).as("ts_max")),
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_props,
+             |       CAST(sum(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg_value,
+             |       count(DISTINCT event_type) AS n_event_types,
+             |       count(*) - count(DISTINCT event_id) AS n_dup_ids,
+             |       min(ts) AS ts_min, max(ts) AS ts_max
+             |FROM events""".stripMargin),
+      doc = "single-pass data-quality report (null/range/duplicate/coverage " +
+        "guardrails a pipeline asserts before promoting a snapshot)"),
   )
 }

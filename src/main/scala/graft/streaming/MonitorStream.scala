@@ -55,6 +55,20 @@ object MonitorStream {
       .agg(avg(col("cpu")).as("avg_cpu"), avg(col("mem")).as("avg_mem"),
         count(lit(1)).as("n_samples"))
 
+  /** Gap-based session windows per node (the streaming analog of the
+    * batch a2b gap sessionizer, via the NATIVE session_window operator:
+    * state merges adjacent windows and expires with the watermark — no
+    * custom state code, and the same plan covers the SURVEY §2.E
+    * "session-per-job" stretch with the run id as the key). */
+  def sessionWindows(samples: DataFrame, gap: String,
+      watermark: String): DataFrame =
+    samples.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("node"))
+      .agg(count(lit(1)).as("n_samples"), avg(col("cpu")).as("avg_cpu"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("node"), col("n_samples"), col("avg_cpu"))
+
   /** Streaming stage detection (A5-A8 as a LIVE query): fold arriving
     * progress events into the same fixed-size `StageBuf` the batch
     * [[graft.plans.StageAggregator]] uses and emit the refreshed

@@ -30,6 +30,27 @@ class MonitorStreamSpec extends SparkSpec {
     assert(rows === List(("worker1-a", 20.0, 2L), ("worker1-a", 50.0, 1L)))
   }
 
+  test("native session windows split on the gap and merge within it") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[MonitorLine]
+    val q = MonitorStream.sessionWindows(
+      MonitorStream.samples(in.toDF()), "5 seconds", "0 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete()).start()
+    in.addData(
+      MonitorLine("r1", ts(1), "[worker1-a] CPU: 10.00% | MEM: 21%"),
+      MonitorLine("r1", ts(3), "[worker1-a] CPU: 20.00% | MEM: 22%"),
+      // 17s gap > 5s session gap -> new session
+      MonitorLine("r1", ts(20), "[worker1-a] CPU: 40.00% | MEM: 23%"))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT n_samples, avg_cpu FROM sessions ORDER BY session_start")
+      .as[(Long, Double)].collect().toList
+    q.stop()
+    assert(rows === List((2L, 15.0), (1L, 40.0)),
+      "close samples must merge into one session, the far one must split")
+  }
+
   test("file-source stream ingests and parses a real monitor.log directory") {
     val dir = java.nio.file.Files.createTempDirectory("monstream").toString
     java.nio.file.Files.writeString(
