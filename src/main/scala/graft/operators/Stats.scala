@@ -80,7 +80,13 @@ object Stats {
   /** Exact Pearson correlation between two integer columns via the six
     * moments (all exact longs), one fixed float expression at the end.
     * Built-in corr() is a float accumulation — order-dependent, so never
-    * oracle-stable; this is the portable formulation. */
+    * oracle-stable; this is the portable formulation.
+    *
+    * Domain bound: the scalar products n·sxx and sx² must stay under
+    * 2^63 — holds while n·(max|x|·max|y|)² < 9.2e18 (e.g. 1e12 rows of
+    * values up to ~1700). Beyond that, cast the six moments to
+    * DECIMAL(38,0) before the products; the division at the end is
+    * unchanged. */
   def corrExact(df: DataFrame, xCol: String, yCol: String): DataFrame =
     df.select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
       .agg(
