@@ -37,5 +37,6 @@ object Registry {
       operators.PackingQueries.qs ++
       operators.ContaminationQueries.qs ++
       operators.SimilarityJoinQueries.qs ++
-      operators.GraphQueries.qs
+      operators.GraphQueries.qs ++
+      operators.PipelineQueries.qs
 }
