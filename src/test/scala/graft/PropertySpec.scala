@@ -169,6 +169,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("zorder key de-interleaves back to its inputs (pure-integer mirror)") {
+    // Scala mirror of Stats.zorderTerms — the polynomial both engines run
+    def zkey(x: Long, y: Long): Long = (0 until 8).map { b =>
+      ((x / (1L << b)) % 2) * (1L << (2 * b)) +
+        ((y / (1L << b)) % 2) * (1L << (2 * b + 1))
+    }.sum
+    def deinterleave(z: Long): (Long, Long) = {
+      val x = (0 until 8).map(b => ((z >> (2 * b)) & 1) << b).sum
+      val y = (0 until 8).map(b => ((z >> (2 * b + 1)) & 1) << b).sum
+      (x, y)
+    }
+    forAllSamples(Gen.zip(Gen.choose(0L, 255L), Gen.choose(0L, 255L)), n = 300) {
+      case (x, y) => assert(deinterleave(zkey(x, y)) === ((x, y)))
+    }
+    // locality: within an aligned 1024-wide z-range, both dims span <= 31
+    forAllSamples(Gen.zip(Gen.choose(0L, 255L), Gen.choose(0L, 255L)), n = 100) {
+      case (x, y) =>
+        val z = zkey(x, y)
+        val (x0, y0) = deinterleave(z - (z % 1024))
+        assert(x - x0 >= 0 && x - x0 <= 31 && y - y0 >= 0 && y - y0 <= 31)
+    }
+  }
+
   test("wordCount conserves tokens for arbitrary ascii text") {
     import spark.implicits._
     val textGen = Gen.listOf(Gen.oneOf(
