@@ -76,6 +76,12 @@ object Plans {
       ("Lloyd step: centroids arrive broadcast (k·d longs), assignment " +
         "is map-only, and the centroid update shuffles only k×d partial " +
         "sums per partition (posexplode feeds a partial HashAggregate)."),
+    "e1_pipeline" ->
+      ("Composed curation chain (normalize → dedup → quality filter → " +
+        "split → census) in one plan: a single parquet scan feeds the " +
+        "whole pipeline, the tokenizer is evaluated once in the scan " +
+        "projection, and only the dedup groupBy, the census groupBy, " +
+        "and the oracle-determinism orderBy exchange data."),
   )
 
   def main(args: Array[String]): Unit = {
