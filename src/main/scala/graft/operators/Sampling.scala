@@ -38,12 +38,25 @@ object Sampling {
       .select("doc_id", "lang", "source", "n_chars")
 
   /** Fixed-size stratified sample: the `n` hash-smallest docs per
-    * stratum — a deterministic uniform draw within each stratum. */
-  def stratifiedSample(docs: DataFrame, stratum: String, n: Int): DataFrame = {
-    val w = Window.partitionBy(stratum)
-      .orderBy(expr(s"${md5Long56("cast(doc_id as string)")}"), col("doc_id"))
-    docs.select(col(stratum), col("doc_id"))
-      .withColumn("rn", row_number().over(w))
+    * stratum — a deterministic uniform draw within each stratum.
+    *
+    * Two-phase top-n so huge strata never serialize into one sort task:
+    * phase 1 ranks within (stratum, salt) — `salts` parallel windows per
+    * stratum, each pruning to its own n smallest — and phase 2 ranks the
+    * <= salts·n survivors per stratum. The global n hash-smallest rows
+    * are contained in the union of per-salt n-smallest, so the result is
+    * IDENTICAL to the single-window form; only the physical sort width
+    * changes (each phase-1 partition sorts |stratum|/salts rows). */
+  def stratifiedSample(docs: DataFrame, stratum: String, n: Int,
+                       salts: Int = 64): DataFrame = {
+    val h = expr(md5Long56("cast(doc_id as string)"))
+    val pre = Window.partitionBy(col(stratum), (col("doc_id") % salts).as("salt"))
+      .orderBy(col("h"), col("doc_id"))
+    val fin = Window.partitionBy(stratum).orderBy(col("h"), col("doc_id"))
+    docs.select(col(stratum), col("doc_id"), h.as("h"))
+      .withColumn("pr", row_number().over(pre))
+      .where(col("pr") <= n)
+      .withColumn("rn", row_number().over(fin))
       .where(col("rn") <= n)
       .select(col(stratum), col("rn").as("rank"), col("doc_id"))
   }

@@ -26,6 +26,13 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("stratified sample is invariant to the salt count (two-phase = one-phase)") {
+    def draw(salts: Int) = Sampling.stratifiedSample(docs, "lang", 7, salts)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(draw(1) == draw(64),
+      "the salted pre-prune must not change the selected sample")
+  }
+
   test("split is exhaustive and disjoint: per-lang split sizes sum to the census") {
     val total = docs.groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
