@@ -78,14 +78,21 @@ object TextAnalysis {
         .as("fp"))
 
   /** Top-k terms per language by corpus frequency — the per-group top-k
-    * shape (word-count shuffle, then a window over the handful of
-    * (lang, word) aggregates; the second shuffle moves only the already-
-    * reduced counts, never raw tokens). */
-  def topTermsPerLang(docs: DataFrame, k: Int): DataFrame = {
-    val win = Window.partitionBy("lang").orderBy(col("n").desc, col("w"))
+    * shape: word-count shuffle, then a SALTED two-phase rank over the
+    * reduced (lang, word) counts so a language with a huge vocabulary
+    * never serializes into one sort task (each word lives in exactly one
+    * salt bucket, so the global top-k is contained in the union of
+    * per-salt top-ks — identical results, 64× narrower sorts). */
+  def topTermsPerLang(docs: DataFrame, k: Int, salts: Int = 64): DataFrame = {
+    val pre = Window
+      .partitionBy(col("lang"), abs(hash(col("w"))) % salts)
+      .orderBy(col("n").desc, col("w"))
+    val fin = Window.partitionBy("lang").orderBy(col("n").desc, col("w"))
     docs.select(col("lang"), explode(expr(tokensExpr)).as("w"))
       .groupBy("lang", "w").agg(count(lit(1)).as("n"))
-      .withColumn("rank", row_number().over(win))
+      .withColumn("pr", row_number().over(pre))
+      .where(col("pr") <= k)
+      .withColumn("rank", row_number().over(fin))
       .where(col("rank") <= k)
       .select(col("lang"), col("rank"), col("w").as("term"), col("n"))
   }
