@@ -130,6 +130,39 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"))
   }
 
+  /** ANN quality measurement: recall@k of LSH-bucket-restricted search
+    * vs exact brute force, per query — the evaluation loop every
+    * approximate-search deployment needs ("measure, don't guess"
+    * applied to the approximation itself). At scale the exact side runs
+    * on a SAMPLE of queries (here: the nQueries smallest ids), which is
+    * exactly how production recall monitoring works — the corpus-wide
+    * search stays approximate; only the probe set pays brute force. */
+  def annRecall(vecs: DataFrame, planes: Int, nQueries: Int, k: Int): DataFrame = {
+    val exact = cosineTopK(vecs, nQueries, k)
+      .select(col("q_id"), col("neighbor_id"))
+    val withB = withFixed(vecs).join(lshBuckets(vecs, planes), "vec_id")
+    val q = withB.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("f").as("fa"),
+        col("nrm").as("na"), col("bucket"))
+    val c = withB.select(col("vec_id").as("neighbor_id"), col("f").as("fb"),
+      col("nrm").as("nb"), col("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val approx = broadcast(q)
+      .join(c, Seq("bucket"))
+      .where(col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        expr(cosExpr(vecs.sparkSession)).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("q_id"), col("neighbor_id"))
+    exact.join(approx.withColumn("hit", lit(1)),
+        Seq("q_id", "neighbor_id"), "left_outer")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        pround(col("n_hits").cast("double") / k, 6).as("recall"))
+  }
+
   /** k-NN label vote: majority label of the top-k neighbors per query;
     * ties broken by smaller label. */
   def knnLabelVote(vecs: DataFrame, nQueries: Int, k: Int): DataFrame = {
@@ -231,6 +264,39 @@ object SimilarityQueries {
               |SELECT bucket, count(*) AS n_vectors FROM b
               |GROUP BY bucket ORDER BY bucket""".stripMargin),
       doc = "LSH bucket occupancy histogram"),
+
+    Q("s6_ann_recall",
+      (s, d) => annRecall(vecs(s, d), 4, 10, 3).orderBy("q_id"),
+      Some(s"""WITH $fixedSqlCte,
+              |ex AS (
+              |  SELECT q_id, neighbor_id FROM (
+              |    SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+              |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+              |             ${pairCosSql("a", "b")} DESC, b.vec_id) AS rn
+              |    FROM n a JOIN n b ON b.vec_id <> a.vec_id
+              |    WHERE a.vec_id < 10)
+              |  WHERE rn <= 3),
+              |bk AS (SELECT vec_id, $bucketSqlExpr AS bucket FROM n),
+              |nb AS (SELECT n.vec_id, n.f, n.nrm, bk.bucket
+              |       FROM n JOIN bk ON n.vec_id = bk.vec_id),
+              |ap AS (
+              |  SELECT q_id, neighbor_id FROM (
+              |    SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+              |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+              |             ${pairCosSql("a", "b")} DESC, b.vec_id) AS rn
+              |    FROM nb a JOIN nb b
+              |      ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+              |    WHERE a.vec_id < 10)
+              |  WHERE rn <= 3)
+              |SELECT ex.q_id,
+              |       CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+              |       floor(CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+              |             / 3.0 * 1000000.0 + 0.5) / 1000000.0 AS recall
+              |FROM ex LEFT JOIN ap
+              |  ON ex.q_id = ap.q_id AND ex.neighbor_id = ap.neighbor_id
+              |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin),
+      doc = "ANN recall@k: LSH-bucket-restricted top-k vs exact brute force " +
+        "per probe query — the approximation-quality monitor"),
 
     Q("s4_knn_label_vote",
       (s, d) => knnLabelVote(vecs(s, d), 20, 5).orderBy("q_id"),

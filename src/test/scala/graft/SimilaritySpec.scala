@@ -40,4 +40,17 @@ class SimilaritySpec extends SparkSpec {
     val preds = Similarity.knnLabelVote(vecs, 5, 5).as[(Long, Int, Long)].collect()
     assert(preds.map(_._1).toSet === Set(0L, 1L, 2L, 3L, 4L))
   }
+
+  test("ann recall is a valid per-query ratio and deterministic") {
+    val r = Similarity.annRecall(vecs, 4, 10, 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r.length == 10)
+    r.foreach { case (q, hits, rec) =>
+      assert(hits >= 0 && hits <= 3, s"q$q hits=$hits")
+      assert(math.abs(rec - hits / 3.0) < 1e-5, s"q$q recall=$rec hits=$hits")
+    }
+    val r2 = Similarity.annRecall(vecs, 4, 10, 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r.toSeq == r2.toSeq, "recall measurement must be reproducible")
+  }
 }
