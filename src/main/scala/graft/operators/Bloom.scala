@@ -57,29 +57,38 @@ object Bloom {
 
   /** Effectiveness report: how many distinct probe keys pass the bloom
     * vs truly match, plus the false-positive rate among true negatives.
-    * A probe key passes iff ALL of its (distinct) positions are set. */
+    * A probe key passes iff ALL of its (distinct) positions are set.
+    *
+    * Shape: ONE pass over the distinct probe keys — per-key pass/match
+    * flags come from a broadcast bit join and a build-key flag join,
+    * then a single global aggregate folds all three counts. (An earlier
+    * version crossJoined three independent single-row aggregates, which
+    * recomputed the probe-key distinct+md5 subtree three times.) */
   def prefilterStats(build: DataFrame, buildKey: String,
                      probe: DataFrame, probeKey: String): DataFrame = {
-    val bits = buildBits(build, buildKey)
+    val bits = buildBits(build, buildKey).withColumn("bset", lit(1))
     val probeKeys = probe.select(col(probeKey).as("k")).distinct()
       .select(col("k"), expr(hExpr("k")).as("h"))
       .select(col("k"), expr(s"array_distinct($posArray)").as("ps"))
-    val passed = probeKeys
+    // distinct already hash-partitioned the keys on k, and explode
+    // preserves that, so the groupBy below reuses the partitioning —
+    // no second shuffle of the probe side
+    val flags = probeKeys
       .select(col("k"), size(col("ps")).as("npos"), explode(col("ps")).as("pos"))
-      .join(broadcast(bits), "pos")
-      .groupBy("k", "npos").agg(count(lit(1)).as("hit"))
-      .where(col("hit") === col("npos"))
-      .select(col("k"))
-    val trueKeys = probeKeys.select("k")
-      .join(build.select(col(buildKey).as("k")).distinct(), Seq("k"), "left_semi")
-    val n = probeKeys.agg(count(lit(1)).as("n_probe"))
-    val np = passed.agg(count(lit(1)).as("n_bloom_pass"))
-    val nt = trueKeys.agg(count(lit(1)).as("n_true_match"))
-    n.crossJoin(np).crossJoin(nt).select(
-      col("n_probe"), col("n_bloom_pass"), col("n_true_match"),
-      pround(expr(
-        "cast(n_bloom_pass - n_true_match as double) / cast(n_probe - n_true_match as double)"),
-        6).as("fp_rate"))
+      .join(broadcast(bits), Seq("pos"), "left")
+      .groupBy("k", "npos").agg(count(col("bset")).as("nhit"))
+      .select(col("k"), (col("nhit") === col("npos")).cast("long").as("pass"))
+      .join(build.select(col(buildKey).as("k")).distinct()
+        .withColumn("tm", lit(1L)), Seq("k"), "left")
+    flags.agg(
+        count(lit(1)).as("n_probe"),
+        sum(col("pass")).as("n_bloom_pass"),
+        sum(coalesce(col("tm"), lit(0L))).as("n_true_match"))
+      .select(
+        col("n_probe"), col("n_bloom_pass"), col("n_true_match"),
+        pround(expr(
+          "cast(n_bloom_pass - n_true_match as double) / cast(n_probe - n_true_match as double)"),
+          6).as("fp_rate"))
   }
 }
 

@@ -39,7 +39,7 @@ object SimilarityJoin {
 
   /** All pairs with Jaccard(3-shingle sets) >= t, prefix-filtered but
     * exact. EAGER: builds via a shared persisted shingle scan
-    * (viaSharedScan — 5 consumers), so constructing the DataFrame runs
+    * (viaSharedScan — 4 consumers), so constructing the DataFrame runs
     * the job; keep out of explain()/plan-dump paths. */
   def jaccardThresholdJoin(docs: DataFrame, t: Double): DataFrame = {
     require(t > 0 && t <= 1, s"threshold must be in (0, 1], got $t")
@@ -51,22 +51,38 @@ object SimilarityJoin {
         .withColumn("r", row_number().over(w))
         .join(broadcast(sizes), "doc_id")
         .where(col("r") <= col("n") - ceil(col("n") * t) + 1)
-        .select("doc_id", "sh_h", "n")
+        .select("doc_id", "sh_h", "n", "r")
+      // positional filter (PPJoin): a qualifying pair needs true overlap
+      // alpha = ceil(t/(1+t) * (na+nb)); its smallest shared shingle in
+      // the global (df, sh_h) order sits at minimal position in BOTH
+      // prefixes, and everything overlapping lies at-or-after it, so
+      // overlap <= 1 + min(na-ra, nb-rb) holds for that row. Keeping a
+      // pair when ANY collision row passes the bound is therefore
+      // lossless (the minimal row always passes for a true pair), while
+      // late-prefix-only collisions generate no candidate at all.
       val cand = prefix.as("a").join(prefix.as("b"),
           col("a.sh_h") === col("b.sh_h") &&
             col("a.doc_id") < col("b.doc_id") &&
             col("b.n") >= ceil(col("a.n") * t) &&
-            col("a.n") >= ceil(col("b.n") * t))
+            col("a.n") >= ceil(col("b.n") * t) &&
+            (lit(1) + least(col("a.n") - col("a.r"), col("b.n") - col("b.r"))) >=
+              ceil((col("a.n") + col("b.n")) * (t / (1 + t))))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val inter = cand
-        .join(ss.select(col("doc_id").as("doc_a"), col("sh_h")), "doc_a")
-        .join(ss.select(col("doc_id").as("doc_b"), col("sh_h")),
-          Seq("doc_b", "sh_h"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      inter
-        .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
-        .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
+      // verify EXACTLY with per-doc shingle-set arrays: one row per
+      // candidate pair (array_intersect of two element-distinct arrays),
+      // never the candidates-x-shingles row explosion of a third
+      // inverted-index join. At warehouse scale these two joins shuffle
+      // |cand| rows on the doc ids; the array payload is the same bytes
+      // the exploded form would have moved as rows.
+      val docSets = ss.groupBy("doc_id")
+        .agg(collect_list(col("sh_h")).as("set"), count(lit(1)).as("n"))
+      cand
+        .join(docSets.select(col("doc_id").as("doc_a"),
+          col("set").as("sa"), col("n").as("na")), "doc_a")
+        .join(docSets.select(col("doc_id").as("doc_b"),
+          col("set").as("sb"), col("n").as("nb")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
         .withColumn("jac", col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"))
         .where(col("jac") >= t)
