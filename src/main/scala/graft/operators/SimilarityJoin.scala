@@ -44,12 +44,18 @@ object SimilarityJoin {
   def jaccardThresholdJoin(docs: DataFrame, t: Double): DataFrame = {
     require(t > 0 && t <= 1, s"threshold must be in (0, 1], got $t")
     Dedup.viaSharedScan(Dedup.shingleHashRows(docs).distinct()) { ss =>
-      val sizes = ss.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val dfreq = ss.groupBy("sh_h").agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy("doc_id").orderBy("df", "sh_h")
-      val prefix = ss.join(dfreq, "sh_h")
-        .withColumn("r", row_number().over(w))
-        .join(broadcast(sizes), "doc_id")
+      // document frequency and per-doc size/rank as WINDOW counts, not
+      // joins: df is one whole-partition count over sh_h, then n and r
+      // share a single doc_id exchange (two Window operators, one
+      // shuffle). The previous shape joined a groupBy(sh_h) table back
+      // onto ss and broadcast a groupBy(doc_id) table — two extra
+      // aggregates plus a 260k-row join at sf0.1 for the same columns.
+      val ranked = ss
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh_h")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("doc_id").orderBy("df", "sh_h")))
+      val prefix = ranked
         .where(col("r") <= col("n") - ceil(col("n") * t) + 1)
         .select("doc_id", "sh_h", "n", "r")
       // positional filter (PPJoin): a qualifying pair needs true overlap
