@@ -61,6 +61,39 @@ object AsOf {
       .where(col("__side") === 1)
       .select(lCols.map(c => col("__l").getField(c).as(c)) :+ col(outCol): _*)
   }
+
+  /** Forward as-of: for each left row, the EARLIEST right row with `ts`
+    * at-or-after the left row's `ts`, per key — "next reading after the
+    * event". Same single-window shape as [[asofLatest]], mirrored: left
+    * rows sort BEFORE right rows at equal ts (side 0 < 1) so a right row
+    * at exactly the left timestamp matches, the frame runs forward
+    * (currentRow → unboundedFollowing), and `first(_, ignoreNulls)` picks
+    * the nearest following right row. Ties among right rows break by
+    * `tieBreak` ascending (the earlier one wins). ONE shuffle, no range
+    * join — identical scale story to the backward variant. */
+  def asofNext(left: DataFrame, right: DataFrame, key: String, ts: String,
+               tieBreak: String, valueCol: String, outCol: String): DataFrame = {
+    val lCols = left.columns.toSeq
+    val vType = right.schema(valueCol).dataType
+    val rvType = StructType(Seq(StructField("v", vType)))
+    val l = left.select(
+      col(key).as("__k"), col(ts).as("__ts"), lit(0).as("__side"),
+      col(tieBreak).as("__tie"), lit(null).cast(rvType).as("__rv"),
+      struct(lCols.map(col): _*).as("__l"))
+    val lStructType = l.schema("__l").dataType
+    val r = right.select(
+      col(key).as("__k"), col(ts).as("__ts"), lit(1).as("__side"),
+      col(tieBreak).as("__tie"), struct(col(valueCol).as("v")).as("__rv"),
+      lit(null).cast(lStructType).as("__l"))
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r)
+      .withColumn(outCol,
+        first(col("__rv"), ignoreNulls = true).over(w).getField("v"))
+      .where(col("__side") === 0)
+      .select(lCols.map(c => col("__l").getField(c).as(c)) :+ col(outCol): _*)
+  }
 }
 
 object AsOfQueries {
@@ -95,5 +128,36 @@ object AsOfQueries {
              |FROM j WHERE side = 1 ORDER BY event_id""".stripMargin),
       doc = "as-of join: latest prior 'view' value per user at each " +
         "'purchase' (union + running last-non-null; one shuffle, no range join)"),
+
+    Q("a19_asof_next",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val errors = ev.where(col("event_type") === "error")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.where(col("event_type") === "click")
+          .select("event_id", "user_id", "ts", "value")
+        AsOf.asofNext(errors, clicks, "user_id", "ts", "event_id",
+            "value", "next_value")
+          .select("event_id", "user_id", "next_value")
+          .orderBy("event_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, ts, 0 AS side, event_id, event_id AS tie,
+             |         CAST(NULL AS STRUCT(v DOUBLE)) AS rv
+             |  FROM events WHERE event_type = 'error'
+             |  UNION ALL
+             |  SELECT user_id, ts, 1 AS side, NULL AS event_id, event_id AS tie,
+             |         struct_pack(v := value) AS rv
+             |  FROM events WHERE event_type = 'click'),
+             |j AS (
+             |  SELECT event_id, user_id, side,
+             |         (first_value(rv IGNORE NULLS)
+             |           OVER (PARTITION BY user_id ORDER BY ts, side, tie
+             |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)).v AS next_value
+             |  FROM u)
+             |SELECT event_id, user_id, next_value
+             |FROM j WHERE side = 0 ORDER BY event_id""".stripMargin),
+      doc = "forward as-of join: earliest following 'click' value per user " +
+        "at each 'error' (mirrored single-window shape, one shuffle)"),
   )
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.{Q, Tables}
+import graft.functions.Parity
 import graft.functions.Parity.{exactAvg, pround}
 
 /** Relational / metrics-rollup operators (SURVEY.md §2.D2 R1-R7) plus the
@@ -443,5 +444,55 @@ object RelationalQueries {
              |  AND l_shipdate < TIMESTAMP '1997-01-01'
              |  AND l_discount >= 0.03 AND l_quantity < 24""".stripMargin),
       doc = "TPC-H Q6-style selective scan — date+range predicates push to parquet"),
+
+    Q("q16_cube",
+      (s, d) => Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(grouping(col("o_orderstatus")).cast("long").as("g1"),
+          grouping(col("o_orderpriority")).cast("long").as("g2"),
+          count(lit(1)).as("n"),
+          pround(sum(pround(col("o_totalprice"), 2).cast(DecimalType(28, 2)))
+            .cast("double"), 2).as("sum_price"))
+        .orderBy("g1", "g2", "o_orderstatus", "o_orderpriority"),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |       GROUPING(o_orderstatus) AS g1, GROUPING(o_orderpriority) AS g2,
+             |       count(*) AS n,
+             |       floor(CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) / 100.0
+             |                          AS DECIMAL(28,2))) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS sum_price
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY g1, g2, o_orderstatus, o_orderpriority""".stripMargin),
+      doc = "CUBE grouping sets: all four (status, priority) subtotal " +
+        "combinations in one Expand pass — completes the rollup surface " +
+        "(q11) to full OLAP cube semantics"),
+
+    Q("q17_ntile",
+      (s, d) => {
+        // quartiles WITHIN each priority: the window parallelizes per
+        // group (global exact ntile would be a one-reducer sort; the
+        // approximate global path at 100 TB is the p4 quantile sketch)
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .groupBy("o_orderpriority", "quartile")
+          .agg(count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi"),
+            pround(exactAvg(col("o_totalprice")), 2).as("avg_price"))
+          .orderBy("o_orderpriority", "quartile")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT o_orderpriority, o_totalprice,
+              |         ntile(4) OVER (PARTITION BY o_orderpriority
+              |                        ORDER BY o_totalprice, o_orderkey) AS quartile
+              |  FROM orders)
+              |SELECT o_orderpriority, CAST(quartile AS BIGINT) AS quartile,
+              |       count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+              |       floor(${Parity.exactAvgSql("o_totalprice")} * 100.0 + 0.5) / 100.0 AS avg_price
+              |FROM t GROUP BY o_orderpriority, quartile
+              |ORDER BY o_orderpriority, quartile""".stripMargin),
+      doc = "ntile quartile buckets per priority group: distribution " +
+        "banding with a per-group (parallel) window, exact decimal averages"),
   )
 }

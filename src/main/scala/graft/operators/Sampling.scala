@@ -61,6 +61,34 @@ object Sampling {
       .select(col(stratum), col("rn").as("rank"), col("doc_id"))
   }
 
+  /** Deterministic dataset-mixture resampling — the "N epochs of source
+    * A, half an epoch of source B" step that assembles a training mix
+    * from heterogeneous corpora. Each group's epoch factor is an exact
+    * rational num/denom: every doc emits `num div denom` full copies,
+    * plus one more iff its namespaced id-hash mod denom falls under
+    * `num % denom` — so a 2.5× group upsamples every doc twice and
+    * exactly half the docs (by hash) a third time, reproducibly. Zero
+    * weights drop the group entirely.
+    *
+    * Scale shape: broadcast the (tiny) weight table, map-side join +
+    * explode — no shuffle at all; output rows carry an `epoch` index so
+    * downstream global shuffling/packing can treat copies as distinct. */
+  def mixture(docs: DataFrame, keyCol: String,
+              epochs: Seq[(String, Int, Int)]): DataFrame = {
+    require(epochs.forall { case (_, n, d) => n >= 0 && d > 0 },
+      "epoch factors must be non-negative rationals")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val w = epochs.toDF(keyCol, "num", "denom")
+    val bucket = expr(s"${md5Long56("concat('mix:', cast(doc_id as string))")} % denom")
+    docs.join(broadcast(w), keyCol)
+      .withColumn("n_copies",
+        expr("num div denom") + (bucket < expr("num % denom")).cast("long"))
+      .where(col("n_copies") > 0)
+      .select(col("doc_id"), col(keyCol),
+        explode(expr("sequence(1L, n_copies)")).as("epoch"))
+  }
+
   /** Train/val/test split by hash decile (8/1/1), with per-(split, lang)
     * counts — the reproducible split a fine-tuning pipeline snapshots. */
   def splitCounts(docs: DataFrame): DataFrame =
@@ -106,5 +134,25 @@ object SamplingQueries {
               |       lang, count(*) AS n_docs, min(doc_id) AS first_doc
               |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin),
       doc = "reproducible train/val/test split by hash decile + per-split census"),
+
+    Q("y5_mixture",
+      (s, d) => mixture(docs(s, d), "lang",
+          Seq(("en", 1, 2), ("de", 2, 1), ("es", 5, 4), ("fr", 1, 1), ("zh", 0, 1)))
+        .orderBy("doc_id", "epoch"),
+      Some("""WITH w(lang, num, denom) AS (
+             |  VALUES ('en', 1, 2), ('de', 2, 1), ('es', 5, 4), ('fr', 1, 1), ('zh', 0, 1)),
+             |j AS (
+             |  SELECT doc_id, d.lang, num, denom,
+             |         ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % denom AS b
+             |  FROM documents d JOIN w ON d.lang = w.lang),
+             |c AS (
+             |  SELECT doc_id, lang,
+             |         num // denom + CASE WHEN b < num % denom THEN 1 ELSE 0 END AS n
+             |  FROM j)
+             |SELECT doc_id, lang, CAST(unnest(range(1, n + 1)) AS BIGINT) AS epoch
+             |FROM c WHERE n > 0 ORDER BY doc_id, epoch""".stripMargin),
+      doc = "deterministic dataset-mixture resampling: exact-rational epoch " +
+        "factors per language (2x de, 1.25x es, 0.5x en, drop zh) via " +
+        "broadcast weights + hash residual — map-only, no shuffle"),
   )
 }

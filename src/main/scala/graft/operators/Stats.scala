@@ -77,6 +77,43 @@ object Stats {
       pround(expr(est), 4).as("hll_estimate"))
   }
 
+  /** Per-GROUP HLL distinct estimate — the shape that matters in a
+    * pipeline: one mergeable 64-register sketch per group key, all built
+    * in a single pass. The aggregation is groupBy(g, register) max then
+    * groupBy(g) sum — both map-side combinable, so the shuffle moves at
+    * most 64 rows per group per partition regardless of input size. The
+    * exact count-distinct column alongside is verification-only (it is
+    * the expensive thing the sketch replaces). Same estimator as
+    * [[hllDistinctWords]], including the linear-counting small-range
+    * correction, applied independently per group. */
+  def hllDistinctPerGroup(df: DataFrame, groupCol: String,
+                          valueCol: String): DataFrame = {
+    val vals = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("string").as("v")).distinct()
+    val regs = vals
+      .select(col("g"), expr(md5Long56("v")).as("h"))
+      .select(col("g"), (col("h") % 64).as("j"), expr("h div 64").as("r"))
+      .select(col("g"), col("j"),
+        expr("1 + size(filter(sequence(1, 50), k -> r % shiftleft(cast(1 as bigint), k) = 0))")
+          .as("rho"))
+      .groupBy("g", "j").agg(max(col("rho")).as("m"))
+    val pow51 = "shiftleft(cast(1 as bigint), 51)"
+    val sketch = regs.groupBy("g").agg(
+      sum(expr(s"shiftleft(cast(1 as bigint), cast(51 - m as int))")).as("s_present"),
+      count(lit(1)).as("nz"))
+      .select(col("g"),
+        (col("s_present") + (lit(64L) - col("nz")) * expr(pow51)).as("s_total"),
+        col("nz").as("nonzero_registers"))
+    val exact = vals.groupBy("g").agg(count(lit(1)).as("exact_distinct"))
+    val raw = s"0.709 * 4096.0 * cast($pow51 as double) / cast(s_total as double)"
+    val est = s"""CASE WHEN nonzero_registers < 64 AND $raw <= 160.0
+                 | THEN 64.0 * ln(64.0 / cast(64 - nonzero_registers as double))
+                 | ELSE $raw END""".stripMargin
+    exact.join(sketch, "g").select(
+      col("g").as(groupCol), col("exact_distinct"), col("nonzero_registers"),
+      pround(expr(est), 4).as("hll_estimate"))
+  }
+
   /** Exact Pearson correlation between two integer columns via the six
     * moments (all exact longs), one fixed float expression at the end.
     * Built-in corr() is a float accumulation — order-dependent, so never
@@ -164,6 +201,31 @@ object StatsQueries {
               |FROM e, est""".stripMargin),
       doc = "HLL-style distinct count: 64 mergeable registers, exact-integer " +
         "harmonic sum, exact count alongside for verification"),
+
+    Q("x10_hll_per_group",
+      (s, d) => hllDistinctPerGroup(Tables.events(s, d), "event_type", "user_id")
+        .orderBy("event_type"),
+      Some("""WITH vals AS (
+             |  SELECT DISTINCT event_type AS g, CAST(user_id AS VARCHAR) AS v FROM events),
+             |h AS (SELECT g, ('0x' || substr(md5(v), 1, 14))::BIGINT AS h FROM vals),
+             |reg AS (SELECT g, h % 64 AS j, h // 64 AS r FROM h),
+             |rho AS (SELECT g, j, 1 + len(list_filter(range(1, 51), k -> r % (1::BIGINT << k) = 0)) AS rho FROM reg),
+             |m AS (SELECT g, j, max(rho) AS m FROM rho GROUP BY g, j),
+             |sk AS (SELECT g, CAST(sum(1::BIGINT << CAST(51 - m AS INT)) AS BIGINT) AS s_present,
+             |              count(*) AS nz FROM m GROUP BY g),
+             |e AS (SELECT g, count(*) AS exact_distinct FROM vals GROUP BY g),
+             |est AS (
+             |  SELECT g, nz, 0.709 * 4096.0 * CAST((1::BIGINT << 51) AS DOUBLE)
+             |             / CAST(s_present + (64 - nz) * (1::BIGINT << 51) AS DOUBLE) AS raw
+             |  FROM sk)
+             |SELECT e.g AS event_type, exact_distinct, nz AS nonzero_registers,
+             |       floor((CASE WHEN nz < 64 AND raw <= 160.0
+             |               THEN 64.0 * ln(64.0 / CAST(64 - nz AS DOUBLE))
+             |               ELSE raw END)
+             |             * 10000.0 + 0.5) / 10000.0 AS hll_estimate
+             |FROM e JOIN est ON e.g = est.g ORDER BY event_type""".stripMargin),
+      doc = "per-group HLL: one mergeable 64-register sketch per event_type " +
+        "(distinct users), built in a single map-side-combinable pass"),
 
     Q("x5_corr_len_tokens",
       (s, d) => corrExact(

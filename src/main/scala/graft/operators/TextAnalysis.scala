@@ -97,6 +97,75 @@ object TextAnalysis {
       .select(col("lang"), col("rank"), col("w").as("term"), col("n"))
   }
 
+  /** Repetition metrics per document (the Gopher-style repetition
+    * filters of Rae et al. 2021 §A1.1, token flavor):
+    *   - type-token ratio: distinct tokens / tokens (low = repetitive);
+    *   - duplicate-trigram fraction: 1 − distinct 3-grams / 3-grams;
+    *   - top-bigram fraction: occurrences of the most frequent bigram /
+    *     bigram slots.
+    * TTR and the trigram fraction are pure ARRAY arithmetic — no explode,
+    * no shuffle, evaluated in the scan stage. Only the top-bigram mode
+    * needs an explode + two-level aggregate (count per (doc, bigram),
+    * max per doc), both map-side combinable; the join back is on doc_id.
+    * `keep` applies the usual cut (ttr >= 0.2, top bigram <= 0.18). */
+  def repetitionScore(docs: DataFrame): DataFrame = {
+    val bigramsFromToks =
+      """CASE WHEN size(toks) >= 2
+        | THEN transform(sequence(1, size(toks) - 1),
+        |        i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))
+        | ELSE array() END""".stripMargin
+    val base = docs.select(col("doc_id"), expr(tokensExpr).as("toks"))
+    val arrStats = base.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+      greatest(size(col("toks")) - 2, lit(0)).cast("long").as("n_tri"),
+      size(array_distinct(expr(
+        """CASE WHEN size(toks) >= 3
+          | THEN transform(sequence(1, size(toks) - 2),
+          |        i -> concat_ws(' ', element_at(toks, i),
+          |                            element_at(toks, i + 1),
+          |                            element_at(toks, i + 2)))
+          | ELSE array() END""".stripMargin))).cast("long").as("n_tri_distinct"))
+    val topBg = base
+      .select(col("doc_id"), explode(expr(bigramsFromToks)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(max(col("n")).as("max_bg"))
+    arrStats.join(topBg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        pround(when(col("n_tokens") > 0,
+          col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(0.0), 6).as("ttr"),
+        pround(when(col("n_tri") > 0,
+          lit(1.0) - col("n_tri_distinct").cast("double") / col("n_tri").cast("double"))
+          .otherwise(0.0), 6).as("dup_trigram_frac"),
+        pround(coalesce(col("max_bg"), lit(0L)).cast("double") /
+          greatest(col("n_tokens") - 1, lit(1L)).cast("double"), 6)
+          .as("top_bigram_frac"))
+      .withColumn("keep",
+        (col("ttr") >= 0.2 && col("top_bigram_frac") <= 0.18).cast("long"))
+  }
+
+  /** Out-of-vocabulary rate per document against the corpus's own top-k
+    * vocabulary — the tokenizer-coverage measurement a training pipeline
+    * runs before committing to a vocab size. Phase 1 reduces the corpus
+    * to (word, count) and takes the k most frequent (TakeOrderedAndProject
+    * — never a global sort); phase 2 broadcasts that tiny vocab and
+    * left-joins the token stream against it, so the per-doc aggregate is
+    * one map-side-combinable pass with no extra shuffle of the corpus. */
+  def oovRate(docs: DataFrame, vocabK: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(expr(tokensExpr)).as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(vocabK)
+      .select(col("w"), lit(1L).as("iv"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        pround(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("oov_ratio"))
+  }
+
   /** TF-IDF: top-k terms per doc by tf·ln(N/df), pround-ed so ordering is
     * engine-stable; ties broken by word. */
   def tfidfTop(docs: DataFrame, k: Int): DataFrame = {
@@ -223,5 +292,61 @@ object TextAnalysisQueries {
               |SELECT doc_id, rn AS rank, w AS term, tfidf
               |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin),
       doc = "TF-IDF top-terms per doc (tf·ln(N/df), join + window)"),
+
+    Q("t8_repetition",
+      (s, d) => repetitionScore(docs(s, d)).orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |arr AS (
+              |  SELECT doc_id,
+              |         CAST(len(t) AS BIGINT) AS n_tokens,
+              |         CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+              |         CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n_tri,
+              |         CAST(len(list_distinct(CASE WHEN len(t) >= 3
+              |              THEN list_transform(range(1, len(t) - 1),
+              |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              |              ELSE CAST([] AS VARCHAR[]) END)) AS BIGINT) AS n_tri_distinct
+              |  FROM toks),
+              |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+              |         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+              |         ELSE CAST([] AS VARCHAR[]) END) AS bg FROM toks),
+              |bgc AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY doc_id, bg),
+              |mbg AS (SELECT doc_id, max(n) AS max_bg FROM bgc GROUP BY doc_id),
+              |m AS (
+              |  SELECT a.doc_id, n_tokens,
+              |         floor((CASE WHEN n_tokens > 0
+              |                THEN CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+              |                ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS ttr,
+              |         floor((CASE WHEN n_tri > 0
+              |                THEN 1.0 - CAST(n_tri_distinct AS DOUBLE) / CAST(n_tri AS DOUBLE)
+              |                ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS dup_trigram_frac,
+              |         floor(CAST(coalesce(max_bg, 0) AS DOUBLE) /
+              |               CAST(greatest(n_tokens - 1, 1) AS DOUBLE)
+              |               * 1000000.0 + 0.5) / 1000000.0 AS top_bigram_frac
+              |  FROM arr a LEFT JOIN mbg ON a.doc_id = mbg.doc_id)
+              |SELECT doc_id, n_tokens, ttr, dup_trigram_frac, top_bigram_frac,
+              |       CAST(ttr >= 0.2 AND top_bigram_frac <= 0.18 AS BIGINT) AS keep
+              |FROM m ORDER BY doc_id""".stripMargin),
+      doc = "Gopher-style repetition metrics: type-token ratio and " +
+        "duplicate-trigram fraction as pure array arithmetic in the scan " +
+        "stage; top-bigram mode via two-level map-side-combinable aggregate"),
+
+    Q("t9_oov_rate",
+      (s, d) => oovRate(docs(s, d), 10).orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+              |wc AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+              |vocab AS (
+              |  SELECT w FROM wc ORDER BY n DESC, w LIMIT 10),
+              |per AS (
+              |  SELECT doc_id, count(*) AS n_tokens,
+              |         sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+              |  FROM tok LEFT JOIN vocab ON tok.w = vocab.w
+              |  GROUP BY doc_id)
+              |SELECT doc_id, n_tokens, CAST(n_oov AS BIGINT) AS n_oov,
+              |       floor(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+              |             * 1000000.0 + 0.5) / 1000000.0 AS oov_ratio
+              |FROM per ORDER BY doc_id""".stripMargin),
+      doc = "per-doc OOV rate vs the corpus top-10 vocabulary: reduced " +
+        "word counts -> top-k -> broadcast vocab left-join (tokenizer " +
+        "coverage measurement)"),
   )
 }

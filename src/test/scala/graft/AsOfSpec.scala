@@ -59,4 +59,34 @@ class AsOfSpec extends SparkSpec {
     assert(!plan.contains("Join"), "as-of must not plan a range join")
     assert("Exchange".r.findAllIn(plan).length <= 1)
   }
+
+  private def runNext() =
+    AsOf.asofNext(trades, quotes, "key", "ts", "event_id", "value", "v")
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+
+  test("forward as-of picks the earliest right row at-or-after the left ts") {
+    val got = runNext()
+    assert(got(20L) === Some(2.0),
+      "next quote after 00:05 is the 00:10 pair; ties break ASC → event 11")
+    assert(got(21L) === Some(2.0), "equal ts is inclusive, earliest tie wins")
+    assert(got(22L) === Some(9.0), "key 2's only quote is ahead of the trade")
+  }
+
+  test("forward as-of: left rows with no following right row get null") {
+    val got = runNext()
+    assert(got(23L) === None, "key with no quotes at all")
+    val lateTrade = Seq((1L, ts("2024-01-01 00:00:30"), 24L))
+      .toDF("key", "ts", "event_id")
+    val g2 = AsOf.asofNext(lateTrade, quotes, "key", "ts", "event_id",
+        "value", "v")
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(g2(24L) === None, "trade after the last quote has no successor")
+  }
+
+  test("forward as-of plan is also join-free with one exchange") {
+    val plan = AsOf.asofNext(trades, quotes, "key", "ts", "event_id",
+      "value", "v").queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"))
+    assert("Exchange".r.findAllIn(plan).length <= 1)
+  }
 }

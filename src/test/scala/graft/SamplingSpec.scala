@@ -33,6 +33,27 @@ class SamplingSpec extends SparkSpec {
       "the salted pre-prune must not change the selected sample")
   }
 
+  test("mixture: integer factors copy exactly, zero factors drop, halves bound") {
+    val out = Sampling.mixture(docs, "lang",
+      Seq(("en", 2, 1), ("de", 1, 2), ("fr", 0, 1)))
+    val perLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val census = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang("en") == 2 * census("en"), "2x = exactly two epochs per doc")
+    assert(!perLang.contains("fr"), "zero weight drops the group entirely")
+    assert(perLang.getOrElse("de", 0L) <= census("de"),
+      "0.5x emits at most one copy per doc")
+    // every emitted (doc, epoch) pair is unique — copies are addressable
+    assert(out.count() == out.distinct().count())
+  }
+
+  test("mixture is deterministic across invocations (no rand())") {
+    def draw() = Sampling.mixture(docs, "lang", Seq(("en", 3, 2), ("de", 1, 4)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(draw() == draw())
+  }
+
   test("split is exhaustive and disjoint: per-lang split sizes sum to the census") {
     val total = docs.groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

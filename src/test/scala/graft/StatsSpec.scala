@@ -16,6 +16,33 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("nonzero_registers") <= 64L)
   }
 
+  test("per-group hll: groups are independent and estimates track exact counts") {
+    import spark.implicits._
+    // group a: 10 distinct values, group b: 200 distinct — both well under
+    // the linear-counting regime, where the estimator is tight
+    val df = ((1 to 10).map(i => ("a", i)) ++ (1 to 200).map(i => ("b", i + 1000)))
+      .toDF("g", "v")
+    val rows = Stats.hllDistinctPerGroup(df, "g", "v").collect()
+      .map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("exact_distinct"), r.getAs[Double]("hll_estimate"))).toMap
+    assert(rows("a")._1 == 10L && rows("b")._1 == 200L)
+    rows.foreach { case (g, (exact, est)) =>
+      assert(math.abs(est - exact) / exact < 0.39,
+        s"group $g estimate $est too far from exact $exact")
+    }
+  }
+
+  test("per-group hll: duplicate values do not move a group's sketch") {
+    import spark.implicits._
+    val once = (1 to 50).map(i => ("g", i)).toDF("g", "v")
+    val tripled = (1 to 3).flatMap(_ => (1 to 50).map(i => ("g", i))).toDF("g", "v")
+    val e1 = Stats.hllDistinctPerGroup(once, "g", "v")
+      .collect().head.getAs[Double]("hll_estimate")
+    val e3 = Stats.hllDistinctPerGroup(tripled, "g", "v")
+      .collect().head.getAs[Double]("hll_estimate")
+    assert(e1 == e3, "sketch must depend only on the distinct value set")
+  }
+
   test("corrExact is exactly 1 on a perfectly linear column pair") {
     import spark.implicits._
     val df = (1L to 100L).map(i => (i, 3 * i + 7)).toDF("x", "y")

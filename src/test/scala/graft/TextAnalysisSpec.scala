@@ -56,4 +56,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top(0)._2 > 0.0)
     assert(top(2)._2 === 0.0) // ln(3/3) = 0 for the corpus-wide word
   }
+
+  test("repetition: a one-word loop maxes every repetition signal") {
+    val loop = Seq((0L, "spam spam spam spam spam spam")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionScore(loop).collect().head
+    assert(r.getAs[Long]("n_tokens") == 6L)
+    assert(r.getAs[Double]("ttr") == 0.166667)          // 1/6 rounded to 6dp
+    assert(r.getAs[Double]("dup_trigram_frac") == 0.75) // 4 trigrams, 1 distinct
+    assert(r.getAs[Double]("top_bigram_frac") == 1.0)   // all 5 bigram slots
+    assert(r.getAs[Long]("keep") == 0L)
+  }
+
+  test("repetition: an all-distinct document is clean and kept") {
+    // long enough that one bigram occurrence / (n-1) slots clears the
+    // 0.18 top-bigram cut (a 6-token doc would sit at 1/5 = 0.2 and fail)
+    val clean = Seq((0L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionScore(clean).collect().head
+    assert(r.getAs[Double]("ttr") == 1.0)
+    assert(r.getAs[Double]("dup_trigram_frac") == 0.0)
+    assert(r.getAs[Double]("top_bigram_frac") == 0.090909) // 1 / 11 slots
+    assert(r.getAs[Long]("keep") == 1L)
+  }
+
+  test("oov rate: in-vocab docs score 0, rate reflects occurrence fraction") {
+    val corpus = Seq(
+      (0L, "common common common common rare"), // 'common' dominates the vocab
+      (1L, "common common common common common"),
+      (2L, "common unseen")).toDF("doc_id", "text")
+    val got = TextAnalysis.oovRate(corpus, 1) // vocab = top-1 = {common}
+      .orderBy("doc_id")
+      .select("doc_id", "n_oov", "oov_ratio")
+      .as[(Long, Long, Double)].collect().toList
+    assert(got(0) === (0L, 1L, 0.2))
+    assert(got(1) === (1L, 0L, 0.0))
+    assert(got(2) === (2L, 1L, 0.5))
+  }
+
+  test("repetition: degenerate short docs produce defined zero metrics") {
+    val tiny = Seq((0L, "solo"), (1L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionScore(tiny).orderBy("doc_id").collect()
+    assert(rows(0).getAs[Double]("dup_trigram_frac") == 0.0)
+    assert(rows(0).getAs[Double]("top_bigram_frac") == 0.0)
+    assert(rows(1).getAs[Long]("n_tokens") == 0L)
+  }
 }
