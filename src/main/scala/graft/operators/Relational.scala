@@ -233,13 +233,31 @@ object RelationalQueries {
 
     Q("q15_top_supplier",
       (s, d) => {
+        // revenue as fixed-point LONG cents-of-cents: floor(x·10^4+0.5)
+        // summed as int64, divided once — integer adds in the hash
+        // aggregate instead of per-row BigDecimal (DecimalType(28,4)
+        // exceeds Spark's 18-digit compact-long range, so its partial
+        // aggregation allocates). Identical bits to the decimal sum:
+        // both are the exact integer sum of the same quantized values;
+        // long→double then /10^4 and decimal→double are both
+        // correctly-rounded single conversions. Safe per GROUP: a
+        // supplier has O(600) lineitems at any TPC-H SF (both tables
+        // scale linearly), so the per-group sum stays ≪ 2^63. Corpus-
+        // GLOBAL money sums (q1/q4/q14) keep DECIMAL(28,4): at 10^11+
+        // rows × ~10^9 fixed-point units they would overflow int64.
         val rev = Tables.lineitem(s, d)
           .groupBy("l_suppkey")
-          .agg(sum(pround(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
-            .cast(DecimalType(28, 4))).cast("double").as("total_rev"))
-        val w = Window.orderBy(col("total_rev").desc)
-        rev.withColumn("rk", rank().over(w))
-          .where(col("rk") === 1)
+          .agg((sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * 10000.0 + 0.5))
+            .cast("double") / 10000.0).as("total_rev"))
+        // ties kept WITHOUT a global rank window: Window.orderBy with no
+        // partitionBy plans a single-task sort of the whole per-supplier
+        // aggregate (fine at sf0.1, a one-reducer wall at 10^7+ suppliers).
+        // max() reduces map-side to one row; broadcast + equality filter
+        // keeps exactly the rank-1 ties. Runtime exchange reuse computes
+        // the rev subtree once for both consumers.
+        val best = rev.agg(max(col("total_rev")).as("max_rev"))
+        rev.join(broadcast(best), col("total_rev") === col("max_rev"))
           .join(Tables.supplier(s, d),
             col("l_suppkey") === col("s_suppkey"))
           .select(col("s_suppkey"), col("s_name"), col("total_rev"))
@@ -247,21 +265,26 @@ object RelationalQueries {
       },
       Some("""WITH rev AS (
              |  SELECT l_suppkey,
-             |         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(28,4))) AS DOUBLE) AS total_rev
+             |         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_rev
              |  FROM lineitem GROUP BY l_suppkey)
              |SELECT s_suppkey, s_name, total_rev
              |FROM rev JOIN supplier ON l_suppkey = s_suppkey
              |WHERE total_rev = (SELECT max(total_rev) FROM rev)
              |ORDER BY s_suppkey""".stripMargin),
-      doc = "TPC-H Q15-style top supplier with ALL ties kept (rank over the " +
-        "reduced revenue aggregate; exact decimal revenue makes ties stable)"),
+      doc = "TPC-H Q15-style top supplier with ALL ties kept (max aggregate " +
+        "broadcast back — no global rank window; exact fixed-point revenue " +
+        "makes ties stable)"),
 
     Q("q5_order_revenue",
       (s, d) => {
+        // per-order revenue in fixed-point LONG units (see q15's note:
+        // integer adds beat >18-digit decimal's BigDecimal partial agg;
+        // an order has ≤7 lineitems so the group sum can never overflow)
         val rev = Tables.lineitem(s, d)
           .groupBy("l_orderkey")
-          .agg(sum(pround(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
-            .cast(DecimalType(28, 4))).cast("double").as("revenue"))
+          .agg((sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * 10000.0 + 0.5))
+            .cast("double") / 10000.0).as("revenue"))
         // large-large equi-join: shuffle (sort-merge at scale) on the
         // order key, then top-k — no global sort materialization
         Tables.orders(s, d)
@@ -274,7 +297,7 @@ object RelationalQueries {
       },
       Some("""WITH rev AS (
              |  SELECT l_orderkey,
-             |         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+             |         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
              |  FROM lineitem GROUP BY l_orderkey)
              |SELECT o_orderkey, o_orderdate, revenue
              |FROM orders JOIN rev ON o_orderkey = l_orderkey

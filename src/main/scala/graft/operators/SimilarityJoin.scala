@@ -39,19 +39,29 @@ object SimilarityJoin {
 
   /** All pairs with Jaccard(3-shingle sets) >= t, prefix-filtered but
     * exact. EAGER: builds via a shared persisted shingle scan
-    * (viaSharedScan — 4 consumers), so constructing the DataFrame runs
+    * (viaSharedScan — 3 consumers), so constructing the DataFrame runs
     * the job; keep out of explain()/plan-dump paths. */
   def jaccardThresholdJoin(docs: DataFrame, t: Double): DataFrame = {
     require(t > 0 && t <= 1, s"threshold must be in (0, 1], got $t")
-    Dedup.viaSharedScan(Dedup.shingleHashRows(docs).distinct()) { ss =>
-      // document frequency and per-doc size/rank as WINDOW counts, not
-      // joins: df is one whole-partition count over sh_h, then n and r
-      // share a single doc_id exchange (two Window operators, one
-      // shuffle). The previous shape joined a groupBy(sh_h) table back
-      // onto ss and broadcast a groupBy(doc_id) table — two extra
-      // aggregates plus a 260k-row join at sf0.1 for the same columns.
+    Dedup.viaSharedScan(Dedup.shingleHashRows(docs).distinct())(prefixJoin(_, t))
+  }
+
+  /** The lazy prefix-filtered join over a distinct (doc_id, sh_h) shingle
+    * table — split out from [[jaccardThresholdJoin]] so its plan can be
+    * audited (the public entry wraps it in an eager checkpoint). */
+  private[graft] def prefixJoin(ss: DataFrame, t: Double): DataFrame = {
+      // document frequency as a map-side-combinable groupBy joined back —
+      // NOT a Window.partitionBy(sh_h) count: a window puts every (doc,
+      // shingle) row of a given shingle into ONE task, so a stopword-like
+      // shingle ("one of the", df 10^8-10^9 on a web corpus) serializes
+      // its whole partition through a single window task. The groupBy
+      // collapses that key to one row at the mappers (partial agg), and
+      // the join back is AQE-skew-splittable. Per-doc n and r stay
+      // windows: their partition key doc_id is bounded by document
+      // length, so they share one safe doc_id exchange.
+      val docFreq = ss.groupBy("sh_h").agg(count(lit(1)).as("df"))
       val ranked = ss
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh_h")))
+        .join(docFreq, "sh_h")
         .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
         .withColumn("r", row_number().over(
           Window.partitionBy("doc_id").orderBy("df", "sh_h")))
@@ -93,7 +103,6 @@ object SimilarityJoin {
           (col("na") + col("nb") - col("inter")).cast("double"))
         .where(col("jac") >= t)
         .select(col("doc_a"), col("doc_b"), pround(col("jac"), 6).as("jaccard"))
-    }
   }
 }
 

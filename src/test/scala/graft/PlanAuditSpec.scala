@@ -114,6 +114,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate explode") || p.contains("explode"))
   }
 
+  test("q15: tie-max via broadcast 1-row aggregate — no global rank window") {
+    val p = plan("q15_top_supplier")
+    // Window.orderBy without partitionBy would single-task-sort every
+    // supplier's aggregate at warehouse scale
+    assert(!p.contains("Window"), p.take(800))
+    assert(p.contains("BroadcastExchange"), p.take(800))
+  }
+
+  test("q5/q15: revenue partial-aggregates as a LONG sum, not >18-digit decimal") {
+    // fixed-point cents-of-cents: partial_sum over bigint keeps the hash
+    // aggregate in primitive adds (Decimal(28,4) exceeds the compact-long
+    // range and allocates per row)
+    assert(plan("q5_order_revenue").contains("partial_sum"))
+    assert(!plan("q5_order_revenue").contains("DecimalType(28,4)"))
+    assert(!plan("q15_top_supplier").contains("DecimalType(28,4)"))
+  }
+
   test("x1: hash sample filter evaluates next to the scan, no shuffle") {
     val p = operators.Sampling
       .hashSample(Tables.documents(spark, sf("sf0.001")), 10)

@@ -41,4 +41,37 @@ class SimilarityJoinSpec extends SparkSpec {
     assert(fast == naive,
       s"missing=${naive -- fast} extra=${fast -- naive}")
   }
+
+  test("document frequency is a groupBy, never a whole-partition window on sh_h") {
+    // A Window.partitionBy(sh_h) count serializes every row of a hot
+    // shingle into one task (a stopword 3-shingle has df ~10^8 on a web
+    // corpus); the df column must come from a map-side-combinable
+    // aggregate instead. Audit the lazy plan: the only window partition
+    // keys allowed are doc_id (bounded by document length).
+    val ss = Dedup.shingleHashRows(
+      Seq((1L, "a b c d e"), (2L, "a b c x y")).toDF("doc_id", "text"))
+      .distinct()
+    val p = SimilarityJoin.prefixJoin(ss, 0.5)
+      .queryExecution.optimizedPlan.toString
+    val windowParts = "windowspecdefinition\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(windowParts.subsetOf(Set("doc_id")), s"window keys: $windowParts")
+  }
+
+  test("one artificially hot shingle: correct under skew") {
+    // 200 docs all sharing the same hot 3-shingle prefix ("x y z"), each
+    // with a unique tail -> the hot shingle's df is 200x any other; pairs
+    // must still be exactly the identical-doc pairs. With the old
+    // whole-partition window this shape funneled 200 rows + every other
+    // computation of that shingle into one task; with groupBy df it
+    // stays partial-aggregated. Two identical docs are planted.
+    val docs = (1 to 200).map { i =>
+      val tail = if (i <= 2) "dup dup dup dup" else s"t$i u$i v$i w$i"
+      (i.toLong, s"x y z $tail")
+    }.toDF("doc_id", "text")
+    val got = SimilarityJoin.jaccardThresholdJoin(docs, 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), s"got $got")
+  }
 }
