@@ -211,7 +211,16 @@ object Dedup {
     * against iterative-plan blowup. Output: (doc_id, cluster) where
     * cluster = min doc_id in the component; survivors of cluster-dedup
     * are the rows with doc_id == cluster. */
-  def dedupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    dedupClustersWithRounds(pairs, maxIter)._1
+
+  /** [[dedupClusters]] plus the number of contraction rounds it ran —
+    * the observable the O(log diameter) convergence claim is tested
+    * against (DedupClusterSpec pins a star graph to ≤2 rounds and a
+    * 64-chain to a logarithmic bound; a regression to per-hop
+    * propagation would blow those up immediately). */
+  private[graft] def dedupClustersWithRounds(
+      pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
     // both directions from ONE scan of `pairs` (an explode, not a union —
     // a union would execute the upstream candidate pipeline twice)
     // No up-front distinct: the doubled set of a doc_a<doc_b pair table
@@ -235,17 +244,26 @@ object Dedup {
       val step = edges.groupBy(col("src"))
         .agg(least(col("src"), min(col("dst"))).as("lu"))
         .select(col("src").as("u"), col("lu"))
-      // pointer jumping: follow the relabel map through itself twice
-      // (label -> label-of-label -> ...), quadrupling the effective hop
-      // distance per round. The map is one row per still-active cluster —
-      // far smaller than the edge set — so two extra self-joins on it are
-      // much cheaper than the whole-graph rounds they replace.
+      // pointer jumping: compose the relabel map with itself. Each
+      // application SQUARES the reach (shift-k becomes shift-2k), and the
+      // per-round jump count escalates with the round number, so round r
+      // reaches 2^(r+2) hops. This is what makes the total round count
+      // O(log diameter) even on pure chains, where edge contraction only
+      // shortens additively (labels shift uniformly, so distinct labels
+      // stay distinct and the contracted graph is a chain again): reaches
+      // 4+8+16+... cover any diameter d within ~log2(d) rounds. The map is
+      // one row per still-active cluster — far smaller than the edge set —
+      // so the extra self-joins on it are much cheaper than the
+      // whole-graph rounds they replace, and early rounds (where real LSH
+      // graphs — cliques and stars — already finish) cost exactly the
+      // two jumps they always did.
       def jump(m: DataFrame): DataFrame = m
         .join(m.select(col("u").as("u2"), col("lu").as("l2")),
           col("lu") === col("u2"), "left")
         .select(col("u"),
           least(col("lu"), coalesce(col("l2"), col("lu"))).as("lu"))
-      val jumped = jump(jump(step)).localCheckpoint()
+      val jumped = (1 to (iter + 2)).foldLeft(step)((m, _) => jump(m))
+        .localCheckpoint()
       // compose node labels through the relabel map
       labels = labels
         .join(jumped, col("cluster") === col("u"), "left")
@@ -275,7 +293,7 @@ object Dedup {
         s"dedupClusters: $maxIter rounds exhausted with inter-cluster " +
           "edges remaining — the returned clustering is PARTIAL (labels " +
           "are valid upper approximations, components may stay split)")
-    labels.withColumnRenamed("node", "doc_id")
+    (labels.withColumnRenamed("node", "doc_id"), iter)
   }
 
   /** G3: 16-bit SimHash — per-bit majority vote over md5-derived token

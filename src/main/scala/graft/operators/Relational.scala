@@ -242,7 +242,12 @@ object RelationalQueries {
         // long→double then /10^4 and decimal→double are both
         // correctly-rounded single conversions. Safe per GROUP: a
         // supplier has O(600) lineitems at any TPC-H SF (both tables
-        // scale linearly), so the per-group sum stays ≪ 2^63. Corpus-
+        // scale linearly), so the per-group sum (~6e11 fixed-point
+        // units) stays below 2^53 — the bound that matters for the
+        // bit-identity claim, since long→double is exact only up to
+        // 2^53 (between 2^53 and 2^63 the conversion rounds and could
+        // diverge from the decimal path, long before int64 overflow
+        // at 2^63 is in sight). Corpus-
         // GLOBAL money sums (q1/q4/q14) keep DECIMAL(28,4): at 10^11+
         // rows × ~10^9 fixed-point units they would overflow int64.
         val rev = Tables.lineitem(s, d)

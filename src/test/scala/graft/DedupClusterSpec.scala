@@ -24,4 +24,42 @@ class DedupClusterSpec extends SparkSpec {
     val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.dedupClusters(pairs).isEmpty)
   }
+
+  test("star graph (1 hub, 1e4 spokes) converges in O(log diameter) rounds") {
+    // the dominant skew shape for dedup: one hot document paired with
+    // everything. Diameter 2 → contraction must finish in <= 2 rounds
+    // (round 1 labels every spoke with the hub's min and contracts the
+    // edge set to nothing); per-hop propagation would also take 2 here,
+    // but the hub key concentrating 1e4 edges in one group is exactly
+    // the skew the groupBy(src) relabel has to absorb without help.
+    val pairs = (1L to 10000L).map(i => (0L, i)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.dedupClustersWithRounds(pairs)
+    assert(rounds <= 2, s"star should contract in <=2 rounds, took $rounds")
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length === 10001)
+    assert(got.forall(_._2 == 0L))
+  }
+
+  test("64-chain converges in logarithmically few rounds (pointer jumping)") {
+    // diameter 63; one min-propagation hop + two pointer jumps per round
+    // multiply effective reach, so rounds must stay well under the ~32
+    // a plain per-hop propagation would need
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.dedupClustersWithRounds(pairs)
+    assert(rounds <= 8, s"64-chain should need O(log 63) rounds, took $rounds")
+    assert(labels.as[(Long, Long)].collect().forall(_._2 == 1L))
+  }
+
+  test("maxIter exhaustion returns a valid PARTIAL clustering, loudly, without throwing") {
+    // labels must still be an upper approximation: every label names a
+    // member of the node's true component (here: everything is one
+    // component, so any label in 1..12 is valid; full convergence would
+    // give all 1s)
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.dedupClustersWithRounds(pairs, maxIter = 1)
+    assert(rounds === 1)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.keySet === (1L to 12L).toSet)
+    assert(got.forall { case (node, lbl) => lbl >= 1L && lbl <= node })
+  }
 }

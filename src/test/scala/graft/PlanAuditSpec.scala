@@ -125,10 +125,15 @@ class PlanAuditSpec extends SparkSpec {
   test("q5/q15: revenue partial-aggregates as a LONG sum, not >18-digit decimal") {
     // fixed-point cents-of-cents: partial_sum over bigint keeps the hash
     // aggregate in primitive adds (Decimal(28,4) exceeds the compact-long
-    // range and allocates per row)
-    assert(plan("q5_order_revenue").contains("partial_sum"))
-    assert(!plan("q5_order_revenue").contains("DecimalType(28,4)"))
-    assert(!plan("q15_top_supplier").contains("DecimalType(28,4)"))
+    // range and allocates per row). Executed plans render the type
+    // lowercase — "cast(... as decimal(28,4))" — so the negative guard
+    // must match that spelling to be non-vacuous.
+    val q5 = plan("q5_order_revenue")
+    val q15 = plan("q15_top_supplier")
+    assert(q5.contains("partial_sum"))
+    assert(q15.contains("partial_sum"), q15.take(800))
+    assert(!q5.toLowerCase.contains("decimal(28,4)"))
+    assert(!q15.toLowerCase.contains("decimal(28,4)"))
   }
 
   test("x1: hash sample filter evaluates next to the scan, no shuffle") {

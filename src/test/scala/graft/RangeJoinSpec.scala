@@ -43,6 +43,20 @@ class RangeJoinSpec extends SparkSpec {
     assert(matches(7200L) === expected)
   }
 
+  test("inverted interval (end < start) matches nothing and explodes zero buckets") {
+    // without the end >= start guard, sequence() counts DOWNWARD and an
+    // inverted interval fans out |diff| junk bucket rows before the
+    // residual predicate kills them — it must cost nothing instead
+    val inverted = intervals.union(Seq(
+      (1L, 999L, ts("2024-01-02 00:00:00"), ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "iv_id", "start_ts", "end_ts"))
+    val got = RangeJoin.pointInInterval(points, inverted, "user_id", "ts",
+        "start_ts", "end_ts", 1800L)
+      .select(col("iv_id"), col("pt_event_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
   test("plan is an equality join, not a nested-loop cross product") {
     val plan = RangeJoin.pointInInterval(points, intervals, "user_id", "ts",
       "start_ts", "end_ts", 1800L).queryExecution.executedPlan.toString
