@@ -70,19 +70,47 @@ object Similarity {
         pround(col("cos"), 6).as("cos_sim"))
   }
 
-  /** Sign-LSH bucket id: p deterministic integer hyperplanes
-    * w(p,i) = ((i·37 + p·61) mod 19) − 9; bit = (dot >= 0). */
-  def lshBuckets(vecs: DataFrame, planes: Int): DataFrame =
+  /** Embedding dimension the literal hyperplane weights are generated
+    * for (the testdata embeddings are 64-dim; shorter vectors work via
+    * the slice below, longer ones need a bigger constant). */
+  val LshDim = 64
+
+  /** Deterministic decorrelated hyperplane weights for one LSH table:
+    * murmur-finalizer mix of (table, plane, dim-index), reduced to
+    * [−9, 9]. An earlier draft used the closed form
+    * ((i·37 + p·61) mod 19) − 9, which algebraically collapses to
+    * ((4p − i) mod 19) − 9 — every plane a circular SHIFT of one
+    * period-19 pattern, i.e. maximally correlated planes; measured
+    * recall@3 sat at the random-chance floor. Weights are emitted as
+    * LITERALS into both the Spark plan and the DuckDB oracle SQL, so
+    * the two engines agree by construction and neither recomputes
+    * weights per row. */
+  def planeWeights(table: Int, planes: Int, dim: Int = LshDim): Array[Array[Long]] =
+    Array.tabulate(planes, dim) { (p, i) =>
+      var x = (table.toLong * planes + p) * 1000003L + i
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+      x ^= x >>> 33
+      java.lang.Long.remainderUnsigned(x, 19L) - 9L
+    }
+
+  /** The p-plane sign-LSH bucket-id column for LSH table `table`, over a
+    * fixed-point column `f`: bit_p = (⟨f, w_p⟩ >= 0). The weight vector
+    * is a literal array, so each bit is one exact long dot product
+    * (fp_dot when the extension is live) against a constant. */
+  private[operators] def bucketCol(s: SparkSession, planes: Int, table: Int) =
+    concat(planeWeights(table, planes).map { w =>
+      val wLit = s"array(${w.mkString("L,")}L)"
+      when(expr(dotExpr(s, "f", s"slice($wLit, 1, size(f))")) >= 0, lit("1"))
+        .otherwise(lit("0"))
+    }.toIndexedSeq: _*)
+
+  /** Sign-LSH bucket id per vector: `planes` deterministic decorrelated
+    * hyperplanes (see [[planeWeights]]); `table` selects an independent
+    * plane family for multi-table search. */
+  def lshBuckets(vecs: DataFrame, planes: Int, table: Int = 0): DataFrame =
     withFixed(vecs).select(col("vec_id"),
-      concat((0 until planes).map { p =>
-        when(expr(
-          s"""aggregate(
-             |  zip_with(f, transform(sequence(0, size(f) - 1),
-             |                        i -> cast((i * 37 + $p * 61) % 19 - 9 as bigint)),
-             |           (x, w) -> x * w),
-             |  0L, (acc, x) -> acc + x)""".stripMargin) >= 0, lit("1"))
-          .otherwise(lit("0"))
-      }: _*).as("bucket"))
+      bucketCol(vecs.sparkSession, planes, table).as("bucket"))
 
   /** Embedding-cosine near-dup pairs, LSH-prefiltered: exact cosine runs
     * only on pairs sharing a sign-LSH bucket (the dedup scale path — the
@@ -130,28 +158,79 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"))
   }
 
+  /** Probe set for a query's `bucket` string: the bucket itself plus —
+    * when `hamming` = 1 — every Hamming-1 neighbor (one plane's bit
+    * flipped). Multi-probe is the standard recall lever that costs
+    * NOTHING on the corpus side: only the (tiny, broadcast) query side
+    * fans out ×(planes+1), so the candidate count stays bounded while
+    * near-misses on a single hyperplane stop being lost. A vector's
+    * bucket matches exactly one probe string, so the candidate set
+    * needs no dedup. */
+  private[operators] def probeBucketsExpr(planes: Int, hamming: Int) = {
+    require(hamming == 0 || hamming == 1,
+      s"hamming radius $hamming not supported (0 = exact bucket, 1 = flip each plane)")
+    val self = col("bucket")
+    val flips = (1 to planes).map { i =>
+      concat(
+        substring(col("bucket"), 1, i - 1),
+        when(substring(col("bucket"), i, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(col("bucket"), i + 1, planes - i))
+    }
+    if (hamming >= 1) array(self +: flips: _*) else array(self)
+  }
+
   /** ANN quality measurement: recall@k of LSH-bucket-restricted search
     * vs exact brute force, per query — the evaluation loop every
     * approximate-search deployment needs ("measure, don't guess"
     * applied to the approximation itself). At scale the exact side runs
     * on a SAMPLE of queries (here: the nQueries smallest ids), which is
     * exactly how production recall monitoring works — the corpus-wide
-    * search stays approximate; only the probe set pays brute force. */
-  def annRecall(vecs: DataFrame, planes: Int, nQueries: Int, k: Int): DataFrame = {
+    * search stays approximate; only the probe set pays brute force.
+    *
+    * `hamming` = 1 turns on multi-probe (see [[probeBucketsExpr]]) and
+    * `tables` > 1 unions candidates across independent plane families —
+    * the two standard recall levers, both of which cost only on the
+    * index/probe side (candidates stay a tunable corpus fraction, they
+    * never become all-pairs). Output includes the measured per-query
+    * candidate count, so the recall-vs-cost trade-off is a number in
+    * the result, not a guess. */
+  def annRecall(vecs: DataFrame, planes: Int, nQueries: Int, k: Int,
+                hamming: Int = 0, tables: Int = 1): DataFrame = {
+    val s = vecs.sparkSession
     val exact = cosineTopK(vecs, nQueries, k)
       .select(col("q_id"), col("neighbor_id"))
-    val withB = withFixed(vecs).join(lshBuckets(vecs, planes), "vec_id")
-    val q = withB.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("f").as("fa"),
-        col("nrm").as("na"), col("bucket"))
-    val c = withB.select(col("vec_id").as("neighbor_id"), col("f").as("fb"),
-      col("nrm").as("nb"), col("bucket"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
-    val approx = broadcast(q)
-      .join(c, Seq("bucket"))
+    val base = withFixed(vecs)
+    // one row per (vector, table) with that table's bucket id — the
+    // multi-table LSH index (×tables storage, the classic recall trade)
+    val tblBuckets = explode(array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"), bucketCol(s, planes, t).as("bucket"))): _*))
+    val c = base
+      .select(col("vec_id").as("neighbor_id"), tblBuckets.as("tb"))
+      .select(col("neighbor_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val q = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), tblBuckets.as("tb"))
+      .select(col("q_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .select(col("q_id"), col("tbl"),
+        explode(probeBucketsExpr(planes, hamming)).as("bucket"))
+    // distinct BEFORE the cosine: a candidate found by several tables is
+    // scored once; the distinct shuffles bare (q_id, neighbor_id) longs,
+    // never the 64-long embedding arrays
+    val candIds = broadcast(q).join(c, Seq("tbl", "bucket"))
       .where(col("q_id") =!= col("neighbor_id"))
-      .select(col("q_id"), col("neighbor_id"),
-        expr(cosExpr(vecs.sparkSession)).as("cos"))
+      .select("q_id", "neighbor_id").distinct()
+    val qv = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("f").as("fa"), col("nrm").as("na"))
+    val nv = base.select(col("vec_id").as("neighbor_id"),
+      col("f").as("fb"), col("nrm").as("nb"))
+    val cand = candIds
+      .join(broadcast(qv), Seq("q_id"))
+      .join(nv, Seq("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"), expr(cosExpr(s)).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neighbor_id"))
+    // one candidate subtree, two consumers (top-k and the count) — both
+    // partition on q_id, so exchange reuse computes it once at runtime
+    val nCand = cand.groupBy("q_id").agg(count(lit(1)).as("n_cand"))
+    val approx = cand
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
       .select(col("q_id"), col("neighbor_id"))
@@ -159,7 +238,9 @@ object Similarity {
         Seq("q_id", "neighbor_id"), "left_outer")
       .groupBy("q_id")
       .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
-      .select(col("q_id"), col("n_hits"),
+      .join(nCand, Seq("q_id"), "left_outer")
+      .select(col("q_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("n_hits"),
         pround(col("n_hits").cast("double") / k, 6).as("recall"))
   }
 
@@ -192,12 +273,19 @@ object SimilarityQueries {
       |         CAST(list_sum(list_transform(f, x -> x * x)) AS BIGINT) AS nrm
       |  FROM f)""".stripMargin
 
-  /** SQL fragment: the 4-plane sign-LSH bucket id over a fixed-point
-    * column `f` (mirrors Similarity.lshBuckets). */
-  private[operators] val bucketSqlExpr = (0 until 4).map(p =>
-    s"""(CASE WHEN CAST(list_sum(list_transform(range(1, len(f) + 1),
-       |   i -> f[i] * CAST(((i - 1) * 37 + $p * 61) % 19 - 9 AS BIGINT))) AS BIGINT) >= 0
-       |   THEN '1' ELSE '0' END)""".stripMargin).mkString(" || ")
+  /** SQL fragment: the sign-LSH bucket id of table `table` over a
+    * fixed-point column `f` — generated from the SAME
+    * [[Similarity.planeWeights]] literals the Spark plan embeds, so the
+    * two engines agree by construction. */
+  private[operators] def bucketSqlDuck(planes: Int, table: Int): String =
+    Similarity.planeWeights(table, planes).map { w =>
+      s"""(CASE WHEN CAST(list_sum(list_transform(range(1, len(f) + 1),
+         |   i -> f[i] * ([${w.mkString(",")}])[i])) AS BIGINT) >= 0
+         |   THEN '1' ELSE '0' END)""".stripMargin
+    }.mkString(" || ")
+
+  /** The single-table 4-plane bucket id (s2/s3/s6). */
+  private[operators] val bucketSqlExpr = bucketSqlDuck(4, 0)
 
   /** SQL fragment: exact pair cosine between rows a/c of the `n` CTE. */
   private[operators] def pairCosSql(a: String, b: String) =
@@ -266,7 +354,7 @@ object SimilarityQueries {
       doc = "LSH bucket occupancy histogram"),
 
     Q("s6_ann_recall",
-      (s, d) => annRecall(vecs(s, d), 4, 10, 3).orderBy("q_id"),
+      (s, d) => annRecall(vecs(s, d), 4, 10, 3).drop("n_cand").orderBy("q_id"),
       Some(s"""WITH $fixedSqlCte,
               |ex AS (
               |  SELECT q_id, neighbor_id FROM (
@@ -297,6 +385,66 @@ object SimilarityQueries {
               |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin),
       doc = "ANN recall@k: LSH-bucket-restricted top-k vs exact brute force " +
         "per probe query — the approximation-quality monitor"),
+
+    Q("s7_ann_multiprobe",
+      (s, d) => annRecall(vecs(s, d), 5, 10, 3, hamming = 1, tables = 4)
+        .orderBy("q_id"),
+      Some(s"""WITH $fixedSqlCte,
+              |bk AS (
+              |  ${(0 until 4).map(t =>
+                  s"SELECT vec_id, $t AS tbl, ${bucketSqlDuck(5, t)} AS bucket FROM n")
+                  .mkString("\n  UNION ALL\n  ")}),
+              |ex AS (
+              |  SELECT q_id, neighbor_id FROM (
+              |    SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+              |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+              |             ${pairCosSql("a", "b")} DESC, b.vec_id) AS rn
+              |    FROM n a JOIN n b ON b.vec_id <> a.vec_id
+              |    WHERE a.vec_id < 10)
+              |  WHERE rn <= 3),
+              |pr AS (
+              |  SELECT vec_id AS q_id, tbl,
+              |         unnest([bucket] || list_transform(range(1, 6),
+              |           i -> substr(bucket, 1, i - 1)
+              |                || (CASE WHEN substr(bucket, i, 1) = '1'
+              |                    THEN '0' ELSE '1' END)
+              |                || substr(bucket, i + 1, 5 - i))) AS probe
+              |  FROM bk WHERE vec_id < 10),
+              |cand AS (
+              |  SELECT DISTINCT pr.q_id, c.vec_id AS neighbor_id
+              |  FROM pr JOIN bk c
+              |    ON c.tbl = pr.tbl AND c.bucket = pr.probe AND c.vec_id <> pr.q_id),
+              |cd AS (
+              |  SELECT cand.q_id, cand.neighbor_id, ${pairCosSql("a", "b")} AS cos
+              |  FROM cand
+              |  JOIN n a ON a.vec_id = cand.q_id
+              |  JOIN n b ON b.vec_id = cand.neighbor_id),
+              |nc AS (
+              |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand
+              |  FROM cd GROUP BY q_id),
+              |ap AS (
+              |  SELECT q_id, neighbor_id FROM (
+              |    SELECT q_id, neighbor_id,
+              |           row_number() OVER (PARTITION BY q_id
+              |             ORDER BY cos DESC, neighbor_id) AS rn
+              |    FROM cd)
+              |  WHERE rn <= 3),
+              |hits AS (
+              |  SELECT ex.q_id,
+              |         CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+              |  FROM ex LEFT JOIN ap
+              |    ON ex.q_id = ap.q_id AND ex.neighbor_id = ap.neighbor_id
+              |  GROUP BY ex.q_id)
+              |SELECT h.q_id, CAST(COALESCE(nc.n_cand, 0) AS BIGINT) AS n_cand,
+              |       h.n_hits,
+              |       floor(CAST(h.n_hits AS DOUBLE) / 3.0 * 1000000.0 + 0.5) / 1000000.0 AS recall
+              |FROM hits h LEFT JOIN nc ON h.q_id = nc.q_id
+              |ORDER BY h.q_id""".stripMargin),
+      doc = "multi-table multi-probe ANN recall@k: 4 independent plane " +
+        "families unioned, Hamming-1 neighbor buckets probed on the " +
+        "(broadcast) query side — the two recall levers at a measured, " +
+        "tunable candidate fraction (never all-pairs); per-query " +
+        "candidate count is in the result"),
 
     Q("s4_knn_label_vote",
       (s, d) => knnLabelVote(vecs(s, d), 20, 5).orderBy("q_id"),

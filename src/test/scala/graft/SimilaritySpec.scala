@@ -42,15 +42,48 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("ann recall is a valid per-query ratio and deterministic") {
-    val r = Similarity.annRecall(vecs, 4, 10, 3)
+    val r = Similarity.annRecall(vecs, 4, 10, 3).drop("n_cand")
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
     assert(r.length == 10)
     r.foreach { case (q, hits, rec) =>
       assert(hits >= 0 && hits <= 3, s"q$q hits=$hits")
       assert(math.abs(rec - hits / 3.0) < 1e-5, s"q$q recall=$rec hits=$hits")
     }
-    val r2 = Similarity.annRecall(vecs, 4, 10, 3)
+    val r2 = Similarity.annRecall(vecs, 4, 10, 3).drop("n_cand")
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
     assert(r.toSeq == r2.toSeq, "recall measurement must be reproducible")
+  }
+
+  test("multi-probe/multi-table: recall improves monotonically, candidates bounded") {
+    def run(hamming: Int, tables: Int) =
+      Similarity.annRecall(vecs, 5, 10, 3, hamming, tables)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+        .sortBy(_._1)
+    // each step probes a SUPERSET of (table, bucket) cells, so per query
+    // the candidate set only grows — and a larger candidate set can only
+    // move the approximate top-k toward the exact top-k (any candidate
+    // displacing a true hit would itself be a true hit): candidates AND
+    // hits must be pointwise non-decreasing along the ladder
+    val ladder = Seq(run(0, 1), run(1, 1), run(1, 4))
+    ladder.sliding(2).foreach { case Seq(lo, hi) =>
+      lo.zip(hi).foreach { case ((q, c0, h0, _), (q1, c1, h1, _)) =>
+        assert(q === q1)
+        assert(c1 >= c0, s"q$q candidates shrank as probing widened: $c0 -> $c1")
+        assert(h1 >= h0, s"q$q recall dropped as probing widened: $h0 -> $h1")
+      }
+    }
+    // the recall target a single-probe single-table search cannot reach
+    // on this near-orthogonal corpus (true top-3 neighbors sit at cos
+    // ~0.3-0.4, so per-plane sign agreement is only ~0.6): 4 tables x
+    // Hamming-1 probing must deliver mean recall@3 >= 0.8 while the
+    // candidate set stays a measured strict subset of the corpus. On
+    // real embedding corpora (neighbors at cos 0.8+) the same structure
+    // reaches this recall at an exponentially smaller candidate
+    // fraction — the knobs, not the plan shape, change.
+    val full = ladder.last
+    val n = vecs.count()
+    val meanRecall = full.map(_._4).sum / full.length
+    assert(meanRecall >= 0.8, s"multi-probe mean recall@3 = $meanRecall < 0.8")
+    assert(full.forall(_._2 < n), "candidate set must stay a strict subset")
   }
 }
