@@ -8,6 +8,17 @@ Usage:
 For each query in oracle_sql.json: registers every testdata table as a
 DuckDB view, runs the oracle SQL, loads the Spark parquet result, sorts
 columns by name (like the driver), then compares row/schema/values.
+
+Performance-drift mode:
+  python3 tools/check.py --drift <bench.json>
+
+Compares a bench result (the one-line JSON graft.Bench prints, or a
+driver-recorded BENCH_r{N}.json whose truncated "tail" it re-parses)
+against the committed steady-state baseline BENCH_BASELINE.json. A
+query flags when time > 1.5*steady + 0.3s — calibrated on BENCH_r07,
+where it flags exactly the one known anomaly (t6, adjudicated as
+harness noise; see BENCH_BASELINE.json notes). Exit 1 on any flag, so
+a silent perf regression fails the same gate a wrong answer does.
 """
 import sys, os, json, glob
 import duckdb
@@ -55,7 +66,39 @@ def compare(name, spark_df, oracle_df):
                 return f"VALUE mismatch col={c} row={i}: spark={av[i]!r} oracle={bv[i]!r}"
     return None
 
+def drift(bench_path):
+    import re
+    base = json.load(open(os.path.join(os.path.dirname(__file__), "..",
+                                       "BENCH_BASELINE.json")))
+    raw = json.load(open(bench_path))
+    if "queries" in raw and isinstance(raw["queries"], dict):
+        times = raw["queries"]
+    else:  # driver-recorded wrapper: re-parse the (possibly truncated) tail
+        meta = {"value", "runs_per_query", "sf", "n", "rc", "cpus"}
+        times = {m.group(1): float(m.group(2)) for m in
+                 re.finditer(r'"([a-z0-9_]+)":([0-9.]+)', raw.get("tail", ""))
+                 if m.group(1) not in meta}
+    steady = base["queries"]
+    flags, unknown = [], []
+    for q, t in sorted(times.items()):
+        if q not in steady:
+            unknown.append(q)
+            continue
+        limit = 1.5 * steady[q] + 0.3
+        if t > limit:
+            flags.append((q, t, steady[q], limit))
+    for q, t, s, lim in flags:
+        print(f"[DRIFT] {q}: {t:.2f}s vs steady {s:.2f}s (limit {lim:.2f}s)")
+    if unknown:
+        print(f"[warn] no baseline for: {unknown} — re-run the ProfileQuery "
+              f"sweep and refresh BENCH_BASELINE.json")
+    print(f"\n{len(times)} compared, {len(flags)} drift flag(s)")
+    sys.exit(1 if flags else 0)
+
 def main():
+    if sys.argv[1] == "--drift":
+        drift(sys.argv[2])
+        return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
