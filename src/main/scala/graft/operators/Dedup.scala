@@ -31,7 +31,9 @@ object Dedup {
     * by Spark's SQL parser, whose single-quoted literals process
     * backslash escapes ('\f' collapses to 'f', silently making f a
     * delimiter!) — hence the doubled backslashes. */
-  val tokensExpr = "filter(split(text, '[ \\\\t\\\\n\\\\r\\\\f]+'), x -> x != '')"
+  def tokensExprOn(c: String): String =
+    s"filter(split($c, '[ \\\\t\\\\n\\\\r\\\\f]+'), x -> x != '')"
+  val tokensExpr: String = tokensExprOn("text")
 
   /** 3-word shingles over a materialized `toks` column, 1-based positions
     * (matches DuckDB list indexing). The tokenizer regex runs ONCE per row

@@ -4,43 +4,103 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
+import graft.functions.Parity.pround
 
 /** End-to-end training-data pipeline composition — the proof that the
   * operator library COMPOSES: one declarative plan that deduplicates,
   * quality-filters, splits, and summarizes a corpus, exactly the chain a
   * data-curation job runs nightly:
   *
-  *   normalize → exact-dedup survivors → minimum-quality filter
-  *   (token count) → deterministic train/val/test split → per-(split,
-  *   lang) census with token budgets.
+  *   normalize → exact-dedup survivors → quality bar (token count) ∧
+  *   repetition bar (Gopher-style TTR + top-bigram, as in t8) ∧
+  *   OOV bar (corpus-top-k vocabulary coverage, as in t9) →
+  *   deterministic train/val/test split → per-(split, lang) census.
   *
   * Everything stays in ONE lazy plan: Catalyst sees the whole chain, so
-  * the tokenizer runs once per row, the dedup groupBy and the census
-  * reuse the same scan, and filters sink as far down as semantics allow.
-  * At 100 TB each stage is the already-audited operator shape (hash
-  * groupBy dedup, map-only filters and split assignment, reduced final
-  * aggregate) — composing them adds no new shuffle beyond the dedup and
-  * the census.
+  * the tokenizer runs once per UNIQUE normalized text (after the dedup
+  * groupBy — duplicates never pay for metrics), the token stream has a
+  * single Generate feeding both the vocabulary build and the OOV join,
+  * and filters sink as far down as semantics allow. At 100 TB each
+  * stage is the already-audited operator shape (hash groupBy dedup,
+  * array-arithmetic metrics in the scan stage, two-level map-side-
+  * combinable top-bigram aggregate, broadcast vocab join, reduced final
+  * aggregate) — composing them adds no new shuffle class beyond the
+  * dedup, the metric joins on doc_id, and the census.
   */
 object Pipeline {
 
   import Dedup.md5Long56
 
-  /** The curation chain over `docs`; survivors = min doc_id per
-    * normalized text, quality bar = at least `minTokens` tokens. */
-  def curate(docs: DataFrame, minTokens: Int): DataFrame = {
-    val survivors = docs
-      .select(col("doc_id"), col("lang"),
-        Dedup.normText(col("text")).as("norm"),
-        expr(s"cast(size(${Dedup.tokensExpr}) as bigint)").as("n_toks"))
+  /** Per-survivor metric rows: one row per unique normalized text that
+    * passes every bar, carrying the metrics the bars were judged on.
+    * Split out from [[curate]] so tests (and users) can audit WHAT was
+    * kept, not just the census counts. Thresholds: minTtr/maxTopBigram
+    * default to t8's Gopher cut; maxOov bounds the t9-style OOV rate
+    * against the corpus's own top-`vocabK` vocabulary. */
+  def curateSurvivors(docs: DataFrame, minTokens: Int, vocabK: Int = 25,
+                      maxOov: Double = 0.2, minTtr: Double = 0.2,
+                      maxTopBigram: Double = 0.18): DataFrame = {
+    // dedup FIRST: metrics run once per unique normalized text, over the
+    // canonical (lowercased, whitespace-collapsed) token stream
+    val surv = docs
+      .select(col("doc_id"), col("lang"), Dedup.normText(col("text")).as("norm"))
+      // min, not first: copies could disagree on lang/doc_id, and
+      // first() is partition-order-dependent
       .groupBy("norm")
-      // min, not first: copies could disagree on lang, and first() is
-      // partition-order-dependent
-      .agg(min(col("doc_id")).as("doc_id"),
-        min(col("lang")).as("lang"), min(col("n_toks")).as("n_toks"),
+      .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"),
         count(lit(1)).as("n_copies"))
-      .where(col("n_toks") >= minTokens)
-    survivors
+      .select(col("doc_id"), col("lang"), col("n_copies"),
+        expr(Dedup.tokensExprOn("norm")).as("toks"))
+    // TTR is pure array arithmetic — no explode, evaluated in-stage
+    val base = surv.select(col("doc_id"), col("lang"), col("n_copies"),
+      col("toks"),
+      size(col("toks")).cast("long").as("n_toks"),
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+    // top-bigram mode: explode + two-level map-side-combinable aggregate
+    val bigramsFromToks =
+      """CASE WHEN size(toks) >= 2
+        | THEN transform(sequence(1, size(toks) - 1),
+        |        i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))
+        | ELSE array() END""".stripMargin
+    val topBg = base
+      .select(col("doc_id"), explode(expr(bigramsFromToks)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(max(col("n")).as("max_bg"))
+    // OOV: ONE Generate over toks feeds both the vocabulary reduction
+    // and the per-doc coverage join (broadcast vocab — top-k via
+    // TakeOrderedAndProject, never a global sort)
+    val tokStream = base.select(col("doc_id"), explode(col("toks")).as("w"))
+    val vocab = tokStream.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(vocabK)
+      .select(col("w"), lit(1L).as("iv"))
+    val oov = tokStream.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+    base
+      .join(topBg, Seq("doc_id"), "left")
+      .join(oov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_copies"), col("n_toks"),
+        pround(when(col("n_toks") > 0,
+          col("n_distinct").cast("double") / col("n_toks").cast("double"))
+          .otherwise(0.0), 6).as("ttr"),
+        pround(coalesce(col("max_bg"), lit(0L)).cast("double") /
+          greatest(col("n_toks") - 1, lit(1L)).cast("double"), 6)
+          .as("top_bigram_frac"),
+        pround(coalesce(col("n_oov"), lit(0L)).cast("double") /
+          greatest(col("n_toks"), lit(1L)).cast("double"), 6)
+          .as("oov_ratio"))
+      .where(col("n_toks") >= minTokens &&
+        col("ttr") >= minTtr && col("top_bigram_frac") <= maxTopBigram &&
+        col("oov_ratio") <= maxOov)
+  }
+
+  /** The full curation chain over `docs`: survivors of every bar,
+    * hash-split deterministically, reduced to the per-(split, lang)
+    * census with token budgets. */
+  def curate(docs: DataFrame, minTokens: Int, vocabK: Int = 25,
+             maxOov: Double = 0.2, minTtr: Double = 0.2,
+             maxTopBigram: Double = 0.18): DataFrame =
+    curateSurvivors(docs, minTokens, vocabK, maxOov, minTtr, maxTopBigram)
       .withColumn("split",
         when(expr(s"${md5Long56("cast(doc_id as string)")} % 10") < 8, lit("train"))
           .when(expr(s"${md5Long56("cast(doc_id as string)")} % 10") === 8, lit("val"))
@@ -49,14 +109,13 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("tok_sum"),
         sum(col("n_copies") - 1L).as("dups_removed"))
-  }
 }
 
 object PipelineQueries {
   import Pipeline._
 
-  private val toksSql =
-    "list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '')"
+  private val normToksSql =
+    "list_filter(string_split_regex(norm, '[ \t\n\r\f]+'), x -> x <> '')"
   private val pctSql =
     "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 10"
 
@@ -65,14 +124,48 @@ object PipelineQueries {
       (s, d) => curate(Tables.documents(s, d), 20).orderBy("split", "lang"),
       Some(s"""WITH n AS (
               |  SELECT doc_id, lang,
-              |         lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))) AS norm,
-              |         CAST(len($toksSql) AS BIGINT) AS n_toks
+              |         lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))) AS norm
               |  FROM documents),
               |surv AS (
-              |  SELECT min(doc_id) AS doc_id, min(lang) AS lang,
-              |         min(n_toks) AS n_toks, count(*) AS n_copies
+              |  SELECT min(doc_id) AS doc_id, min(lang) AS lang, norm,
+              |         count(*) AS n_copies
               |  FROM n GROUP BY norm),
-              |q AS (SELECT * FROM surv WHERE n_toks >= 20),
+              |t AS (
+              |  SELECT doc_id, lang, n_copies, $normToksSql AS t FROM surv),
+              |arr AS (
+              |  SELECT doc_id, lang, n_copies, t,
+              |         CAST(len(t) AS BIGINT) AS n_toks,
+              |         floor((CASE WHEN len(t) > 0
+              |                THEN CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+              |                ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS ttr
+              |  FROM t),
+              |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+              |         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+              |         ELSE CAST([] AS VARCHAR[]) END) AS bg FROM t),
+              |mbg AS (SELECT doc_id, max(n) AS max_bg FROM
+              |          (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY doc_id, bg)
+              |        GROUP BY doc_id),
+              |tok AS (SELECT doc_id, unnest(t) AS w FROM t),
+              |vocab AS (SELECT w FROM
+              |            (SELECT w, count(*) AS n FROM tok GROUP BY w)
+              |          ORDER BY n DESC, w LIMIT 25),
+              |oov AS (SELECT doc_id,
+              |               CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+              |        FROM tok LEFT JOIN vocab ON tok.w = vocab.w
+              |        GROUP BY doc_id),
+              |m AS (
+              |  SELECT arr.doc_id, lang, n_copies, n_toks, ttr,
+              |         floor(CAST(coalesce(max_bg, 0) AS DOUBLE) /
+              |               CAST(greatest(n_toks - 1, 1) AS DOUBLE)
+              |               * 1000000.0 + 0.5) / 1000000.0 AS top_bigram_frac,
+              |         floor(CAST(coalesce(n_oov, 0) AS DOUBLE) /
+              |               CAST(greatest(n_toks, 1) AS DOUBLE)
+              |               * 1000000.0 + 0.5) / 1000000.0 AS oov_ratio
+              |  FROM arr LEFT JOIN mbg ON arr.doc_id = mbg.doc_id
+              |           LEFT JOIN oov ON arr.doc_id = oov.doc_id),
+              |q AS (SELECT * FROM m
+              |      WHERE n_toks >= 20 AND ttr >= 0.2
+              |        AND top_bigram_frac <= 0.18 AND oov_ratio <= 0.2),
               |sp AS (
               |  SELECT CASE WHEN $pctSql < 8 THEN 'train'
               |              WHEN $pctSql = 8 THEN 'val'
@@ -84,6 +177,7 @@ object PipelineQueries {
               |       CAST(sum(n_copies - 1) AS BIGINT) AS dups_removed
               |FROM sp GROUP BY split, lang ORDER BY split, lang""".stripMargin),
       doc = "end-to-end curation pipeline in ONE plan: normalize -> dedup " +
-        "survivors -> quality filter -> hash split -> per-split census"),
+        "survivors -> quality bar AND Gopher repetition bar (t8) AND OOV " +
+        "bar (t9) -> hash split -> per-split census"),
   )
 }

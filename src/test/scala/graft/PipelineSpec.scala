@@ -5,19 +5,22 @@ import org.apache.spark.sql.functions._
 import operators.{Dedup, Pipeline}
 
 class PipelineSpec extends SparkSpec {
+  import spark.implicits._
 
   test("census conserves rows: kept groups' docs = survivors + removed dups") {
     val docs = Tables.documents(spark, sf("sf0.01"))
     val result = Pipeline.curate(docs, 20)
     val got = result.agg(
       sum("n_docs").as("n"), sum("dups_removed").as("d")).collect().head
-    // independent recomputation of the kept groups' total membership
+    // independent recomputation of the kept groups' total membership:
+    // group sizes per norm joined against the survivor detail rows (which
+    // carry every bar's verdict) — census totals must match exactly
+    val kept = Pipeline.curateSurvivors(docs, 20)
+      .select("doc_id").as[Long].collect().toSet
     val expected = docs
-      .select(Dedup.normText(col("text")).as("norm"),
-        expr(s"cast(size(${Dedup.tokensExpr}) as bigint)").as("n_toks"))
-      .groupBy("norm")
-      .agg(count(lit(1)).as("sz"), min("n_toks").as("nt"))
-      .where(col("nt") >= 20)
+      .select(col("doc_id"), Dedup.normText(col("text")).as("norm"))
+      .groupBy("norm").agg(min("doc_id").as("doc_id"), count(lit(1)).as("sz"))
+      .where(col("doc_id").isin(kept.toSeq: _*))
       .agg(sum("sz")).collect().head.getLong(0)
     assert(got.getLong(0) + got.getLong(1) == expected,
       s"survivors ${got.getLong(0)} + dups ${got.getLong(1)} != members $expected")
@@ -27,10 +30,38 @@ class PipelineSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf("sf0.001"))
     // with an impossible bar the census must be empty
     assert(Pipeline.curate(docs, 1000000).count() == 0)
-    // with no bar, every doc lands in exactly one split/lang cell
-    val all = Pipeline.curate(docs, 0)
+    // with every bar disabled, each doc lands in exactly one split/lang cell
+    val all = Pipeline.curate(docs, 0, maxOov = 1.0, minTtr = 0.0,
+      maxTopBigram = 1.0)
     val covered = all.agg(sum("n_docs") + sum("dups_removed"))
       .collect().head.getLong(0)
     assert(covered == docs.count())
+  }
+
+  test("repetition bar bites: a degenerate spam doc is dropped, clean kept") {
+    // 30 tokens of one word: ttr = 1/30, top bigram frac = 1.0 — both
+    // sides of the Gopher cut fail; the varied doc passes every bar
+    val clean = (1 to 30).map(i => s"w$i").mkString(" ")
+    val spam = Seq.fill(30)("spam").mkString(" ")
+    val docs = Seq((1L, "en", clean), (2L, "en", spam))
+      .toDF("doc_id", "lang", "text")
+    val kept = Pipeline.curateSurvivors(docs, 20, vocabK = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+  }
+
+  test("OOV bar bites: a doc outside the corpus vocabulary is dropped") {
+    // 40 common-word docs define the top-5 vocabulary; the outlier's
+    // tokens are all unseen -> oov_ratio 1.0 > 0.2 -> dropped. Its own
+    // rare words can't enter the vocab: each appears once vs 40x.
+    val common = (1 to 40).map(i =>
+      (i.toLong, "en", Seq.tabulate(25)(j => s"c${j % 5}").mkString(" ")))
+    val outlier = (99L, "en", (1 to 25).map(j => s"rare$j").mkString(" "))
+    val docs = (common :+ outlier).toDF("doc_id", "lang", "text")
+    val kept = Pipeline.curateSurvivors(docs, 20, vocabK = 5,
+      minTtr = 0.0, maxTopBigram = 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(99L), "all-OOV outlier must fail the OOV bar")
+    assert(kept.nonEmpty, "common docs must pass the OOV bar")
   }
 }

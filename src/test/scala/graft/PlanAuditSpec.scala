@@ -136,6 +136,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!q15.toLowerCase.contains("decimal(28,4)"))
   }
 
+  test("e1: composed pipeline keeps the scale shapes of its parts") {
+    val p = plan("e1_pipeline")
+    // t9's vocab top-k must stay TakeOrderedAndProject (never a global
+    // sort) and reach the token stream via broadcast; nothing in the
+    // composition may degrade to a nested-loop join
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("x1: hash sample filter evaluates next to the scan, no shuffle") {
     val p = operators.Sampling
       .hashSample(Tables.documents(spark, sf("sf0.001")), 10)
