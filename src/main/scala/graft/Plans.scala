@@ -76,12 +76,24 @@ object Plans {
       ("Lloyd step: centroids arrive broadcast (k·d longs), assignment " +
         "is map-only, and the centroid update shuffles only k×d partial " +
         "sums per partition (posexplode feeds a partial HashAggregate)."),
+    "q15_top_supplier" ->
+      ("Top-by-max without a global rank window: the per-supplier " +
+        "revenue aggregates with a LONG partial_sum, the 1-row maximum " +
+        "arrives via a broadcast equality join — no Window operator, no " +
+        "single-reducer sort anywhere."),
+    "s7_ann_multiprobe" ->
+      ("Multi-table multi-probe sign-LSH recall monitor: bucket bits " +
+        "are literal-weight fp_dot signs in the scan projection, the " +
+        "probe fan-out lives on the broadcast (tiny) query side, " +
+        "candidates dedup as bare id pairs BEFORE any embedding array " +
+        "is rejoined."),
     "e1_pipeline" ->
-      ("Composed curation chain (normalize → dedup → quality filter → " +
-        "split → census) in one plan: a single parquet scan feeds the " +
-        "whole pipeline, the tokenizer is evaluated once in the scan " +
-        "projection, and only the dedup groupBy, the census groupBy, " +
-        "and the oracle-determinism orderBy exchange data."),
+      ("Composed curation chain (normalize → dedup → quality ∧ " +
+        "repetition ∧ OOV bars → split → census) in one plan: a single " +
+        "parquet scan feeds the whole pipeline, metrics are computed " +
+        "once per unique normalized text after the dedup groupBy, the " +
+        "vocab top-k is TakeOrderedAndProject arriving broadcast, and " +
+        "the census groupBy reduces everything at the end."),
   )
 
   def main(args: Array[String]): Unit = {
@@ -99,6 +111,23 @@ object Plans {
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(mode)
       s"## $name\n\n$note\n\n```\n${plan.trim}\n```\n"
+    } :+ {
+      // y4's public entry is EAGER (viaSharedScan checkpoints the shared
+      // shingle scan), so its registered plan is a checkpoint scan; the
+      // auditable core is the lazy prefixJoin over a distinct shingle
+      // table — dumped here directly
+      val ss = operators.Dedup
+        .shingleHashRows(Tables.documents(spark, sfDir)).distinct()
+      val df = operators.SimilarityJoin.prefixJoin(ss, 0.5)
+      val note = "y4's lazy core (the registered query wraps it in an " +
+        "eager shared-scan checkpoint): document frequency is a map-side-" +
+        "combinable groupBy joined back — never a Window over sh_h, so a " +
+        "hot stopword-shingle key is AQE-splittable; the only Window " +
+        "partition key is doc_id (bounded by document length); prefix + " +
+        "size + positional filters cut candidates before the exact " +
+        "array_intersect verify."
+      val plan = df.queryExecution.explainString(mode)
+      s"## y4_jaccard_threshold (prefixJoin, lazy core)\n\n$note\n\n```\n${plan.trim}\n```\n"
     }
     val header =
       s"""# PLANS — physical plans of the headline queries
