@@ -315,29 +315,35 @@ object Dedup {
         .otherwise(0L)).as("simhash"))
 
   /** G4: n-gram Jaccard over distinct 3-shingles, computed with an
-    * inverted-index join (pairs sharing >= 1 shingle only). */
+    * inverted-index join (pairs sharing >= 1 shingle only).
+    * EAGER: the distinct shingle set feeds three consumers (sizes + both
+    * join sides), so it is computed once via viaSharedScan — building
+    * this DataFrame runs the job. The lazy core is
+    * [[ngramJaccardJoin]], kept separate so its plan stays auditable
+    * (same discipline as SimilarityJoin.prefixJoin). */
   def ngramJaccardTop(docs: DataFrame, k: Int): DataFrame =
-    // distinct shingle set feeds three consumers (sizes + both join
-    // sides) — computed once via viaSharedScan; per-doc sizes are small
-    // → broadcast.
-    viaSharedScan(shingleHashRows(docs).distinct()) { shingleSet =>
-      val sizes = shingleSet.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = shingleSet.as("x").join(shingleSet.as("y"),
-          col("x.sh_h") === col("y.sh_h") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
-          .withColumnRenamed("n", "na")), "doc_a")
-        .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
-          .withColumnRenamed("n", "nb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          (col("inter").cast("double") /
-            (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
-        .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
-        .limit(k)
-        .select(col("doc_a"), col("doc_b"), pround(col("jac"), 6).as("jaccard"))
-    }
+    viaSharedScan(shingleHashRows(docs).distinct())(ngramJaccardJoin(_, k))
+
+  /** The lazy inverted-index Jaccard join over a distinct (doc_id, sh_h)
+    * shingle table; per-doc sizes are small → broadcast. */
+  private[graft] def ngramJaccardJoin(shingleSet: DataFrame, k: Int): DataFrame = {
+    val sizes = shingleSet.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = shingleSet.as("x").join(shingleSet.as("y"),
+        col("x.sh_h") === col("y.sh_h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
+      .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
+      .limit(k)
+      .select(col("doc_a"), col("doc_b"), pround(col("jac"), 6).as("jaccard"))
+  }
 }
 
 object DedupQueries {

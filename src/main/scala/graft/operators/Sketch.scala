@@ -28,7 +28,7 @@ object Sketch {
   private def pos(row: Int, width: Int): String =
     s"(${Dedup.affinePerm(row, "h")}) % $width"
 
-  private def tokenCounts(docs: DataFrame): DataFrame =
+  private[graft] def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(explode(expr(Dedup.tokensExpr)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .withColumn("h", expr(Dedup.md5Long56("word")))
@@ -53,13 +53,19 @@ object Sketch {
     * both the sketch (whose broadcast side exchange reuse cannot dedup)
     * and the estimate join, so it is computed once via viaSharedScan. */
   def cmsWordCounts(docs: DataFrame, depth: Int, width: Int): DataFrame =
-    Dedup.viaSharedScan(tokenCounts(docs)) { counts =>
-      val p = positioned(counts, depth, width)
-      val sketch = p.groupBy("row", "pos").agg(sum(col("n")).as("bucket_n"))
-      p.join(broadcast(sketch), Seq("row", "pos"))
-        .groupBy("word", "n")
-        .agg(min(col("bucket_n")).as("cms_est"))
-    }
+    Dedup.viaSharedScan(tokenCounts(docs))(cmsEstimateJoin(_, depth, width))
+
+  /** The lazy estimate join over a (word, n, h) token-count table —
+    * split out so its plan stays auditable (the public entry wraps it
+    * in an eager checkpoint; same discipline as prefixJoin). */
+  private[graft] def cmsEstimateJoin(counts: DataFrame, depth: Int,
+                                     width: Int): DataFrame = {
+    val p = positioned(counts, depth, width)
+    val sketch = p.groupBy("row", "pos").agg(sum(col("n")).as("bucket_n"))
+    p.join(broadcast(sketch), Seq("row", "pos"))
+      .groupBy("word", "n")
+      .agg(min(col("bucket_n")).as("cms_est"))
+  }
 }
 
 object SketchQueries {

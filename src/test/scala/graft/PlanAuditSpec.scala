@@ -146,6 +146,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("g4/g7: lazy cores (wrapped eagerly in the public API) keep their shapes") {
+    // the registered queries checkpoint their shared input, so the
+    // auditable plans are the split-out lazy joins
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val ss = operators.Dedup.shingleHashRows(docs).distinct()
+    val g4 = operators.Dedup.ngramJaccardJoin(ss, 10)
+      .queryExecution.executedPlan.toString
+    assert(g4.contains("TakeOrderedAndProject"), g4.take(800))
+    assert(g4.contains("BroadcastHashJoin"))
+    assert(!g4.contains("CartesianProduct") && !g4.contains("BroadcastNestedLoopJoin"))
+    val g7 = operators.Sketch.cmsEstimateJoin(
+        operators.Sketch.tokenCounts(docs), 4, 64)
+      .queryExecution.executedPlan.toString
+    assert(g7.contains("BroadcastHashJoin"), g7.take(800))
+    assert(g7.contains("partial_sum") || g7.contains("partial_min"))
+    assert(!g7.contains("CartesianProduct"))
+  }
+
   test("x1: hash sample filter evaluates next to the scan, no shuffle") {
     val p = operators.Sampling
       .hashSample(Tables.documents(spark, sf("sf0.001")), 10)
