@@ -36,7 +36,16 @@ object Pipeline {
     * Split out from [[curate]] so tests (and users) can audit WHAT was
     * kept, not just the census counts. Thresholds: minTtr/maxTopBigram
     * default to t8's Gopher cut; maxOov bounds the t9-style OOV rate
-    * against the corpus's own top-`vocabK` vocabulary. */
+    * against the corpus's own top-`vocabK` vocabulary.
+    *
+    * Why the bars are explode+aggregate branches and NOT per-doc array
+    * arithmetic (`aggregate`/`filter` lambdas over toks): measured in
+    * round 8, the lambda version ran 6× SLOWER (1.8 s → 11.2 s at
+    * sf0.1) — higher-order functions evaluate interpreted (no codegen),
+    * and the bar expressions get duplicated into both the survivor
+    * Filter and the output Project, so every doc pays the interpreted
+    * fold twice. The explode branches stay inside whole-stage codegen
+    * and their exchanges are reused across consumers. */
   def curateSurvivors(docs: DataFrame, minTokens: Int, vocabK: Int = 25,
                       maxOov: Double = 0.2, minTtr: Double = 0.2,
                       maxTopBigram: Double = 0.18): DataFrame = {
