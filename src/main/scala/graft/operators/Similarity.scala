@@ -142,7 +142,14 @@ object Similarity {
     * centroids (and the broadcast cross product) grew linearly with the
     * data, making assignment quadratic overall. The 20× ScaleDemo sweep
     * surfaced it as an 81× wall-time blowup. */
-  def ivfAssign(vecs: DataFrame, nCents: Int): DataFrame = {
+  def ivfAssign(vecs: DataFrame, nCents: Int): DataFrame =
+    assignFixed(vecs, nCents).select(col("vec_id"), col("centroid_id"))
+
+  /** The shared coarse-assignment kernel behind [[ivfAssign]] and
+    * [[semDedup]]: every vector to its max-cosine centroid (ties →
+    * smaller centroid id), CARRYING the fixed-point vector and norm so
+    * a downstream in-cluster kernel doesn't recompute them. */
+  private def assignFixed(vecs: DataFrame, nCents: Int): DataFrame = {
     val base = withFixed(vecs)
     val cents = base.orderBy("vec_id").limit(nCents)
       .select(col("vec_id").as("centroid_id"), col("f").as("fb"),
@@ -151,11 +158,43 @@ object Similarity {
       .orderBy(col("cos").desc, col("centroid_id"))
     base.select(col("vec_id"), col("f").as("fa"), col("nrm").as("na"))
       .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("centroid_id"),
+      .select(col("vec_id"), col("centroid_id"), col("fa"), col("na"),
         expr(cosExpr(vecs.sparkSession)).as("cos"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"),
+        col("fa").as("f"), col("na").as("nrm"))
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster by coarse quantization, then inside each cluster drop every
+    * vector that has an EARLIER (smaller vec_id) cluster-mate with
+    * cosine >= `minCos`. The keep-rule is declarative — "no earlier
+    * neighbor above threshold" — hence order-independent and
+    * reproducible across engines, unlike the greedy chain variant whose
+    * result depends on scan order (an already-dropped earlier vector
+    * still disqualifies its later neighbors here, so this drops a
+    * superset of the greedy rule's victims).
+    *
+    * 100 TB: the centroid count is the scale knob, exactly like an LSH
+    * bucket count — the within-cluster self-join keys on centroid_id
+    * (never all-pairs), AQE splits skewed clusters, and the dropped-id
+    * set joins back by vec_id as a plain hash join (NOT broadcast: the
+    * dropped fraction is unbounded, routinely ~50% on web crawl). */
+  def semDedup(vecs: DataFrame, nCents: Int, minCos: Double): DataFrame = {
+    val s = vecs.sparkSession
+    val assigned = assignFixed(vecs, nCents)
+    val a = assigned.select(col("centroid_id"), col("vec_id").as("id_a"),
+      col("f").as("fa"), col("nrm").as("na"))
+    val b = assigned.select(col("centroid_id"), col("vec_id").as("id_b"),
+      col("f").as("fb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("centroid_id"))
+      .where(col("id_a") < col("id_b") && expr(cosExpr(s)) >= minCos)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("centroid_id"))
+      .join(dropped.withColumn("__drop", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        when(col("__drop").isNull, 1L).otherwise(0L).as("kept"))
   }
 
   /** Probe set for a query's `bucket` string: the bucket itself plus —
@@ -471,5 +510,37 @@ object SimilarityQueries {
               |SELECT q_id, label AS pred_label, votes FROM rk
               |WHERE rk = 1 ORDER BY q_id""".stripMargin),
       doc = "k-NN majority-label vote over cosine top-k"),
+
+    Q("g10_semdedup",
+      (s, d) => semDedup(vecs(s, d), 6, 0.40).orderBy("vec_id"),
+      Some(s"""WITH $fixedSqlCte,
+              |cents AS (
+              |  SELECT vec_id AS centroid_id, f, nrm FROM n
+              |  ORDER BY vec_id LIMIT 6),
+              |p AS (
+              |  SELECT n.vec_id, c.centroid_id,
+              |         ${pairCosSql("n", "c")} AS cos
+              |  FROM n, cents c),
+              |r AS (
+              |  SELECT vec_id, centroid_id,
+              |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+              |  FROM p),
+              |asg AS (
+              |  SELECT r.vec_id, r.centroid_id, n.f, n.nrm
+              |  FROM r JOIN n ON n.vec_id = r.vec_id WHERE rn = 1),
+              |pr AS (
+              |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+              |         ${pairCosSql("a", "b")} AS cos
+              |  FROM asg a JOIN asg b
+              |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+              |drp AS (SELECT DISTINCT ib AS vec_id FROM pr WHERE cos >= 0.40)
+              |SELECT asg.vec_id, asg.centroid_id,
+              |       CAST(CASE WHEN drp.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+              |FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id
+              |ORDER BY asg.vec_id""".stripMargin),
+      doc = "G2+ SemDeDup-style semantic dedup: coarse-quantized clusters, " +
+        "in-cluster cosine prune keeping the earliest vector. minCos=0.40 " +
+        "is calibrated to the synthetic corpus (max in-cluster pair cosine " +
+        "0.513, 21/500 dropped at sf0.01); real embeddings use ~0.95+"),
   )
 }

@@ -86,4 +86,32 @@ class SimilaritySpec extends SparkSpec {
     assert(meanRecall >= 0.8, s"multi-probe mean recall@3 = $meanRecall < 0.8")
     assert(full.forall(_._2 < n), "candidate set must stay a strict subset")
   }
+
+  test("semdedup: threshold above max cosine keeps everything") {
+    val out = Similarity.semDedup(vecs, 4, 0.999999)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length === vecs.count())
+    assert(out.forall(_._3 == 1L), "nothing should be dropped at cos>=0.999999")
+  }
+
+  test("semdedup: an exact duplicate vector is dropped, the earliest copy kept") {
+    // clone vec 0 under a LARGER id: same direction -> cosine 1 with its
+    // twin, same cluster by construction
+    val twin = vecs.where(col("vec_id") === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    val out = Similarity.semDedup(vecs.union(twin), 4, 0.95)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(0L) === 1L, "the earliest copy must survive")
+    assert(out(100000L) === 0L, "the later exact duplicate must be dropped")
+  }
+
+  test("semdedup: lowering the threshold only ever drops MORE") {
+    val keptAt = (t: Double) => Similarity.semDedup(vecs, 4, t)
+      .where(col("kept") === 1).as[(Long, Long, Long)].collect()
+      .map(_._1).toSet
+    val loose = keptAt(0.45)
+    val tight = keptAt(0.30)
+    assert(tight.subsetOf(loose),
+      s"kept@0.30 must be a subset of kept@0.45; extra = ${tight -- loose}")
+  }
 }
