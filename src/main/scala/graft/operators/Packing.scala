@@ -64,6 +64,32 @@ object Packing {
           s"least($size, n - chunk_id * $stride)), ' ')").as("chunk_text"))
   }
 
+  /** y6: chunk-level exact dedup census — the C4/RefinedWeb-style pass
+    * that dedups at sub-document granularity. A chunk's canonical copy
+    * lives in the smallest doc_id containing that exact token window;
+    * per doc: how many of its chunks are canonical vs duplicated
+    * (within-doc repeats count as duplicates too — the same window
+    * appearing twice in one doc is still one canonical chunk).
+    *
+    * Scale: the dedup groupBy keys on the chunk's 128-bit md5 digest,
+    * not the raw text — bounded shuffle width regardless of chunk size
+    * (56-bit prefixes would birthday-collide at 10^12 chunks, so the
+    * full digest it is). Both aggregations are map-side combinable and
+    * the final join is per-DOC, never per-chunk. */
+  def chunkDedup(docs: DataFrame, size: Int, stride: Int): DataFrame = {
+    val ch = chunkWindows(docs, size, stride)
+      .select(col("doc_id"), md5(col("chunk_text")).as("h"))
+    val totals = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val kept = ch.groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
+    totals.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        graft.functions.Parity.pround(
+          lit(1.0) - coalesce(col("n_kept"), lit(0L)).cast("double") /
+            col("n_chunks").cast("double"), 6).as("chunk_dup_rate"))
+  }
+
   private def size_(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.size(c).cast("long")
 }
@@ -108,5 +134,32 @@ object PackingQueries {
               |FROM e ORDER BY doc_id, chunk_id""".stripMargin),
       doc = "overlapping context-window chunking (size 32, stride 24) — " +
         "map+explode only, no shuffle"),
+
+    Q("y6_chunk_dedup",
+      (s, d) => chunkDedup(docs(s, d), 3, 3).orderBy("doc_id"),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, $toksSql AS toks, CAST(len($toksSql) AS BIGINT) AS n
+              |  FROM documents),
+              |e AS (
+              |  SELECT doc_id, toks, n,
+              |         unnest(range(0, greatest((n - 3 + 2) // 3, 0) + 1)) AS chunk_id
+              |  FROM t WHERE n > 0),
+              |c AS (
+              |  SELECT doc_id, md5(array_to_string(list_slice(toks, chunk_id * 3 + 1,
+              |           chunk_id * 3 + least(3, n - chunk_id * 3)), ' ')) AS h
+              |  FROM e),
+              |tot AS (SELECT doc_id, count(*) AS n_chunks FROM c GROUP BY doc_id),
+              |canon AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY h),
+              |kept AS (SELECT doc_id, count(*) AS n_kept FROM canon GROUP BY doc_id)
+              |SELECT tot.doc_id, tot.n_chunks,
+              |       CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept,
+              |       floor((1.0 - CAST(COALESCE(kept.n_kept, 0) AS DOUBLE)
+              |              / CAST(tot.n_chunks AS DOUBLE)) * 1000000.0 + 0.5)
+              |         / 1000000.0 AS chunk_dup_rate
+              |FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
+              |ORDER BY tot.doc_id""".stripMargin),
+      doc = "chunk-level exact dedup census (3-token windows): canonical " +
+        "copy = smallest doc_id holding the window; dedup groupBy keys on " +
+        "the full md5 digest, final join is per-doc"),
   )
 }

@@ -166,6 +166,51 @@ object TextAnalysis {
           .as("oov_ratio"))
   }
 
+  /** t10: Zipf slope of the corpus rank–frequency law, fit by weighted
+    * least squares over FREQUENCY LEVELS with tie-midpoint ranks.
+    *
+    * Per-type ranks would need either a global vocabulary sort (the
+    * q15 scale-killer shape) or a per-tie window whose hapax partition
+    * holds most of the vocabulary (skew). Instead: group types by
+    * frequency — the level table is tiny (O(√N) distinct counts under
+    * Zipf) — running-sum it for each level's rank base, give every type
+    * in a level the tie-midpoint rank base+(cnt+1)/2 (the Spearman
+    * mid-rank convention), and fit ln(freq) = a + s·ln(midrank)
+    * weighted by level size. Everything after the token count runs on
+    * the level table; the only unpartitioned Window is over those few
+    * rows, which is exactly where a global window is legitimate. */
+  def zipfFit(docs: DataFrame): DataFrame = {
+    val freq = docs.select(explode(expr(tokensExpr)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val levels = freq.groupBy("f").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("f").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val xy = levels
+      .withColumn("base", sum(col("cnt")).over(w) - col("cnt"))
+      .select(col("cnt").cast("double").as("wt"),
+        (col("f") * col("cnt")).as("tk"),
+        log(col("base").cast("double") +
+          (col("cnt").cast("double") + 1.0) / 2.0).as("x"),
+        log(col("f").cast("double")).as("y"))
+    xy.agg(
+        sum(col("wt")).as("sw"), sum(col("tk")).as("stk"),
+        count(lit(1)).as("n_levels"),
+        sum(col("wt") * col("x")).as("sx"),
+        sum(col("wt") * col("y")).as("sy"),
+        sum(col("wt") * col("x") * col("x")).as("sxx"),
+        sum(col("wt") * col("x") * col("y")).as("sxy"))
+      .select(
+        col("sw").cast("long").as("n_types"),
+        col("stk").cast("long").as("n_tokens"),
+        // a single frequency level has zero rank variance: the slope is
+        // mathematically undefined, and the raw 0/0 is ulp-noise, not
+        // NaN — make the undefinedness explicit as null
+        when(col("n_levels") > 1,
+          pround((col("sxy") - col("sx") * col("sy") / col("sw")) /
+            (col("sxx") - col("sx") * col("sx") / col("sw")), 6))
+          .as("zipf_slope"))
+  }
+
   /** TF-IDF: top-k terms per doc by tf·ln(N/df), pround-ed so ordering is
     * engine-stable; ties broken by word. */
   def tfidfTop(docs: DataFrame, k: Int): DataFrame = {
@@ -329,6 +374,32 @@ object TextAnalysisQueries {
       doc = "Gopher-style repetition metrics: type-token ratio and " +
         "duplicate-trigram fraction as pure array arithmetic in the scan " +
         "stage; top-bigram mode via two-level map-side-combinable aggregate"),
+
+    Q("t10_zipf",
+      (s, d) => zipfFit(docs(s, d)),
+      Some(s"""WITH tok AS (SELECT unnest($toksSql) AS w FROM documents),
+              |freq AS (SELECT w, count(*) AS f FROM tok GROUP BY w),
+              |lv AS (SELECT f, count(*) AS cnt FROM freq GROUP BY f),
+              |m AS (SELECT f, cnt,
+              |        sum(cnt) OVER (ORDER BY f DESC
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS base
+              |      FROM lv),
+              |xy AS (SELECT CAST(cnt AS DOUBLE) AS wt, f * cnt AS tk,
+              |              ln(CAST(base AS DOUBLE)
+              |                 + (CAST(cnt AS DOUBLE) + 1.0) / 2.0) AS x,
+              |              ln(CAST(f AS DOUBLE)) AS y
+              |       FROM m)
+              |SELECT CAST(sum(wt) AS BIGINT) AS n_types,
+              |       CAST(sum(tk) AS BIGINT) AS n_tokens,
+              |       CASE WHEN count(*) > 1 THEN
+              |         floor((sum(wt * x * y) - sum(wt * x) * sum(wt * y) / sum(wt))
+              |               / (sum(wt * x * x) - sum(wt * x) * sum(wt * x) / sum(wt))
+              |               * 1000000.0 + 0.5) / 1000000.0
+              |       END AS zipf_slope
+              |FROM xy""".stripMargin),
+      doc = "corpus Zipf slope: weighted least squares over frequency " +
+        "levels with Spearman tie-midpoint ranks — no per-type global " +
+        "rank, the only window runs over the tiny level table"),
 
     Q("t9_oov_rate",
       (s, d) => oovRate(docs(s, d), 10).orderBy("doc_id"),

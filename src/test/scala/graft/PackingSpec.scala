@@ -51,4 +51,33 @@ class PackingSpec extends SparkSpec {
     // doc must be fully covered by train shingles
     assert(rep.where(col("overlap_ratio") === 1.0).count() > 0)
   }
+
+  test("chunk dedup: an exact duplicate doc keeps nothing, the original everything") {
+    val docs = Seq(
+      (0L, "a b c d e f", "en"),
+      (1L, "a b c d e f", "en"), // byte-identical -> every chunk duplicated
+      (2L, "p q r s t u", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = Packing.chunkDedup(docs, 3, 3).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out(0) === (0L, 2L, 2L, 0.0))
+    assert(out(1) === (1L, 2L, 0L, 1.0))
+    assert(out(2) === (2L, 2L, 2L, 0.0))
+  }
+
+  test("chunk dedup: a within-doc repeated window counts as one canonical chunk") {
+    val docs = Seq((0L, "x y z x y z", "en")).toDF("doc_id", "text", "lang")
+    val out = Packing.chunkDedup(docs, 3, 3).as[(Long, Long, Long, Double)].head()
+    assert(out === (0L, 2L, 1L, 0.5))
+  }
+
+  test("chunk dedup conservation: kept chunks across docs = distinct chunk contents") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val out = Packing.chunkDedup(docs, 3, 3)
+    val keptSum = out.agg(sum("n_kept")).collect().head.getLong(0)
+    val distinctChunks = Packing.chunkWindows(docs, 3, 3)
+      .select(countDistinct("chunk_text")).collect().head.getLong(0)
+    assert(keptSum === distinctChunks)
+    assert(out.where(col("n_kept") > col("n_chunks")).count() === 0)
+  }
 }

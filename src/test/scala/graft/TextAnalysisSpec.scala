@@ -100,4 +100,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(0).getAs[Double]("top_bigram_frac") == 0.0)
     assert(rows(1).getAs[Long]("n_tokens") == 0L)
   }
+
+  test("zipf: hand-computed slope on a 3-level corpus, counts exact") {
+    // freqs: a=4, b=2, c=1 -> singleton levels, mid-ranks 1, 2, 3
+    val tiny = Seq((0L, "a a a a b b c")).toDF("doc_id", "text")
+    val row = TextAnalysis.zipfFit(tiny).collect().head
+    assert(row.getAs[Long]("n_types") === 3L)
+    assert(row.getAs[Long]("n_tokens") === 7L)
+    val x = Seq(1.0, 2.0, 3.0).map(math.log)
+    val y = Seq(4.0, 2.0, 1.0).map(math.log)
+    val (mx, my) = (x.sum / 3, y.sum / 3)
+    val slope = x.zip(y).map { case (a, b) => (a - mx) * (b - my) }.sum /
+      x.map(a => (a - mx) * (a - mx)).sum
+    assert(math.abs(row.getAs[Double]("zipf_slope") - slope) < 1e-6)
+  }
+
+  test("zipf: slope is negative on the real corpus and deterministic") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val a = TextAnalysis.zipfFit(docs).collect().head
+    val b = TextAnalysis.zipfFit(docs).collect().head
+    assert(a === b)
+    assert(a.getAs[Double]("zipf_slope") < 0.0,
+      "more frequent types must sit at lower mid-ranks")
+  }
+
+  test("zipf: a perfectly uniform corpus has an undefined (null) slope") {
+    // one frequency level only -> zero rank variance -> undefined fit
+    val uni = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    val row = TextAnalysis.zipfFit(uni).collect().head
+    assert(row.isNullAt(row.fieldIndex("zipf_slope")))
+  }
 }
