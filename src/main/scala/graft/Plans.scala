@@ -94,6 +94,22 @@ object Plans {
         "once per unique normalized text after the dedup groupBy, the " +
         "vocab top-k is TakeOrderedAndProject arriving broadcast, and " +
         "the census groupBy reduces everything at the end."),
+    "g10_semdedup" ->
+      ("SemDeDup-style semantic dedup: centroids arrive broadcast for " +
+        "the assignment, the in-cluster verify self-join keys on " +
+        "centroid_id (equality, AQE-splittable — never all-pairs), and " +
+        "the dropped-id set rejoins by vec_id WITHOUT a broadcast hint " +
+        "because the dropped fraction is unbounded at scale."),
+    "t10_zipf" ->
+      ("Zipf slope without a vocabulary sort: token counts reduce to a " +
+        "frequency-LEVEL table (O(√N) rows), the only unpartitioned " +
+        "Window runs over those few rows, and the weighted least-squares " +
+        "moments are one scalar aggregate."),
+    "y6_chunk_dedup" ->
+      ("Chunk-level dedup census: chunking is map+explode (no shuffle), " +
+        "the canonical-copy groupBy keys on the md5 digest (bounded " +
+        "width), both census aggregations are map-side combinable, and " +
+        "the final join is per-doc, never per-chunk."),
   )
 
   def main(args: Array[String]): Unit = {

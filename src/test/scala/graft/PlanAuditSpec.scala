@@ -164,6 +164,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!g7.contains("CartesianProduct"))
   }
 
+  test("g10: semdedup verify join is equality-keyed, centroids broadcast") {
+    val p = plan("g10_semdedup")
+    // the only cross shapes allowed are the tiny broadcast centroid
+    // attaches; the in-cluster verify must be an equality join on
+    // centroid_id and the dot product must be the codegen'd fp_dot
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("BroadcastExchange"))
+    assert(p.contains("fp_dot"))
+  }
+
+  test("t10: zipf fit runs one scan; all moment math is aggregated") {
+    val p = plan("t10_zipf")
+    assert("Scan parquet".r.findAllIn(p).length === 1, p.take(800))
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+  }
+
+  test("y6: chunk dedup has no window and map-side-combinable aggregates") {
+    val p = plan("y6_chunk_dedup")
+    assert(!p.contains("Window"), p.take(800))
+    assert(p.contains("partial_min") || p.contains("partial_count"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("x1: hash sample filter evaluates next to the scan, no shuffle") {
     val p = operators.Sampling
       .hashSample(Tables.documents(spark, sf("sf0.001")), 10)
