@@ -221,6 +221,35 @@ object Dedup {
     * against (DedupClusterSpec pins a star graph to ≤2 rounds and a
     * 64-chain to a logarithmic bound; a regression to per-hop
     * propagation would blow those up immediately). */
+  /** g11: quality-aware representative per near-dup cluster — instead of
+    * g1's "keep the smallest doc_id", keep the copy a curation pipeline
+    * actually wants: the best t2 quality score (ties → smallest id).
+    * Singleton docs (no LSH candidate edge) are their own cluster.
+    *
+    * Scale shape: the clustering is [[dedupClusters]] (O(log d) rounds);
+    * everything after it is two doc_id-keyed joins and ONE map-side-
+    * combinable argmax — `min(struct(-quality, doc_id))` — so no window
+    * over cluster (a mega-cluster of near-identical boilerplate would
+    * single-task a rank window; the struct-min aggregate partial-combines
+    * instead). EAGER like its clustering core. */
+  def clusterReps(docs: DataFrame, bands: Int): DataFrame = {
+    val clusters = dedupClusters(minhashCandidates(docs, bands))
+    val q = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .join(q, Seq("doc_id"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col("quality")).as("nq"), col("doc_id").as("id")))
+          .as("best"))
+      .select(col("cluster"), col("n_members"),
+        col("best.id").as("rep_doc_id"),
+        (-col("best.nq")).as("rep_quality"))
+  }
+
   private[graft] def dedupClustersWithRounds(
       pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
     // both directions from ONE scan of `pairs` (an explode, not a union —
@@ -471,6 +500,48 @@ object DedupQueries {
               |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin),
       doc = "G6 dedup clusters: connected components of the LSH candidate " +
         "graph via min-label propagation (oracle: recursive CTE)"),
+
+    Q("g11_cluster_reps",
+      (s, d) => clusterReps(docs(s, d), 4).orderBy("cluster"),
+      Some(s"""WITH RECURSIVE $shinglesSqlCte,
+              |hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT AS h FROM sh),
+              |b AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh),
+              |sig AS (
+              |  SELECT doc_id, band,
+              |         min(${affinePermSqlDuck("band", "h")}) AS minh
+              |  FROM b GROUP BY doc_id, band),
+              |prs AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM sig a JOIN sig b
+              |    ON a.band = b.band AND a.minh = b.minh AND a.doc_id < b.doc_id),
+              |e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+              |      UNION ALL SELECT doc_b, doc_a FROM prs),
+              |walk(node, lbl) AS (
+              |  SELECT src, src FROM e
+              |  UNION
+              |  SELECT e.src, walk.lbl FROM e JOIN walk ON e.dst = walk.node),
+              |cl AS (SELECT node AS doc_id, min(lbl) AS cluster
+              |       FROM walk GROUP BY node),
+              |${TextAnalysisQueries.statsSqlCte},
+              |q AS (SELECT doc_id, ${TextAnalysisQueries.qualitySqlExpr} AS quality
+              |      FROM st),
+              |wc AS (SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster
+              |       FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+              |j AS (SELECT wc.cluster, wc.doc_id, q.quality
+              |      FROM wc JOIN q ON wc.doc_id = q.doc_id),
+              |nm AS (SELECT cluster, count(*) AS n_members FROM j GROUP BY cluster),
+              |rp AS (SELECT cluster, doc_id, quality,
+              |         row_number() OVER (PARTITION BY cluster
+              |           ORDER BY quality DESC, doc_id) AS rn
+              |       FROM j)
+              |SELECT nm.cluster, nm.n_members, rp.doc_id AS rep_doc_id,
+              |       rp.quality AS rep_quality
+              |FROM nm JOIN rp ON nm.cluster = rp.cluster AND rp.rn = 1
+              |ORDER BY nm.cluster""".stripMargin),
+      doc = "G6+ quality-aware cluster representatives: per near-dup " +
+        "cluster (singletons included) keep the copy with the best t2 " +
+        "quality score, ties to the smallest doc_id. EAGER: building " +
+        "this DataFrame runs the clustering loop"),
 
     Q("g4_ngram_jaccard",
       (s, d) => ngramJaccardTop(docs(s, d), 20),

@@ -238,7 +238,7 @@ object TextAnalysisQueries {
 
   private val toksSql = "list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '')"
   private val stopSql = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
-  private val statsSqlCte =
+  private[operators] val statsSqlCte =
     s"""tok AS (SELECT doc_id, lang, n_chars, unnest($toksSql) AS w FROM documents),
        |st AS (
        |  SELECT doc_id, count(*) AS n_tokens,
@@ -246,6 +246,13 @@ object TextAnalysisQueries {
        |         sum(length(w)) AS sum_wlen,
        |         min(lang) AS lang, min(n_chars) AS n_chars
        |  FROM tok GROUP BY doc_id)""".stripMargin
+
+  /** The t2 quality score over the `st` CTE — shared with g11's oracle
+    * so the two engines' formulas can't drift apart. */
+  private[operators] val qualitySqlExpr =
+    """floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 +
+      |       (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5)
+      |      * 10000.0 + 0.5) / 10000.0""".stripMargin
 
   val qs: Seq[Q] = Seq(
     Q("t1_langid",
@@ -265,9 +272,7 @@ object TextAnalysisQueries {
               |SELECT doc_id, n_tokens,
               |       floor(CAST(sum_wlen AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS avg_wlen,
               |       floor(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
-              |       floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 +
-              |              (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5)
-              |             * 10000.0 + 0.5) / 10000.0 AS quality
+              |       $qualitySqlExpr AS quality
               |FROM st ORDER BY doc_id""".stripMargin),
       doc = "document quality scoring (length/stopword/word-length ratios)"),
 

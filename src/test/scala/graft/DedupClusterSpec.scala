@@ -62,4 +62,26 @@ class DedupClusterSpec extends SparkSpec {
     assert(got.keySet === (1L to 12L).toSet)
     assert(got.forall { case (node, lbl) => lbl >= 1L && lbl <= node })
   }
+
+  test("cluster reps: each representative has its cluster's max quality") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val reps = Dedup.clusterReps(docs, 4)
+    // independent recomputation: cluster -> true max quality
+    val clusters = Dedup.dedupClusters(Dedup.minhashCandidates(docs, 4))
+    val q = operators.TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+    val truth = docs.select(col("doc_id")).join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .join(q, Seq("doc_id"))
+      .groupBy("cluster")
+      .agg(max(col("quality")).as("max_q"), count(lit(1)).as("n"))
+    val joined = reps.join(truth, "cluster")
+    assert(joined.where(col("rep_quality") =!= col("max_q")).count() === 0)
+    assert(joined.where(col("n_members") =!= col("n")).count() === 0)
+    // every scored doc lands in exactly one cluster
+    val scored = q.count()
+    val members = reps.agg(sum("n_members")).collect().head.getLong(0)
+    assert(members === scored)
+  }
 }
