@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
+import graft.functions.Parity.pround
 
 /** Deterministic sampling operators for training-data pipelines
   * (SURVEY.md §2.G [EXT] extension): Bernoulli-by-hash sampling,
@@ -36,6 +37,25 @@ object Sampling {
   def hashSample(docs: DataFrame, pct: Int): DataFrame =
     docs.where(expr(pctExpr) < pct)
       .select("doc_id", "lang", "source", "n_chars")
+
+  /** x11: deterministic WEIGHTED sample without replacement, the
+    * Efraimidis–Spirakis one-pass scheme: each row gets the key
+    * -ln(u)/w from a reproducible md5-uniform u and its weight w, and
+    * the k smallest keys ARE a weighted sample without replacement
+    * (w_i / Σw inclusion dynamics). Top-k compiles to
+    * TakeOrderedAndProject — a map-side heap per partition, never a
+    * global sort — so the pass is one scan at any scale. Rows with
+    * non-positive weight are excluded (their key would be ±inf). */
+  def weightedSample(docs: DataFrame, weightCol: String, k: Int): DataFrame = {
+    val h = md5Long56("cast(doc_id as string)")
+    // u in (0,1): the 56-bit hash midpoint-normalized so ln(u) is finite
+    val key = s"-ln((cast($h as double) + 0.5) / 72057594037927936.0)" +
+      s" / cast($weightCol as double)"
+    docs.where(col(weightCol) > 0)
+      .select(col("doc_id"), col(weightCol).as("w"), expr(key).as("es_key"))
+      .orderBy(col("es_key"), col("doc_id")).limit(k)
+      .select(col("doc_id"), col("w"), pround(col("es_key"), 9).as("es_key"))
+  }
 
   /** Fixed-size stratified sample: the `n` hash-smallest docs per
     * stratum — a deterministic uniform draw within each stratum.
@@ -125,6 +145,21 @@ object SamplingQueries {
               |SELECT lang, rn AS rank, doc_id FROM h
               |WHERE rn <= 20 ORDER BY lang, rank""".stripMargin),
       doc = "fixed-size stratified sample: n hash-smallest docs per stratum"),
+
+    Q("x11_weighted_sample",
+      (s, d) => weightedSample(docs(s, d), "n_chars", 50).orderBy("es_key", "doc_id"),
+      Some(s"""WITH keyed AS (
+              |  SELECT doc_id, n_chars AS w,
+              |         -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+              |                   AS DOUBLE) + 0.5) / 72057594037927936.0)
+              |           / CAST(n_chars AS DOUBLE) AS es_key
+              |  FROM documents WHERE n_chars > 0)
+              |SELECT doc_id, w,
+              |       floor(es_key * 1000000000.0 + 0.5) / 1000000000.0 AS es_key
+              |FROM keyed ORDER BY keyed.es_key, doc_id LIMIT 50""".stripMargin),
+      doc = "deterministic Efraimidis-Spirakis weighted sample without " +
+        "replacement: -ln(md5-uniform)/weight keys, k smallest via " +
+        "TakeOrderedAndProject — one scan, no global sort"),
 
     Q("x3_split_counts",
       (s, d) => splitCounts(docs(s, d)).orderBy("split", "lang"),

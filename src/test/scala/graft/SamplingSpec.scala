@@ -62,4 +62,28 @@ class SamplingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(bySplit == total, "every doc must land in exactly one split")
   }
+
+  test("weighted sample: deterministic, size-bounded, biased toward weight") {
+    val a = Sampling.weightedSample(docs, "n_chars", 25).collect()
+    val b = Sampling.weightedSample(docs, "n_chars", 25).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length === 25)
+    // Efraimidis-Spirakis inclusion scales with weight: the sampled mean
+    // weight must exceed the corpus mean (deterministic on fixed data)
+    val sampleMean = a.map(_.getAs[Long]("w")).sum.toDouble / a.length
+    val corpusMean = docs.agg(avg("n_chars")).collect().head.getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
+  }
+
+  test("weighted sample: a dominating weight is always drawn, w<=0 never") {
+    import spark.implicits._
+    val tiny = (1L to 100L).map(i => (i, 10L)).toDF("doc_id", "wt")
+      .union(Seq((1000L, 100000000L), (2000L, 0L), (3000L, -5L))
+        .toDF("doc_id", "wt"))
+    val got = Sampling.weightedSample(tiny, "wt", 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.contains(1000L), "the ~10^7x heavier row must be sampled")
+    assert(!got.contains(2000L) && !got.contains(3000L))
+  }
 }
