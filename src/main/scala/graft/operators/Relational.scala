@@ -522,5 +522,59 @@ object RelationalQueries {
               |ORDER BY o_orderpriority, quartile""".stripMargin),
       doc = "ntile quartile buckets per priority group: distribution " +
         "banding with a per-group (parallel) window, exact decimal averages"),
+
+    Q("q18_blame_supplier",
+      (s, d) => {
+        // TPC-H Q21 shape on the available columns: suppliers who were
+        // the ONLY late shipper (>60 days after order date) on a
+        // multi-supplier order. EXISTS → left-semi, NOT EXISTS →
+        // left-anti — both equality-keyed on l_orderkey with the
+        // supplier-inequality as the join residual, so the correlated
+        // subqueries decorrelate into two shuffles on the same key
+        // (no per-row re-execution anywhere). Supplier names arrive
+        // broadcast at the end, after the blame set is already reduced
+        // to (order, supplier) pairs.
+        val li = Tables.lineitem(s, d)
+        val pairs = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val late = li
+          .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val blamed = late.as("a")
+          .join(pairs.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_suppkey") =!= col("b.l_suppkey"), "left_semi")
+          .as("a")
+          .join(late.as("c"),
+            col("a.l_orderkey") === col("c.l_orderkey") &&
+              col("a.l_suppkey") =!= col("c.l_suppkey"), "left_anti")
+        blamed
+          .join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(10)
+      },
+      Some(s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+              |late AS (
+              |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+              |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+              |  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY),
+              |w AS (
+              |  SELECT lt.l_orderkey, lt.l_suppkey FROM late lt
+              |  WHERE EXISTS (SELECT 1 FROM lp
+              |                WHERE lp.l_orderkey = lt.l_orderkey
+              |                  AND lp.l_suppkey <> lt.l_suppkey)
+              |    AND NOT EXISTS (SELECT 1 FROM late l3
+              |                    WHERE l3.l_orderkey = lt.l_orderkey
+              |                      AND l3.l_suppkey <> lt.l_suppkey))
+              |SELECT s.s_name, count(*) AS numwait
+              |FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+              |GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin),
+      doc = "TPC-H Q21-style lone-late-supplier blame: EXISTS/NOT EXISTS " +
+        "decorrelated to left-semi/left-anti joins on the order key, " +
+        "supplier dimension broadcast after the reduce"),
   )
 }

@@ -187,6 +187,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q18: EXISTS/NOT EXISTS decorrelate to semi/anti joins, no re-execution") {
+    val p = plan("q18_blame_supplier")
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("BroadcastHashJoin")) // supplier dimension
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TakeOrderedAndProject")) // top-10, never a global sort
+  }
+
   test("x1: hash sample filter evaluates next to the scan, no shuffle") {
     val p = operators.Sampling
       .hashSample(Tables.documents(spark, sf("sf0.001")), 10)
