@@ -81,11 +81,17 @@ object ScaleDemo {
       "langid" -> (d => operators.TextAnalysis.langId(d).count()),
       "hll_distinct" -> (d => operators.Stats.hllDistinctWords(d).count()),
       "stratified_sample" -> (d =>
-        operators.Sampling.stratifiedSample(d, "lang", 20).count()))
+        operators.Sampling.stratifiedSample(d, "lang", 20).count()),
+      "weighted_sample" -> (d =>
+        operators.Sampling.weightedSample(d, "n_chars", 50).count()),
+      "chunk_dedup" -> (d => operators.Packing.chunkDedup(d, 3, 3).count()),
+      "zipf_fit" -> (d => operators.TextAnalysis.zipfFit(d).count()),
+      "cluster_reps" -> (d => operators.Dedup.clusterReps(d, 4).count()))
     val vecOps: Seq[(String, DataFrame => Long)] = Seq(
       "lsh_buckets" -> (v => operators.Similarity.lshBuckets(v, 4).count()),
       "ivf_assign" -> (v => operators.Similarity.ivfAssign(v, 16).count()),
-      "kmeans_step" -> (v => operators.KMeans.kmeansStep(v, 6).count()))
+      "kmeans_step" -> (v => operators.KMeans.kmeansStep(v, 6).count()),
+      "semdedup" -> (v => operators.Similarity.semDedup(v, 16, 0.40).count()))
     val eventOps: Seq[(String, DataFrame => Long)] = Seq(
       "event_transitions" -> (e => operators.Funnel.eventTransitions(e).count()),
       "funnel" -> (e => operators.Funnel.funnelConversion(e).count()),
