@@ -110,6 +110,17 @@ object Plans {
         "the canonical-copy groupBy keys on the md5 digest (bounded " +
         "width), both census aggregations are map-side combinable, and " +
         "the final join is per-doc, never per-chunk."),
+    "q18_blame_supplier" ->
+      ("TPC-H Q21 shape: EXISTS/NOT EXISTS decorrelated to " +
+        "LeftSemi/LeftAnti joins equality-keyed on l_orderkey (the " +
+        "supplier inequality is a join residual, not a cross product), " +
+        "broadcast supplier dimension after the reduce, top-10 via " +
+        "TakeOrderedAndProject."),
+    "x11_weighted_sample" ->
+      ("Efraimidis–Spirakis weighted sample: the -ln(u)/w key is " +
+        "computed in the scan projection and the k smallest keys come " +
+        "out of TakeOrderedAndProject — a per-partition heap, so the " +
+        "whole pass is one scan with no global sort."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -42,26 +42,33 @@ object Packing {
   /** Overlapping context windows of `size` tokens at `stride` over each
     * doc; the final window is truncated, empty docs yield no chunks.
     * chunk_id i starts at token i·stride (0-based). */
-  def chunkWindows(docs: DataFrame, size: Int, stride: Int): DataFrame = {
+  def chunkWindows(docs: DataFrame, size: Int, stride: Int): DataFrame =
+    chunkWindowsKeeping(docs, size, stride, Nil)
+
+  /** [[chunkWindows]] carrying extra passthrough columns (e.g. the
+    * event-time column a streaming consumer needs for its watermark). */
+  def chunkWindowsKeeping(docs: DataFrame, size: Int, stride: Int,
+                          keep: Seq[String]): DataFrame = {
     require(stride > 0 && size >= stride,
       s"need 0 < stride <= size, got size=$size stride=$stride")
+    val k = keep.map(col)
     docs
-      .select(col("doc_id"), expr(Dedup.tokensExpr).as("toks"))
-      .select(col("doc_id"), col("toks"), size_(col("toks")).as("n"))
+      .select(k :+ col("doc_id") :+ expr(Dedup.tokensExpr).as("toks"): _*)
+      .select(k :+ col("doc_id") :+ col("toks") :+ size_(col("toks")).as("n"): _*)
       .where(col("n") > 0)
       // last chunk index = ceil((n - size) / stride) clamped at 0; the
       // integer form (n - size + stride - 1) div stride agrees between
       // Spark (trunc) and DuckDB (floor) after the greatest(, 0) clamp
       // because both round the lone negative case up into the clamp
-      .select(col("doc_id"), col("toks"), col("n"),
+      .select(k :+ col("doc_id") :+ col("toks") :+ col("n") :+
         explode(expr(
           s"sequence(0, greatest((n - $size + ${stride - 1}) div $stride, 0))"))
-          .as("chunk_id"))
-      .select(col("doc_id"), col("chunk_id"),
-        (col("chunk_id") * stride).as("chunk_start"),
-        least(lit(size), col("n") - col("chunk_id") * stride).as("chunk_len"),
+          .as("chunk_id"): _*)
+      .select(k :+ col("doc_id") :+ col("chunk_id") :+
+        (col("chunk_id") * stride).as("chunk_start") :+
+        least(lit(size), col("n") - col("chunk_id") * stride).as("chunk_len") :+
         expr(s"array_join(slice(toks, chunk_id * $stride + 1, " +
-          s"least($size, n - chunk_id * $stride)), ' ')").as("chunk_text"))
+          s"least($size, n - chunk_id * $stride)), ' ')").as("chunk_text"): _*)
   }
 
   /** y6: chunk-level exact dedup census — the C4/RefinedWeb-style pass

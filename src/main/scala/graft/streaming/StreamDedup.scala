@@ -39,6 +39,23 @@ object StreamDedup {
       .dropDuplicatesWithinWatermark("norm")
       .select("ts", "doc_id", "text")
 
+  /** Streaming analog of the y6 chunk-level dedup: arriving docs explode
+    * into context-window chunks and only never-seen chunks survive (state
+    * keyed on the chunk's md5 digest, expiring with the watermark — the
+    * same bounded-memory contract as [[dedupStream]]). The chunker is the
+    * SAME [[graft.operators.Packing.chunkWindowsKeeping]] the batch path
+    * uses, carrying `ts` through for the watermark, so batch and stream
+    * can't drift on window semantics. Output: one row per surviving
+    * chunk (ts, doc_id, chunk_id, h). */
+  def chunkDedupStream(docs: DataFrame, size: Int, stride: Int,
+                       watermark: String): DataFrame =
+    graft.operators.Packing
+      .chunkWindowsKeeping(docs.withWatermark("ts", watermark),
+        size, stride, Seq("ts"))
+      .select(col("ts"), col("doc_id"), col("chunk_id"),
+        md5(col("chunk_text")).as("h"))
+      .dropDuplicatesWithinWatermark("h")
+
   /** Drop arriving docs whose normalized text already exists in the
     * static corpus index (`corpus` needs a `text` column). */
   def dedupAgainstCorpus(docs: DataFrame, corpus: DataFrame): DataFrame = {

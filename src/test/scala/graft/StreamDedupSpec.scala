@@ -49,4 +49,23 @@ class StreamDedupSpec extends SparkSpec {
     q.stop()
     assert(kept === List(2L))
   }
+
+  test("streaming chunk dedup: repeated windows are dropped across docs and batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = StreamDedup.chunkDedupStream(in.toDF(), 3, 3, "1 hour")
+      .writeStream.format("memory").queryName("schunk")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(Doc(ts(1), 1, "a b c d e f")) // chunks: "a b c", "d e f"
+    q.processAllAvailable()
+    in.addData(
+      Doc(ts(2), 2, "a b c x y z"), // "a b c" already seen -> only "x y z"
+      Doc(ts(3), 3, "d e f"))       // fully duplicated -> nothing
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT doc_id, chunk_id FROM schunk ORDER BY doc_id, chunk_id")
+      .as[(Long, Long)].collect().toList
+    q.stop()
+    assert(kept === List((1L, 0L), (1L, 1L), (2L, 1L)),
+      "only first occurrences of each 3-token window may survive")
+  }
 }
