@@ -205,4 +205,40 @@ class PropertySpec extends SparkSpec {
       assert((if (totals.isNullAt(0)) 0L else totals.getLong(0)) === expected.toLong)
     }
   }
+
+  test("chunk dedup conserves chunks for arbitrary tiny-alphabet corpora") {
+    import spark.implicits._
+    // 3-letter alphabet forces heavy window collisions
+    val docGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c")).map(_.mkString(" "))
+    forAllSamples(Gen.nonEmptyListOf(docGen), n = 8) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en") }
+        .toDF("doc_id", "text", "lang")
+      val out = operators.Packing.chunkDedup(docs, 3, 3)
+      val rows = out.collect()
+      // per-doc: 0 <= n_kept <= n_chunks; globally kept = distinct contents
+      assert(rows.forall(r => r.getAs[Long]("n_kept") >= 0 &&
+        r.getAs[Long]("n_kept") <= r.getAs[Long]("n_chunks")))
+      val keptSum = rows.map(_.getAs[Long]("n_kept")).sum
+      val distinctChunks = operators.Packing.chunkWindows(docs, 3, 3)
+        .select("chunk_text").distinct().count()
+      assert(keptSum === distinctChunks)
+    }
+  }
+
+  test("weighted sample: exact size, subset of positive-weight rows, deterministic") {
+    import spark.implicits._
+    val rowGen = Gen.zip(Gen.choose(1L, 1000L), Gen.choose(-5L, 500L))
+    forAllSamples(Gen.nonEmptyListOf(rowGen).map(_.distinctBy(_._1)), n = 8) { rows =>
+      val df = rows.toDF("doc_id", "wt")
+      val pos = rows.filter(_._2 > 0).map(_._1).toSet
+      val k = 5
+      val got = operators.Sampling.weightedSample(df, "wt", k)
+        .select("doc_id").as[Long].collect()
+      assert(got.length === math.min(k, pos.size))
+      assert(got.toSet.subsetOf(pos))
+      val again = operators.Sampling.weightedSample(df, "wt", k)
+        .select("doc_id").as[Long].collect()
+      assert(got.toSeq === again.toSeq)
+    }
+  }
 }
