@@ -162,7 +162,7 @@ object Similarity {
         expr(cosExpr(vecs.sparkSession)).as("cos"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"),
+      .select(col("vec_id"), col("centroid_id"), col("cos"),
         col("fa").as("f"), col("na").as("nrm"))
   }
 
@@ -195,6 +195,25 @@ object Similarity {
       .join(dropped.withColumn("__drop", lit(1)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("centroid_id"),
         when(col("__drop").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
+  /** e2: the embedding-side composition — coarse-quantize, semantic-
+    * dedup, reduce to a per-cluster census: how many vectors landed in
+    * each cluster, how many survive the prune, and the cluster's
+    * cosine-to-centroid spread. The spread is reported as min/max (NOT
+    * mean): extremes of identical doubles are order-independent, so the
+    * result is engine-exact, where a float mean would differ in the
+    * last ulp with aggregation order. One lazy plan, same kernels as
+    * g10/s5 — the census adds a single centroid_id-keyed reduce. */
+  def semDedupCensus(vecs: DataFrame, nCents: Int,
+                     minCos: Double): DataFrame = {
+    val cos6 = assignFixed(vecs, nCents)
+      .select(col("vec_id"), pround(col("cos"), 6).as("cent_cos"))
+    semDedup(vecs, nCents, minCos)
+      .join(cos6, Seq("vec_id"))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_members"), sum(col("kept")).as("n_kept"),
+        min(col("cent_cos")).as("min_cos"), max(col("cent_cos")).as("max_cos"))
   }
 
   /** Probe set for a query's `bucket` string: the bucket itself plus —
@@ -542,5 +561,39 @@ object SimilarityQueries {
         "in-cluster cosine prune keeping the earliest vector. minCos=0.40 " +
         "is calibrated to the synthetic corpus (max in-cluster pair cosine " +
         "0.513, 21/500 dropped at sf0.01); real embeddings use ~0.95+"),
+
+    Q("e2_embed_census",
+      (s, d) => semDedupCensus(vecs(s, d), 6, 0.40).orderBy("centroid_id"),
+      Some(s"""WITH $fixedSqlCte,
+              |cents AS (
+              |  SELECT vec_id AS centroid_id, f, nrm FROM n
+              |  ORDER BY vec_id LIMIT 6),
+              |p AS (
+              |  SELECT n.vec_id, c.centroid_id,
+              |         ${pairCosSql("n", "c")} AS cos
+              |  FROM n, cents c),
+              |r AS (
+              |  SELECT vec_id, centroid_id, cos,
+              |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+              |  FROM p),
+              |asg AS (
+              |  SELECT r.vec_id, r.centroid_id,
+              |         floor(r.cos * 1000000.0 + 0.5) / 1000000.0 AS cent_cos,
+              |         n.f, n.nrm
+              |  FROM r JOIN n ON n.vec_id = r.vec_id WHERE rn = 1),
+              |pr AS (
+              |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+              |         ${pairCosSql("a", "b")} AS cos
+              |  FROM asg a JOIN asg b
+              |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+              |drp AS (SELECT DISTINCT ib AS vec_id FROM pr WHERE cos >= 0.40)
+              |SELECT asg.centroid_id, count(*) AS n_members,
+              |       CAST(sum(CASE WHEN drp.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |       min(asg.cent_cos) AS min_cos, max(asg.cent_cos) AS max_cos
+              |FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id
+              |GROUP BY asg.centroid_id ORDER BY asg.centroid_id""".stripMargin),
+      doc = "e2 embedding-side composition: quantize -> semantic dedup -> " +
+        "per-cluster census with engine-exact min/max cosine spread " +
+        "(extremes, not float means, so aggregation order can't matter)"),
   )
 }

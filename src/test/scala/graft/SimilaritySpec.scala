@@ -105,6 +105,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out(100000L) === 0L, "the later exact duplicate must be dropped")
   }
 
+  test("embed census: partitions the corpus, kept counts match semDedup") {
+    val census = Similarity.semDedupCensus(vecs, 4, 0.45)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(census.map(_._2).sum === vecs.count())
+    assert(census.forall(r => r._3 >= 1 && r._3 <= r._2),
+      "each cluster keeps at least its earliest member")
+    assert(census.forall(r => r._4 <= r._5 && r._5 <= 1.000001))
+    val keptTotal = Similarity.semDedup(vecs, 4, 0.45)
+      .where(col("kept") === 1).count()
+    assert(census.map(_._3).sum === keptTotal)
+  }
+
   test("semdedup: lowering the threshold only ever drops MORE") {
     val keptAt = (t: Double) => Similarity.semDedup(vecs, 4, t)
       .where(col("kept") === 1).as[(Long, Long, Long)].collect()
