@@ -211,6 +211,35 @@ object TextAnalysis {
           .as("zipf_slope"))
   }
 
+  /** t11: per-doc corpus surprisal — mean -ln p(w) of the doc's tokens
+    * under the corpus's own unigram distribution, the LM-free version
+    * of perplexity-based quality scoring (low = stereotyped boilerplate,
+    * high = rare-token soup; both tails are curation targets).
+    *
+    * Numeric parity: per-word -ln p is quantized to MICRO-NATS (a
+    * bigint) BEFORE the per-doc sum, so the aggregation is an exact
+    * integer sum — order-independent, hence engine-identical — where a
+    * double sum would drift in the last ulp with partition order (the
+    * same fixed-point trick as the cosine kernels). The word-probability
+    * table is vocabulary-sized and joins the token stream by word: at
+    * 100 TB that's a plain hash join on the shuffle key the token count
+    * already produced, with partial aggregation on both sides. */
+  def surprisal(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(expr(tokensExpr)).as("w"))
+    val n = toks.select(count(lit(1)).as("n_total"))
+    val lp = toks.groupBy("w").agg(count(lit(1)).as("f"))
+      .crossJoin(broadcast(n))
+      .select(col("w"),
+        expr("cast(floor(-ln(cast(f as double) / cast(n_total as double)) * 1000000.0) as bigint)")
+          .as("lp_micro"))
+    toks.join(lp, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp_micro")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        pround(col("s").cast("double") / 1000000.0 /
+          col("n_tokens").cast("double"), 6).as("mean_surprisal"))
+  }
+
   /** TF-IDF: top-k terms per doc by tf·ln(N/df), pround-ed so ordering is
     * engine-stable; ties broken by word. */
   def tfidfTop(docs: DataFrame, k: Int): DataFrame = {
@@ -405,6 +434,26 @@ object TextAnalysisQueries {
       doc = "corpus Zipf slope: weighted least squares over frequency " +
         "levels with Spearman tie-midpoint ranks — no per-type global " +
         "rank, the only window runs over the tiny level table"),
+
+    Q("t11_surprisal",
+      (s, d) => surprisal(docs(s, d)).orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+              |n AS (SELECT count(*) AS n_total FROM tok),
+              |lp AS (
+              |  SELECT w, CAST(floor(-ln(CAST(count(*) AS DOUBLE)
+              |                / (SELECT n_total FROM n)) * 1000000.0) AS BIGINT) AS lp_micro
+              |  FROM tok GROUP BY w),
+              |per AS (
+              |  SELECT tok.doc_id, count(*) AS n_tokens, sum(lp.lp_micro) AS s
+              |  FROM tok JOIN lp ON tok.w = lp.w
+              |  GROUP BY tok.doc_id)
+              |SELECT doc_id, n_tokens,
+              |       floor(CAST(s AS DOUBLE) / 1000000.0 / CAST(n_tokens AS DOUBLE)
+              |             * 1000000.0 + 0.5) / 1000000.0 AS mean_surprisal
+              |FROM per ORDER BY doc_id""".stripMargin),
+      doc = "per-doc corpus surprisal (mean -ln p(w), micro-nat fixed-point " +
+        "integer sums so the aggregate is order-independent): the LM-free " +
+        "perplexity-style quality signal"),
 
     Q("t9_oov_rate",
       (s, d) => oovRate(docs(s, d), 10).orderBy("doc_id"),

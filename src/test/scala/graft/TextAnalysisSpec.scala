@@ -124,6 +124,25 @@ class TextAnalysisSpec extends SparkSpec {
       "more frequent types must sit at lower mid-ranks")
   }
 
+  test("surprisal: hand-computed micro-nat values on a 2-doc corpus") {
+    // N=4 tokens; p(a)=3/4, p(b)=1/4
+    val tiny = Seq((0L, "a a a"), (1L, "b")).toDF("doc_id", "text")
+    val got = TextAnalysis.surprisal(tiny).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect()
+    val expA = math.floor(-math.log(0.75) * 1e6) / 1e6
+    val expB = math.floor(-math.log(0.25) * 1e6) / 1e6
+    assert(math.abs(got(0)._3 - expA) < 1e-9)
+    assert(math.abs(got(1)._3 - expB) < 1e-9)
+  }
+
+  test("surprisal: rare-token docs score higher than common-token docs") {
+    val docs = Seq((0L, "common common common common common common"),
+      (1L, "rare1 rare2 rare3")).toDF("doc_id", "text")
+    val s = TextAnalysis.surprisal(docs).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect()
+    assert(s(1)._3 > s(0)._3)
+  }
+
   test("zipf: a perfectly uniform corpus has an undefined (null) slope") {
     // one frequency level only -> zero rank variance -> undefined fit
     val uni = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
