@@ -71,6 +71,33 @@ object Packing {
           s"least($size, n - chunk_id * $stride)), ' ')").as("chunk_text"): _*)
   }
 
+  /** y7: content-defined chunking — a token closes its chunk when its
+    * md5 hash ≡ 0 (mod `modulus`), so expected chunk length is
+    * `modulus` tokens but boundaries are a pure function of CONTENT:
+    * inserting or deleting text only re-chunks the neighborhood of the
+    * edit, where fixed windows ([[chunkWindows]]) shift every
+    * downstream chunk. That edit-stability is what storage dedup
+    * (FastCDC) and robust sub-document dedup build on. The running
+    * boundary count is a per-doc window (partitioned by doc_id, bounded
+    * by document length — the audited a2/a4 window class), everything
+    * after is a map-side-combinable aggregate. */
+  def cdcChunks(docs: DataFrame, modulus: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(expr(Dedup.tokensExpr)).as(Seq("pos0", "w")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        when(expr(s"${Dedup.md5Long56("w")} % $modulus") === 0, 1L)
+          .otherwise(0L).as("b"))
+    // a boundary token BELONGS to the chunk it closes: count boundaries
+    // strictly before each position
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("chunk_id", coalesce(sum(col("b")).over(w), lit(0L)))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_toks"),
+        min(col("pos")).as("start_pos"), max(col("pos")).as("end_pos"))
+  }
+
   /** y6: chunk-level exact dedup census — the C4/RefinedWeb-style pass
     * that dedups at sub-document granularity. A chunk's canonical copy
     * lives in the smallest doc_id containing that exact token window;
@@ -141,6 +168,27 @@ object PackingQueries {
               |FROM e ORDER BY doc_id, chunk_id""".stripMargin),
       doc = "overlapping context-window chunking (size 32, stride 24) — " +
         "map+explode only, no shuffle"),
+
+    Q("y7_cdc_chunks",
+      (s, d) => cdcChunks(docs(s, d), 8).orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |e AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, t
+              |      FROM t WHERE len(t) > 0),
+              |tk AS (SELECT doc_id, pos,
+              |         CASE WHEN ('0x' || substr(md5(t[pos]), 1, 14))::BIGINT % 8 = 0
+              |              THEN 1 ELSE 0 END AS b
+              |       FROM e),
+              |c AS (SELECT doc_id, pos,
+              |        COALESCE(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+              |      FROM tk)
+              |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+              |       count(*) AS n_toks, min(pos) AS start_pos, max(pos) AS end_pos
+              |FROM c GROUP BY doc_id, chunk_id
+              |ORDER BY doc_id, chunk_id""".stripMargin),
+      doc = "content-defined chunking (FastCDC idea at token granularity): " +
+        "md5-mod boundaries are edit-stable, the per-doc window is the " +
+        "audited bounded a2/a4 class"),
 
     Q("y6_chunk_dedup",
       (s, d) => chunkDedup(docs(s, d), 3, 3).orderBy("doc_id"),

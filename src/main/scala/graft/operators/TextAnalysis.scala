@@ -240,6 +240,27 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 6).as("mean_surprisal"))
   }
 
+  /** t12: the statistics step of BPE vocabulary induction — counts of
+    * adjacent character pairs, weighted by word frequency. Standard BPE
+    * trainers run on the DISTINCT-word frequency table, not the raw
+    * corpus: the merge loop then touches vocab-sized data per
+    * iteration, which is exactly the scale property this plan keeps —
+    * the token stream reduces to (word, freq) first (the same shuffle
+    * the token count already pays), the pair explode fans out only the
+    * vocabulary, and the top-k is TakeOrderedAndProject. The argmax
+    * row of this table IS the next BPE merge. */
+  def bpePairCounts(docs: DataFrame, k: Int): DataFrame = {
+    val wf = docs.select(explode(expr(tokensExpr)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    wf.select(col("f"), explode(expr(
+        """CASE WHEN length(w) >= 2
+          | THEN transform(sequence(1, length(w) - 1),
+          |        i -> substring(w, i, 2))
+          | ELSE array() END""".stripMargin)).as("pair"))
+      .groupBy("pair").agg(sum(col("f")).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(k)
+  }
+
   /** TF-IDF: top-k terms per doc by tf·ln(N/df), pround-ed so ordering is
     * engine-stable; ties broken by word. */
   def tfidfTop(docs: DataFrame, k: Int): DataFrame = {
@@ -454,6 +475,21 @@ object TextAnalysisQueries {
       doc = "per-doc corpus surprisal (mean -ln p(w), micro-nat fixed-point " +
         "integer sums so the aggregate is order-independent): the LM-free " +
         "perplexity-style quality signal"),
+
+    Q("t12_bpe_pairs",
+      (s, d) => bpePairCounts(docs(s, d), 20),
+      Some(s"""WITH tok AS (SELECT unnest($toksSql) AS w FROM documents),
+              |wf AS (SELECT w, count(*) AS f FROM tok GROUP BY w),
+              |p AS (
+              |  SELECT f, unnest(CASE WHEN length(w) >= 2
+              |    THEN list_transform(range(1, length(w)), i -> substr(w, i, 2))
+              |    ELSE CAST([] AS VARCHAR[]) END) AS pair
+              |  FROM wf)
+              |SELECT pair, CAST(sum(f) AS BIGINT) AS n
+              |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin),
+      doc = "BPE merge statistics: frequency-weighted adjacent character " +
+        "pairs over the distinct-word table (vocab-sized per iteration); " +
+        "the top row is the next merge"),
 
     Q("t9_oov_rate",
       (s, d) => oovRate(docs(s, d), 10).orderBy("doc_id"),

@@ -71,6 +71,41 @@ class PackingSpec extends SparkSpec {
     assert(out === (0L, 2L, 1L, 0.5))
   }
 
+  test("cdc chunks: contiguous, exhaustive, consecutive ids per doc") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val out = Packing.cdcChunks(docs, 8).orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, Int, Int)].collect()
+    val totalToks = docs
+      .select(expr("size(filter(split(text, '[ \\t\\n\\r\\f]+'), x -> x != ''))")
+        .cast("long").as("nt"))
+      .agg(sum("nt")).collect().head.getLong(0)
+    assert(out.map(_._3).sum === totalToks, "chunks must partition every token")
+    out.groupBy(_._1).values.foreach { cs =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === sorted.indices.map(_.toLong),
+        "chunk ids must be consecutive from 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 === a._5 + 1, "chunks must be contiguous")
+        case _ =>
+      }
+      sorted.foreach(c => assert(c._3 === c._5 - c._4 + 1))
+    }
+  }
+
+  test("cdc chunks: boundaries are edit-stable — a prefix edit only reshapes chunk 0") {
+    val toks = ('a' to 'z').map(_.toString)
+    val orig = Seq((0L, toks.mkString(" "), "en")).toDF("doc_id", "text", "lang")
+    val edited = Seq((0L, ("zz1 zz2 " + toks.mkString(" ")), "en"))
+      .toDF("doc_id", "text", "lang")
+    def lens(df: org.apache.spark.sql.DataFrame) =
+      Packing.cdcChunks(df, 8).orderBy("chunk_id")
+        .as[(Long, Long, Long, Int, Int)].collect().map(_._3).toList
+    val (a, b) = (lens(orig), lens(edited))
+    assert(a.length >= 2, "need at least one content boundary for the property")
+    assert(a.tail === b.tail,
+      "all chunks after the first must survive a prefix insertion unchanged")
+  }
+
   test("chunk dedup conservation: kept chunks across docs = distinct chunk contents") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val out = Packing.chunkDedup(docs, 3, 3)

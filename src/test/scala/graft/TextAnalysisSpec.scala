@@ -124,6 +124,14 @@ class TextAnalysisSpec extends SparkSpec {
       "more frequent types must sit at lower mid-ranks")
   }
 
+  test("bpe pairs: frequency-weighted adjacent pair counts, hand-checked") {
+    // wf: ab x2, abc x1 -> pairs: 'ab' from both words (2+1), 'bc' from abc
+    val tiny = Seq((0L, "ab ab abc")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairCounts(tiny, 10)
+      .as[(String, Long)].collect().toList
+    assert(got === List(("ab", 3L), ("bc", 1L)))
+  }
+
   test("surprisal: hand-computed micro-nat values on a 2-doc corpus") {
     // N=4 tokens; p(a)=3/4, p(b)=1/4
     val tiny = Seq((0L, "a a a"), (1L, "b")).toDF("doc_id", "text")
