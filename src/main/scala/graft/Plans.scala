@@ -121,6 +121,26 @@ object Plans {
         "computed in the scan projection and the k smallest keys come " +
         "out of TakeOrderedAndProject — a per-partition heap, so the " +
         "whole pass is one scan with no global sort."),
+    "t11_surprisal" ->
+      ("Corpus surprisal: the word-probability table joins the token " +
+        "stream on the SAME word key the frequency count shuffled on, " +
+        "and the per-doc reduce sums micro-nat BIGINTs — exact integer " +
+        "aggregation, no float-order drift."),
+    "t12_bpe_pairs" ->
+      ("BPE merge statistics: the corpus reduces to the distinct-word " +
+        "frequency table BEFORE the pair explode, so the fan-out is " +
+        "vocab-sized — the property that makes real BPE trainers " +
+        "iterate cheaply — and the top-k is TakeOrderedAndProject."),
+    "y7_cdc_chunks" ->
+      ("Content-defined chunking: the boundary flag is computed in the " +
+        "scan projection, the running boundary count is a per-doc " +
+        "window (bounded partitions, the audited a2/a4 class), and the " +
+        "chunk census is a map-side-combinable aggregate."),
+    "e2_embed_census" ->
+      ("Embedding-side composition: broadcast centroid assignment, " +
+        "centroid_id-keyed semantic-dedup verify, vec_id-keyed " +
+        "survivor join, one final reduce — min/max cosine extremes " +
+        "keep the census engine-exact."),
   )
 
   def main(args: Array[String]): Unit = {
