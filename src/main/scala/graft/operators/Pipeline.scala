@@ -120,6 +120,34 @@ object Pipeline {
         sum(col("n_copies") - 1L).as("dups_removed"))
 }
 
+object MultiModalPipeline {
+
+  /** e3: joint text+embedding curation — a document survives only if it
+    * clears the TEXT bar (t2 token-count floor) AND the EMBEDDING bar
+    * (g10 semantic-dedup keep on its vector; `vec_id` is the document's
+    * id, the testdata tables are generated 1:1). This is the shape real
+    * curation runs take: modality filters computed independently on
+    * whatever cluster layout suits each (token metrics in the text
+    * scan, cosine pruning in centroid-bucketed vector space), then
+    * intersected by document id — two inner joins on the id, no
+    * cross-modal shuffle of payloads, and the census reduce at the end.
+    */
+  def jointCurate(docs: DataFrame, vecs: DataFrame, minTokens: Long,
+                  nCents: Int, minCos: Double): DataFrame = {
+    val keep = Similarity.semDedup(vecs, nCents, minCos)
+      .where(col("kept") === 1)
+      .select(col("vec_id").as("doc_id"))
+    val textOk = TextAnalysis.qualityScore(docs)
+      .where(col("n_tokens") >= minTokens)
+      .select(col("doc_id"), col("n_tokens"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(textOk, Seq("doc_id"))
+      .join(keep, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_sum"))
+  }
+}
+
 object PipelineQueries {
   import Pipeline._
 
@@ -188,5 +216,46 @@ object PipelineQueries {
       doc = "end-to-end curation pipeline in ONE plan: normalize -> dedup " +
         "survivors -> quality bar AND Gopher repetition bar (t8) AND OOV " +
         "bar (t9) -> hash split -> per-split census"),
+
+    Q("e3_joint_curation",
+      (s, d) => MultiModalPipeline.jointCurate(
+          Tables.documents(s, d), Tables.embeddings(s, d), 30, 6, 0.40)
+        .orderBy("lang"),
+      Some(s"""WITH ${SimilarityQueries.fixedSqlCte},
+              |cents AS (
+              |  SELECT vec_id AS centroid_id, f, nrm FROM n
+              |  ORDER BY vec_id LIMIT 6),
+              |p AS (
+              |  SELECT n.vec_id, c.centroid_id,
+              |         ${SimilarityQueries.pairCosSql("n", "c")} AS cos
+              |  FROM n, cents c),
+              |r AS (
+              |  SELECT vec_id, centroid_id,
+              |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+              |  FROM p),
+              |asg AS (
+              |  SELECT r.vec_id, r.centroid_id, n.f, n.nrm
+              |  FROM r JOIN n ON n.vec_id = r.vec_id WHERE rn = 1),
+              |pr AS (
+              |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+              |         ${SimilarityQueries.pairCosSql("a", "b")} AS cos
+              |  FROM asg a JOIN asg b
+              |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+              |drp AS (SELECT DISTINCT ib AS vec_id FROM pr WHERE cos >= 0.40),
+              |keep AS (
+              |  SELECT asg.vec_id AS doc_id FROM asg
+              |  LEFT JOIN drp ON asg.vec_id = drp.vec_id
+              |  WHERE drp.vec_id IS NULL),
+              |${TextAnalysisQueries.statsSqlCte},
+              |ok AS (SELECT doc_id, n_tokens FROM st WHERE n_tokens >= 30)
+              |SELECT d.lang, count(*) AS n_docs,
+              |       CAST(sum(ok.n_tokens) AS BIGINT) AS tok_sum
+              |FROM documents d
+              |JOIN ok ON ok.doc_id = d.doc_id
+              |JOIN keep ON keep.doc_id = d.doc_id
+              |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
+      doc = "e3 joint text+embedding curation: t2 token floor AND g10 " +
+        "semantic-dedup keep, intersected by document id (vec_id is the " +
+        "doc's 1:1 embedding) -> per-lang census"),
   )
 }

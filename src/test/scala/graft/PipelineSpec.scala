@@ -64,4 +64,21 @@ class PipelineSpec extends SparkSpec {
     assert(!kept.contains(99L), "all-OOV outlier must fail the OOV bar")
     assert(kept.nonEmpty, "common docs must pass the OOV bar")
   }
+
+  test("joint curation census = independently intersected modality filters") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val vecs = Tables.embeddings(spark, sf("sf0.001"))
+    val census = operators.MultiModalPipeline
+      .jointCurate(docs, vecs, 30, 4, 0.45)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    val textIds = operators.TextAnalysis.qualityScore(docs)
+      .where(col("n_tokens") >= 30).select("doc_id").as[Long].collect().toSet
+    val keepIds = operators.Similarity.semDedup(vecs, 4, 0.45)
+      .where(col("kept") === 1).select("vec_id").as[Long].collect().toSet
+    val expected = docs.select("doc_id", "lang").as[(Long, String)].collect()
+      .filter(d => textIds.contains(d._1) && keepIds.contains(d._1))
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(census === expected)
+    assert(census.values.sum > 0, "joint filter must keep something at sf0.001")
+  }
 }
