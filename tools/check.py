@@ -79,12 +79,16 @@ def drift(bench_path):
                  re.finditer(r'"([a-z0-9_]+)":([0-9.]+)', raw.get("tail", ""))
                  if m.group(1) not in meta}
     steady = base["queries"]
+    # per-query multiplier overrides for queries with MEASURED same-code
+    # variance beyond the default 1.5x (see BENCH_BASELINE.json notes —
+    # each override must cite its evidence there)
+    tol = base.get("tolerance_overrides", {})
     flags, unknown = [], []
     for q, t in sorted(times.items()):
         if q not in steady:
             unknown.append(q)
             continue
-        limit = 1.5 * steady[q] + 0.3
+        limit = tol.get(q, 1.5) * steady[q] + 0.3
         if t > limit:
             flags.append((q, t, steady[q], limit))
     for q, t, s, lim in flags:
