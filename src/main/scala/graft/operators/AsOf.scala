@@ -39,10 +39,27 @@ object AsOf {
     * yields null (matching pandas merge_asof) instead of being skipped in
     * favor of a stale earlier value. */
   def asofLatest(left: DataFrame, right: DataFrame, key: String, ts: String,
-                 tieBreak: String, valueCol: String, outCol: String): DataFrame = {
+                 tieBreak: String, valueCol: String, outCol: String): DataFrame =
+    asofBackward(left, right, key, ts, tieBreak, valueCol, outCol, None)
+
+  /** [[asofLatest]] with a max-staleness bound: the matched value is
+    * null unless the most recent right row lies within `tolSec` seconds
+    * of the left timestamp (pandas merge_asof `tolerance`). Same single
+    * union+window plan — the matched row's OWN timestamp rides along in
+    * the running struct, so the staleness test is a projection, not a
+    * second join. */
+  def asofWithin(left: DataFrame, right: DataFrame, key: String, ts: String,
+                 tieBreak: String, valueCol: String, outCol: String,
+                 tolSec: Long): DataFrame =
+    asofBackward(left, right, key, ts, tieBreak, valueCol, outCol, Some(tolSec))
+
+  private def asofBackward(left: DataFrame, right: DataFrame, key: String,
+                           ts: String, tieBreak: String, valueCol: String,
+                           outCol: String, tolSec: Option[Long]): DataFrame = {
     val lCols = left.columns.toSeq
     val vType = right.schema(valueCol).dataType
-    val rvType = StructType(Seq(StructField("v", vType)))
+    val tsType = right.schema(ts).dataType
+    val rvType = StructType(Seq(StructField("v", vType), StructField("rts", tsType)))
     val l = left.select(
       col(key).as("__k"), col(ts).as("__ts"), lit(1).as("__side"),
       col(tieBreak).as("__tie"), lit(null).cast(rvType).as("__rv"),
@@ -50,14 +67,21 @@ object AsOf {
     val lStructType = l.schema("__l").dataType
     val r = right.select(
       col(key).as("__k"), col(ts).as("__ts"), lit(0).as("__side"),
-      col(tieBreak).as("__tie"), struct(col(valueCol).as("v")).as("__rv"),
+      col(tieBreak).as("__tie"),
+      struct(col(valueCol).as("v"), col(ts).as("rts")).as("__rv"),
       lit(null).cast(lStructType).as("__l"))
     val w = Window.partitionBy("__k")
       .orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = last(col("__rv"), ignoreNulls = true).over(w)
+    val out = tolSec match {
+      case None => matched.getField("v")
+      case Some(t) => when(
+        unix_timestamp(col("__ts")) - unix_timestamp(matched.getField("rts")) <= t,
+        matched.getField("v"))
+    }
     l.unionByName(r)
-      .withColumn(outCol,
-        last(col("__rv"), ignoreNulls = true).over(w).getField("v"))
+      .withColumn(outCol, out)
       .where(col("__side") === 1)
       .select(lCols.map(c => col("__l").getField(c).as(c)) :+ col(outCol): _*)
   }
@@ -98,6 +122,39 @@ object AsOf {
 
 object AsOfQueries {
   val qs: Seq[Q] = Seq(
+    Q("a20_asof_within",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val views = ev.where(col("event_type") === "view")
+          .select("event_id", "user_id", "ts", "value")
+        AsOf.asofWithin(purchases, views, "user_id", "ts", "event_id",
+            "value", "asof_value", 300L)
+          .select("event_id", "user_id", "asof_value")
+          .orderBy("event_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, ts, 1 AS side, event_id, event_id AS tie,
+             |         CAST(NULL AS STRUCT(v DOUBLE, rts TIMESTAMP)) AS rv
+             |  FROM events WHERE event_type = 'purchase'
+             |  UNION ALL
+             |  SELECT user_id, ts, 0 AS side, NULL AS event_id, event_id AS tie,
+             |         struct_pack(v := value, rts := ts) AS rv
+             |  FROM events WHERE event_type = 'view'),
+             |j AS (
+             |  SELECT event_id, user_id, side, ts,
+             |         last_value(rv IGNORE NULLS)
+             |           OVER (PARTITION BY user_id ORDER BY ts, side, tie
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+             |  FROM u)
+             |SELECT event_id, user_id,
+             |       CASE WHEN epoch(ts) - epoch(m.rts) <= 300 THEN m.v END AS asof_value
+             |FROM j WHERE side = 1 ORDER BY event_id""".stripMargin),
+      doc = "as-of join with max-staleness tolerance (pandas merge_asof " +
+        "tolerance): the matched row's own timestamp rides in the running " +
+        "struct, so the bound is a projection — still ONE window, no join"),
+
     Q("a18_asof_value",
       (s, d) => {
         val ev = Tables.events(s, d)

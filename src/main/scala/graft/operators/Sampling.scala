@@ -57,6 +57,35 @@ object Sampling {
       .select(col("doc_id"), col("w"), pround(col("es_key"), 9).as("es_key"))
   }
 
+  /** x13: Population Stability Index between the train and test splits
+    * of the x3 hash split, over fixed-width document-length bins — the
+    * standard drift alarm between what a model trains on and what it's
+    * evaluated on. Laplace smoothing (+0.5 per bin over `bins` cells)
+    * keeps every term finite, and the result is PER-BIN contributions,
+    * not a float total: each contribution is a pure projection of two
+    * integer counts, so it is engine-exact, where summing the doubles
+    * would depend on aggregation order (consumers sum the 10 rows —
+    * PSI > 0.2 is the conventional alarm). One groupBy on the bin plus
+    * a 1-row totals broadcast. */
+  def psiDrift(docs: DataFrame, bins: Int = 10, binWidth: Int = 100): DataFrame = {
+    val split = expr(s"$pctExpr % 10")
+    val counts = docs.select(
+        least(floor(col("n_chars") / binWidth), lit(bins - 1))
+          .cast("long").as("bin"),
+        when(split < 8, 1L).otherwise(0L).as("tr"),
+        when(split === 9, 1L).otherwise(0L).as("te"))
+      .groupBy("bin")
+      .agg(sum(col("tr")).as("n_train"), sum(col("te")).as("n_test"))
+    val tot = counts.agg(sum(col("n_train")).as("tt"), sum(col("n_test")).as("et"))
+    val p = (col("n_train").cast("double") + 0.5) /
+      (col("tt").cast("double") + 0.5 * bins)
+    val q = (col("n_test").cast("double") + 0.5) /
+      (col("et").cast("double") + 0.5 * bins)
+    counts.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_train"), col("n_test"),
+        pround((p - q) * log(p / q), 9).as("psi_contrib"))
+  }
+
   /** Fixed-size stratified sample: the `n` hash-smallest docs per
     * stratum — a deterministic uniform draw within each stratum.
     *
@@ -160,6 +189,26 @@ object SamplingQueries {
       doc = "deterministic Efraimidis-Spirakis weighted sample without " +
         "replacement: -ln(md5-uniform)/weight keys, k smallest via " +
         "TakeOrderedAndProject — one scan, no global sort"),
+
+    Q("x13_psi_drift",
+      (s, d) => psiDrift(docs(s, d)).orderBy("bin"),
+      Some(s"""WITH c AS (
+              |  SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 9) AS bin,
+              |         sum(CASE WHEN $pctSql % 10 < 8 THEN 1 ELSE 0 END) AS n_train,
+              |         sum(CASE WHEN $pctSql % 10 = 9 THEN 1 ELSE 0 END) AS n_test
+              |  FROM documents GROUP BY 1),
+              |t AS (SELECT sum(n_train) AS tt, sum(n_test) AS et FROM c)
+              |SELECT bin, CAST(n_train AS BIGINT) AS n_train,
+              |       CAST(n_test AS BIGINT) AS n_test,
+              |       floor(((CAST(n_train AS DOUBLE) + 0.5) / (CAST(tt AS DOUBLE) + 5.0)
+              |              - (CAST(n_test AS DOUBLE) + 0.5) / (CAST(et AS DOUBLE) + 5.0))
+              |             * ln(((CAST(n_train AS DOUBLE) + 0.5) / (CAST(tt AS DOUBLE) + 5.0))
+              |                  / ((CAST(n_test AS DOUBLE) + 0.5) / (CAST(et AS DOUBLE) + 5.0)))
+              |             * 1000000000.0 + 0.5) / 1000000000.0 AS psi_contrib
+              |FROM c, t ORDER BY bin""".stripMargin),
+      doc = "PSI drift between the hash-split train and test length " +
+        "distributions: per-bin contributions (engine-exact projections " +
+        "of integer counts; consumers sum them — >0.2 is the alarm)"),
 
     Q("x3_split_counts",
       (s, d) => splitCounts(docs(s, d)).orderBy("split", "lang"),

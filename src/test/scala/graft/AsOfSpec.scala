@@ -83,6 +83,26 @@ class AsOfSpec extends SparkSpec {
     assert(g2(24L) === None, "trade after the last quote has no successor")
   }
 
+  test("tolerance as-of: stale matches become null, fresh ones survive") {
+    val lateTrades = Seq(
+      (1L, ts("2024-01-01 00:00:12"), 30L),  // 2s after quote 12 -> fresh
+      (1L, ts("2024-01-01 00:01:30"), 31L))  // 80s after -> stale at tol=10
+      .toDF("key", "ts", "event_id")
+    val got = AsOf.asofWithin(lateTrades, quotes, "key", "ts", "event_id",
+        "value", "v", 10L)
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(got(30L) === Some(3.0))
+    assert(got(31L) === None, "match older than the tolerance must be null")
+    // tolerance=inf degenerates to plain asofLatest
+    val loose = AsOf.asofWithin(lateTrades, quotes, "key", "ts", "event_id",
+        "value", "v", 1000000L)
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    val plain = AsOf.asofLatest(lateTrades, quotes, "key", "ts", "event_id",
+        "value", "v")
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(loose === plain)
+  }
+
   test("forward as-of plan is also join-free with one exchange") {
     val plan = AsOf.asofNext(trades, quotes, "key", "ts", "event_id",
       "value", "v").queryExecution.executedPlan.toString

@@ -63,6 +63,22 @@ class SamplingSpec extends SparkSpec {
     assert(bySplit == total, "every doc must land in exactly one split")
   }
 
+  test("psi drift: finite contributions, bounded bins, no drift on a hash split") {
+    import spark.implicits._
+    val out = Sampling.psiDrift(docs).orderBy("bin")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.forall(r => r._1 >= 0 && r._1 <= 9))
+    assert(out.forall(r => !r._4.isNaN && !r._4.isInfinite),
+      "smoothing must keep every term finite even for empty-side bins")
+    assert(out.forall(_._4 >= -1e-12), "PSI terms are non-negative by construction")
+    // a uniform hash split can't drift: total PSI far below the 0.2 alarm
+    val psi = out.map(_._4).sum
+    assert(psi < 0.2, s"hash-split PSI should be ~0, got $psi")
+    val again = Sampling.psiDrift(docs).orderBy("bin")
+      .as[(Long, Long, Long, Double)].collect() // deterministic across runs
+    assert(out.toSeq === again.toSeq)
+  }
+
   test("weighted sample: deterministic, size-bounded, biased toward weight") {
     val a = Sampling.weightedSample(docs, "n_chars", 25).collect()
     val b = Sampling.weightedSample(docs, "n_chars", 25).collect()
