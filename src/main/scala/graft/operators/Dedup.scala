@@ -143,6 +143,28 @@ object Dedup {
         expr(s"stack($bands, $stackArgs)").as(Seq("band", "minh")))
   }
 
+  /** G2c: INCREMENTAL near-dup — flag incoming docs that LSH-collide
+    * with the EXISTING corpus's signature index, the nightly-ingest
+    * analog of [[exactDedupIncremental]] for near-duplicates. In
+    * production the corpus side is a persisted signature table
+    * (signatures are computed once per document ever); the per-batch
+    * cost is the batch's own signatures plus one equality join on the
+    * (band, minh) bucket key against that index — the whole corpus is
+    * never re-shingled, and no all-pairs comparison exists anywhere.
+    * Output per flagged incoming doc: how many bands collided (more
+    * bands ≈ higher Jaccard, the usual LSH evidence ladder) and the
+    * smallest colliding corpus doc id. */
+  def minhashIncremental(existing: DataFrame, incoming: DataFrame,
+                         bands: Int): DataFrame = {
+    val idx = minhashSignature(existing, bands)
+      .select(col("band"), col("minh"), col("doc_id").as("corpus_doc"))
+    minhashSignature(incoming, bands)
+      .join(idx, Seq("band", "minh"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("band")).as("n_bands_hit"),
+        min(col("corpus_doc")).as("first_match"))
+  }
+
   /** Cache `src`, build the (much smaller) derived result from it, force
     * the result with an eager localCheckpoint, then release `src`. This
     * keeps the "compute the shared input once" win without leaking cached
@@ -500,6 +522,31 @@ object DedupQueries {
               |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin),
       doc = "G6 dedup clusters: connected components of the LSH candidate " +
         "graph via min-label propagation (oracle: recursive CTE)"),
+
+    Q("g13_incremental_neardup",
+      (s, d) => minhashIncremental(
+          docs(s, d).where(col("doc_id") % 2 === 0),
+          docs(s, d).where(col("doc_id") % 2 === 1), 4)
+        .orderBy("doc_id"),
+      Some(s"""WITH $shinglesSqlCte,
+              |hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT AS h FROM sh),
+              |b AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh),
+              |sig AS (
+              |  SELECT doc_id, band,
+              |         min(${affinePermSqlDuck("band", "h")}) AS minh
+              |  FROM b GROUP BY doc_id, band),
+              |e AS (SELECT band, minh, doc_id AS corpus_doc FROM sig
+              |      WHERE doc_id % 2 = 0),
+              |i AS (SELECT doc_id, band, minh FROM sig WHERE doc_id % 2 = 1)
+              |SELECT i.doc_id,
+              |       CAST(count(DISTINCT i.band) AS BIGINT) AS n_bands_hit,
+              |       min(e.corpus_doc) AS first_match
+              |FROM i JOIN e ON e.band = i.band AND e.minh = i.minh
+              |GROUP BY i.doc_id ORDER BY i.doc_id""".stripMargin),
+      doc = "G2c incremental near-dup: batch signatures equality-joined " +
+        "against the persisted corpus signature index on (band, minh) — " +
+        "the corpus is never re-shingled, band-hit count is the LSH " +
+        "evidence ladder"),
 
     Q("g11_cluster_reps",
       (s, d) => clusterReps(docs(s, d), 4).orderBy("cluster"),

@@ -84,4 +84,19 @@ class DedupSpec extends SparkSpec {
     assert(top.take(3).toList ===
       List((0L, 1L, 1.0), (0L, 3L, 1.0), (1L, 3L, 1.0)))
   }
+
+  test("G2c: incremental near-dup flags the duplicate batch doc in every band") {
+    // corpus: docs 0 (+2 as noise); batch: 1 (ws-variant of 0) and 2's
+    // unique-content twin under a new id
+    val corpus = docs.where(col("doc_id").isin(0L, 2L))
+    val batch = Seq(
+      (10L, "spark  makes\tbig data small again and again and again"),
+      (11L, "nothing shares any three gram with the corpus at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashIncremental(corpus, batch, 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(10L) === ((4L, 0L)),
+      "a whitespace variant must collide in all 4 bands with corpus doc 0")
+    assert(!got.contains(11L), "unrelated content must not be flagged")
+  }
 }
