@@ -141,6 +141,19 @@ object Plans {
         "centroid_id-keyed semantic-dedup verify, vec_id-keyed " +
         "survivor join, one final reduce — min/max cosine extremes " +
         "keep the census engine-exact."),
+    "a20_asof_within" ->
+      ("Tolerance as-of: the staleness bound is a projection over the " +
+        "running match struct (the matched row's own timestamp rides " +
+        "along) — still ONE window, no join operator anywhere."),
+    "g13_incremental_neardup" ->
+      ("Incremental near-dup: batch signatures equality-join the " +
+        "corpus signature index on (band, minh); both sides are " +
+        "band-unpivoted partial-min aggregates, the corpus side is a " +
+        "persisted table in production."),
+    "x13_psi_drift" ->
+      ("PSI drift: one groupBy on the length bin, a 1-row totals " +
+        "broadcast, and per-bin contributions as pure projections — " +
+        "no float total anywhere in the plan."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -86,7 +86,10 @@ object ScaleDemo {
         operators.Sampling.weightedSample(d, "n_chars", 50).count()),
       "chunk_dedup" -> (d => operators.Packing.chunkDedup(d, 3, 3).count()),
       "zipf_fit" -> (d => operators.TextAnalysis.zipfFit(d).count()),
-      "cluster_reps" -> (d => operators.Dedup.clusterReps(d, 4).count()))
+      "cluster_reps" -> (d => operators.Dedup.clusterReps(d, 4).count()),
+      "incr_neardup" -> (d => operators.Dedup.minhashIncremental(
+        d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1), 4).count()),
+      "psi_drift" -> (d => operators.Sampling.psiDrift(d).count()))
     val vecOps: Seq[(String, DataFrame => Long)] = Seq(
       "lsh_buckets" -> (v => operators.Similarity.lshBuckets(v, 4).count()),
       "ivf_assign" -> (v => operators.Similarity.ivfAssign(v, 16).count()),

@@ -68,4 +68,26 @@ class StreamDedupSpec extends SparkSpec {
     assert(kept === List((1L, 0L), (1L, 1L), (2L, 1L)),
       "only first occurrences of each 3-token window may survive")
   }
+
+  test("streaming chunk dedup: state expires with the watermark (documented contract)") {
+    // duplicates separated by MORE than the watermark delay are KEPT —
+    // the bounded-memory trade-off every streaming deduper documents
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = StreamDedup.chunkDedupStream(in.toDF(), 3, 3, "5 seconds")
+      .writeStream.format("memory").queryName("schunkwm")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(Doc(ts(1), 1, "a b c"))
+    q.processAllAvailable()
+    // advance event time far past the watermark, then replay the chunk
+    in.addData(Doc(ts(50), 2, "q r s"))
+    q.processAllAvailable()
+    in.addData(Doc(ts(55), 3, "a b c"))
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT doc_id FROM schunkwm ORDER BY doc_id")
+      .as[Long].collect().toList
+    q.stop()
+    assert(kept.contains(1L) && kept.contains(3L),
+      "a duplicate arriving after state expiry must be kept again")
+  }
 }
