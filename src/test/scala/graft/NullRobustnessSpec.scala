@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import operators.{Dedup, Packing, Sampling, TextAnalysis}
+
+/** Null/degenerate-text behavior of the core text operators — the
+  * synthetic corpus has no nulls, so these document and pin what
+  * PRODUCTION data would hit. Contract: null text behaves like empty
+  * text wherever tokenization defines the semantics (split(null) is
+  * null → explode/posexplode drop the row), and never throws. */
+class NullRobustnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, Some("alpha beta gamma delta epsilon"), "en", 30L),
+    (1L, None: Option[String], "en", 0L),
+    (2L, Some(""), "en", 0L),
+    (3L, Some("   \t  "), "en", 6L)
+  ).toDF("doc_id", "text", "lang", "n_chars")
+
+  test("exact dedup: null and whitespace-only texts don't crash; null groups apart") {
+    val got = Dedup.exactDedup(docs).orderBy("doc_id")
+      .as[(Long, Long)].collect().toList
+    // norm(null)=null, norm("")=norm("  ")="" -> 2 and 3 collapse; the
+    // null row forms its own group (SQL groupBy treats nulls as equal)
+    assert(got === List(0L -> 1L, 1L -> 1L, 2L -> 2L))
+  }
+
+  test("token-based metrics drop token-less rows instead of throwing") {
+    val q = TextAnalysis.qualityScore(docs).select("doc_id").as[Long].collect().toSet
+    assert(q === Set(0L), "explode drops null/empty/whitespace docs")
+    val t = TextAnalysis.tokenCounts(docs).orderBy("doc_id")
+      .as[(Long, Option[Long], Option[Long])].collect().toMap2
+    assert(t(0L) === ((Some(5L), Some(5L))))
+    // null text propagates as NULL counts (size(split(null)) is null),
+    // distinguishable downstream from a genuinely empty doc's 0
+    assert(t(1L) === ((None, None)))
+    assert(t(2L) === ((Some(0L), Some(0L))))
+  }
+
+  test("chunkers emit nothing for null/empty docs") {
+    assert(Packing.chunkWindows(docs, 3, 3).where(col("doc_id") =!= 0).count() === 0)
+    assert(Packing.cdcChunks(docs, 8).where(col("doc_id") =!= 0).count() === 0)
+  }
+
+  test("weighted sample tolerates null weights (treated as not positive)") {
+    val d = Seq((1L, Some(10L)), (2L, None: Option[Long]), (3L, Some(5L)))
+      .toDF("doc_id", "wt")
+    val got = Sampling.weightedSample(d, "wt", 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(1L, 3L))
+  }
+
+  private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+}
