@@ -576,5 +576,49 @@ object RelationalQueries {
       doc = "TPC-H Q21-style lone-late-supplier blame: EXISTS/NOT EXISTS " +
         "decorrelated to left-semi/left-anti joins on the order key, " +
         "supplier dimension broadcast after the reduce"),
+
+    Q("q19_revenue_share",
+      (s, d) => {
+        // TPC-H Q11 shape: groups whose share of a GLOBAL total clears a
+        // bar. The scalar total is the sum of the already-reduced
+        // per-nation decimals (25 rows), broadcast back as one row — the
+        // fact table is scanned and shuffled ONCE; the share filter and
+        // division are projections. Decimal sums end-to-end, so the
+        // share is a single double division of engine-identical values.
+        val rev = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(sum(pround(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .cast(DecimalType(28, 4))).as("rev"))
+        val tot = rev.agg(sum(col("rev")).as("tot"))
+        rev.crossJoin(broadcast(tot))
+          .select(col("n_name"), col("rev").cast("double").as("revenue"),
+            pround(col("rev").cast("double") / col("tot").cast("double"), 6)
+              .as("share"))
+          .where(col("share") > 0.03)
+          .orderBy("n_name")
+      },
+      Some("""WITH r AS (
+             |  SELECT n_name,
+             |         sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(28,4))) AS rev
+             |  FROM lineitem
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |  JOIN customer ON c_custkey = o_custkey
+             |  JOIN nation ON n_nationkey = c_nationkey
+             |  GROUP BY n_name),
+             |t AS (SELECT sum(rev) AS tot FROM r)
+             |SELECT n_name, CAST(rev AS DOUBLE) AS revenue,
+             |       floor(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS share
+             |FROM r, t
+             |WHERE floor(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 > 0.03
+             |ORDER BY n_name""".stripMargin),
+      doc = "TPC-H Q11-style share-of-global with HAVING: one fact scan, " +
+        "per-nation decimal sums, 1-row global total broadcast back, " +
+        "share filter as a projection"),
   )
 }
