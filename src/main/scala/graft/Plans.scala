@@ -154,6 +154,11 @@ object Plans {
       ("PSI drift: one groupBy on the length bin, a 1-row totals " +
         "broadcast, and per-bin contributions as pure projections — " +
         "no float total anywhere in the plan."),
+    "q19_revenue_share" ->
+      ("Share-of-global with HAVING: one fact scan into per-nation " +
+        "decimal sums, the 1-row global total broadcasts back, and " +
+        "the share filter is a projection — no second scan, no " +
+        "correlated scalar re-execution."),
   )
 
   def main(args: Array[String]): Unit = {
