@@ -10,7 +10,7 @@ DuckDB view, runs the oracle SQL, loads the Spark parquet result, sorts
 columns by name (like the driver), then compares row/schema/values.
 
 Performance-drift mode:
-  python3 tools/check.py --drift <bench.json>
+  python3 tools/check.py --drift <bench.json> [more_bench.json ...]
 
 Compares a bench result (the one-line JSON graft.Bench prints, or a
 driver-recorded BENCH_r{N}.json whose truncated "tail" it re-parses)
@@ -66,42 +66,62 @@ def compare(name, spark_df, oracle_df):
                 return f"VALUE mismatch col={c} row={i}: spark={av[i]!r} oracle={bv[i]!r}"
     return None
 
-def drift(bench_path):
+def _bench_times(bench_path):
     import re
-    base = json.load(open(os.path.join(os.path.dirname(__file__), "..",
-                                       "BENCH_BASELINE.json")))
     raw = json.load(open(bench_path))
     if "queries" in raw and isinstance(raw["queries"], dict):
-        times = raw["queries"]
-    else:  # driver-recorded wrapper: re-parse the (possibly truncated) tail
-        meta = {"value", "runs_per_query", "sf", "n", "rc", "cpus"}
-        times = {m.group(1): float(m.group(2)) for m in
-                 re.finditer(r'"([a-z0-9_]+)":([0-9.]+)', raw.get("tail", ""))
-                 if m.group(1) not in meta}
+        return raw["queries"]
+    # driver-recorded wrapper: re-parse the (possibly truncated) tail
+    meta = {"value", "runs_per_query", "sf", "n", "rc", "cpus"}
+    return {m.group(1): float(m.group(2)) for m in
+            re.finditer(r'"([a-z0-9_]+)":([0-9.]+)', raw.get("tail", ""))
+            if m.group(1) not in meta}
+
+
+def drift(bench_paths):
+    """Flag perf drift vs BENCH_BASELINE.json.
+
+    With ONE bench file, a flag is a LEAD, not a verdict: a single GC
+    pause on the shared local[32] JVM adds ~1s to whichever tiny query
+    it lands on (observed round 8: q3-q7 once, q9 once — never the same
+    query twice, never reproduced by ProfileQuery). With SEVERAL bench
+    files, a query flags only if it drifts in EVERY file — a real
+    regression reproduces, noise lands somewhere else next run.
+    """
+    base = json.load(open(os.path.join(os.path.dirname(__file__), "..",
+                                       "BENCH_BASELINE.json")))
     steady = base["queries"]
     # per-query multiplier overrides for queries with MEASURED same-code
     # variance beyond the default 1.5x (see BENCH_BASELINE.json notes —
     # each override must cite its evidence there)
     tol = base.get("tolerance_overrides", {})
+    runs = [_bench_times(p) for p in bench_paths]
+    common = set(runs[0])
+    for r in runs[1:]:
+        common &= set(r)
     flags, unknown = [], []
-    for q, t in sorted(times.items()):
+    for q in sorted(common):
         if q not in steady:
             unknown.append(q)
             continue
         limit = tol.get(q, 1.5) * steady[q] + 0.3
-        if t > limit:
-            flags.append((q, t, steady[q], limit))
+        ts = [r[q] for r in runs]
+        if all(t > limit for t in ts):
+            flags.append((q, max(ts), steady[q], limit))
     for q, t, s, lim in flags:
-        print(f"[DRIFT] {q}: {t:.2f}s vs steady {s:.2f}s (limit {lim:.2f}s)")
+        print(f"[DRIFT] {q}: {t:.2f}s vs steady {s:.2f}s (limit {lim:.2f}s)"
+              + (f" in all {len(runs)} runs" if len(runs) > 1 else ""))
     if unknown:
         print(f"[warn] no baseline for: {unknown} — re-run the ProfileQuery "
               f"sweep and refresh BENCH_BASELINE.json")
-    print(f"\n{len(times)} compared, {len(flags)} drift flag(s)")
+    note = "" if len(runs) > 1 else \
+        " (single run: confirm any flag with a second bench or ProfileQuery)"
+    print(f"\n{len(common)} compared, {len(flags)} drift flag(s){note}")
     sys.exit(1 if flags else 0)
 
 def main():
     if sys.argv[1] == "--drift":
-        drift(sys.argv[2])
+        drift(sys.argv[2:])
         return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
