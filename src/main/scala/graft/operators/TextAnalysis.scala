@@ -48,6 +48,25 @@ object TextAnalysis {
           .as("pred_lang"),
         (col("lang") === "en").cast("int").as("is_en"))
 
+  /** t13: the evaluation every classifier ships with — the confusion
+    * census of the t1 language-ID heuristic against the corpus's
+    * ground-truth lang column, as (true binary class, predicted) cell
+    * counts plus the per-cell share of its true class (recall on the
+    * diagonal). Pure reduce over t1's output: at 100 TB the matrix is
+    * |classes|² rows however big the corpus is, the single groupBy
+    * partial-aggregates map-side, and the per-class share is a window
+    * over those few rows. */
+  def langIdConfusion(docs: DataFrame, threshold: Double = 0.05): DataFrame = {
+    val cells = langId(docs, threshold)
+      .select(when(col("is_en") === 1, "en").otherwise("other").as("true_lang"),
+        col("pred_lang"))
+      .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val perClass = Window.partitionBy("true_lang")
+    cells.select(col("true_lang"), col("pred_lang"), col("n"),
+      pround(col("n").cast("double") /
+        sum(col("n")).over(perClass).cast("double"), 6).as("class_share"))
+  }
+
   /** Quality scoring: length, mean word length, stopword ratio →
     * composite score (deterministic integer-ratio arithmetic). */
   def qualityScore(docs: DataFrame): DataFrame =
@@ -475,6 +494,24 @@ object TextAnalysisQueries {
       doc = "per-doc corpus surprisal (mean -ln p(w), micro-nat fixed-point " +
         "integer sums so the aggregate is order-independent): the LM-free " +
         "perplexity-style quality signal"),
+
+    Q("t13_langid_confusion",
+      (s, d) => langIdConfusion(docs(s, d)).orderBy("true_lang", "pred_lang"),
+      Some(s"""WITH $statsSqlCte,
+              |cls AS (
+              |  SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS true_lang,
+              |         CASE WHEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.05
+              |              THEN 'en' ELSE 'other' END AS pred_lang
+              |  FROM st),
+              |cell AS (SELECT true_lang, pred_lang, count(*) AS n
+              |         FROM cls GROUP BY true_lang, pred_lang)
+              |SELECT true_lang, pred_lang, n,
+              |       floor(CAST(n AS DOUBLE)
+              |             / CAST(sum(n) OVER (PARTITION BY true_lang) AS DOUBLE)
+              |             * 1000000.0 + 0.5) / 1000000.0 AS class_share
+              |FROM cell ORDER BY true_lang, pred_lang""".stripMargin),
+      doc = "t1 language-ID confusion census vs ground truth: |classes|^2 " +
+        "rows at any corpus size, recall on the diagonal"),
 
     Q("t12_bpe_pairs",
       (s, d) => bpePairCounts(docs(s, d), 20),

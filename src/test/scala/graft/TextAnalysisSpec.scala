@@ -124,6 +124,20 @@ class TextAnalysisSpec extends SparkSpec {
       "more frequent types must sit at lower mid-ranks")
   }
 
+  test("langid confusion: exact cells on a constructed corpus, shares sum to 1") {
+    val docs = Seq(
+      (0L, "the cat sat on the mat", "en", 22L),   // stopword-rich -> pred en
+      (1L, "cat mat hat bat rat sat", "en", 23L),  // no stopwords -> pred other
+      (2L, "der hund lief schnell weg", "de", 25L) // no en stopwords -> other
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val cells = TextAnalysis.langIdConfusion(docs)
+      .orderBy("true_lang", "pred_lang")
+      .as[(String, String, Long, Double)].collect().toList
+    assert(cells === List(
+      ("en", "en", 1L, 0.5), ("en", "other", 1L, 0.5),
+      ("other", "other", 1L, 1.0)))
+  }
+
   test("bpe pairs: frequency-weighted adjacent pair counts, hand-checked") {
     // wf: ab x2, abc x1 -> pairs: 'ab' from both words (2+1), 'bc' from abc
     val tiny = Seq((0L, "ab ab abc")).toDF("doc_id", "text")
