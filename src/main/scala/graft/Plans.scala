@@ -159,6 +159,15 @@ object Plans {
         "decimal sums, the 1-row global total broadcasts back, and " +
         "the share filter is a projection — no second scan, no " +
         "correlated scalar re-execution."),
+    "e3_joint_curation" ->
+      ("Joint text+embedding curation: each modality filter runs on " +
+        "its own layout (token metrics in the text scan, cosine prune " +
+        "in centroid buckets), intersected by two doc_id-keyed joins — " +
+        "no cross-modal payload shuffle."),
+    "t13_langid_confusion" ->
+      ("Classifier confusion census: map-side-combinable cell counts, " +
+        "the per-class share window runs over |classes|^2 rows however " +
+        "big the corpus is."),
   )
 
   def main(args: Array[String]): Unit = {
