@@ -35,6 +35,23 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("media"),
       col("source"), col("n_chars"))
 
+  /** m7: media dedup census by content hash — per source, how many
+    * binary payloads are byte-identical copies. The groupBy keys on the
+    * md5 digest of the media column, never the payload itself, so the
+    * shuffle width is 16 bytes per record however large the media is —
+    * the property that makes content-hash dedup the universal first
+    * pass over image/video corpora (near-dup by perceptual hash comes
+    * after, exactly like text's g1 → g2 ladder). */
+  def mediaDedupCensus(docs: DataFrame): DataFrame =
+    mediaFrame(docs).select(col("source"), md5(col("media")).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_media"),
+        countDistinct(col("h")).as("n_unique"))
+      .select(col("source"), col("n_media"), col("n_unique"),
+        graft.functions.Parity.pround(
+          lit(1.0) - col("n_unique").cast("double") /
+            col("n_media").cast("double"), 6).as("dup_rate"))
+
   /** Deterministic fake "decode": width/height/n_frames derived from the
     * byte length. Declarative projection — stays in whole-stage codegen. */
   def decodeMeta(framed: DataFrame): DataFrame =
@@ -191,5 +208,17 @@ object MultimodalQueries {
              |FROM documents ORDER BY doc_id""".stripMargin),
       doc = "feature extraction stub: 4-dim md5-derived embedding, exact " +
         "2^-24 scaling (real path: Arrow-batched model pass per partition)"),
+
+    Q("m7_media_dedup",
+      (s, d) => mediaDedupCensus(Tables.documents(s, d)).orderBy("source"),
+      Some("""SELECT source, count(*) AS n_media,
+             |       count(DISTINCT md5(text)) AS n_unique,
+             |       floor((1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+             |              / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5)
+             |         / 1000000.0 AS dup_rate
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+      doc = "media dedup census by content hash: the first pass of image " +
+        "dedup - per source, how many payloads are byte-identical copies; " +
+        "groupBy keys on the 128-bit digest, never the payload"),
   )
 }

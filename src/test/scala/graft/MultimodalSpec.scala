@@ -75,4 +75,16 @@ class MultimodalSpec extends SparkSpec {
       assert(s.zip(s.tail).forall { case (a, b) => b - a === 2 })
     }
   }
+
+  test("media dedup census: byte-identical payloads counted per source") {
+    val d = Seq(
+      (0L, "same bytes", "web", 10L),
+      (1L, "same bytes", "web", 10L),   // exact copy -> 1 unique of 2
+      (2L, "other bytes", "web", 11L),
+      (3L, "alone", "pdf", 5L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val got = Multimodal.mediaDedupCensus(d).orderBy("source")
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(got === List(("pdf", 1L, 1L, 0.0), ("web", 3L, 2L, 0.333333)))
+  }
 }
