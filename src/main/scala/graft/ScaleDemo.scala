@@ -89,7 +89,14 @@ object ScaleDemo {
       "cluster_reps" -> (d => operators.Dedup.clusterReps(d, 4).count()),
       "incr_neardup" -> (d => operators.Dedup.minhashIncremental(
         d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1), 4).count()),
-      "psi_drift" -> (d => operators.Sampling.psiDrift(d).count()))
+      "psi_drift" -> (d => operators.Sampling.psiDrift(d).count()),
+      // g4's candidate set under the default df cap: rows_Fx vs rows_1x is
+      // the direct evidence the capped inverted index bounds emission —
+      // growth tracks genuine duplicate density (the F-cliques), never the
+      // df² of hot shingles, which the cap excludes from the index
+      "ngram_candidates" -> (d => operators.Dedup.ngramCandidates(
+        operators.Dedup.shingleHashRows(d).distinct(),
+        operators.Dedup.DefaultShingleDfCap).count()))
     val vecOps: Seq[(String, DataFrame => Long)] = Seq(
       "lsh_buckets" -> (v => operators.Similarity.lshBuckets(v, 4).count()),
       "ivf_assign" -> (v => operators.Similarity.ivfAssign(v, 16).count()),

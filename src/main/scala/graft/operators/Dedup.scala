@@ -365,29 +365,69 @@ object Dedup {
       .agg(sum(when(col("s") >= 0, expr("cast(pow(2, j) as bigint)"))
         .otherwise(0L)).as("simhash"))
 
+  /** Default hot-shingle document-frequency cap for [[ngramJaccardTop]].
+    * An uncapped inverted-index join emits df² candidate rows per
+    * shingle — a stopword-like 3-shingle ("one of the", df 1e8+ on a web
+    * corpus) alone produces 1e16 rows. Capping df bounds the worst
+    * per-shingle emission at cap²/2 and is the standard lossy contract
+    * for a top-k near-dup ranking: a shingle shared by >cap documents
+    * carries ~no Jaccard signal (same reason prefix filtering excludes
+    * high-df shingles from the index, SimilarityJoin.scala:28-33). */
+  val DefaultShingleDfCap = 1000
+
   /** G4: n-gram Jaccard over distinct 3-shingles, computed with an
-    * inverted-index join (pairs sharing >= 1 shingle only).
-    * EAGER: the distinct shingle set feeds three consumers (sizes + both
-    * join sides), so it is computed once via viaSharedScan — building
-    * this DataFrame runs the job. The lazy core is
+    * inverted-index join (pairs sharing >= 1 shingle only), restricted
+    * to shingles with document frequency <= dfCap (documented-lossy for
+    * the top-k contract — see [[DefaultShingleDfCap]]). Jaccard is
+    * computed consistently over the capped shingle space: both the
+    * per-doc sizes and the intersections count only surviving shingles.
+    * EAGER: the distinct shingle set feeds four consumers (df + sizes +
+    * both join sides), so it is computed once via viaSharedScan —
+    * building this DataFrame runs the job. The lazy core is
     * [[ngramJaccardJoin]], kept separate so its plan stays auditable
     * (same discipline as SimilarityJoin.prefixJoin). */
-  def ngramJaccardTop(docs: DataFrame, k: Int): DataFrame =
-    viaSharedScan(shingleHashRows(docs).distinct())(ngramJaccardJoin(_, k))
+  def ngramJaccardTop(docs: DataFrame, k: Int,
+                      dfCap: Int = DefaultShingleDfCap): DataFrame =
+    viaSharedScan(shingleHashRows(docs).distinct())(ngramJaccardJoin(_, k, dfCap))
 
-  /** The lazy inverted-index Jaccard join over a distinct (doc_id, sh_h)
-    * shingle table; per-doc sizes are small → broadcast. */
-  private[graft] def ngramJaccardJoin(shingleSet: DataFrame, k: Int): DataFrame = {
-    val sizes = shingleSet.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = shingleSet.as("x").join(shingleSet.as("y"),
+  /** The candidate pairs of the capped inverted-index join — exposed so
+    * ScaleDemo can show the candidate count stays bounded under
+    * replication. One row per (doc_a, doc_b) sharing >= 1 surviving
+    * shingle, with their capped-space intersection size. */
+  private[graft] def ngramCandidates(shingleSet: DataFrame, dfCap: Int): DataFrame = {
+    // df as a map-side-combinable groupBy joined back — never a window
+    // over sh_h (the same skew argument as SimilarityJoin.prefixJoin:
+    // a hot shingle would serialize through one window task)
+    val docFreq = shingleSet.groupBy("sh_h").agg(count(lit(1)).as("df"))
+    val capped = shingleSet.join(docFreq.where(col("df") <= dfCap), "sh_h")
+      .select("doc_id", "sh_h")
+    capped.as("x").join(capped.as("y"),
+        col("x.sh_h") === col("y.sh_h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+  }
+
+  /** The lazy capped inverted-index Jaccard join over a distinct
+    * (doc_id, sh_h) shingle table. The per-doc sizes table is one row
+    * per document — unbounded at corpus scale — so it is deliberately
+    * NOT broadcast-hinted: the join shuffles on the doc id (AQE may
+    * still choose a broadcast at runtime from measured sizes, which is
+    * fine; an unconditional hint OOMs the driver at 1e9 documents). */
+  private[graft] def ngramJaccardJoin(shingleSet: DataFrame, k: Int,
+                                      dfCap: Int = DefaultShingleDfCap): DataFrame = {
+    val docFreq = shingleSet.groupBy("sh_h").agg(count(lit(1)).as("df"))
+    val capped = shingleSet.join(docFreq.where(col("df") <= dfCap), "sh_h")
+      .select("doc_id", "sh_h")
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = capped.as("x").join(capped.as("y"),
         col("x.sh_h") === col("y.sh_h") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n", "na")), "doc_a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n", "nb")), "doc_b")
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
@@ -592,9 +632,17 @@ object DedupQueries {
 
     Q("g4_ngram_jaccard",
       (s, d) => ngramJaccardTop(docs(s, d), 20),
+      // the oracle applies the SAME df cap, so the gate checks the capped
+      // semantics end-to-end (at sf0.01 the cap is never hit — every
+      // shingle's df <= corpus size << cap — so this also equals the
+      // uncapped answer)
       Some(s"""WITH $shinglesSqlCte,
-              |ss AS (SELECT DISTINCT doc_id,
+              |ss0 AS (SELECT DISTINCT doc_id,
               |         ('0x' || substr(md5(sh), 1, 14))::BIGINT AS sh_h FROM sh),
+              |dfq AS (SELECT sh_h, count(*) AS df FROM ss0 GROUP BY sh_h),
+              |ss AS (SELECT ss0.doc_id, ss0.sh_h FROM ss0
+              |       JOIN dfq ON ss0.sh_h = dfq.sh_h
+              |       WHERE dfq.df <= ${Dedup.DefaultShingleDfCap}),
               |sz AS (SELECT doc_id, count(*) AS n FROM ss GROUP BY doc_id),
               |inter AS (
               |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
@@ -608,8 +656,10 @@ object DedupQueries {
               |  JOIN sz b ON b.doc_id = doc_b)
               |SELECT doc_a, doc_b, floor(jac * 1000000.0 + 0.5) / 1000000.0 AS jaccard
               |FROM j ORDER BY jac DESC, doc_a, doc_b LIMIT 20""".stripMargin),
-      doc = "G4 n-gram Jaccard via inverted-index join (never all-pairs). " +
-        "EAGER: building this DataFrame runs the job (viaSharedScan " +
-        "checkpoint) — keep it out of explain()/plan-dump paths"),
+      doc = "G4 n-gram Jaccard via df-capped inverted-index join (never " +
+        "all-pairs; hot shingles with df > cap excluded — documented-" +
+        "lossy top-k contract). EAGER: building this DataFrame runs the " +
+        "job (viaSharedScan checkpoint) — keep it out of explain()/" +
+        "plan-dump paths"),
   )
 }

@@ -303,12 +303,15 @@ object Similarity {
   }
 
   /** k-NN label vote: majority label of the top-k neighbors per query;
-    * ties broken by smaller label. */
+    * ties broken by smaller label. The broadcast side is the TOPK table
+    * (bounded at nQueries×k rows by construction), never the labels side
+    * — labels is one row per corpus vector, unbounded at 100 TB of
+    * embeddings, and broadcasting it would OOM the driver. */
   def knnLabelVote(vecs: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val topk = cosineTopK(vecs, nQueries, k)
     val labels = vecs.select(col("vec_id").as("neighbor_id"), col("label"))
     val w = Window.partitionBy("q_id").orderBy(col("votes").desc, col("label"))
-    topk.join(broadcast(labels), "neighbor_id")
+    broadcast(topk).join(labels, "neighbor_id")
       .groupBy("q_id", "label").agg(count(lit(1)).as("votes"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") === 1)

@@ -85,6 +85,21 @@ class DedupSpec extends SparkSpec {
       List((0L, 1L, 1.0), (0L, 3L, 1.0), (1L, 3L, 1.0)))
   }
 
+  test("G4: df cap drops hot shingles from candidates and the Jaccard space") {
+    // every shingle of docs 0/1/3 has df=3; with dfCap=2 those shingles
+    // vanish, so the dup trio produces NO candidate pairs at all —
+    // bounding the inverted-index emission is exactly the scale contract
+    val ss = Dedup.shingleHashRows(docs).distinct()
+    assert(Dedup.ngramCandidates(ss, 2).count() === 0L)
+    assert(Dedup.ngramJaccardTop(docs, 5, dfCap = 2).count() === 0L)
+    // a cap >= the max df is a no-op: identical to the uncapped ranking
+    val capped = Dedup.ngramJaccardTop(docs, 5, dfCap = 100)
+      .as[(Long, Long, Double)].collect().toList
+    val default = Dedup.ngramJaccardTop(docs, 5).as[(Long, Long, Double)]
+      .collect().toList
+    assert(capped === default)
+  }
+
   test("G2c: incremental near-dup flags the duplicate batch doc in every band") {
     // corpus: docs 0 (+2 as noise); batch: 1 (ws-variant of 0) and 2's
     // unique-content twin under a new id

@@ -151,11 +151,19 @@ class PlanAuditSpec extends SparkSpec {
     // auditable plans are the split-out lazy joins
     val docs = Tables.documents(spark, sf("sf0.001"))
     val ss = operators.Dedup.shingleHashRows(docs).distinct()
-    val g4 = operators.Dedup.ngramJaccardJoin(ss, 10)
-      .queryExecution.executedPlan.toString
+    val g4df = operators.Dedup.ngramJaccardJoin(ss, 10)
+    val g4 = g4df.queryExecution.executedPlan.toString
     assert(g4.contains("TakeOrderedAndProject"), g4.take(800))
-    assert(g4.contains("BroadcastHashJoin"))
     assert(!g4.contains("CartesianProduct") && !g4.contains("BroadcastNestedLoopJoin"))
+    // the per-doc sizes table is unbounded at corpus scale: no broadcast
+    // HINT may reach it (AQE choosing a runtime broadcast from measured
+    // sizes is fine — the assert is on the user-declared plan, where a
+    // broadcast() call surfaces as a ResolvedHint before optimization)
+    assert(!g4df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "g4 must not carry a user broadcast hint")
+    // the hot-shingle df cap must survive optimization (candidate bound)
+    assert(g4df.queryExecution.optimizedPlan.toString.contains("<= 1000"),
+      "g4's df cap filter must be present in the optimized plan")
     val g7 = operators.Sketch.cmsEstimateJoin(
         operators.Sketch.tokenCounts(docs), 4, 64)
       .queryExecution.executedPlan.toString
@@ -194,6 +202,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin")) // supplier dimension
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("TakeOrderedAndProject")) // top-10, never a global sort
+  }
+
+  test("s4: label join builds on the bounded topk side, never the corpus") {
+    val p = plan("s4_knn_label_vote")
+    // broadcast(topk) is the LEFT side of the neighbor_id join → the
+    // build side must be BuildLeft; building on the labels side would
+    // broadcast one row per corpus vector (unbounded at scale)
+    val m = "BroadcastHashJoin \\[neighbor_id[^\\n]*".r.findFirstIn(p)
+    assert(m.isDefined, p.take(800))
+    assert(m.get.contains("BuildLeft"), m.get)
   }
 
   test("x1: hash sample filter evaluates next to the scan, no shuffle") {
