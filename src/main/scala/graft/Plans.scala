@@ -87,13 +87,6 @@ object Plans {
         "probe fan-out lives on the broadcast (tiny) query side, " +
         "candidates dedup as bare id pairs BEFORE any embedding array " +
         "is rejoined."),
-    "e1_pipeline" ->
-      ("Composed curation chain (normalize → dedup → quality ∧ " +
-        "repetition ∧ OOV bars → split → census) in one plan: a single " +
-        "parquet scan feeds the whole pipeline, metrics are computed " +
-        "once per unique normalized text after the dedup groupBy, the " +
-        "vocab top-k is TakeOrderedAndProject arriving broadcast, and " +
-        "the census groupBy reduces everything at the end."),
     "g10_semdedup" ->
       ("SemDeDup-style semantic dedup: centroids arrive broadcast for " +
         "the assignment, the in-cluster verify self-join keys on " +
@@ -202,6 +195,21 @@ object Plans {
         "array_intersect verify."
       val plan = df.queryExecution.explainString(mode)
       s"## y4_jaccard_threshold (prefixJoin, lazy core)\n\n$note\n\n```\n${plan.trim}\n```\n"
+    } :+ {
+      // e1's public entry is likewise EAGER since round 10 (the tokenized
+      // survivor frame is persisted while its four metric consumers run);
+      // the auditable core is curate(materialize = false)
+      val df = operators.Pipeline
+        .curate(Tables.documents(spark, sfDir), 20, materialize = false)
+      val note = "e1's lazy core (the registered query persists the " +
+        "tokenized survivor frame — viaSharedScan — before the metric " +
+        "branches consume it): a single parquet scan feeds the whole " +
+        "chain, metrics are computed once per unique normalized text " +
+        "after the dedup groupBy, the vocab top-k is " +
+        "TakeOrderedAndProject arriving broadcast, and the census " +
+        "groupBy reduces everything at the end."
+      val plan = df.queryExecution.explainString(mode)
+      s"## e1_pipeline (curate, lazy core)\n\n$note\n\n```\n${plan.trim}\n```\n"
     }
     val header =
       s"""# PLANS — physical plans of the headline queries

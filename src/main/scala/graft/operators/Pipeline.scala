@@ -38,6 +38,19 @@ object Pipeline {
     * default to t8's Gopher cut; maxOov bounds the t9-style OOV rate
     * against the corpus's own top-`vocabK` vocabulary.
     *
+    * `materialize` (default true): persist the tokenized survivor frame
+    * while the metric branches consume it (the y4 viaSharedScan
+    * discipline). The frame feeds FOUR consumers — the top-bigram
+    * branch, the vocabulary build, the OOV join, and the final metric
+    * join — and Spark's exchange reuse does not dedup a post-aggregation
+    * projection across that fan-out, so the lazy plan re-tokenizes every
+    * survivor per consumer (measured round 8: 0.34 s → 1.78 s at sf0.1;
+    * at warehouse scale the survivor table is a persisted intermediate
+    * anyway). EAGER when true: constructing the DataFrame runs the
+    * normalize/dedup/tokenize job and the upstream plan collapses to a
+    * stored-rows scan — pass materialize = false for plan audits/dumps
+    * of the full lazy core.
+    *
     * Why the bars are explode+aggregate branches and NOT per-doc array
     * arithmetic (`aggregate`/`filter` lambdas over toks): measured in
     * round 8, the lambda version ran 6× SLOWER (1.8 s → 11.2 s at
@@ -45,10 +58,17 @@ object Pipeline {
     * and the bar expressions get duplicated into both the survivor
     * Filter and the output Project, so every doc pays the interpreted
     * fold twice. The explode branches stay inside whole-stage codegen
-    * and their exchanges are reused across consumers. */
+    * and their exchanges are reused across consumers.
+    *
+    * Measured at sf0.1 (round 10): lazy ~1.3 s, materialized ~1.1 s via
+    * the row-format block store (a columnar persist() of the same frame
+    * measured ~2.3 s — the array/string cache encoding costs more than
+    * the recompute it saves). The materialized path is also the one
+    * whose cost stays flat as consumers are added — the 100 TB contract. */
   def curateSurvivors(docs: DataFrame, minTokens: Int, vocabK: Int = 25,
                       maxOov: Double = 0.2, minTtr: Double = 0.2,
-                      maxTopBigram: Double = 0.18): DataFrame = {
+                      maxTopBigram: Double = 0.18,
+                      materialize: Boolean = true): DataFrame = {
     // dedup FIRST: metrics run once per unique normalized text, over the
     // canonical (lowercased, whitespace-collapsed) token stream
     val surv = docs
@@ -65,6 +85,19 @@ object Pipeline {
       col("toks"),
       size(col("toks")).cast("long").as("n_toks"),
       size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+    if (materialize)
+      Dedup.viaSharedScan(base)(
+        survivorMetrics(_, minTokens, vocabK, maxOov, minTtr, maxTopBigram))
+    else
+      survivorMetrics(base, minTokens, vocabK, maxOov, minTtr, maxTopBigram)
+  }
+
+  /** The lazy metric/bar chain over a tokenized survivor frame — split
+    * out of [[curateSurvivors]] so its plan stays auditable while the
+    * public entry persists the shared input. */
+  private def survivorMetrics(base: DataFrame, minTokens: Int, vocabK: Int,
+                              maxOov: Double, minTtr: Double,
+                              maxTopBigram: Double): DataFrame = {
     // top-bigram mode: explode + two-level map-side-combinable aggregate
     val bigramsFromToks =
       """CASE WHEN size(toks) >= 2
@@ -105,11 +138,14 @@ object Pipeline {
 
   /** The full curation chain over `docs`: survivors of every bar,
     * hash-split deterministically, reduced to the per-(split, lang)
-    * census with token budgets. */
+    * census with token budgets. EAGER by default (see
+    * [[curateSurvivors]]); pass materialize = false for plan audits. */
   def curate(docs: DataFrame, minTokens: Int, vocabK: Int = 25,
              maxOov: Double = 0.2, minTtr: Double = 0.2,
-             maxTopBigram: Double = 0.18): DataFrame =
-    curateSurvivors(docs, minTokens, vocabK, maxOov, minTtr, maxTopBigram)
+             maxTopBigram: Double = 0.18,
+             materialize: Boolean = true): DataFrame =
+    curateSurvivors(docs, minTokens, vocabK, maxOov, minTtr, maxTopBigram,
+        materialize)
       .withColumn("split",
         when(expr(s"${md5Long56("cast(doc_id as string)")} % 10") < 8, lit("train"))
           .when(expr(s"${md5Long56("cast(doc_id as string)")} % 10") === 8, lit("val"))
@@ -213,9 +249,12 @@ object PipelineQueries {
               |       CAST(sum(n_toks) AS BIGINT) AS tok_sum,
               |       CAST(sum(n_copies - 1) AS BIGINT) AS dups_removed
               |FROM sp GROUP BY split, lang ORDER BY split, lang""".stripMargin),
-      doc = "end-to-end curation pipeline in ONE plan: normalize -> dedup " +
-        "survivors -> quality bar AND Gopher repetition bar (t8) AND OOV " +
-        "bar (t9) -> hash split -> per-split census"),
+      doc = "end-to-end curation pipeline: normalize -> dedup survivors " +
+        "-> quality bar AND Gopher repetition bar (t8) AND OOV bar (t9) " +
+        "-> hash split -> per-split census. EAGER: the tokenized " +
+        "survivor frame is persisted while its four metric consumers " +
+        "run (viaSharedScan) — pass materialize = false for the lazy " +
+        "auditable core"),
 
     Q("e3_joint_curation",
       (s, d) => MultiModalPipeline.jointCurate(

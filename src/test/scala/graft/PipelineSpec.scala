@@ -65,6 +65,17 @@ class PipelineSpec extends SparkSpec {
     assert(kept.nonEmpty, "common docs must pass the OOV bar")
   }
 
+  test("materialized pipeline equals the lazy core exactly") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val eager = Pipeline.curate(docs, 20).orderBy("split", "lang")
+      .as[(String, String, Long, Long, Long)].collect().toList
+    val lazyCore = Pipeline.curate(docs, 20, materialize = false)
+      .orderBy("split", "lang")
+      .as[(String, String, Long, Long, Long)].collect().toList
+    assert(eager === lazyCore)
+    assert(eager.nonEmpty)
+  }
+
   test("joint curation census = independently intersected modality filters") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val vecs = Tables.embeddings(spark, sf("sf0.001"))

@@ -137,7 +137,11 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("e1: composed pipeline keeps the scale shapes of its parts") {
-    val p = plan("e1_pipeline")
+    // the registered query materializes the survivor frame (eager
+    // checkpoint), so the auditable plan is the lazy core
+    val p = operators.Pipeline
+      .curate(Tables.documents(spark, sf("sf0.001")), 20, materialize = false)
+      .queryExecution.executedPlan.toString
     // t9's vocab top-k must stay TakeOrderedAndProject (never a global
     // sort) and reach the token stream via broadcast; nothing in the
     // composition may degrade to a nested-loop join
