@@ -28,6 +28,34 @@ class MultimodalSpec extends SparkSpec {
     assert(a.forall { case (id, n, _) => meta(id) === n })
   }
 
+  test("decodeBatches contract: schema, narrow partitioning, input pruning " +
+      "— the seam a real codec drop-in must preserve") {
+    import org.apache.spark.sql.types._
+    val out = Multimodal.decodeBatches(Multimodal.mediaFrame(docs))
+    // exact output schema: a real Arrow/JNI decode must return these
+    // fields with these types so every downstream consumer (joins on
+    // doc_id, metadata rollups) is plug-compatible
+    assert(out.schema === StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_bytes", IntegerType),
+      StructField("checksum", LongType))))
+    // narrow execution: the decode is per-partition — no Exchange may
+    // appear between the scan and the decode (a codec that forces a
+    // shuffle of media payloads is wrong at 100 TB)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(600))
+    // partition count is preserved (mapPartitions is 1:1 over batches)
+    val framed = Multimodal.mediaFrame(docs).select("doc_id", "media")
+    assert(out.rdd.getNumPartitions === framed.rdd.getNumPartitions)
+    // input side carries ONLY (doc_id, media) into the decode — payload
+    // plus key, nothing else rides along into the codec stage
+    val deser = out.queryExecution.analyzed.collectFirst {
+      case d: org.apache.spark.sql.catalyst.plans.logical.DeserializeToObject => d
+    }
+    assert(deser.isDefined, "decode must deserialize rows per partition")
+    assert(deser.get.child.output.map(_.name) === Seq("doc_id", "media"))
+  }
+
   test("props extraction is typed (LongType) and non-null on valid JSON") {
     val k = Multimodal.propsExtract(Tables.events(spark, sf("sf0.001")))
     assert(k.schema("k").dataType === org.apache.spark.sql.types.LongType)

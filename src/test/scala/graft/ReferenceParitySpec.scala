@@ -107,15 +107,34 @@ class ReferenceParitySpec extends SparkSpec {
     assert(mb === List(43.69))
   }
 
-  test("flat-layout 1G/5G runs are scanned too (reference's scanner missed them)") {
+  // BASELINE.md (L)-series rows: single flat-layout runs per config, by
+  // slowstart — 1G `MapReduceLog/_1G_slowstart_*/job_output.log`, 5G
+  // `_5G_*`. These are the only in-tree source covering 1G/5G totals
+  // (README's 1G R-series are 3-run means of runs never committed).
+  private val expectedFlatTotals = Map(
+    ("1G", 0.2) -> 860.0, ("1G", 0.5) -> 851.0,
+    ("1G", 0.8) -> 860.0, ("1G", 1.0) -> 1253.0,
+    ("5G", 0.2) -> 4479.0, ("5G", 0.5) -> 6094.0,
+    ("5G", 0.8) -> 6105.0, ("5G", 1.0) -> 6143.0)
+
+  test("flat-layout 1G/5G totals reproduce BASELINE.md's (L)-series rows " +
+      "(the layout the reference's own scanner silently skipped)") {
     assume(new java.io.File(RefLogs).isDirectory)
     val flat = LogFiles.globPaths(spark, s"$RefLogs/_1G_*/job_output.log") ++
       LogFiles.globPaths(spark, s"$RefLogs/_5G_*/job_output.log")
     assume(flat.nonEmpty)
+    assert(flat.size === 8) // 2 datasets × 4 slowstarts, one run each
     val prog = LogFiles.progressEvents(LogFiles.readLines(spark, flat: _*))
-    val dims = LogFiles.withRunDims(prog)
-    val ds = dims.select("dataset").distinct().as[String].collect().toSet
-    assert(ds.contains("1G") || ds.contains("5G"))
-    assert(prog.count() > 0)
+    val evts = prog.select(
+      col("file").as("run"),
+      unix_timestamp(col("ts")).as("epochS"),
+      col("map_pct").as("mapPct"),
+      col("red_pct").as("redPct")).as[ProgressEvent]
+    val dims = "_?(\\d+(?:mb|MB|gb|GB|M|G)?)_slowstart_([\\d.]+)".r
+    val got = StageAggregator.stageTimes(evts).collect().map { case (run, st) =>
+      val m = dims.findFirstMatchIn(run).get
+      (m.group(1).toUpperCase, m.group(2).toDouble) -> st.totalS
+    }.toMap
+    assert(got === expectedFlatTotals)
   }
 }
