@@ -90,13 +90,19 @@ object ScaleDemo {
       "incr_neardup" -> (d => operators.Dedup.minhashIncremental(
         d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1), 4).count()),
       "psi_drift" -> (d => operators.Sampling.psiDrift(d).count()),
-      // g4's candidate set under the default df cap: rows_Fx vs rows_1x is
-      // the direct evidence the capped inverted index bounds emission —
-      // growth tracks genuine duplicate density (the F-cliques), never the
-      // df² of hot shingles, which the cap excludes from the index
+      // g4's candidate set under the default df cap: replication multiplies
+      // every shingle's df by F, so candidates grow ~F² — that is GENUINE
+      // duplicate density (each F-clique really contains C(F,2) dup pairs;
+      // any exact emitter produces at least that), not hot-shingle blowup
       "ngram_candidates" -> (d => operators.Dedup.ngramCandidates(
         operators.Dedup.shingleHashRows(d).distinct(),
         operators.Dedup.DefaultShingleDfCap).count()),
+      // the same index under a cap BELOW the replication factor: every
+      // replicated shingle is now "hot" and excluded, so the candidate
+      // count collapses — the direct demonstration that the cap, not
+      // luck, bounds per-shingle emission (at cap²/2) at any corpus size
+      "ngram_candidates_cap16" -> (d => operators.Dedup.ngramCandidates(
+        operators.Dedup.shingleHashRows(d).distinct(), 16).count()),
       // sink throughput (VERDICT r8 gap: W8/R7 were spec-only — no write
       // path ever appeared in a bench artifact). The timed section covers
       // compute + write + a read-back line count that doubles as the row

@@ -45,6 +45,29 @@ object Contamination {
       .withColumn("overlap_ratio",
         pround(col("n_overlap").cast("double") / col("n_shingles").cast("double"), 6))
   }
+
+  /** y8: intra-corpus repeated-n-gram exposure — per doc, the fraction of
+    * its distinct 3-shingles that occur in at least one OTHER document.
+    * This is the duplication-exposure signal sequence-level dedup acts on
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22 — substring duplication predicts memorization):
+    * docs high on this scale are mostly boilerplate/templates even when
+    * no single near-dup pair flags them.
+    *
+    * Scale shape: the shingle document frequency is a map-side-combinable
+    * groupBy on the 56-bit hash joined back to the index — never a window
+    * over sh_h (the y4 hot-shingle argument, SimilarityJoin.scala:53-61)
+    * and never pairwise. Two key-reduced shuffles total. */
+  def dupNgramRate(docs: DataFrame): DataFrame = {
+    val sh = shingleHashRows(docs).distinct()
+    val docFreq = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
+    sh.join(docFreq, "sh_h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_rate",
+        pround(col("n_shared").cast("double") / col("n_shingles").cast("double"), 6))
+  }
 }
 
 object ContaminationQueries {
@@ -88,5 +111,31 @@ object ContaminationQueries {
               |ORDER BY per.doc_id""".stripMargin),
       doc = "train/eval n-gram decontamination report: inverted-index " +
         "shingle overlap per held-out doc, never pairwise"),
+
+    Q("y8_dup_ngram_rate",
+      (s, d) => dupNgramRate(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |s AS (
+              |  SELECT DISTINCT doc_id,
+              |    ('0x' || substr(md5(sh), 1, 14))::BIGINT AS sh_h
+              |  FROM (
+              |    SELECT doc_id,
+              |           unnest(CASE WHEN len(t) >= 3
+              |                  THEN list_transform(range(1, len(t) - 1),
+              |                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              |                  ELSE CAST([] AS VARCHAR[]) END) AS sh
+              |    FROM t)),
+              |df AS (SELECT sh_h, count(*) AS df FROM s GROUP BY sh_h)
+              |SELECT s.doc_id, count(*) AS n_shingles,
+              |       CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+              |         AS n_shared,
+              |       floor(CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+              |             / count(*) * 1000000.0 + 0.5) / 1000000.0 AS dup_rate
+              |FROM s JOIN df ON s.sh_h = df.sh_h
+              |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
+      doc = "intra-corpus repeated-n-gram exposure: per doc, the fraction " +
+        "of its distinct 3-shingles shared with any other doc (the " +
+        "duplication-exposure signal of Lee et al. ACL'22) - groupBy df " +
+        "joined back, never a window over sh_h, never pairwise"),
   )
 }

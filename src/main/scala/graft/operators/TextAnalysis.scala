@@ -164,6 +164,34 @@ object TextAnalysis {
         (col("ttr") >= 0.2 && col("top_bigram_frac") <= 0.18).cast("long"))
   }
 
+  /** Engine-portable PII patterns (t14). Kept to constructs Java regex
+    * and RE2 (the DuckDB oracle) evaluate identically: character
+    * classes, bounded repetition, \b, \d, leftmost-first alternation —
+    * no backreferences or lookaround (RE2 has neither). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** t14: PII detection + scrub census — per doc, how many email / IPv4 /
+    * SSN-shaped spans the text contains and the length after replacing
+    * every span with a fixed redaction token. This is the redaction pass
+    * every training-data pipeline runs before anything leaves the raw
+    * zone; counts-first (not just scrubbed text) because the census is
+    * what drives source-level triage.
+    *
+    * Scale shape: pure scan-stage projection — regexp_count/replace are
+    * codegen'd row-local expressions, no shuffle, no UDF. At 100 TB this
+    * is embarrassingly parallel and bounded by scan throughput. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val combined = s"$EmailRe|$Ipv4Re|$SsnRe"
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).as("n_email"),
+      regexp_count(col("text"), lit(Ipv4Re)).as("n_ipv4"),
+      regexp_count(col("text"), lit(SsnRe)).as("n_ssn"),
+      length(regexp_replace(col("text"), combined, "<PII>"))
+        .as("scrubbed_len"))
+  }
+
   /** Out-of-vocabulary rate per document against the corpus's own top-k
     * vocabulary — the tokenizer-coverage measurement a training pipeline
     * runs before committing to a vocab size. Phase 1 reduces the corpus
@@ -546,5 +574,22 @@ object TextAnalysisQueries {
       doc = "per-doc OOV rate vs the corpus top-10 vocabulary: reduced " +
         "word counts -> top-k -> broadcast vocab left-join (tokenizer " +
         "coverage measurement)"),
+
+    Q("t14_pii_scrub",
+      (s, d) => piiScrub(docs(s, d)).orderBy("doc_id"),
+      // the patterns interpolate verbatim: DuckDB single-quoted literals
+      // keep backslashes, and both engines read the same RE2/Java-common
+      // regex subset (see EmailRe scaladoc)
+      Some(s"""SELECT doc_id,
+              |  len(regexp_extract_all(text, '$EmailRe')) AS n_email,
+              |  len(regexp_extract_all(text, '$Ipv4Re')) AS n_ipv4,
+              |  len(regexp_extract_all(text, '$SsnRe')) AS n_ssn,
+              |  length(regexp_replace(text, '$EmailRe|$Ipv4Re|$SsnRe',
+              |                        '<PII>', 'g')) AS scrubbed_len
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "PII detection + scrub census: email/IPv4/SSN span counts and " +
+        "post-redaction length, all codegen'd scan-stage projections - " +
+        "no shuffle, no UDF; the redaction pass before data leaves the " +
+        "raw zone"),
   )
 }

@@ -115,4 +115,17 @@ class PackingSpec extends SparkSpec {
     assert(keptSum === distinctChunks)
     assert(out.where(col("n_kept") > col("n_chunks")).count() === 0)
   }
+
+  test("y8 dup-ngram rate: duplicated docs expose 1.0, unique text 0.0") {
+    val docs = Seq(
+      (0L, "w x y z q r s"),
+      (1L, "w x y z q r s"),          // exact dup of 0 -> every shingle shared
+      (2L, "totally unique words never repeated anywhere else")
+    ).toDF("doc_id", "text")
+    val got = Contamination.dupNgramRate(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(got(0) === ((0L, 5L, 5L, 1.0)))
+    assert(got(1) === ((1L, 5L, 5L, 1.0)))
+    assert(got(2) === ((2L, 5L, 0L, 0.0)))
+  }
 }

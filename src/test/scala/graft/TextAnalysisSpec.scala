@@ -171,4 +171,17 @@ class TextAnalysisSpec extends SparkSpec {
     val row = TextAnalysis.zipfFit(uni).collect().head
     assert(row.isNullAt(row.fieldIndex("zipf_slope")))
   }
+
+  test("t14 PII scrub: counts each span kind, redacts all of them") {
+    val docs = Seq(
+      (0L, "contact alice@example.com or 10.0.0.1 and ssn 123-45-6789 ok"),
+      (1L, "no pii here at all"),
+      (2L, "two mails a@b.io c.d@e.org one ip 192.168.1.255")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(docs).orderBy("doc_id")
+      .as[(Long, Int, Int, Int, Int)].collect().toList
+    assert(got(0) === ((0L, 1, 1, 1, "contact <PII> or <PII> and ssn <PII> ok".length)))
+    assert(got(1) === ((1L, 0, 0, 0, "no pii here at all".length)))
+    assert(got(2) === ((2L, 2, 1, 0, "two mails <PII> <PII> one ip <PII>".length)))
+  }
 }
