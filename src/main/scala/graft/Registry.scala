@@ -38,5 +38,6 @@ object Registry {
       operators.ContaminationQueries.qs ++
       operators.SimilarityJoinQueries.qs ++
       operators.GraphQueries.qs ++
-      operators.PipelineQueries.qs
+      operators.PipelineQueries.qs ++
+      operators.SkewQueries.qs
 }

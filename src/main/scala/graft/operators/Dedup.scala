@@ -52,6 +52,15 @@ object Dedup {
     docs.select(col("doc_id"), expr(tokensExpr).as("toks"))
       .select(col("doc_id"), explode(expr(shinglesFromToks)).as("sh"))
 
+  /** (doc_id, pos, sh): positional 3-shingles, 1-based positions (DuckDB
+    * list-indexing parity). Order matters to consumers like the winnowing
+    * fingerprint selector (TextAnalysis.winnowFingerprints), which slides
+    * a window over the positional hash sequence. */
+  def shinglePosRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(tokensExpr).as("toks"))
+      .select(col("doc_id"), posexplode(expr(shinglesFromToks)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("sh"))
+
   /** (doc_id, sh_h): shingles as 56-bit md5-prefix longs. Joining and
     * grouping on fixed-width longs instead of ~20-char strings cuts
     * shuffle bytes and key-compare cost in the inverted-index join;

@@ -620,5 +620,97 @@ object RelationalQueries {
       doc = "TPC-H Q11-style share-of-global with HAVING: one fact scan, " +
         "per-nation decimal sums, 1-row global total broadcast back, " +
         "share filter as a projection"),
+
+    Q("q20_dominant_supplier",
+      (s, d) => {
+        // TPC-H Q20 shape: a nested correlated aggregate — keep the
+        // (part, supplier) pairs shipping more than TWICE the part's
+        // average per-supplier quantity (parts here have 13-41 suppliers
+        // with near-uniform shares, so an absolute >50% bar never fires;
+        // the 2x-fair-share bar keeps the identical decorrelated plan
+        // non-degenerate at every SF). Decorrelated: ONE fact shuffle to
+        // (partkey, suppkey), a second reduce of the already-key-reduced
+        // pairs to per-part totals + supplier counts, joined back on
+        // partkey; `ps*ns > 2*p` compares exact integer quantity-cents
+        // (q15's integer-adds discipline — per-part sums stay far below
+        // 2^53). The supplier dim broadcasts AFTER the reduce.
+        val ps = Tables.lineitem(s, d)
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(sum(floor(col("l_quantity") * 100.0 + 0.5)).as("ps_qty"))
+        val p = ps.groupBy("l_partkey")
+          .agg(sum(col("ps_qty")).as("p_qty"), count(lit(1)).as("ns"))
+        ps.join(p, "l_partkey")
+          .where(col("ps_qty") * col("ns") > col("p_qty") * 2)
+          .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_suppkey", "s_name")
+          .agg(count(lit(1)).as("n_dominant_parts"),
+            (sum(col("ps_qty")).cast("double") / 100.0).as("dom_qty"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH ps AS (
+             |  SELECT l_partkey, l_suppkey,
+             |         CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS ps_qty
+             |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+             |p AS (SELECT l_partkey, CAST(sum(ps_qty) AS BIGINT) AS p_qty,
+             |             count(*) AS ns
+             |      FROM ps GROUP BY l_partkey)
+             |SELECT s_suppkey, s_name, count(*) AS n_dominant_parts,
+             |       CAST(CAST(sum(ps_qty) AS BIGINT) AS DOUBLE) / 100.0 AS dom_qty
+             |FROM ps JOIN p USING (l_partkey)
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |WHERE ps_qty * ns > p_qty * 2
+             |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin),
+      doc = "TPC-H Q20-style nested correlated aggregate: suppliers " +
+        "shipping over twice a part's average per-supplier quantity - " +
+        "decorrelated to two key-reduced aggregations + a join back, " +
+        "exact integer-cents comparison"),
+
+    Q("q22_idle_rich",
+      (s, d) => {
+        // TPC-H Q22 shape: customers above the positive-balance average
+        // with NO urgent orders (every customer here has SOME order, so
+        // the textbook no-orders-at-all bar is empty at every SF; the
+        // filtered anti-join side keeps the identical plan — filter
+        // pushed below the left-anti — non-degenerate). The scalar bar
+        // is a 1-row broadcast; NOT EXISTS is a left-anti join on the
+        // order key; the average is exact (integer-cents sum / count,
+        // one double division per engine).
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"),
+            floor(col("c_acctbal") * 100.0 + 0.5).as("bal_c"))
+        val bar = cust.where(col("bal_c") > 0)
+          .agg((sum(col("bal_c")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_c"))
+        cust.crossJoin(broadcast(bar))
+          .where(col("bal_c").cast("double") > col("avg_c"))
+          .join(Tables.orders(s, d)
+              .where(col("o_orderpriority") === "1-URGENT")
+              .select("o_custkey"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_cust"),
+            (sum(col("bal_c")).cast("double") / 100.0).as("sum_bal"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH c AS (
+             |  SELECT c_custkey, c_nationkey,
+             |         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_c
+             |  FROM customer),
+             |bar AS (
+             |  SELECT CAST(sum(bal_c) AS DOUBLE) / count(*) AS avg_c
+             |  FROM c WHERE bal_c > 0)
+             |SELECT c_nationkey, count(*) AS n_cust,
+             |       CAST(CAST(sum(bal_c) AS BIGINT) AS DOUBLE) / 100.0 AS sum_bal
+             |FROM c, bar
+             |WHERE CAST(bal_c AS DOUBLE) > avg_c
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderpriority = '1-URGENT')
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+      doc = "TPC-H Q22-style anti-join against a scalar bar: above-average-" +
+        "balance customers with no urgent orders, per nation - 1-row " +
+        "broadcast bar, left-anti on the filtered order key, exact " +
+        "integer-cents average"),
   )
 }

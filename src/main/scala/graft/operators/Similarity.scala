@@ -317,6 +317,47 @@ object Similarity {
       .where(col("rk") === 1)
       .select(col("q_id"), col("label").as("pred_label"), col("votes"))
   }
+
+  /** s8: product-quantization assignment (Jégou/Douze/Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI'11) — the
+    * compressed-domain ANN representation: split each d-dim embedding
+    * into `m` subvectors and code each against a per-subspace codebook
+    * of `k` codewords (seeded deterministically from the k smallest
+    * vec_ids, the kmeansStep convention). Output: one row per
+    * (vec_id, subspace) with the chosen code and the exact fixed-point
+    * squared L2 residual — m·log2(k) bits replace 4·d bytes per vector.
+    *
+    * Scale shape: the corpus is scanned ONCE — a transform+explode emits
+    * the m subvector slices per row map-side (no self-union re-scan);
+    * the codebook (m·k rows) broadcasts; the per-(vec, sub) argmin is a
+    * map-side-combinable min_by aggregate, so the only corpus-sized
+    * shuffle carries m rows per vector. Distances are exact BIGINT sums
+    * of fixed-point squares (≤16 dims × (2·10^5)² ≈ 6.4·10^11 « 2^53),
+    * so codes are bit-reproducible on any engine. */
+  def pqAssign(vecs: DataFrame, m: Int = 4, k: Int = 4): DataFrame = {
+    val fixed = withFixed(vecs)
+    val d = 64
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val sub = d / m
+    val slices = s"transform(sequence(0, ${m - 1}), " +
+      s"si -> struct(si as sub, slice(f, si * $sub + 1, $sub) as fv))"
+    val pieces = fixed
+      .select(col("vec_id"), explode(expr(slices)).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.fv").as("fv"))
+    val book = fixed.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("code"), col("f"))
+      .select(col("code"), explode(expr(slices)).as("e"))
+      .select(col("e.sub").as("sub"), col("code"), col("e.fv").as("cw"))
+    pieces.join(broadcast(book), "sub")
+      .select(col("vec_id"), col("sub"), col("code"),
+        expr("aggregate(zip_with(fv, cw, (a, b) -> (a - b) * (a - b)), " +
+          "0L, (s, x) -> s + x)").as("dist2"))
+      .groupBy("vec_id", "sub")
+      .agg(min_by(struct(col("code"), col("dist2")),
+        struct(col("dist2"), col("code"))).as("pick"))
+      .select(col("vec_id"), col("sub"), col("pick.code").as("code"),
+        col("pick.dist2").as("dist2"))
+  }
 }
 
 object SimilarityQueries {
@@ -598,5 +639,35 @@ object SimilarityQueries {
       doc = "e2 embedding-side composition: quantize -> semantic dedup -> " +
         "per-cluster census with engine-exact min/max cosine spread " +
         "(extremes, not float means, so aggregation order can't matter)"),
+
+    Q("s8_pq_assign",
+      (s, d) => pqAssign(vecs(s, d), 4, 4).orderBy("vec_id", "sub"),
+      Some(s"""WITH $fixedSqlCte,
+              |seeds AS (SELECT vec_id, f FROM n ORDER BY vec_id LIMIT 4),
+              |book AS (
+              |  SELECT si AS sub, vec_id AS code,
+              |         f[si * 16 + 1 : (si + 1) * 16] AS cw
+              |  FROM seeds, (SELECT unnest(range(0, 4)) AS si)),
+              |pieces AS (
+              |  SELECT vec_id, si AS sub,
+              |         f[si * 16 + 1 : (si + 1) * 16] AS fv
+              |  FROM n, (SELECT unnest(range(0, 4)) AS si)),
+              |dists AS (
+              |  SELECT p.vec_id, p.sub, b.code,
+              |         CAST(list_sum(list_transform(range(1, 17),
+              |           i -> (p.fv[i] - b.cw[i]) * (p.fv[i] - b.cw[i])))
+              |           AS BIGINT) AS dist2
+              |  FROM pieces p JOIN book b ON p.sub = b.sub),
+              |r AS (
+              |  SELECT vec_id, sub, code, dist2,
+              |         row_number() OVER (PARTITION BY vec_id, sub
+              |           ORDER BY dist2, code) AS rn
+              |  FROM dists)
+              |SELECT vec_id, sub, code, dist2 FROM r WHERE rn = 1
+              |ORDER BY vec_id, sub""".stripMargin),
+      doc = "product-quantization assignment (Jegou et al. TPAMI'11): " +
+        "4 subspaces x 4 codewords, one corpus scan (map-side " +
+        "slice-explode), broadcast codebook, combinable min_by argmin; " +
+        "exact fixed-point residuals make codes engine-reproducible"),
   )
 }

@@ -327,6 +327,42 @@ object TextAnalysis {
       .select(col("doc_id"), col("rn").as("rank"), col("w").as("term"),
         col("tfidf"))
   }
+
+  /** t15: winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03). Over each document's positional 3-shingle hash sequence,
+    * slide a window of `w` consecutive hashes and keep the RIGHTMOST
+    * minimal hash per window (the paper's robust-winnowing tie rule);
+    * the fingerprint set is the distinct selected (position, hash) pairs.
+    * Guarantee: any shared token run long enough to contain w consecutive
+    * shingles (w + 2 tokens) contributes at least one common fingerprint;
+    * expected density 2/(w+1). Documents with fewer than w shingles keep
+    * the minimum over all their shingles, so no non-empty doc goes
+    * unfingerprinted.
+    *
+    * Scale shape: per-doc window functions over the shingle sequence —
+    * ONE doc_id shuffle+sort, no joins, no pairwise work. Downstream,
+    * fingerprints feed the same inverted-index candidate discipline as
+    * g4/y4 (join docs sharing a fingerprint), at ~2/(w+1) of the full
+    * shingle index's size. The rightmost-min is a single struct-min over
+    * the frame: min(struct(h, -pos)) picks the smallest hash and, among
+    * ties, the largest position — one window aggregate, both engines. */
+  def winnowFingerprints(docs: DataFrame, w: Int = 4): DataFrame = {
+    val sh = Dedup.shinglePosRows(docs)
+      .select(col("doc_id"), col("pos"),
+        expr(Dedup.md5Long56("sh")).as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    val doc = Window.partitionBy("doc_id")
+    sh.select(col("doc_id"), col("pos"),
+        count(lit(1)).over(win).as("cnt"),
+        min(struct(col("h"), (-col("pos")).as("np"))).over(win).as("sel"),
+        count(lit(1)).over(doc).as("n_sh"))
+      .where(col("cnt") === w || (col("pos") === 1 && col("n_sh") < w))
+      .select(col("doc_id"), (-col("sel.np")).as("fp_pos"),
+        col("sel.h").as("fp"))
+      .distinct()
+  }
 }
 
 object TextAnalysisQueries {
@@ -591,5 +627,30 @@ object TextAnalysisQueries {
         "post-redaction length, all codegen'd scan-stage projections - " +
         "no shuffle, no UDF; the redaction pass before data leaves the " +
         "raw zone"),
+
+    Q("t15_winnow",
+      (s, d) => winnowFingerprints(docs(s, d)).orderBy("doc_id", "fp_pos"),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |sp AS (
+              |  SELECT doc_id, i AS pos,
+              |    ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 14))::BIGINT AS h
+              |  FROM t, unnest(CASE WHEN len(t) >= 3
+              |                 THEN range(1, len(t) - 1) ELSE [] END) AS u(i)),
+              |w AS (
+              |  SELECT doc_id, pos, h,
+              |    count(*) OVER win AS cnt,
+              |    min(struct_pack(h := h, np := -pos)) OVER win AS sel,
+              |    count(*) OVER (PARTITION BY doc_id) AS n_sh
+              |  FROM sp
+              |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+              |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+              |SELECT DISTINCT doc_id, -sel.np AS fp_pos, sel.h AS fp
+              |FROM w WHERE cnt = 4 OR (pos = 1 AND n_sh < 4)
+              |ORDER BY doc_id, fp_pos""".stripMargin),
+      doc = "winnowing document fingerprints (Schleimer et al. SIGMOD'03): " +
+        "rightmost-minimal shingle hash per sliding window of 4, as one " +
+        "struct-min window aggregate - per-doc sequence op, one doc_id " +
+        "shuffle, ~2/(w+1) of the full shingle index feeds downstream " +
+        "candidate joins"),
   )
 }

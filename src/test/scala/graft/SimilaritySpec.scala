@@ -126,4 +126,38 @@ class SimilaritySpec extends SparkSpec {
     assert(tight.subsetOf(loose),
       s"kept@0.30 must be a subset of kept@0.45; extra = ${tight -- loose}")
   }
+
+  test("pq assignment: m rows per vector, codes from the seed set") {
+    val (m, k) = (4, 4)
+    val pq = Similarity.pqAssign(vecs, m, k)
+      .as[(Long, Int, Long, Long)].collect()
+    val n = vecs.count()
+    assert(pq.length === m * n)
+    pq.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq === (0 until m))
+    }
+    assert(pq.forall(r => r._3 >= 0 && r._3 < k), "code outside seed set")
+    assert(pq.forall(_._4 >= 0), "squared residual must be non-negative")
+  }
+
+  test("pq assignment: seed vectors code to themselves with zero residual") {
+    // a seed's subvector IS one of the codewords, so its argmin distance
+    // is 0; ties (another codeword identical on that subspace) still
+    // report dist2 = 0
+    val pq = Similarity.pqAssign(vecs, 4, 4)
+      .where(col("vec_id") < 4)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(pq.length === 16)
+    assert(pq.forall(_._4 === 0L),
+      s"seed residuals must be exactly 0: ${pq.filter(_._4 != 0L).mkString(",")}")
+  }
+
+  test("pq assignment: tighter codebook never increases a vector's residual") {
+    val d2 = (k: Int) => Similarity.pqAssign(vecs, 4, k)
+      .groupBy("vec_id").agg(sum("dist2").as("d"))
+      .as[(Long, Long)].collect().toMap
+    val coarse = d2(2)
+    val fine = d2(4) // superset codebook: argmin can only improve
+    assert(fine.forall { case (v, d) => d <= coarse(v) })
+  }
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Winnowing fingerprint selection (t15) — the SIGMOD'03 guarantees the
+  * operator's contract rests on, proven on constructed documents:
+  * coverage (every full window contributes a selected fingerprint),
+  * the match guarantee (documents sharing a run of >= w+2 tokens share
+  * a fingerprint), density (far fewer fingerprints than shingles), and
+  * the short-document fallback.
+  */
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val W = 4
+
+  private def docsDF(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("coverage: every full window of w shingles contains a selection") {
+    val docs = docsDF(
+      0L -> "one two three four five six seven eight nine ten eleven twelve")
+    val fps = TextAnalysis.winnowFingerprints(docs, W)
+      .select("fp_pos").as[Int].collect().toSet
+    val nShingles = Dedup.shinglePosRows(docs).count().toInt
+    // window starting at every pos p in [1, n-w+1] must contain a selected
+    // position within [p, p+w-1]
+    (1 to nShingles - W + 1).foreach { p =>
+      assert((p until p + W).exists(fps.contains),
+        s"window at $p has no selected fingerprint")
+    }
+  }
+
+  test("match guarantee: docs sharing a run of w+2 tokens share a fingerprint") {
+    // shared run of W+2 = 6 tokens => W = 4 consecutive shared shingles
+    // => one full window inside the run => a common fingerprint hash
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = docsDF(
+      0L -> s"aa bb cc dd $shared ee ff gg hh",
+      1L -> s"xx yy $shared zz ww vv uu tt ss rr")
+    val byDoc = TextAnalysis.winnowFingerprints(docs, W)
+      .select("doc_id", "fp").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(0L) intersect byDoc(1L)).nonEmpty,
+      "shared 6-token run produced no common fingerprint")
+  }
+
+  test("density: selected fingerprints are a strict subset of shingles") {
+    val text = (1 to 200).map(i => s"w${i % 97}").mkString(" ")
+    val docs = docsDF(0L -> text)
+    val nSel = TextAnalysis.winnowFingerprints(docs, W).count()
+    val nSh = Dedup.shinglePosRows(docs).count()
+    assert(nSel < nSh, s"winnowing selected $nSel of $nSh shingles")
+    // expected density 2/(w+1) = 0.4; allow generous slack both ways
+    assert(nSel.toDouble / nSh > 0.1 && nSel.toDouble / nSh < 0.7)
+  }
+
+  test("short docs (< w shingles) still get exactly one fingerprint") {
+    val docs = docsDF(
+      0L -> "just three tokens",     // 1 shingle
+      1L -> "now four tokens here",  // 2 shingles
+      2L -> "a b")                   // 0 shingles — no row
+    val got = TextAnalysis.winnowFingerprints(docs, W)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 1L, 1L -> 1L))
+  }
+
+  test("rightmost-min tie rule: duplicate minimal hashes pick the later position") {
+    // identical shingles produce identical hashes; a doc of one repeated
+    // token has all-equal hashes, so each full window selects its LAST
+    // position — selections are {W, W+1, ..., n}
+    val docs = docsDF(0L -> (1 to 10).map(_ => "same").mkString(" "))
+    val n = Dedup.shinglePosRows(docs).count().toInt // 8 shingles
+    val got = TextAnalysis.winnowFingerprints(docs, W)
+      .select("fp_pos").as[Int].collect().toSet
+    assert(got === (W to n).toSet)
+  }
+}
