@@ -161,6 +161,34 @@ object Plans {
       ("Classifier confusion census: map-side-combinable cell counts, " +
         "the per-class share window runs over |classes|^2 rows however " +
         "big the corpus is."),
+    "t15_winnow" ->
+      ("Winnowing fingerprints: the whole selection is two Window " +
+        "passes over ONE doc_id Exchange (the rightmost-minimal hash " +
+        "is a single struct-min frame aggregate) — no join, no " +
+        "pairwise work; output is ~2/(w+1) of the shingle index."),
+    "s8_pq_assign" ->
+      ("Product-quantization codes: the corpus is scanned once " +
+        "(subvector slices explode map-side), the m×k codebook arrives " +
+        "via BroadcastExchange, and the per-(vec, sub) argmin is a " +
+        "partial min_by — the only corpus-sized shuffle carries m rows " +
+        "per vector."),
+    "q20_dominant_supplier" ->
+      ("TPC-H Q20 shape: the nested correlated aggregate decorrelates " +
+        "to two key-reduced hash aggregates (pair sums, then per-part " +
+        "totals over the ALREADY-reduced pairs) joined back on " +
+        "partkey; the supplier dimension broadcasts after the reduce; " +
+        "the dominance test is exact integer-cents arithmetic."),
+    "q22_idle_rich" ->
+      ("TPC-H Q22 shape: the positive-balance average is a 1-row " +
+        "broadcast bar (no correlated re-execution), NOT EXISTS is a " +
+        "left-anti join with the urgent-orders filter pushed to the " +
+        "scan below it."),
+    "x15_salted_join" ->
+      ("Salted equi-join: the fact side's hot keys spread over 16 " +
+        "salt buckets derived in the scan projection; the dim side " +
+        "replicates per bucket (explode) — the join key is (key, salt) " +
+        "so no single task owns a hot key. The oracle is the plain " +
+        "join: the rewrite is answer-invisible."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -90,6 +90,9 @@ object ScaleDemo {
       "incr_neardup" -> (d => operators.Dedup.minhashIncremental(
         d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1), 4).count()),
       "psi_drift" -> (d => operators.Sampling.psiDrift(d).count()),
+      "pii_scrub" -> (d => operators.TextAnalysis.piiScrub(d).count()),
+      "dup_ngram_rate" -> (d => operators.Contamination.dupNgramRate(d).count()),
+      "winnow" -> (d => operators.TextAnalysis.winnowFingerprints(d, 4).count()),
       // g4's candidate set under the default df cap: replication multiplies
       // every shingle's df by F, so candidates grow ~F² — that is GENUINE
       // duplicate density (each F-clique really contains C(F,2) dup pairs;
@@ -124,13 +127,16 @@ object ScaleDemo {
       "lsh_buckets" -> (v => operators.Similarity.lshBuckets(v, 4).count()),
       "ivf_assign" -> (v => operators.Similarity.ivfAssign(v, 16).count()),
       "kmeans_step" -> (v => operators.KMeans.kmeansStep(v, 6).count()),
-      "semdedup" -> (v => operators.Similarity.semDedup(v, 16, 0.40).count()))
+      "semdedup" -> (v => operators.Similarity.semDedup(v, 16, 0.40).count()),
+      "pq_assign" -> (v => operators.Similarity.pqAssign(v, 4, 4).count()))
     val eventOps: Seq[(String, DataFrame => Long)] = Seq(
       "event_transitions" -> (e => operators.Funnel.eventTransitions(e).count()),
       "funnel" -> (e => operators.Funnel.funnelConversion(e).count()),
       "sketch_quantiles" -> (e =>
         operators.Profiling.sketchQuantiles(e, "event_type", "value").count()),
-      "zorder_stats" -> (e => operators.Stats.zorderClustering(e).count()))
+      "zorder_stats" -> (e => operators.Stats.zorderClustering(e).count()),
+      "salted_count" -> (e =>
+        operators.Skew.saltedCount(e, "event_type", "event_id", 32).count()))
 
     def sweep(name: String, base: DataFrame, big: DataFrame,
               fns: Seq[(String, DataFrame => Long)]): Seq[String] =

@@ -224,4 +224,41 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), p.take(800))
   }
+
+  test("t15: winnowing is windows over ONE doc_id shuffle — no join at all") {
+    val p = plan("t15_winnow")
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("Window"))
+    // exactly one exchange keyed on doc_id feeds both window passes (the
+    // final orderBy adds only a range exchange for presentation)
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length === 1,
+      p.take(800))
+  }
+
+  test("s8: PQ codebook is broadcast; the argmin is a combinable aggregate") {
+    val p = plan("s8_pq_assign")
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    assert(p.contains("partial_min_by") || p.contains("partial_min"),
+      "per-(vec,sub) argmin must partially aggregate map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q20: decorrelated nested agg — two hash aggregates, dim broadcast after reduce") {
+    val p = plan("q20_dominant_supplier")
+    assert(p.contains("partial_sum"))
+    assert(p.contains("BroadcastHashJoin")) // supplier dim
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the fact table is scanned once — per-part totals reduce the
+    // ALREADY-aggregated pairs, never re-scan lineitem
+    assert("Scan parquet".r.findAllIn(p).count(_ => true) <= 3, p.take(800))
+  }
+
+  test("q22: scalar bar is a 1-row broadcast; NOT EXISTS is a left-anti join") {
+    val p = plan("q22_idle_rich")
+    assert(p.contains("LeftAnti"), p.take(800))
+    assert(p.contains("BroadcastExchange"))
+    // the urgent-orders filter must sit under the anti join, pushed to
+    // the scan side, not applied post-join
+    assert(p.contains("1-URGENT"))
+  }
 }
