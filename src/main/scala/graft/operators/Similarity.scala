@@ -318,6 +318,27 @@ object Similarity {
       .select(col("q_id"), col("label").as("pred_label"), col("votes"))
   }
 
+  /** s9: per-dimension embedding census — count, mean, min, max of every
+    * coordinate across the corpus, the standard embedding-QA pass (dead
+    * dimensions, scale drift, normalization checks) run before any
+    * ANN/cluster work. Exact: coordinates are fixed-point longs, the
+    * mean is one integer sum divided once, extremes are integer min/max
+    * — bit-identical under any partitioning.
+    *
+    * Scale shape: posexplode emits d rows per vector map-side; partial
+    * aggregation collapses every partition to ≤ d rows before the ONE
+    * exchange, so the shuffle carries d rows per partition regardless
+    * of corpus size (the mergeable-sketch property, x4's class). */
+  def dimStats(vecs: DataFrame): DataFrame =
+    withFixed(vecs)
+      .select(posexplode(col("f")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        pround(sum(col("v")).cast("double") / count(lit(1)).cast("double")
+          / 100000.0, 6).as("mean_val"),
+        (min(col("v")).cast("double") / 100000.0).as("min_val"),
+        (max(col("v")).cast("double") / 100000.0).as("max_val"))
+
   /** s8: product-quantization assignment (Jégou/Douze/Schmid, "Product
     * Quantization for Nearest Neighbor Search", TPAMI'11) — the
     * compressed-domain ANN representation: split each d-dim embedding
@@ -669,5 +690,23 @@ object SimilarityQueries {
         "4 subspaces x 4 codewords, one corpus scan (map-side " +
         "slice-explode), broadcast codebook, combinable min_by argmin; " +
         "exact fixed-point residuals make codes engine-reproducible"),
+
+    Q("s9_dim_stats",
+      (s, d) => dimStats(vecs(s, d)).orderBy("dim"),
+      Some(s"""WITH $fixedSqlCte,
+              |ex AS (
+              |  SELECT i AS dim, f[i + 1] AS v
+              |  FROM n, (SELECT unnest(range(0, 64)) AS i)
+              |  WHERE i < len(f))
+              |SELECT dim, count(*) AS n,
+              |       floor(CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)
+              |             / CAST(count(*) AS DOUBLE) / 100000.0
+              |             * 1000000.0 + 0.5) / 1000000.0 AS mean_val,
+              |       CAST(min(v) AS DOUBLE) / 100000.0 AS min_val,
+              |       CAST(max(v) AS DOUBLE) / 100000.0 AS max_val
+              |FROM ex GROUP BY dim ORDER BY dim""".stripMargin),
+      doc = "per-dimension embedding census (dead dims, scale drift): " +
+        "exact fixed-point mean/min/max, partial agg collapses to <= d " +
+        "rows per partition before the one exchange"),
   )
 }

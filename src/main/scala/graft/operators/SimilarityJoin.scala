@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -104,6 +104,32 @@ object SimilarityJoin {
         .where(col("jac") >= t)
         .select(col("doc_a"), col("doc_b"), pround(col("jac"), 6).as("jaccard"))
   }
+
+  /** g14: LSH quality census — precision/recall of the banded MinHash
+    * candidate generator against the EXACT Jaccard >= t truth set (the
+    * measured-quality-in-result discipline s6 applies to ANN, applied
+    * to the dedup candidate path: "how much does banding miss, and how
+    * much junk does it admit" as numbers in the result, not a claim in
+    * a comment).
+    *
+    * Scale shape: both inputs are already-reduced PAIR tables (LSH
+    * bucket join; prefix-filtered exact join); the intersection is a
+    * left-semi join on the pair key and the three counts are 1-row
+    * aggregates crossed together — nothing here scales with the corpus,
+    * only with the pair counts the two generators already bound. */
+  def minhashQuality(docs: DataFrame, bands: Int, t: Double): DataFrame = {
+    val cand = Dedup.minhashCandidates(docs, bands)
+    val truth = jaccardThresholdJoin(docs, t).select("doc_a", "doc_b")
+    val tp = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+    val ratio = (num: Column, den: Column) =>
+      when(den > 0, pround(num.cast("double") / den.cast("double"), 6))
+    cand.agg(count(lit(1)).as("n_cand"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+      .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+      .select(col("n_cand"), col("n_true"), col("n_tp"),
+        ratio(col("n_tp"), col("n_cand")).as("precision"),
+        ratio(col("n_tp"), col("n_true")).as("recall"))
+  }
 }
 
 object SimilarityJoinQueries {
@@ -135,5 +161,51 @@ object SimilarityJoinQueries {
       doc = "exact threshold similarity join (J >= 0.5) with All-Pairs " +
         "prefix filtering — oracle is the naive full join, proving the " +
         "pruning lossless. EAGER (viaSharedScan)"),
+
+    Q("g14_minhash_quality",
+      (s, d) => minhashQuality(Tables.documents(s, d), 4, 0.5),
+      // candidates = the g2 banded-LSH pipeline; truth = the y4 naive
+      // exact join — both oracles reused verbatim so the quality census
+      // is measured against the SAME definitions the paired queries pin
+      Some(s"""WITH ${DedupQueries.shinglesSqlCte},
+              |hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT AS h FROM sh),
+              |b AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh),
+              |sig AS (
+              |  SELECT doc_id, band,
+              |         min(${Dedup.affinePermSqlDuck("band", "h")}) AS minh
+              |  FROM b GROUP BY doc_id, band),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM sig a JOIN sig b
+              |    ON a.band = b.band AND a.minh = b.minh AND a.doc_id < b.doc_id),
+              |ss AS (SELECT DISTINCT doc_id,
+              |         ('0x' || substr(md5(sh), 1, 14))::BIGINT AS sh_h FROM sh),
+              |sz AS (SELECT doc_id, count(*) AS n FROM ss GROUP BY doc_id),
+              |inter AS (
+              |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+              |  FROM ss x JOIN ss y ON x.sh_h = y.sh_h AND x.doc_id < y.doc_id
+              |  GROUP BY doc_a, doc_b),
+              |truth AS (
+              |  SELECT doc_a, doc_b FROM inter
+              |  JOIN sz a ON a.doc_id = doc_a
+              |  JOIN sz b ON b.doc_id = doc_b
+              |  WHERE CAST(i AS DOUBLE) / CAST(a.n + b.n - i AS DOUBLE) >= 0.5),
+              |tp AS (SELECT cand.doc_a, cand.doc_b
+              |       FROM cand JOIN truth USING (doc_a, doc_b)),
+              |c AS (SELECT count(*) AS n_cand FROM cand),
+              |t AS (SELECT count(*) AS n_true FROM truth),
+              |p AS (SELECT count(*) AS n_tp FROM tp)
+              |SELECT n_cand, n_true, n_tp,
+              |       CASE WHEN n_cand > 0 THEN
+              |         floor(CAST(n_tp AS DOUBLE) / CAST(n_cand AS DOUBLE)
+              |               * 1000000.0 + 0.5) / 1000000.0 END AS precision,
+              |       CASE WHEN n_true > 0 THEN
+              |         floor(CAST(n_tp AS DOUBLE) / CAST(n_true AS DOUBLE)
+              |               * 1000000.0 + 0.5) / 1000000.0 END AS recall
+              |FROM c, t, p""".stripMargin),
+      doc = "LSH quality census: precision/recall of banded MinHash " +
+        "candidates vs the exact Jaccard>=0.5 truth set - measured " +
+        "generator quality in-result (the s6 discipline applied to " +
+        "dedup), both sides already-reduced pair tables"),
   )
 }

@@ -363,6 +363,25 @@ object TextAnalysis {
         col("sel.h").as("fp"))
       .distinct()
   }
+
+  /** y9: winnow-fingerprint candidate pairs — the MOSS shape: two
+    * documents are near-dup candidates when they share a SELECTED
+    * fingerprint, with the shared-fingerprint count as match evidence.
+    * Same inverted-index candidate discipline as g4 (df cap excludes
+    * boilerplate fingerprints that would emit df² pairs), but the index
+    * is the winnowed ~2/(w+1) subset instead of every shingle — the
+    * practical near-dup path when full shingle indexing is too big. */
+  def winnowCandidates(docs: DataFrame, w: Int = 4,
+      dfCap: Int = Dedup.DefaultShingleDfCap): DataFrame = {
+    val fp = winnowFingerprints(docs, w).select(col("doc_id"), col("fp"))
+      .distinct()
+    val docFreq = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+    val bounded = fp.join(docFreq.where(col("df") <= dfCap), "fp")
+    bounded.as("a").join(bounded.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }
 
 object TextAnalysisQueries {
@@ -379,6 +398,28 @@ object TextAnalysisQueries {
        |         sum(length(w)) AS sum_wlen,
        |         min(lang) AS lang, min(n_chars) AS n_chars
        |  FROM tok GROUP BY doc_id)""".stripMargin
+
+  /** The t15 winnowing pipeline as a DuckDB CTE chain ending in `wfp`
+    * (doc_id, fp_pos, fp) — shared between t15's and y9's oracles so
+    * the fingerprint definition cannot drift between them. */
+  private[operators] val winnowSqlCte =
+    s"""wt AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |wsp AS (
+       |  SELECT doc_id, i AS pos,
+       |    ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 14))::BIGINT AS h
+       |  FROM wt, unnest(CASE WHEN len(t) >= 3
+       |                 THEN range(1, len(t) - 1) ELSE [] END) AS u(i)),
+       |ww AS (
+       |  SELECT doc_id, pos, h,
+       |    count(*) OVER win AS cnt,
+       |    min(struct_pack(h := h, np := -pos)) OVER win AS sel,
+       |    count(*) OVER (PARTITION BY doc_id) AS n_sh
+       |  FROM wsp
+       |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+       |wfp AS (
+       |  SELECT DISTINCT doc_id, -sel.np AS fp_pos, sel.h AS fp
+       |  FROM ww WHERE cnt = 4 OR (pos = 1 AND n_sh < 4))""".stripMargin
 
   /** The t2 quality score over the `st` CTE — shared with g11's oracle
     * so the two engines' formulas can't drift apart. */
@@ -630,27 +671,29 @@ object TextAnalysisQueries {
 
     Q("t15_winnow",
       (s, d) => winnowFingerprints(docs(s, d)).orderBy("doc_id", "fp_pos"),
-      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
-              |sp AS (
-              |  SELECT doc_id, i AS pos,
-              |    ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 14))::BIGINT AS h
-              |  FROM t, unnest(CASE WHEN len(t) >= 3
-              |                 THEN range(1, len(t) - 1) ELSE [] END) AS u(i)),
-              |w AS (
-              |  SELECT doc_id, pos, h,
-              |    count(*) OVER win AS cnt,
-              |    min(struct_pack(h := h, np := -pos)) OVER win AS sel,
-              |    count(*) OVER (PARTITION BY doc_id) AS n_sh
-              |  FROM sp
-              |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
-              |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
-              |SELECT DISTINCT doc_id, -sel.np AS fp_pos, sel.h AS fp
-              |FROM w WHERE cnt = 4 OR (pos = 1 AND n_sh < 4)
+      Some(s"""WITH $winnowSqlCte
+              |SELECT doc_id, fp_pos, fp FROM wfp
               |ORDER BY doc_id, fp_pos""".stripMargin),
       doc = "winnowing document fingerprints (Schleimer et al. SIGMOD'03): " +
         "rightmost-minimal shingle hash per sliding window of 4, as one " +
         "struct-min window aggregate - per-doc sequence op, one doc_id " +
         "shuffle, ~2/(w+1) of the full shingle index feeds downstream " +
         "candidate joins"),
+
+    Q("y9_winnow_candidates",
+      (s, d) => winnowCandidates(docs(s, d)).orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $winnowSqlCte,
+              |f AS (SELECT DISTINCT doc_id, fp FROM wfp),
+              |dfq AS (SELECT fp, count(*) AS df FROM f GROUP BY fp),
+              |bd AS (SELECT f.doc_id, f.fp FROM f
+              |       JOIN dfq ON f.fp = dfq.fp WHERE df <= 1000)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |       count(*) AS n_shared
+              |FROM bd a JOIN bd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin),
+      doc = "winnow-fingerprint candidate pairs (the MOSS shape): " +
+        "df-capped inverted-index join over the SELECTED fingerprints " +
+        "only - the same candidate discipline as g4 at ~2/(w+1) the " +
+        "index size, with shared-fingerprint evidence counts in-result"),
   )
 }

@@ -74,4 +74,20 @@ class SimilarityJoinSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L)), s"got $got")
   }
+
+  test("g14 quality census: counts consistent, ratios valid, recall 1 on cliques") {
+    // identical docs ALWAYS collide in every band (equal signatures), so
+    // banded LSH cannot miss an identical pair — recall must be exactly 1
+    // on a corpus whose only true pairs are identical-doc pairs
+    val docs = ((1 to 3).map(i => (i.toLong, "alpha beta gamma delta epsilon")) ++
+      (4 to 60).map(i => (i.toLong, s"x$i y$i z$i w$i v$i u$i")))
+      .toDF("doc_id", "text")
+    val r = SimilarityJoin.minhashQuality(docs, 4, 0.5).head()
+    val (nCand, nTrue, nTp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nTrue === 3L, s"3 identical docs = 3 true pairs, got $nTrue")
+    assert(nTp === nTrue, "every identical pair must be a candidate (recall 1)")
+    assert(nTp <= nCand)
+    assert(r.getDouble(4) === 1.0)
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+  }
 }

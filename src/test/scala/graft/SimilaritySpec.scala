@@ -160,4 +160,17 @@ class SimilaritySpec extends SparkSpec {
     val fine = d2(4) // superset codebook: argmin can only improve
     assert(fine.forall { case (v, d) => d <= coarse(v) })
   }
+
+  test("dim stats: one row per dimension, n = corpus size, min <= mean <= max") {
+    val n = vecs.count()
+    val stats = Similarity.dimStats(vecs)
+      .as[(Int, Long, Double, Double, Double)].collect()
+    assert(stats.length === 64)
+    assert(stats.map(_._1).sorted.toSeq === (0 until 64))
+    stats.foreach { case (dim, cnt, mean, mn, mx) =>
+      assert(cnt === n, s"dim $dim saw $cnt of $n vectors")
+      assert(mn <= mean + 1e-6 && mean <= mx + 1e-6,
+        s"dim $dim: min=$mn mean=$mean max=$mx")
+    }
+  }
 }

@@ -77,4 +77,27 @@ class WinnowSpec extends SparkSpec {
       .select("fp_pos").as[Int].collect().toSet
     assert(got === (W to n).toSet)
   }
+
+  test("y9 candidates: shared-run docs pair up; disjoint docs never do") {
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = docsDF(
+      0L -> s"aa bb cc dd $shared ee ff gg hh",
+      1L -> s"xx yy $shared zz ww vv uu tt ss rr",
+      2L -> "completely different words with no overlap at all here")
+    val pairs = TextAnalysis.winnowCandidates(docs, W)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((0L, 1L)),
+      s"exactly the shared-run pair must surface: ${pairs.mkString(",")}")
+    assert(pairs.head._3 >= 1)
+  }
+
+  test("y9 df cap: boilerplate fingerprints above the cap emit no pairs") {
+    // 5 identical docs -> every fingerprint has df 5; cap 2 excludes them
+    // all, so the candidate set is EMPTY — the cap, not input luck,
+    // bounds per-fingerprint emission (the g4 discipline)
+    val docs = docsDF((1 to 5).map(i =>
+      i.toLong -> "the same boilerplate text repeated in every document"): _*)
+    assert(TextAnalysis.winnowCandidates(docs, W, dfCap = 2).count() === 0L)
+    assert(TextAnalysis.winnowCandidates(docs, W, dfCap = 5).count() === 10L)
+  }
 }
