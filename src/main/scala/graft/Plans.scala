@@ -189,6 +189,18 @@ object Plans {
         "replicates per bucket (explode) — the join key is (key, salt) " +
         "so no single task owns a hot key. The oracle is the plain " +
         "join: the rewrite is answer-invisible."),
+    "s9_dim_stats" ->
+      ("Per-dimension embedding census: posexplode emits d rows per " +
+        "vector map-side and the partial aggregate collapses every " +
+        "partition to <= d rows before the ONE exchange — the " +
+        "mergeable-sketch shuffle shape (x4's class) for exact " +
+        "integer mean/min/max."),
+    "y9_winnow_candidates" ->
+      ("Winnow-fingerprint candidates: the inverted index is the " +
+        "SELECTED fingerprints (~2/(w+1) of the shingle index), the " +
+        "fingerprint df is a groupBy joined back (never a window over " +
+        "the hot key), the df cap bounds per-fingerprint emission, and " +
+        "no per-doc table is broadcast-hinted."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -93,6 +93,10 @@ object ScaleDemo {
       "pii_scrub" -> (d => operators.TextAnalysis.piiScrub(d).count()),
       "dup_ngram_rate" -> (d => operators.Contamination.dupNgramRate(d).count()),
       "winnow" -> (d => operators.TextAnalysis.winnowFingerprints(d, 4).count()),
+      // like ngram_candidates, 20x replication means every fingerprint is
+      // shared by its 20 replicas — candidates grow ~F² by construction
+      "winnow_candidates" -> (d =>
+        operators.TextAnalysis.winnowCandidates(d, 4).count()),
       // g4's candidate set under the default df cap: replication multiplies
       // every shingle's df by F, so candidates grow ~F² — that is GENUINE
       // duplicate density (each F-clique really contains C(F,2) dup pairs;
@@ -128,7 +132,8 @@ object ScaleDemo {
       "ivf_assign" -> (v => operators.Similarity.ivfAssign(v, 16).count()),
       "kmeans_step" -> (v => operators.KMeans.kmeansStep(v, 6).count()),
       "semdedup" -> (v => operators.Similarity.semDedup(v, 16, 0.40).count()),
-      "pq_assign" -> (v => operators.Similarity.pqAssign(v, 4, 4).count()))
+      "pq_assign" -> (v => operators.Similarity.pqAssign(v, 4, 4).count()),
+      "dim_stats" -> (v => operators.Similarity.dimStats(v).count()))
     val eventOps: Seq[(String, DataFrame => Long)] = Seq(
       "event_transitions" -> (e => operators.Funnel.eventTransitions(e).count()),
       "funnel" -> (e => operators.Funnel.funnelConversion(e).count()),

@@ -44,6 +44,15 @@ class NullRobustnessSpec extends SparkSpec {
     assert(Packing.cdcChunks(docs, 8).where(col("doc_id") =!= 0).count() === 0)
   }
 
+  test("winnowing emits nothing for null/empty/whitespace docs, never throws") {
+    val fps = TextAnalysis.winnowFingerprints(docs, 4)
+    assert(fps.where(col("doc_id") =!= 0).count() === 0,
+      "token-less docs must produce no fingerprints")
+    assert(fps.where(col("doc_id") === 0).count() >= 1)
+    assert(TextAnalysis.winnowCandidates(docs, 4).count() === 0,
+      "a single fingerprinted doc has no candidate pairs")
+  }
+
   test("weighted sample tolerates null weights (treated as not positive)") {
     val d = Seq((1L, Some(10L)), (2L, None: Option[Long]), (3L, Some(5L)))
       .toDF("doc_id", "wt")

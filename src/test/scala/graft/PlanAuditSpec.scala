@@ -261,4 +261,25 @@ class PlanAuditSpec extends SparkSpec {
     // the scan side, not applied post-join
     assert(p.contains("1-URGENT"))
   }
+
+  test("s9: dim census partial-aggregates before its one exchange") {
+    val p = plan("s9_dim_stats")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(800))
+    assert(!p.contains("Join"))
+  }
+
+  test("y9: fingerprint df is a groupBy joined back — no window over fp, no broadcast") {
+    val df = operators.TextAnalysis.winnowCandidates(
+      Tables.documents(spark, sf("sf0.001")), 4)
+    val p = df.queryExecution.executedPlan.toString
+    // per-fp partitioned windows would serialize hot fingerprints
+    // through single tasks; doc_id windows (from the winnow selection)
+    // are the only windows allowed
+    val windowParts = "windowspecdefinition\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(windowParts.subsetOf(Set("doc_id")), s"window keys: $windowParts")
+    // the df cap must survive optimization, bounding candidate emission
+    assert(df.queryExecution.optimizedPlan.toString.contains("<= 1000"),
+      "y9's df cap filter must be present in the optimized plan")
+  }
 }
