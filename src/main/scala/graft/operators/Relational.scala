@@ -712,5 +712,129 @@ object RelationalQueries {
         "balance customers with no urgent orders, per nation - 1-row " +
         "broadcast bar, left-anti on the filtered order key, exact " +
         "integer-cents average"),
+
+    Q("q21_min_cost_supplier",
+      (s, d) => {
+        // TPC-H Q2 shape: the correlated MIN subquery (cheapest regional
+        // supplier per part) decorrelated into reduce → per-part min →
+        // equality join back. Order of operations is the scale story:
+        // lineitem reduces to (part, supplier) unit-cost minima FIRST
+        // (ONE fact shuffle, map-side partial agg), and only the reduced
+        // table touches the dims. The 5-row region-nation subset
+        // broadcasts onto supplier; the supplier and part joins are
+        // deliberately unhinted — both dims grow linearly with SF
+        // (supplier is 10^9 rows at the 100 TB point, NOT broadcastable),
+        // so AQE picks broadcast only while they fit. Unit price is
+        // quantized to integer cents BEFORE the min so the argmin
+        // equality join is exact in both engines; ties keep every
+        // cheapest supplier (Q2 semantics), and the top-100 is a total
+        // order compiling to TakeOrderedAndProject.
+        val asia = broadcast(Tables.nation(s, d)
+          .join(Tables.region(s, d).where(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey"))
+        val regSupp = Tables.supplier(s, d)
+          .select("s_suppkey", "s_name", "s_nationkey")
+          .join(asia, col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "s_name")
+        val ps = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_suppkey"),
+            floor(lit(100.0) * col("l_extendedprice") / col("l_quantity")
+              + 0.5).cast("long").as("cost_c"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(min(col("cost_c")).as("cost_c"))
+        val sized = Tables.part(s, d).where(col("p_size") <= 5)
+          .select("p_partkey", "p_name")
+        val pc = ps.join(regSupp, col("l_suppkey") === col("s_suppkey"))
+          .join(sized, col("l_partkey") === col("p_partkey"))
+        val mc = pc.groupBy(col("l_partkey").as("m_partkey"))
+          .agg(min(col("cost_c")).as("min_c"))
+        pc.join(mc, col("l_partkey") === col("m_partkey") &&
+            col("cost_c") === col("min_c"))
+          .select(col("p_partkey"), col("p_name"), col("s_name"),
+            (col("cost_c").cast("double") / 100.0).as("unit_cost"))
+          .orderBy(col("unit_cost").desc, col("p_partkey"), col("s_name"))
+          .limit(100)
+      },
+      Some("""WITH cost AS (
+             |  SELECT l_partkey, l_suppkey,
+             |         CAST(min(floor(100.0 * l_extendedprice / l_quantity + 0.5)) AS BIGINT) AS cost_c
+             |  FROM lineitem GROUP BY 1, 2),
+             |reg AS (
+             |  SELECT s_suppkey, s_name FROM supplier
+             |  JOIN nation ON n_nationkey = s_nationkey
+             |  JOIN region ON r_regionkey = n_regionkey
+             |  WHERE r_name = 'ASIA'),
+             |pc AS (
+             |  SELECT p_partkey, p_name, s_name, cost_c FROM cost
+             |  JOIN reg ON s_suppkey = l_suppkey
+             |  JOIN part ON p_partkey = l_partkey
+             |  WHERE p_size <= 5),
+             |m AS (SELECT p_partkey AS mk, min(cost_c) AS min_c
+             |      FROM pc GROUP BY 1)
+             |SELECT p_partkey, p_name, s_name,
+             |       CAST(cost_c AS DOUBLE) / 100.0 AS unit_cost
+             |FROM pc JOIN m ON p_partkey = mk AND cost_c = min_c
+             |ORDER BY unit_cost DESC, p_partkey, s_name LIMIT 100""".stripMargin),
+      doc = "TPC-H Q2-style correlated min: cheapest regional supplier per " +
+        "part, decorrelated to reduce-then-min with an exact integer-cents " +
+        "equality join back; fact reduced before any dim join"),
+
+    Q("q23_nation_volume",
+      (s, d) => {
+        // TPC-H Q7 shape: shipping volume between two nations by ship
+        // year. Both nation filters broadcast INTO the customer/supplier
+        // dim joins (2/25 selectivity applied before any fact join), so
+        // the supplier join semi-filters lineitem by ~92% ahead of the
+        // only large-large join (lineitem⋈orders on the order key). The
+        // dim joins themselves stay unhinted — customer/supplier grow
+        // with SF; AQE broadcasts while they fit. The pair predicate is
+        // the pre-filtered dims plus one inequality residual; revenue is
+        // the q19 decimal discipline (exact, partially aggregated).
+        val pair = Tables.nation(s, d)
+          .where(col("n_name").isin("NATION_1", "NATION_2"))
+        val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+          .join(broadcast(pair.select(col("n_nationkey"),
+            col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "supp_nation")
+        val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+          .join(broadcast(pair.select(col("n_nationkey").as("n2key"),
+            col("n_name").as("cust_nation"))),
+            col("c_nationkey") === col("n2key"))
+          .select("c_custkey", "cust_nation")
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+            pround(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+              .cast(DecimalType(28, 4)).as("vol"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .where(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(sum(col("vol")).cast("double").as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT supp_nation, cust_nation, l_year,
+             |       CAST(sum(vol) AS DOUBLE) AS revenue
+             |FROM (
+             |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             |         CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(28,4)) AS vol
+             |  FROM lineitem
+             |  JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |  JOIN customer ON c_custkey = o_custkey
+             |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+             |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+             |  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+             |    AND n2.n_name IN ('NATION_1', 'NATION_2')
+             |    AND n1.n_name <> n2.n_name) t
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+      doc = "TPC-H Q7-style nation-pair shipping volume by year: nation " +
+        "filters pushed into the dims before any fact join, one " +
+        "large-large join, decimal-exact revenue"),
   )
 }
