@@ -287,6 +287,57 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 6).as("mean_surprisal"))
   }
 
+  /** t16: per-doc interpolated bigram surprisal — mean
+    * -ln(λ·p(w2|w1) + (1-λ)·p(w2)) over the doc's adjacent token
+    * pairs, the bigram upgrade of t11's unigram signal: it catches
+    * word-salad documents whose tokens are individually common but
+    * whose TRANSITIONS are improbable (t11 scores those as ordinary).
+    * Jelinek-Mercer interpolation with the corpus unigram keeps every
+    * event's probability positive without held-out tuning.
+    *
+    * Scale shape: the model tables are corpus-REDUCED before any event
+    * join — the distinct-bigram counts, their first-word context sums,
+    * and the unigram table are all vocabulary-scaled, and the bigram
+    * event stream joins them on the same keys the counting shuffle
+    * already produced (plain hash joins, partial agg on both sides).
+    * Adjacency comes from a per-row array transform (no window, no
+    * posexplode shuffle): each doc's token array emits its own
+    * "w1 w2" pair strings map-side — tokens cannot contain whitespace,
+    * so the space join is collision-free.
+    *
+    * Numeric parity: the interpolated probability is ONE double
+    * expression evaluated identically in both engines, quantized to
+    * micro-nats BEFORE the per-doc sum (t11's fixed-point discipline)
+    * so aggregation order cannot shift the result. */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(expr(tokensExpr)).as("w"))
+    val n = toks.select(count(lit(1)).as("n_total"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("fw"))
+    val ev = docs.select(col("doc_id"), expr(tokensExpr).as("t"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(t) >= 2
+          | THEN transform(sequence(1, size(t) - 1),
+          |        i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
+          | ELSE array() END""".stripMargin)).as("bg"))
+    val fbg = ev.groupBy("bg").agg(count(lit(1)).as("fbg"))
+      .withColumn("w1", expr("split_part(bg, ' ', 1)"))
+      .withColumn("w2", expr("split_part(bg, ' ', 2)"))
+    val ctx = fbg.groupBy(col("w1").as("cw")).agg(sum(col("fbg")).as("c1"))
+    val scored = fbg.join(ctx, col("w1") === col("cw"))
+      .join(uni.withColumnRenamed("w", "uw"), col("w2") === col("uw"))
+      .crossJoin(broadcast(n))
+      .select(col("bg"), expr(
+        """cast(floor(-ln(0.75 * (cast(fbg as double) / cast(c1 as double))
+          |             + 0.25 * (cast(fw as double) / cast(n_total as double)))
+          |        * 1000000.0) as bigint)""".stripMargin).as("nll_micro"))
+    ev.join(scored, Seq("bg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_micro")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        pround(col("s").cast("double") / 1000000.0 /
+          col("n_bigrams").cast("double"), 6).as("mean_bigram_surprisal"))
+  }
+
   /** t12: the statistics step of BPE vocabulary induction — counts of
     * adjacent character pairs, weighted by word frequency. Standard BPE
     * trainers run on the DISTINCT-word frequency table, not the raw
@@ -599,6 +650,39 @@ object TextAnalysisQueries {
       doc = "per-doc corpus surprisal (mean -ln p(w), micro-nat fixed-point " +
         "integer sums so the aggregate is order-independent): the LM-free " +
         "perplexity-style quality signal"),
+
+    Q("t16_bigram_surprisal",
+      (s, d) => bigramSurprisal(docs(s, d)).orderBy("doc_id"),
+      Some(s"""WITH wt AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |tok AS (SELECT doc_id, unnest(t) AS w FROM wt),
+              |n AS (SELECT count(*) AS n_total FROM tok),
+              |uni AS (SELECT w, count(*) AS fw FROM tok GROUP BY w),
+              |ev AS (
+              |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+              |    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+              |    ELSE CAST([] AS VARCHAR[]) END) AS bg
+              |  FROM wt),
+              |fbg AS (SELECT bg, count(*) AS fbg,
+              |               split_part(bg, ' ', 1) AS w1,
+              |               split_part(bg, ' ', 2) AS w2
+              |        FROM ev GROUP BY bg),
+              |ctx AS (SELECT w1 AS cw, CAST(sum(fbg) AS BIGINT) AS c1
+              |        FROM fbg GROUP BY w1),
+              |sc AS (
+              |  SELECT bg, CAST(floor(-ln(0.75 * (CAST(fbg AS DOUBLE) / CAST(c1 AS DOUBLE))
+              |               + 0.25 * (CAST(fw AS DOUBLE) / CAST(n_total AS DOUBLE)))
+              |          * 1000000.0) AS BIGINT) AS nll_micro
+              |  FROM fbg JOIN ctx ON w1 = cw JOIN uni ON w2 = uni.w, n),
+              |per AS (SELECT doc_id, count(*) AS n_bigrams, sum(nll_micro) AS s
+              |        FROM ev JOIN sc USING (bg) GROUP BY doc_id)
+              |SELECT doc_id, n_bigrams,
+              |       floor(CAST(s AS DOUBLE) / 1000000.0 / CAST(n_bigrams AS DOUBLE)
+              |             * 1000000.0 + 0.5) / 1000000.0 AS mean_bigram_surprisal
+              |FROM per ORDER BY doc_id""".stripMargin),
+      doc = "per-doc interpolated bigram surprisal (Jelinek-Mercer " +
+        "λ=0.75 with the corpus unigram): transition-level quality " +
+        "signal; vocabulary-scaled model tables joined back to the " +
+        "map-side bigram event stream, micro-nat integer sums"),
 
     Q("t13_langid_confusion",
       (s, d) => langIdConfusion(docs(s, d)).orderBy("true_lang", "pred_lang"),

@@ -165,6 +165,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s(1)._3 > s(0)._3)
   }
 
+  test("t16 bigram surprisal: hand-computed micro-nat values") {
+    // corpus: doc0 = a b a b a, doc1 = a b
+    // unigrams: a=4, b=3, N=7; bigrams: "a b"=3, "b a"=2; ctx: c(a)=3, c(b)=2
+    val tiny = Seq((0L, "a b a b a"), (1L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramSurprisal(tiny).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect()
+    val nllAB = math.floor(-math.log(0.75 * (3.0 / 3.0) + 0.25 * (3.0 / 7.0)) * 1e6)
+    val nllBA = math.floor(-math.log(0.75 * (2.0 / 2.0) + 0.25 * (4.0 / 7.0)) * 1e6)
+    val exp0 = math.floor((2 * nllAB + 2 * nllBA) / 1e6 / 4.0 * 1e6 + 0.5) / 1e6
+    val exp1 = math.floor(nllAB / 1e6 / 1.0 * 1e6 + 0.5) / 1e6
+    assert(got.map(_._1).toList === List(0L, 1L))
+    assert(got(0)._2 === 4L && got(1)._2 === 1L)
+    assert(math.abs(got(0)._3 - exp0) < 1e-9)
+    assert(math.abs(got(1)._3 - exp1) < 1e-9)
+  }
+
+  test("t16 bigram surprisal: shuffled transitions score above patterned ones") {
+    // identical unigram profiles (4x, 4y each) — only the transitions
+    // differ, which is exactly the signal t11's unigram model cannot see
+    val d = Seq((0L, "x y x y x y x y"), (1L, "x x y y x y y x"))
+      .toDF("doc_id", "text")
+    val s = TextAnalysis.bigramSurprisal(d).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect()
+    assert(s(0)._2 === 7L && s(1)._2 === 7L)
+    assert(s(1)._3 > s(0)._3)
+  }
+
+  test("t16 bigram surprisal: single-token docs drop, counts are tokens-1") {
+    val d = Seq((0L, "one"), (1L, "two words"), (2L, "three word doc"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramSurprisal(d).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(r => r._1 -> r._2).toList === List(1L -> 1L, 2L -> 2L))
+  }
+
   test("zipf: a perfectly uniform corpus has an undefined (null) slope") {
     // one frequency level only -> zero rank variance -> undefined fit
     val uni = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
