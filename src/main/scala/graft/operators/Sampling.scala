@@ -138,6 +138,116 @@ object Sampling {
         explode(expr("sequence(1L, n_copies)")).as("epoch"))
   }
 
+  /** x17: Poisson bootstrap confidence interval for a corpus mean — the
+    * bootstrap that actually runs at 100 TB. Classic resampling draws n
+    * rows with replacement, which needs a global index; the Poisson
+    * bootstrap (Chamandy et al., "Estimating Uncertainty for Massive
+    * Data Streams", Google 2012) replaces each replicate's multinomial
+    * with independent per-row Poisson(1) weights, so every replicate is
+    * a MAP-SIDE projection: one scan fans each row out to `reps`
+    * (replicate, weight) pairs and partial aggregation collapses every
+    * partition to ≤ `reps` partial sums before the one tiny shuffle.
+    *
+    * Determinism: the weight is the Poisson(1) inverse CDF applied to a
+    * reproducible md5-uniform of (doc_id, replicate) — literal CDF
+    * thresholds, identical in both engines; weights are capped at 7
+    * (P(w>7) ≈ 1e-5, bias far below the CI's own Monte-Carlo error).
+    * Each replicate mean is quantized to micro-units BEFORE the
+    * cross-replicate aggregation, so boot_mean is an exact integer sum
+    * and the CI bounds are exact rank statistics (ranks ⌈0.025·R⌉ and
+    * ⌈0.975·R⌉ over the R=64 quantized means; the rank window sorts 64
+    * rows — one task, by construction). */
+  def bootstrapCI(docs: DataFrame, valueCol: String = "n_chars",
+                  reps: Int = 64): DataFrame = {
+    require(reps >= 40, "need ≥40 replicates for a 2.5%/97.5% rank CI")
+    val u = s"(cast(${md5Long56("concat('bs:', cast(doc_id as string), ':', cast(r as string))")} as double) + 0.5) / 72057594037927936.0"
+    val poisson =
+      """CASE WHEN u < 0.36787944117144233 THEN 0L
+        | WHEN u < 0.7357588823428847 THEN 1L
+        | WHEN u < 0.9196986029286058 THEN 2L
+        | WHEN u < 0.9810118431238463 THEN 3L
+        | WHEN u < 0.9963401531726563 THEN 4L
+        | WHEN u < 0.9994058151824183 THEN 5L
+        | WHEN u < 0.999916758850712 THEN 6L
+        | ELSE 7L END""".stripMargin
+    val ev = docs
+      .select(col("doc_id"), col(valueCol).cast("long").as("v"),
+        explode(expr(s"sequence(0, ${reps - 1})")).as("r"))
+      .withColumn("u", expr(u))
+      .withColumn("w", expr(poisson))
+    val repMeans = ev.groupBy("r")
+      .agg(sum(col("w") * col("v")).as("ws"), sum(col("w")).as("wn"))
+      .select(col("r"), expr(
+        "cast(floor(cast(ws as double) / cast(wn as double) * 1000000.0) as bigint)")
+        .as("m_micro"))
+    val loRk = math.ceil(0.025 * reps).toInt
+    val hiRk = math.ceil(0.975 * reps).toInt
+    val ranked = repMeans.withColumn("rk",
+      row_number().over(Window.orderBy(col("m_micro"), col("r"))))
+    val summ = ranked.agg(
+      sum(col("m_micro")).as("sm"),
+      max(when(col("rk") === loRk, col("m_micro"))).as("lo"),
+      max(when(col("rk") === hiRk, col("m_micro"))).as("hi"))
+    docs.agg(count(lit(1)).as("n_docs"),
+        sum(col(valueCol).cast("long")).as("sv"))
+      .crossJoin(broadcast(summ))
+      .select(col("n_docs"),
+        pround(col("sv").cast("double") / col("n_docs").cast("double"), 6)
+          .as("sample_mean"),
+        pround(col("sm").cast("double") / reps.toDouble / 1000000.0, 6)
+          .as("boot_mean"),
+        (col("lo").cast("double") / 1000000.0).as("ci_lo"),
+        (col("hi").cast("double") / 1000000.0).as("ci_hi"))
+  }
+
+  /** x18: temperature-scaled language mixing — the mT5/XLM-R α-sampling
+    * step that decides how much of each language a multilingual training
+    * mix takes: sampling share q_l ∝ p_l^α (α=0.3 upsamples tail
+    * languages; α=1 keeps the natural mix). Returns the per-language
+    * plan AND the realized deterministic sample census in one table.
+    *
+    * Determinism across engines: p^α is quantized to nano-units
+    * (bigint) per language BEFORE the normalizing sum, so the
+    * normalizer is an exact integer; the per-doc inclusion test
+    * compares the namespaced id-hash against floor(rate·2^56) where
+    * rate is itself micro-quantized — both engines see the identical
+    * threshold. Scale shape: the census pass reduces to |langs| rows,
+    * the 5-row rate table broadcasts back, and the realized pass is a
+    * map-side filter + partial-agg count; nothing but the tiny rate
+    * table ever crosses the driver. */
+  def temperatureMix(docs: DataFrame, alpha: Double = 0.3,
+                     targetFrac: Double = 0.5): DataFrame = {
+    val census = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val tot = census.agg(sum(col("n")).as("nt"))
+    val pa = census.crossJoin(broadcast(tot))
+      .withColumn("paq", expr(
+        s"cast(floor(pow(cast(n as double) / cast(nt as double), $alpha) * 1000000000.0 + 0.5) as bigint)"))
+    val spa = pa.agg(sum(col("paq")).as("spa"))
+    val rates = pa.crossJoin(broadcast(spa))
+      .withColumn("tgt", expr(s"cast(floor(cast(nt as double) * $targetFrac) as bigint)"))
+      // pround (column ops) keeps `rate` a true DOUBLE — a SQL-string
+      // `/ 1000000.0` would parse the literal as DECIMAL and infect the
+      // column type
+      .withColumn("rate", pround(least(lit(1.0),
+        col("tgt").cast("double") * col("paq").cast("double") /
+          (col("spa").cast("double") * col("n").cast("double"))), 6))
+      .select(col("lang"), col("n"), col("nt"), col("paq"), col("spa"),
+        col("rate"))
+    val kept = docs
+      .join(broadcast(rates.select(col("lang"), col("rate"))), Seq("lang"))
+      .where(expr(md5Long56("concat('temp:', cast(doc_id as string))")) <
+        expr("cast(floor(rate * 72057594037927936.0) as bigint)"))
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+    rates.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n").as("n_docs"),
+        pround(col("n").cast("double") / col("nt").cast("double"), 6)
+          .as("p_share"),
+        pround(col("paq").cast("double") / col("spa").cast("double"), 6)
+          .as("q_share"),
+        col("rate").as("keep_rate"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+  }
+
   /** Train/val/test split by hash decile (8/1/1), with per-(split, lang)
     * counts — the reproducible split a fine-tuning pipeline snapshots. */
   def splitCounts(docs: DataFrame): DataFrame =
@@ -209,6 +319,83 @@ object SamplingQueries {
       doc = "PSI drift between the hash-split train and test length " +
         "distributions: per-bin contributions (engine-exact projections " +
         "of integer counts; consumers sum them — >0.2 is the alarm)"),
+
+    Q("x17_bootstrap_ci",
+      (s, d) => bootstrapCI(docs(s, d)),
+      Some("""WITH ev AS (
+             |  SELECT doc_id, n_chars AS v, r,
+             |         (CAST(('0x' || substr(md5('bs:' || CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)), 1, 14))::BIGINT AS DOUBLE) + 0.5)
+             |           / 72057594037927936.0 AS u
+             |  FROM documents, (SELECT unnest(range(0, 64)) AS r) reps),
+             |w AS (
+             |  SELECT r, v,
+             |         CASE WHEN u < 0.36787944117144233 THEN 0
+             |              WHEN u < 0.7357588823428847 THEN 1
+             |              WHEN u < 0.9196986029286058 THEN 2
+             |              WHEN u < 0.9810118431238463 THEN 3
+             |              WHEN u < 0.9963401531726563 THEN 4
+             |              WHEN u < 0.9994058151824183 THEN 5
+             |              WHEN u < 0.999916758850712 THEN 6
+             |              ELSE 7 END AS w
+             |  FROM ev),
+             |rm AS (
+             |  SELECT r, CAST(floor(CAST(sum(w * v) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+             |                 * 1000000.0) AS BIGINT) AS m_micro
+             |  FROM w GROUP BY r),
+             |rk AS (SELECT m_micro,
+             |              row_number() OVER (ORDER BY m_micro, r) AS rk
+             |       FROM rm),
+             |s AS (SELECT CAST(sum(m_micro) AS BIGINT) AS sm,
+             |             max(CASE WHEN rk = 2 THEN m_micro END) AS lo,
+             |             max(CASE WHEN rk = 63 THEN m_micro END) AS hi
+             |      FROM rk),
+             |b AS (SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sv
+             |      FROM documents)
+             |SELECT n_docs,
+             |       floor(CAST(sv AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS sample_mean,
+             |       floor(CAST(sm AS DOUBLE) / 64.0 / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS boot_mean,
+             |       CAST(lo AS DOUBLE) / 1000000.0 AS ci_lo,
+             |       CAST(hi AS DOUBLE) / 1000000.0 AS ci_hi
+             |FROM b, s""".stripMargin),
+      doc = "Poisson bootstrap 95% CI for the corpus mean doc length: " +
+        "per-row Poisson(1) replicate weights from an md5-uniform " +
+        "inverse CDF — every replicate is map-side, partial agg " +
+        "collapses each partition to ≤64 rows, CI bounds are exact " +
+        "rank statistics over micro-quantized replicate means"),
+
+    Q("x18_temperature_mix",
+      (s, d) => temperatureMix(docs(s, d)).orderBy("lang"),
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c),
+             |pa AS (SELECT lang, n, nt,
+             |         CAST(floor(pow(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE), 0.3)
+             |              * 1000000000.0 + 0.5) AS BIGINT) AS paq
+             |       FROM c, t),
+             |s AS (SELECT CAST(sum(paq) AS BIGINT) AS spa FROM pa),
+             |r AS (SELECT lang, n, nt, paq, spa,
+             |        floor(least(1.0,
+             |          CAST(CAST(floor(CAST(nt AS DOUBLE) * 0.5) AS BIGINT) AS DOUBLE)
+             |            * CAST(paq AS DOUBLE)
+             |            / (CAST(spa AS DOUBLE) * CAST(n AS DOUBLE)))
+             |          * 1000000.0 + 0.5) / 1000000.0 AS rate
+             |      FROM pa, s),
+             |k AS (
+             |  SELECT d.lang, count(*) AS n_sampled
+             |  FROM documents d JOIN r ON d.lang = r.lang
+             |  WHERE ('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+             |        < CAST(floor(rate * 72057594037927936.0) AS BIGINT)
+             |  GROUP BY d.lang)
+             |SELECT r.lang, n AS n_docs,
+             |       floor(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS p_share,
+             |       floor(CAST(paq AS DOUBLE) / CAST(spa AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS q_share,
+             |       rate AS keep_rate,
+             |       CAST(coalesce(n_sampled, 0) AS BIGINT) AS n_sampled
+             |FROM r LEFT JOIN k ON r.lang = k.lang
+             |ORDER BY r.lang""".stripMargin),
+      doc = "mT5-style temperature sampling (α=0.3): per-language plan " +
+        "q∝p^α plus the realized deterministic hash-threshold sample " +
+        "census — nano-quantized p^α so the normalizer is an exact " +
+        "integer, broadcast rate table, map-side inclusion test"),
 
     Q("x3_split_counts",
       (s, d) => splitCounts(docs(s, d)).orderBy("split", "lang"),

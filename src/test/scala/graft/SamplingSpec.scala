@@ -102,4 +102,48 @@ class SamplingSpec extends SparkSpec {
     assert(got.contains(1000L), "the ~10^7x heavier row must be sampled")
     assert(!got.contains(2000L) && !got.contains(3000L))
   }
+
+  test("x17 bootstrap CI brackets the mean and is deterministic") {
+    val a = Sampling.bootstrapCI(docs).collect().head
+    val b = Sampling.bootstrapCI(docs).collect().head
+    assert(a == b, "bootstrap must be fully deterministic")
+    val (sm, bm, lo, hi) = (a.getDouble(1), a.getDouble(2),
+      a.getDouble(3), a.getDouble(4))
+    assert(lo < hi, "a 95% CI on noisy data has positive width")
+    assert(lo <= bm && bm <= hi, "boot mean lies inside its own CI")
+    assert(lo <= sm && sm <= hi,
+      "the full-sample mean should fall inside the bootstrap CI")
+  }
+
+  test("x17 bootstrap CI collapses on a constant column") {
+    import spark.implicits._
+    val const = (1L to 200L).map(i => (i, 42L)).toDF("doc_id", "n_chars")
+    val r = Sampling.bootstrapCI(const).collect().head
+    assert(r.getDouble(2) === 42.0 && r.getDouble(3) === 42.0 &&
+      r.getDouble(4) === 42.0,
+      "every replicate mean of a constant is the constant")
+  }
+
+  test("x18 temperature mix: α=1 is the natural mix at the target rate") {
+    val r = Sampling.temperatureMix(docs, alpha = 1.0).collect()
+    r.foreach { row =>
+      assert(math.abs(row.getDouble(2) - row.getDouble(3)) <= 2e-6,
+        s"α=1 must keep q=p for ${row.getString(0)}")
+      assert(math.abs(row.getDouble(4) - 0.5) <= 2e-6,
+        "α=1 at targetFrac=0.5 keeps exactly half of every language")
+    }
+  }
+
+  test("x18 temperature mix: α<1 upsamples tail languages") {
+    val rows = Sampling.temperatureMix(docs, alpha = 0.3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(4), r.getLong(5)))
+    val byN = rows.sortBy(_._2)
+    // keep_rate must be non-increasing in language size
+    byN.sliding(2).foreach { case Array(small, big) =>
+      assert(small._3 >= big._3 - 1e-9,
+        s"rarer ${small._1} must keep at a rate >= ${big._1}")
+    }
+    rows.foreach { case (lang, n, _, k) =>
+      assert(k <= n, s"$lang sampled more rows than it has") }
+  }
 }
