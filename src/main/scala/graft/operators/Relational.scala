@@ -836,5 +836,79 @@ object RelationalQueries {
       doc = "TPC-H Q7-style nation-pair shipping volume by year: nation " +
         "filters pushed into the dims before any fact join, one " +
         "large-large join, decimal-exact revenue"),
+
+    Q("q24_order_count_dist",
+      (s, d) => {
+        // TPC-H Q13 shape: the distribution of per-customer order counts,
+        // zero-order customers included. Reduce-BEFORE-join: orders
+        // collapses to per-customer counts first (one shuffle, partial
+        // agg), and only that |customers|-sized table outer-joins the
+        // customer keys — the fact table never joins row-by-row. The
+        // priority filter plays Q13's `o_comment NOT LIKE` role and
+        // pushes to the orders scan; the final histogram is a reduce of
+        // |customers| rows to a few dozen. (custdist, c_count) is a
+        // unique pair per row, so the two-key sort is a total order.
+        val oc = Tables.orders(s, d)
+          .where(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+          .groupBy("o_custkey").agg(count(lit(1)).as("c_count"))
+        Tables.customer(s, d).select("c_custkey")
+          .join(oc, col("c_custkey") === col("o_custkey"), "left")
+          .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+          .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""WITH oc AS (
+             |  SELECT o_custkey, count(*) AS c_count FROM orders
+             |  WHERE o_orderpriority <> '4-NOT SPECIFIED'
+             |  GROUP BY o_custkey)
+             |SELECT coalesce(c_count, 0) AS c_count, count(*) AS custdist
+             |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+             |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin),
+      doc = "TPC-H Q13-style order-count distribution: orders reduced to " +
+        "per-customer counts before the outer join with customer keys; " +
+        "histogram reduce at the end"),
+
+    Q("q25_promo_share",
+      (s, d) => {
+        // TPC-H Q14 shape: promo revenue share in a 3-month ship window —
+        // conditional aggregation in ONE fact pass (two sums, no second
+        // scan, no self-join). The date window pushes to the parquet
+        // scan; the part join stays unhinted (part grows with SF — AQE
+        // broadcasts while it fits). Revenue is the q19 decimal
+        // discipline; the share is one double division of
+        // engine-identical decimal sums.
+        val vol = pround(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .cast(DecimalType(28, 4))
+        Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp_ntz"))
+          .select(col("l_partkey"), vol.as("vol"))
+          .join(Tables.part(s, d).select("p_partkey", "p_type"),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            coalesce(sum(when(col("p_type") === "PROMO", col("vol"))),
+              lit(0).cast(DecimalType(28, 4))).cast("double").as("promo_revenue"),
+            sum(col("vol")).cast("double").as("total_revenue"))
+          .select(col("promo_revenue"), col("total_revenue"),
+            pround(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6)
+              .as("promo_share_pct"))
+      },
+      Some("""WITH f AS (
+             |  SELECT p_type,
+             |         CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(28,4)) AS vol
+             |  FROM lineitem JOIN part ON p_partkey = l_partkey
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01'),
+             |a AS (
+             |  SELECT CAST(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN vol END),
+             |                       CAST(0 AS DECIMAL(28,4))) AS DOUBLE) AS promo_revenue,
+             |         CAST(sum(vol) AS DOUBLE) AS total_revenue
+             |  FROM f)
+             |SELECT promo_revenue, total_revenue,
+             |       floor(100.0 * promo_revenue / total_revenue * 1000000.0 + 0.5) / 1000000.0 AS promo_share_pct
+             |FROM a""".stripMargin),
+      doc = "TPC-H Q14-style promo revenue share: conditional aggregation " +
+        "in one fact pass, ship-window pushed to the scan, decimal-exact " +
+        "sums with a single double division at the end"),
   )
 }

@@ -338,6 +338,37 @@ object TextAnalysis {
           col("n_bigrams").cast("double"), 6).as("mean_bigram_surprisal"))
   }
 
+  /** t17: per-doc Shannon entropy of the document's OWN token
+    * distribution — the scale-free repetitiveness signal: boilerplate
+    * and template pages score low however long they are, while t8's
+    * repetition ratio only sees the single most-repeated type. Uses
+    * the identity H = ln n − (Σ c·ln c)/n so the whole thing is two
+    * reduces and ZERO joins: one groupBy (doc_id, token) for the
+    * within-doc counts (map-side partial agg takes the token stream
+    * down to per-doc vocabularies before the shuffle), one groupBy
+    * doc_id combining n, the type count, and the Σ c·ln c sum in the
+    * same pass.
+    *
+    * Numeric parity: each c·ln c term is micro-nat floor-quantized
+    * from exact integer counts BEFORE the per-doc sum (t11's
+    * discipline), so aggregation order cannot shift the result; the
+    * final H is one double expression over exact integers, identical
+    * in both engines. Zero-token docs vanish from the token stream and
+    * are absent from the output (matching the oracle's unnest). */
+  def tokenEntropy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(expr(tokensExpr)).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(expr("cast(floor(cast(c as double) * ln(cast(c as double)) * 1000000.0) as bigint)"))
+          .as("s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        pround(
+          log(col("n_tokens").cast("double")) -
+            col("s").cast("double") / 1000000.0 / col("n_tokens").cast("double"),
+          6).as("entropy_nats"))
+
   /** t12: the statistics step of BPE vocabulary induction — counts of
     * adjacent character pairs, weighted by word frequency. Standard BPE
     * trainers run on the DISTINCT-word frequency table, not the raw
@@ -683,6 +714,25 @@ object TextAnalysisQueries {
         "λ=0.75 with the corpus unigram): transition-level quality " +
         "signal; vocabulary-scaled model tables joined back to the " +
         "map-side bigram event stream, micro-nat integer sums"),
+
+    Q("t17_token_entropy",
+      (s, d) => tokenEntropy(docs(s, d)).orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+              |c AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+              |per AS (
+              |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              |         count(*) AS n_types,
+              |         CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+              |                  * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+              |  FROM c GROUP BY doc_id)
+              |SELECT doc_id, n_tokens, n_types,
+              |       floor((ln(CAST(n_tokens AS DOUBLE))
+              |              - CAST(s AS DOUBLE) / 1000000.0 / CAST(n_tokens AS DOUBLE))
+              |             * 1000000.0 + 0.5) / 1000000.0 AS entropy_nats
+              |FROM per ORDER BY doc_id""".stripMargin),
+      doc = "per-doc token-distribution Shannon entropy via " +
+        "H = ln n − Σ c·ln c / n: two reduces, zero joins; micro-nat " +
+        "integer terms so aggregation order cannot shift the result"),
 
     Q("t13_langid_confusion",
       (s, d) => langIdConfusion(docs(s, d)).orderBy("true_lang", "pred_lang"),

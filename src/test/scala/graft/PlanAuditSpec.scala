@@ -282,4 +282,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.queryExecution.optimizedPlan.toString.contains("<= 1000"),
       "y9's df cap filter must be present in the optimized plan")
   }
+
+  test("q24: orders reduce to per-customer counts BELOW the outer join") {
+    val p = plan("q24_order_count_dist")
+    // the aggregate on o_custkey must appear under the join, so the
+    // join's right side is |customers|-sized, never the raw fact table
+    val joinIdx = p.indexOf("Join")
+    val aggIdx = p.indexOf("partial_count", joinIdx)
+    assert(joinIdx >= 0 && aggIdx > joinIdx,
+      "per-custkey aggregate must sit below the join\n" + p.take(1200))
+    // the priority filter reaches the orders scan
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderpriority), Not(EqualTo(o_orderpriority"))
+  }
+
+  test("q25: ship window pushes to the scan; one fact pass, no self-join") {
+    val p = plan("q25_promo_share")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_shipdate"), p.take(1200))
+    // conditional aggregation: exactly one lineitem scan
+    assert("lineitem\\.parquet".r.findAllMatchIn(p).size == 1,
+      "promo share must read the fact table once")
+  }
+
+  test("t17: entropy is two reduces with zero joins") {
+    val p = plan("t17_token_entropy")
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+  }
 }
