@@ -405,13 +405,19 @@ object Dedup {
     * ScaleDemo can show the candidate count stays bounded under
     * replication. One row per (doc_a, doc_b) sharing >= 1 surviving
     * shingle, with their capped-space intersection size. */
-  private[graft] def ngramCandidates(shingleSet: DataFrame, dfCap: Int): DataFrame = {
-    // df as a map-side-combinable groupBy joined back — never a window
-    // over sh_h (the same skew argument as SimilarityJoin.prefixJoin:
-    // a hot shingle would serialize through one window task)
+  /** The df-capped distinct shingle table — the shared front of every
+    * inverted-index pair operator (g4/g15). df as a map-side-combinable
+    * groupBy joined back — never a window over sh_h (the same skew
+    * argument as SimilarityJoin.prefixJoin: a hot shingle would
+    * serialize through one window task). */
+  private[graft] def cappedShingles(shingleSet: DataFrame, dfCap: Int): DataFrame = {
     val docFreq = shingleSet.groupBy("sh_h").agg(count(lit(1)).as("df"))
-    val capped = shingleSet.join(docFreq.where(col("df") <= dfCap), "sh_h")
+    shingleSet.join(docFreq.where(col("df") <= dfCap), "sh_h")
       .select("doc_id", "sh_h")
+  }
+
+  private[graft] def ngramCandidates(shingleSet: DataFrame, dfCap: Int): DataFrame = {
+    val capped = cappedShingles(shingleSet, dfCap)
     capped.as("x").join(capped.as("y"),
         col("x.sh_h") === col("y.sh_h") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -426,9 +432,7 @@ object Dedup {
     * fine; an unconditional hint OOMs the driver at 1e9 documents). */
   private[graft] def ngramJaccardJoin(shingleSet: DataFrame, k: Int,
                                       dfCap: Int = DefaultShingleDfCap): DataFrame = {
-    val docFreq = shingleSet.groupBy("sh_h").agg(count(lit(1)).as("df"))
-    val capped = shingleSet.join(docFreq.where(col("df") <= dfCap), "sh_h")
-      .select("doc_id", "sh_h")
+    val capped = cappedShingles(shingleSet, dfCap)
     val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = capped.as("x").join(capped.as("y"),
         col("x.sh_h") === col("y.sh_h") && col("x.doc_id") < col("y.doc_id"))
@@ -445,6 +449,77 @@ object Dedup {
       .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
       .limit(k)
       .select(col("doc_a"), col("doc_b"), pround(col("jac"), 6).as("jaccard"))
+  }
+
+  /** G15: asymmetric shingle CONTAINMENT — inter / min(|A|, |B|), the
+    * doc-in-doc signal Jaccard misses: a page quoted whole inside a
+    * 100× larger page has Jaccard ≈ 0.01 but containment ≈ 1.0
+    * (Broder's resemblance-vs-containment distinction). Same df-capped
+    * inverted-index core as g4 (shared [[cappedShingles]] front, same
+    * bounded candidate emission), different score. EAGER — see
+    * [[ngramJaccardTop]]. */
+  def containmentTop(docs: DataFrame, k: Int,
+                     dfCap: Int = DefaultShingleDfCap): DataFrame =
+    viaSharedScan(shingleHashRows(docs).distinct())(containmentJoin(_, k, dfCap))
+
+  /** The lazy containment join — split out so its plan stays auditable
+    * (the public entry wraps it in an eager checkpoint). Per-doc sizes
+    * are NOT broadcast-hinted (unbounded at corpus scale — the g4
+    * argument verbatim). */
+  private[graft] def containmentJoin(shingleSet: DataFrame, k: Int,
+                                     dfCap: Int = DefaultShingleDfCap): DataFrame = {
+    val capped = cappedShingles(shingleSet, dfCap)
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = capped.as("x").join(capped.as("y"),
+        col("x.sh_h") === col("y.sh_h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("inter").cast("double") /
+          least(col("na"), col("nb")).cast("double")).as("cont"))
+      .orderBy(col("cont").desc, col("doc_a"), col("doc_b"))
+      .limit(k)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        pround(col("cont"), 6).as("containment"))
+  }
+
+  /** G16: cross-source near-dup overlap census — the y4 threshold
+    * similarity join rolled up to an ordered (source, source) matrix:
+    * how much does each pair of ingest feeds duplicate each other?
+    * The per-source census a curation pipeline consults before
+    * admitting a new feed (a source whose rows are mostly near-dups of
+    * an existing one adds bytes, not information).
+    *
+    * Scale shape: the pair table is the already-pruned y4 output
+    * (prefix-filtered, threshold-selected — NOT all pairs), the
+    * doc→source joins shuffle on doc ids (unhinted: pairs can be large
+    * on a duplicate-heavy corpus, sources table is corpus-sized; AQE
+    * picks the build side from measured sizes), and the final matrix
+    * is at most |sources|² rows out of a map-side-combinable groupBy.
+    * Mean Jaccard sums micro-quantized integers, so aggregation order
+    * cannot shift it. */
+  def sourceOverlap(docs: DataFrame, t: Double): DataFrame = {
+    val pairs = SimilarityJoin.jaccardThresholdJoin(docs, t)
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(floor(jaccard * 1000000.0 + 0.5) as bigint)").as("mj"))
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("source", "src_a"), "doc_a")
+      .join(src.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("source", "src_b"), "doc_b")
+      .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("mj")).as("sj"))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        pround(col("sj").cast("double") / 1000000.0 /
+          col("n_pairs").cast("double"), 6).as("mean_jaccard"))
+      .orderBy("source_a", "source_b")
   }
 }
 
@@ -672,5 +747,71 @@ object DedupQueries {
         "lossy top-k contract). EAGER: building this DataFrame runs the " +
         "job (viaSharedScan checkpoint) — keep it out of explain()/" +
         "plan-dump paths"),
+
+    Q("g15_containment",
+      (s, d) => containmentTop(docs(s, d), 20),
+      // same capped CTE chain as g4; the score is Broder containment
+      // inter/min(|A|,|B|) instead of Jaccard
+      Some(s"""WITH $shinglesSqlCte,
+              |ss0 AS (SELECT DISTINCT doc_id,
+              |         ('0x' || substr(md5(sh), 1, 14))::BIGINT AS sh_h FROM sh),
+              |dfq AS (SELECT sh_h, count(*) AS df FROM ss0 GROUP BY sh_h),
+              |ss AS (SELECT ss0.doc_id, ss0.sh_h FROM ss0
+              |       JOIN dfq ON ss0.sh_h = dfq.sh_h
+              |       WHERE dfq.df <= ${Dedup.DefaultShingleDfCap}),
+              |sz AS (SELECT doc_id, count(*) AS n FROM ss GROUP BY doc_id),
+              |inter AS (
+              |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+              |  FROM ss x JOIN ss y ON x.sh_h = y.sh_h AND x.doc_id < y.doc_id
+              |  GROUP BY doc_a, doc_b),
+              |j AS (
+              |  SELECT doc_a, doc_b, inter,
+              |         CAST(inter AS DOUBLE) / CAST(least(a.n, b.n) AS DOUBLE) AS cont
+              |  FROM inter
+              |  JOIN sz a ON a.doc_id = doc_a
+              |  JOIN sz b ON b.doc_id = doc_b)
+              |SELECT doc_a, doc_b, inter,
+              |       floor(cont * 1000000.0 + 0.5) / 1000000.0 AS containment
+              |FROM j ORDER BY cont DESC, doc_a, doc_b LIMIT 20""".stripMargin),
+      doc = "G15 Broder containment (inter/min set size) over the g4 " +
+        "df-capped inverted index: the doc-in-doc signal Jaccard " +
+        "misses. EAGER (viaSharedScan)"),
+
+    Q("g16_source_overlap",
+      (s, d) => sourceOverlap(docs(s, d), 0.5),
+      // the pair table is y4's NAIVE oracle (pruning proven lossless
+      // there), rolled up to the ordered source-pair matrix
+      Some(s"""WITH $shinglesSqlCte,
+              |ss AS (SELECT DISTINCT doc_id,
+              |         ('0x' || substr(md5(sh), 1, 14))::BIGINT AS sh_h FROM sh),
+              |sz AS (SELECT doc_id, count(*) AS n FROM ss GROUP BY doc_id),
+              |inter AS (
+              |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+              |  FROM ss x JOIN ss y ON x.sh_h = y.sh_h AND x.doc_id < y.doc_id
+              |  GROUP BY doc_a, doc_b),
+              |j AS (
+              |  SELECT doc_a, doc_b,
+              |         CAST(i AS DOUBLE) / CAST(a.n + b.n - i AS DOUBLE) AS jac
+              |  FROM inter
+              |  JOIN sz a ON a.doc_id = doc_a
+              |  JOIN sz b ON b.doc_id = doc_b),
+              |p AS (
+              |  SELECT doc_a, doc_b,
+              |         CAST(floor(floor(jac * 1000000.0 + 0.5) / 1000000.0
+              |              * 1000000.0 + 0.5) AS BIGINT) AS mj
+              |  FROM j WHERE jac >= 0.5),
+              |m AS (
+              |  SELECT least(sa.source, sb.source) AS source_a,
+              |         greatest(sa.source, sb.source) AS source_b, mj
+              |  FROM p
+              |  JOIN documents sa ON sa.doc_id = doc_a
+              |  JOIN documents sb ON sb.doc_id = doc_b)
+              |SELECT source_a, source_b, count(*) AS n_pairs,
+              |       floor(CAST(sum(mj) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE)
+              |             * 1000000.0 + 0.5) / 1000000.0 AS mean_jaccard
+              |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "G16 cross-source near-dup overlap matrix: y4's threshold " +
+        "pairs rolled up per ordered source pair with micro-quantized " +
+        "mean Jaccard — the feed-redundancy census. EAGER (via y4)"),
   )
 }

@@ -309,4 +309,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(800))
     assert(p.contains("partial_count") || p.contains("partial_sum"))
   }
+
+  test("g15: containment core keeps g4's disciplines — cap survives, no size hint") {
+    val ss = operators.Dedup.shingleHashRows(
+      Tables.documents(spark, sf("sf0.001"))).distinct()
+    val df = operators.Dedup.containmentJoin(ss, 10)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // per-doc sizes are unbounded at corpus scale: no user broadcast hint
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "g15 must not carry a user broadcast hint")
+    assert(df.queryExecution.optimizedPlan.toString.contains("<= 1000"),
+      "g15's df cap filter must be present in the optimized plan")
+  }
+
+  test("g16: source rollup carries no broadcast hint; matrix agg is combinable") {
+    // audit the lazy rollup over a stand-in pair table (the registered
+    // query's pair input is y4's eager checkpoint)
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 0.75), (3L, 4L, 0.5))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val src = docs.select($"doc_id", $"source")
+    val df = pairs
+      .select($"doc_a", $"doc_b",
+        org.apache.spark.sql.functions.expr(
+          "cast(floor(jaccard * 1000000.0 + 0.5) as bigint)").as("mj"))
+      .join(src.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("source", "src_a"), "doc_a")
+      .join(src.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("source", "src_b"), "doc_b")
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "g16's doc→source joins must stay unhinted (AQE picks the side)")
+    val p = operators.Dedup.sourceOverlap(docs, 0.99)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(800))
+    // the y4 core's per-doc windows are audited elsewhere and safe
+    // (doc_id partitions are bounded by document length); the rollup
+    // itself must not add a window on any other key — a source- or
+    // pair-keyed window would serialize hot sources through one task
+    val windowParts = "windowspecdefinition\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(windowParts.subsetOf(Set("doc_id")), s"window keys: $windowParts")
+  }
 }
