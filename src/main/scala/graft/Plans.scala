@@ -201,6 +201,49 @@ object Plans {
         "fingerprint df is a groupBy joined back (never a window over " +
         "the hot key), the df cap bounds per-fingerprint emission, and " +
         "no per-doc table is broadcast-hinted."),
+    "q21_min_cost_supplier" ->
+      ("TPC-H Q2 shape: the correlated min decorrelates to " +
+        "reduce-then-min — per-(part, supplier) cost sums, per-part " +
+        "minima over the already-reduced pairs, then an exact " +
+        "integer-cents equality join back; the fact is reduced before " +
+        "any dimension join."),
+    "q23_nation_volume" ->
+      ("TPC-H Q7 shape: both nation filters broadcast into the " +
+        "customer/supplier dims BEFORE any fact join (2/25 " +
+        "selectivity applied first), the supplier join semi-filters " +
+        "lineitem ahead of the only large-large join, revenue keeps " +
+        "the decimal discipline."),
+    "q24_order_count_dist" ->
+      ("TPC-H Q13 shape: orders reduce to per-customer counts BELOW " +
+        "the outer join (the join's build side is |customers|-sized, " +
+        "never the raw fact), priority filter pushed to the scan, " +
+        "final histogram is a combinable reduce."),
+    "q25_promo_share" ->
+      ("TPC-H Q14 shape: conditional aggregation in ONE fact pass — " +
+        "two sums over the same scan, the 3-month ship window pushed " +
+        "to parquet (PushedFilters), no self-join, single double " +
+        "division at the end."),
+    "t16_bigram_surprisal" ->
+      ("Interpolated bigram surprisal: the model tables (bigram " +
+        "counts, context sums, unigrams) are vocabulary-scaled " +
+        "reduces; the bigram event stream is a map-side array " +
+        "transform (no posexplode window) joined back on the counting " +
+        "shuffle's own keys; micro-nat integer sums."),
+    "t17_token_entropy" ->
+      ("Per-doc token entropy via H = ln n − Σ c·ln c / n: two " +
+        "reduces (doc×token, then doc), ZERO joins — the identity " +
+        "removes the per-doc-total join t11 needs; micro-nat " +
+        "floor-quantized terms keep the sum order-independent."),
+    "x17_bootstrap_ci" ->
+      ("Poisson bootstrap: 64 replicate weights derived per row from " +
+        "md5 keys (no rand(), no data movement per replicate — the " +
+        "explode is map-side), replicate means partial-aggregate to " +
+        "64 rows, the CI is rank statistics over those."),
+    "x18_temperature_mix" ->
+      ("Temperature-scaled language mix: per-lang counts reduce " +
+        "first, the p^T re-weighting and keep-rates are projections " +
+        "over that |langs|-row table, and the deterministic md5 " +
+        "thinning filter evaluates next to the scan."),
   )
 
   def main(args: Array[String]): Unit = {
@@ -250,6 +293,20 @@ object Plans {
         "groupBy reduces everything at the end."
       val plan = df.queryExecution.explainString(mode)
       s"## e1_pipeline (curate, lazy core)\n\n$note\n\n```\n${plan.trim}\n```\n"
+    } :+ {
+      // g15's public entry is EAGER like g4/y4; the auditable core is
+      // the lazy containmentJoin over a distinct shingle table
+      val ss = operators.Dedup
+        .shingleHashRows(Tables.documents(spark, sfDir)).distinct()
+      val df = operators.Dedup.containmentJoin(ss, 20)
+      val note = "g15's lazy core (the registered query wraps it in an " +
+        "eager shared-scan checkpoint): the df-capped inverted index " +
+        "bounds candidate emission, per-doc sizes join WITHOUT a " +
+        "broadcast hint (unbounded at corpus scale), and the top-k is " +
+        "TakeOrderedAndProject — g4's disciplines with the containment " +
+        "score."
+      val plan = df.queryExecution.explainString(mode)
+      s"## g15_containment (containmentJoin, lazy core)\n\n$note\n\n```\n${plan.trim}\n```\n"
     }
     val header =
       s"""# PLANS — physical plans of the headline queries
