@@ -33,6 +33,34 @@ object Funnel {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** F3: gap-based sessionization over the events stream — the classic
+    * web-analytics operator the monitor-log delimiter sessionizer (A2)
+    * approximates with explicit markers: a session breaks wherever a
+    * user's inter-event gap exceeds `gapSec`. One row per (user,
+    * session) with its event count and wall-clock span.
+    *
+    * Scale shape: ONE shuffle on user_id; the lag, the running
+    * session-id sum, and the final per-session groupBy all share that
+    * partitioning (the window partition key is bounded by per-user
+    * event counts, never a global key). Gap arithmetic is exact long
+    * seconds (floored epochs, the c1/r8 discipline), and event-time
+    * ties break on event_id so the session assignment is
+    * deterministic. */
+  def gapSessions(events: DataFrame, gapSec: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(w))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration_sec"))
+  }
+
   /** Strict sequential funnel: first 'view', then the first 'click'
     * AFTER that view, then the first 'purchase' AFTER that click.
     * Output: one row of per-stage user counts. */
@@ -100,5 +128,29 @@ object FunnelQueries {
              |FROM u""".stripMargin),
       doc = "strict sequential view->click->purchase funnel: windowed " +
         "conditional mins, one shuffle on user_id"),
+
+    Q("f3_gap_sessions",
+      (s, d) => gapSessions(Tables.events(s, d), 21600L)
+        .orderBy("user_id", "session_id"),
+      Some("""WITH l AS (
+             |  SELECT user_id, event_id, ts,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |              OR CAST(floor(epoch(ts)) AS BIGINT)
+             |                 - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 21600
+             |              THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |         CAST(sum(new_sess) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS BIGINT) AS session_id
+             |  FROM l)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |       CAST(floor(epoch(max(ts))) AS BIGINT)
+             |         - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+             |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "gap-based sessionization (6 h inactivity break): lag + " +
+        "running session-id sum + per-session rollup, all on ONE " +
+        "user_id shuffle; exact long-second gaps, event_id tiebreak"),
   )
 }

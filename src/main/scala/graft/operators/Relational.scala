@@ -910,5 +910,46 @@ object RelationalQueries {
       doc = "TPC-H Q14-style promo revenue share: conditional aggregation " +
         "in one fact pass, ship-window pushed to the scan, decimal-exact " +
         "sums with a single double division at the end"),
+
+    Q("q26_supplier_census",
+      (s, d) => {
+        // TPC-H Q16 shape: distinct-supplier cardinality per part
+        // attribute, minus a blacklist. The fact table reduces to
+        // DISTINCT (partkey, suppkey) pairs FIRST (the partsupp
+        // reconstruction — one shuffle, and the distinct is exactly the
+        // partial-agg shape), the blacklist is a left-anti against the
+        // tiny negative-balance supplier set, and only the reduced pair
+        // table joins part. The final count(DISTINCT suppkey) runs over
+        // pairs, not fact rows. Group keys are unique, so
+        // (cnt DESC, brand, size) is a total order.
+        val pairs = Tables.lineitem(s, d)
+          .select("l_partkey", "l_suppkey").distinct()
+        val bad = Tables.supplier(s, d)
+          .where(col("s_acctbal") < 0).select("s_suppkey")
+        pairs
+          .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(Tables.part(s, d)
+            .where(col("p_brand") =!= "Brand#1")
+            .select("p_partkey", "p_brand", "p_size"),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+      },
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+             |ok AS (
+             |  SELECT l_partkey, l_suppkey FROM pairs
+             |  WHERE NOT EXISTS (SELECT 1 FROM supplier
+             |                    WHERE s_suppkey = l_suppkey AND s_acctbal < 0))
+             |SELECT p_brand, p_size,
+             |       count(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM ok JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand <> 'Brand#1'
+             |GROUP BY 1, 2
+             |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin),
+      doc = "TPC-H Q16-style supplier-cardinality census: fact reduced to " +
+        "distinct (part, supplier) pairs before any join, blacklist as a " +
+        "left-anti, count(DISTINCT) over the reduced pairs"),
   )
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.{Q, Tables}
 import graft.functions.Parity.pround
@@ -68,6 +69,65 @@ object Similarity {
       .where(col("rn") <= k)
       .select(col("q_id"), col("neighbor_id"), col("rn").as("rank"),
         pround(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** S10: EXACT maximum-inner-product top-k with Cauchy-Schwarz norm
+    * pruning — the y4 discipline applied to MIPS: a cheap bound pass
+    * buys a provably lossless candidate filter, and the oracle is the
+    * naive full join, so the gate proves no qualifying neighbor is
+    * lost. Two passes:
+    *
+    *  1. Bound: the top-`sampleM` corpus vectors BY NORM (one
+    *     TakeOrdered, broadcastable) are scored exactly against each
+    *     query; the kth-best sample ip is a valid lower bound L_q on
+    *     the true kth-best (the sample is a subset of the corpus).
+    *  2. Prune + verify: a corpus vector can only enter the top-k if
+    *     ip(q,x) >= L_q, and Cauchy–Schwarz gives
+    *     ip² <= ‖q‖²·‖x‖², so `L_q <= 0 OR nq·nx >= L_q²` is a
+    *     lossless survivor test — evaluated in Decimal(38,0) (the
+    *     norm product overflows long at 64 dims × 1e5 fixed-point;
+    *     decimal keeps the comparison exact, matching DuckDB's
+    *     HUGEINT). Survivors get the exact dot product; a window
+    *     takes the top-k.
+    *
+    * At 100 TB the norm table is a per-vector projection computed in
+    * the same scan that fixes the vectors, the sample is k-bounded,
+    * and the expensive exact scoring touches only the survivor
+    * fraction — on norm-skewed corpora (the common case for trained
+    * embeddings) that fraction is small; worst case (L_q <= 0) it
+    * degrades to s1's full scan, never worse. */
+  def mipsTopK(vecs: DataFrame, nQueries: Int, k: Int,
+               sampleM: Int = 50): DataFrame = {
+    val s = vecs.sparkSession
+    val base = withFixed(vecs)
+    val queries = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("f").as("fa"), col("nrm").as("na"))
+    val corpus = base
+      .select(col("vec_id").as("neighbor_id"), col("f").as("fb"), col("nrm").as("nb"))
+    val sample = corpus.orderBy(col("nb").desc, col("neighbor_id")).limit(sampleM)
+    val wq = Window.partitionBy("q_id").orderBy(col("ip").desc, col("neighbor_id"))
+    val bounds = broadcast(queries)
+      .join(broadcast(sample), col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        expr(dotExpr(s, "fa", "fb")).as("ip"))
+      .withColumn("rn", row_number().over(wq))
+      .where(col("rn") === k)
+      .select(col("q_id"), col("ip").as("lb"))
+    val dec = DecimalType(38, 0)
+    // LEFT join: a query with no kth sample partner (sampleM < k+1) has
+    // no bound and must keep its full scan, not silently vanish
+    val survivors = broadcast(queries.join(bounds, Seq("q_id"), "left"))
+      .join(corpus, col("q_id") =!= col("neighbor_id"))
+      .where(col("lb").isNull || col("lb") <= 0 ||
+        col("na").cast(dec) * col("nb").cast(dec) >=
+          col("lb").cast(dec) * col("lb").cast(dec))
+      .select(col("q_id"), col("neighbor_id"),
+        expr(dotExpr(s, "fa", "fb")).as("ip"))
+    survivors
+      .withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("rn").as("rank"),
+        pround(col("ip").cast("double") / 1e10, 6).as("inner_product"))
   }
 
   /** Embedding dimension the literal hyperplane weights are generated
@@ -452,6 +512,30 @@ object SimilarityQueries {
               |       floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
               |FROM r WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin),
       doc = "brute-force cosine top-k, fixed-point exact dot products"),
+
+    Q("s10_mips_topk",
+      (s, d) => mipsTopK(vecs(s, d), 5, 5).orderBy("q_id", "rank"),
+      // the oracle is the NAIVE full MIPS join — matching it proves the
+      // Cauchy-Schwarz norm prune loses no qualifying neighbor
+      Some(s"""WITH $fixedSqlCte,
+              |p AS (
+              |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+              |         CAST(list_sum(list_transform(range(1, len(a.f) + 1),
+              |                i -> a.f[i] * b.f[i])) AS BIGINT) AS ip
+              |  FROM n a JOIN n b ON b.vec_id <> a.vec_id
+              |  WHERE a.vec_id < 5),
+              |r AS (
+              |  SELECT q_id, neighbor_id, ip,
+              |         row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, neighbor_id) AS rn
+              |  FROM p)
+              |SELECT q_id, neighbor_id, rn AS rank,
+              |       floor(CAST(ip AS DOUBLE) / 10000000000.0 * 1000000.0 + 0.5)
+              |         / 1000000.0 AS inner_product
+              |FROM r WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin),
+      doc = "exact MIPS top-k with Cauchy-Schwarz norm pruning: kth-best " +
+        "ip against the top-norm sample lower-bounds the answer, " +
+        "na*nb >= lb^2 (Decimal(38,0), exact) is the lossless survivor " +
+        "test; oracle is the naive full join"),
 
     Q("s2_lsh_buckets",
       (s, d) => lshBuckets(vecs(s, d), 4).orderBy("vec_id"),

@@ -353,4 +353,34 @@ class PlanAuditSpec extends SparkSpec {
       .findAllMatchIn(p).map(_.group(1)).toSet
     assert(windowParts.subsetOf(Set("doc_id")), s"window keys: $windowParts")
   }
+
+  test("f3: sessionization runs on ONE user_id exchange") {
+    val p = plan("f3_gap_sessions")
+    // lag, the running session-id sum, and the per-session groupBy must
+    // all reuse a single hash exchange on user_id (plus the final sort's
+    // range exchange) — a second hashpartitioning means a lost
+    // co-partitioning
+    val hashEx = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(hashEx == List("user_id"), s"hash exchanges on: $hashEx\n" + p.take(1000))
+  }
+
+  test("q26: fact reduces to distinct pairs below the joins; blacklist is anti") {
+    val p = plan("q26_supplier_census")
+    assert(p.contains("LeftAnti"), p.take(1000))
+    // the distinct on (l_partkey, l_suppkey) must sit below the part join
+    // (a distinct plans as a keyed HashAggregate with no agg functions)
+    val joinIdx = p.indexOf("Join")
+    val aggIdx = p.indexOf("HashAggregate(keys=[l_partkey", joinIdx)
+    assert(joinIdx >= 0 && aggIdx > joinIdx,
+      "pair distinct must sit below the joins\n" + p.take(1200))
+  }
+
+  test("s10: bound sample and queries broadcast; windows only on q_id") {
+    val p = plan("s10_mips_topk")
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    val windowParts = "windowspecdefinition\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(windowParts.subsetOf(Set("q_id")), s"window keys: $windowParts")
+  }
 }

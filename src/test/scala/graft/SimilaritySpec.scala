@@ -173,4 +173,27 @@ class SimilaritySpec extends SparkSpec {
         s"dim $dim: min=$mn mean=$mean max=$mx")
     }
   }
+
+  test("mips: norm prune is lossless at every sample size, incl. degenerate") {
+    // sampleM governs only the bound's tightness, never the answer:
+    // m = 500 (> corpus: bound from the full corpus), m = 6 (barely
+    // above k), and m = 1 (< k+1 — no kth partner, the left-join
+    // fallback must keep the full scan, not drop the query)
+    val full = Similarity.mipsTopK(vecs, 3, 5, sampleM = 500)
+      .orderBy("q_id", "rank")
+      .as[(Long, Long, Int, Double)].collect()
+    assert(full.length === 15)
+    for (m <- Seq(6, 1)) {
+      val got = Similarity.mipsTopK(vecs, 3, 5, sampleM = m)
+        .orderBy("q_id", "rank")
+        .as[(Long, Long, Int, Double)].collect()
+      assert(got.toSeq === full.toSeq, s"sampleM=$m diverged")
+    }
+    // per query: ranks 1..k with non-increasing inner products
+    full.groupBy(_._1).values.foreach { rows =>
+      assert(rows.sortBy(_._3).map(_._3).toSeq === (1 to 5))
+      val ips = rows.sortBy(_._3).map(_._4)
+      assert(ips.zip(ips.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
