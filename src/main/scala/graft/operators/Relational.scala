@@ -951,5 +951,220 @@ object RelationalQueries {
       doc = "TPC-H Q16-style supplier-cardinality census: fact reduced to " +
         "distinct (part, supplier) pairs before any join, blacklist as a " +
         "left-anti, count(DISTINCT) over the reduced pairs"),
+
+    Q("q27_market_share",
+      (s, d) => {
+        // TPC-H Q8 shape: one supplier nation's share of a region's
+        // ECONOMY-part market by order year. Join-order discipline: the
+        // part-type filter (1/6 selectivity) lands on the part scan and
+        // semi-filters lineitem through the FIRST join, so the only
+        // large-large join (⋈ orders on the order key) runs on the
+        // reduced fact. Customer-side region restriction is two
+        // broadcast dims (nation⋈region prefiltered on the driver-known
+        // region name); supplier-side nation name arrives the same way.
+        // The share itself is conditional aggregation in one pass — no
+        // second scan, no self-join — with the q19 decimal discipline
+        // and one double division at the end.
+        val vol = pround(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .cast(DecimalType(28, 4))
+        val asiaNations = Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)
+            .where(col("r_name") === "ASIA").select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cn_key"))
+        val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+          .join(broadcast(asiaNations), col("c_nationkey") === col("cn_key"))
+          .select("c_custkey")
+        val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("sn_key"))
+          .select("s_suppkey", "supp_nation")
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            vol.as("vol"))
+          .join(Tables.part(s, d).where(col("p_type") === "ECONOMY")
+            .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, d)
+            .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+            .select("o_orderkey", "o_custkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(
+            coalesce(sum(when(col("supp_nation") === "NATION_2", col("vol"))),
+              lit(0).cast(DecimalType(28, 4))).cast("double").as("nation_volume"),
+            sum(col("vol")).cast("double").as("total_volume"))
+          .select(col("o_year"), col("nation_volume"), col("total_volume"),
+            pround(col("nation_volume") / col("total_volume"), 6).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("""WITH f AS (
+             |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |         n2.n_name AS supp_nation,
+             |         CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(28,4)) AS vol
+             |  FROM lineitem
+             |  JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |  JOIN customer ON c_custkey = o_custkey
+             |  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+             |  JOIN region ON r_regionkey = n1.n_regionkey AND r_name = 'ASIA'
+             |  JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+             |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |    AND o_orderdate < TIMESTAMP '1998-01-01'),
+             |a AS (
+             |  SELECT o_year,
+             |         CAST(coalesce(sum(CASE WHEN supp_nation = 'NATION_2' THEN vol END),
+             |                       CAST(0 AS DECIMAL(28,4))) AS DOUBLE) AS nation_volume,
+             |         CAST(sum(vol) AS DOUBLE) AS total_volume
+             |  FROM f GROUP BY 1)
+             |SELECT o_year, nation_volume, total_volume,
+             |       floor(nation_volume / total_volume * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
+             |FROM a ORDER BY o_year""".stripMargin),
+      doc = "TPC-H Q8-style national market share: part-type filter " +
+        "semi-filters the fact before the large-large join, region " +
+        "restriction via broadcast dims, share as one-pass conditional " +
+        "aggregation"),
+
+    Q("q28_profit_by_nation",
+      (s, d) => {
+        // TPC-H Q9 shape: profit by supplier nation and order year. The
+        // schema has no partsupp, so supply cost is reconstructed as
+        // 1% of p_retailprice per unit (documented synthetic, applied
+        // identically in the oracle). The p_name filter pushes to the
+        // part scan; amount is computed per fact row under the decimal
+        // discipline BEFORE the group-by, so the (nation, year) agg is
+        // map-side combinable. The only large-large join is ⋈ orders on
+        // the order key; supplier→nation is two chained dims.
+        val amount = pround(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+            col("p_retailprice") * col("l_quantity") * lit(0.01), 4)
+          .cast(DecimalType(28, 4))
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount")
+          .join(Tables.part(s, d).where(col("p_name").like("%red%"))
+            .select("p_partkey", "p_retailprice"),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_name").as("nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("nation"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(sum(amount).cast("double").as("sum_profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some("""SELECT n_name AS nation,
+             |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |       CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)
+             |                            - p_retailprice * l_quantity * 0.01) * 10000.0 + 0.5)
+             |                     / 10000.0 AS DECIMAL(28,4))) AS DOUBLE) AS sum_profit
+             |FROM lineitem
+             |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN nation ON n_nationkey = s_nationkey
+             |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin),
+      doc = "TPC-H Q9-style profit by supplier nation and year: synthetic " +
+        "supply cost (1% retailprice/unit, no partsupp in the schema), " +
+        "per-row decimal amount before a combinable (nation, year) agg"),
+
+    Q("q29_returned_customers",
+      (s, d) => {
+        // TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+        // one quarter. The quarter filter pushes to the orders scan and
+        // the returnflag filter to the lineitem scan, so the large-large
+        // join runs on both facts pre-reduced. Revenue reduces to
+        // per-customer BEFORE the customer/nation dims join (reduce-then-
+        // join: the dims see |customers| rows, not fact rows). Top-20
+        // compiles to TakeOrderedAndProject — revenue DESC with the
+        // unique custkey tiebreak makes it a total order.
+        val vol = pround(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .cast(DecimalType(28, 4))
+        val perCust = Tables.lineitem(s, d)
+          .where(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), vol.as("vol"))
+          .join(Tables.orders(s, d)
+            .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+              col("o_orderdate") < lit("1996-04-01").cast("timestamp_ntz"))
+            .select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_custkey")
+          .agg(sum(col("vol")).cast("double").as("revenue"))
+        perCust
+          .join(Tables.customer(s, d)
+            .select("c_custkey", "c_name", "c_nationkey", "c_acctbal"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_name").as("nation"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select("c_custkey", "c_name", "nation", "c_acctbal", "revenue")
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""WITH pc AS (
+             |  SELECT o_custkey,
+             |         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5)
+             |                       / 10000.0 AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+             |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             |  WHERE l_returnflag = 'R'
+             |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |    AND o_orderdate < TIMESTAMP '1996-04-01'
+             |  GROUP BY 1)
+             |SELECT c_custkey, c_name, n_name AS nation, c_acctbal, revenue
+             |FROM pc
+             |JOIN customer ON c_custkey = o_custkey
+             |JOIN nation ON n_nationkey = c_nationkey
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+      doc = "TPC-H Q10-style returned-revenue top-20: both facts " +
+        "pre-filtered at the scan, revenue reduced per customer before " +
+        "the dim joins, TakeOrderedAndProject top-k"),
+
+    Q("q30_late_ship_priority",
+      (s, d) => {
+        // TPC-H Q12 shape: per line-status, how many high- vs low-
+        // priority orders shipped late. The schema has no shipmode or
+        // commit/receipt dates, so l_linestatus plays the shipmode group
+        // and "late" is shipped >60 days after the order date — an
+        // interval predicate across the two facts, evaluated AFTER the
+        // equality join (it can't push below it). The ship-year filter
+        // DOES push to the lineitem scan. Priority classification is
+        // one-pass conditional counting, Q12's exact shape.
+        Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+          .select("l_orderkey", "l_linestatus", "l_shipdate")
+          .join(Tables.orders(s, d)
+            .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            col("l_orderkey") === col("o_orderkey"))
+          .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+          .groupBy("l_linestatus")
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+              .otherwise(1L)).as("low_line_count"))
+          .orderBy("l_linestatus")
+      },
+      Some("""SELECT l_linestatus,
+             |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "TPC-H Q12-style late-shipment priority counts: ship-year " +
+        "filter pushed to the scan, cross-fact interval predicate as a " +
+        "post-join residual, one-pass conditional counting"),
   )
 }
