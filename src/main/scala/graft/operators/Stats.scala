@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.{Q, Tables}
 import graft.functions.Parity.pround
@@ -170,6 +172,84 @@ object Stats {
       .agg(count(lit(1)).as("n_rows"),
         min("x").as("x_min"), max("x").as("x_max"),
         min("y").as("y_min"), max("y").as("y_max"))
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the `value`
+    * distributions of two event types.
+    *
+    * Values are quantized to integer cents FIRST (round-half-up, the
+    * parity discipline), which bounds the CDF domain regardless of input
+    * row count: the heavy per-bin counting is one map-side-combinable
+    * aggregate over the facts, and the cumulative-sum window then runs
+    * over at most ~50k bin rows — a constant — so the global (empty
+    * partitionBy) window is NOT a scale hazard here, unlike a window
+    * over raw rows. The gap is |F_a - F_b| per bin with one double
+    * division per side; the statistic is the max gap, reported with the
+    * smallest bin attaining it.
+    */
+  def ksTwoSample(events: DataFrame, typeA: String, typeB: String): DataFrame = {
+    val binned = events
+      .where(col("event_type").isin(typeA, typeB))
+      .select(expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("cents"),
+        col("event_type"))
+      .groupBy("cents")
+      .agg(
+        sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("na"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("nb"))
+    val w = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = binned.agg(
+      sum("na").cast("long").as("ta"), sum("nb").cast("long").as("tb"))
+    val gaps = binned
+      .select(col("cents"), sum("na").over(w).as("ca"), sum("nb").over(w).as("cb"))
+      .crossJoin(broadcast(tot))
+      .select(col("cents"), col("ta"), col("tb"),
+        pround(abs(col("ca").cast("double") / col("ta").cast("double") -
+          col("cb").cast("double") / col("tb").cast("double")), 9).as("gap"))
+    val mx = gaps.agg(max("gap").as("ks_stat"))
+    gaps.crossJoin(broadcast(mx))
+      .where(col("gap") === col("ks_stat"))
+      .groupBy(col("ta").as("n_a"), col("tb").as("n_b"), col("ks_stat"))
+      .agg(min("cents").as("ks_at_cents"))
+  }
+
+  /** Full chi-square contingency table for lang × source: one row per
+    * grid cell (zero-observed cells included — they carry weight e in
+    * the statistic), with observed count, expected count, and the cell's
+    * chi2 contribution.
+    *
+    * Scale shape: the only pass over the data is the (lang, source)
+    * count — map-side combinable. Marginals reduce the counted grid
+    * (|langs| × |sources| rows, a bounded constant), and the full grid
+    * is a broadcast cross of the two marginal vectors — no second fact
+    * scan, no shuffle beyond the first count.
+    */
+  def chi2Contingency(docs: DataFrame): DataFrame = {
+    val cnt = docs.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rl = cnt.groupBy("lang").agg(sum("o").cast("long").as("rt"))
+    val cs = cnt.groupBy("source").agg(sum("o").cast("long").as("ct"))
+    val nn = cnt.agg(sum("o").cast("long").as("n"))
+    val e = col("rt").cast("double") * col("ct").cast("double") /
+      col("n").cast("double")
+    val obs = coalesce(col("o"), lit(0L)).cast("double")
+    broadcast(rl).crossJoin(broadcast(cs)).crossJoin(broadcast(nn))
+      .join(cnt, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"),
+        coalesce(col("o"), lit(0L)).as("observed"),
+        pround(e, 6).as("expected"),
+        pround((obs - e) * (obs - e) / e, 9).as("chi2_contrib"))
+  }
+
+  /** The chi-square statistic itself plus degrees of freedom. Per-cell
+    * contributions are rounded to fixed scale and summed as DECIMAL —
+    * exact and addition-order-independent, so the scalar doesn't depend
+    * on partitioning (a raw double sum would). */
+  def chi2Total(docs: DataFrame): DataFrame =
+    chi2Contingency(docs)
+      .agg(
+        sum(col("chi2_contrib").cast(DecimalType(28, 9))).cast("double")
+          .as("chi2"),
+        ((countDistinct("lang") - 1) * (countDistinct("source") - 1))
+          .as("dof"))
 }
 
 object StatsQueries {
@@ -264,5 +344,80 @@ object StatsQueries {
               |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin),
       doc = "Z-order (Morton) clustering key + per-bucket two-dimension " +
         "min/max spans — the layout stats multi-column data skipping prunes on"),
+
+    Q("x19_ks_two_sample",
+      (s, d) => ksTwoSample(Tables.events(s, d), "purchase", "click"),
+      Some("""WITH b AS (
+             |  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS na,
+             |         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nb
+             |  FROM events WHERE event_type IN ('purchase', 'click')
+             |  GROUP BY 1),
+             |t AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+             |             CAST(sum(nb) AS BIGINT) AS tb FROM b),
+             |c AS (SELECT cents,
+             |        sum(na) OVER (ORDER BY cents
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             |        sum(nb) OVER (ORDER BY cents
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+             |      FROM b),
+             |g AS (SELECT cents, ta, tb,
+             |        floor(abs(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+             |                  - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+             |              * 1000000000.0 + 0.5) / 1000000000.0 AS gap
+             |      FROM c, t),
+             |m AS (SELECT max(gap) AS ks_stat FROM g)
+             |SELECT ta AS n_a, tb AS n_b, ks_stat,
+             |       min(cents) AS ks_at_cents
+             |FROM g, m WHERE gap = ks_stat GROUP BY 1, 2, 3""".stripMargin),
+      doc = "two-sample Kolmogorov-Smirnov statistic between purchase and " +
+        "click value distributions: cent-quantized bins bound the CDF " +
+        "window to a constant domain; max |F_a - F_b| with its location"),
+
+    Q("x20_chi2_table",
+      (s, d) => chi2Contingency(Tables.documents(s, d))
+        .orderBy("lang", "source"),
+      Some("""WITH cnt AS (
+             |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+             |rl AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM cnt GROUP BY 1),
+             |cs AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM cnt GROUP BY 1),
+             |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cnt),
+             |f AS (SELECT rl.lang, cs.source,
+             |             CAST(coalesce(o, 0) AS BIGINT) AS observed,
+             |             CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS e
+             |      FROM rl CROSS JOIN cs CROSS JOIN nn
+             |      LEFT JOIN cnt ON cnt.lang = rl.lang AND cnt.source = cs.source)
+             |SELECT lang, source, observed,
+             |       floor(e * 1000000.0 + 0.5) / 1000000.0 AS expected,
+             |       floor((CAST(observed AS DOUBLE) - e) * (CAST(observed AS DOUBLE) - e) / e
+             |             * 1000000000.0 + 0.5) / 1000000000.0 AS chi2_contrib
+             |FROM f ORDER BY lang, source""".stripMargin),
+      doc = "chi-square contingency table (lang x source), zero-observed " +
+        "cells included: one combinable count pass, marginals from the " +
+        "counted grid, broadcast cross for the full grid"),
+
+    Q("x21_chi2_stat",
+      (s, d) => chi2Total(Tables.documents(s, d)),
+      Some("""WITH cnt AS (
+             |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+             |rl AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM cnt GROUP BY 1),
+             |cs AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM cnt GROUP BY 1),
+             |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cnt),
+             |f AS (SELECT rl.lang, cs.source,
+             |             CAST(coalesce(o, 0) AS BIGINT) AS observed,
+             |             CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS e
+             |      FROM rl CROSS JOIN cs CROSS JOIN nn
+             |      LEFT JOIN cnt ON cnt.lang = rl.lang AND cnt.source = cs.source),
+             |cc AS (SELECT lang, source,
+             |         CAST(floor((CAST(observed AS DOUBLE) - e) * (CAST(observed AS DOUBLE) - e) / e
+             |                    * 1000000000.0 + 0.5) / 1000000000.0
+             |              AS DECIMAL(28,9)) AS contrib
+             |       FROM f)
+             |SELECT CAST(sum(contrib) AS DOUBLE) AS chi2,
+             |       CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS BIGINT) AS dof
+             |FROM cc""".stripMargin),
+      doc = "chi-square statistic + degrees of freedom: per-cell " +
+        "contributions rounded then summed as DECIMAL, so the scalar is " +
+        "exact and independent of partitioning/addition order"),
   )
 }
