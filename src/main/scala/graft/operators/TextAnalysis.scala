@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.{Q, Tables}
 import graft.functions.Parity.pround
@@ -464,6 +465,44 @@ object TextAnalysis {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Per-source unigram KL divergence vs the corpus distribution —
+    * the standard domain-shift / source-quality signal in pretraining
+    * data audits (which sources' token distributions deviate most from
+    * the mixture).
+    *
+    * P_src is add-half smoothed over the CORPUS vocabulary (so words a
+    * source never emits still carry mass and the sum is over a common
+    * support); Q is the unsmoothed corpus distribution (every corpus
+    * word has count >= 1). KL(P_src || Q) = sum_w p ln(p/q).
+    *
+    * Scale shape: the one pass over text is the (source, word) count —
+    * map-side combinable. The evaluation grid is |vocab| x |sources|:
+    * built by broadcasting the tiny per-source totals vector onto the
+    * corpus vocab table (linear in V, no vocab shuffle), then a
+    * shuffle join back to the per-source counts on (source, word).
+    * Per-word contributions are rounded to fixed scale and summed as
+    * DECIMAL, so each source's KL is exact and independent of
+    * partitioning/addition order.
+    */
+  def sourceUnigramKl(docs: DataFrame): DataFrame = {
+    val sw = docs
+      .select(col("source"), explode(expr(Dedup.tokensExpr)).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val cw = sw.groupBy("w").agg(sum("c").cast("long").as("cw"))
+    val ns = sw.groupBy("source").agg(sum("c").cast("long").as("ns"))
+    val nv = cw.agg(sum("cw").cast("long").as("n"),
+      count(lit(1)).cast("long").as("v"))
+    val p = (coalesce(col("c"), lit(0L)).cast("double") + lit(0.5)) /
+      (col("ns").cast("double") + lit(0.5) * col("v").cast("double"))
+    val q = col("cw").cast("double") / col("n").cast("double")
+    cw.crossJoin(broadcast(ns.crossJoin(broadcast(nv))))
+      .join(sw, Seq("source", "w"), "left")
+      .select(col("source"), col("ns"),
+        pround(p * log(p / q), 12).cast(DecimalType(38, 12)).as("contrib"))
+      .groupBy(col("source"), col("ns").as("n_tokens"))
+      .agg(pround(sum(col("contrib")).cast("double"), 9).as("kl_nats"))
+  }
 }
 
 object TextAnalysisQueries {
@@ -829,5 +868,35 @@ object TextAnalysisQueries {
         "df-capped inverted-index join over the SELECTED fingerprints " +
         "only - the same candidate discipline as g4 at ~2/(w+1) the " +
         "index size, with shared-fingerprint evidence counts in-result"),
+
+    Q("t18_source_kl",
+      (s, d) => sourceUnigramKl(docs(s, d)).orderBy("source"),
+      Some(s"""WITH tok AS (SELECT source, unnest($toksSql) AS w FROM documents),
+              |sw AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+              |cw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM sw GROUP BY 1),
+              |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM sw GROUP BY 1),
+              |nv AS (SELECT CAST(sum(cw) AS BIGINT) AS n,
+              |              CAST(count(*) AS BIGINT) AS v FROM cw),
+              |grid AS (SELECT ns.source, cw.w, ns.ns, cw.cw, nv.n, nv.v
+              |         FROM cw CROSS JOIN ns CROSS JOIN nv),
+              |j AS (SELECT g.source, g.ns, g.cw, g.n, g.v,
+              |             coalesce(sw.c, 0) AS c
+              |      FROM grid g LEFT JOIN sw
+              |        ON sw.source = g.source AND sw.w = g.w),
+              |k AS (SELECT source, ns,
+              |        CAST(floor(
+              |          ((CAST(c AS DOUBLE) + 0.5) / (CAST(ns AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))
+              |          * ln(((CAST(c AS DOUBLE) + 0.5) / (CAST(ns AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))
+              |               / (CAST(cw AS DOUBLE) / CAST(n AS DOUBLE)))
+              |          * 1000000000000.0 + 0.5) / 1000000000000.0
+              |          AS DECIMAL(38,12)) AS contrib
+              |      FROM j)
+              |SELECT source, ns AS n_tokens,
+              |       floor(CAST(sum(contrib) AS DOUBLE) * 1000000000.0 + 0.5)
+              |         / 1000000000.0 AS kl_nats
+              |FROM k GROUP BY 1, 2 ORDER BY source""".stripMargin),
+      doc = "per-source unigram KL divergence vs the corpus mixture: " +
+        "add-half smoothing over the shared corpus vocabulary, decimal " +
+        "contribution sums (order-independent), one combinable count pass"),
   )
 }
