@@ -1166,5 +1166,107 @@ object RelationalQueries {
       doc = "TPC-H Q12-style late-shipment priority counts: ship-year " +
         "filter pushed to the scan, cross-fact interval predicate as a " +
         "post-join residual, one-pass conditional counting"),
+
+    Q("q31_grouping_sets",
+      (s, d) => {
+        // Explicit GROUPING SETS (the general form q11's ROLLUP and
+        // q16's CUBE are sugar for): order revenue at (region, nation),
+        // (region), and grand-total granularities in ONE pass — Spark
+        // plans a single Expand + hash aggregate, not three scans with a
+        // union. grouping() flags disambiguate "NULL because aggregated
+        // away" from a genuinely null dimension. Dims broadcast; the
+        // decimal revenue stays map-side combinable under Expand.
+        val dims = Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name").as("nation"),
+            col("r_name").as("region"))
+        Tables.orders(s, d)
+          .select(col("o_custkey"),
+            pround(col("o_totalprice"), 4).cast(DecimalType(28, 4)).as("price"))
+          .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(dims), col("c_nationkey") === col("n_nationkey"))
+          .groupingSets(
+            Seq(Seq(col("region"), col("nation")), Seq(col("region")), Seq()),
+            col("region"), col("nation"))
+          .agg(grouping(col("region")).cast("long").as("g_region"),
+            grouping(col("nation")).cast("long").as("g_nation"),
+            count(lit(1)).as("n_orders"),
+            sum(col("price")).cast("double").as("revenue"))
+          .orderBy("g_region", "g_nation", "region", "nation")
+      },
+      Some("""WITH base AS (
+             |  SELECT r_name AS region, n_name AS nation,
+             |         CAST(floor(o_totalprice * 10000.0 + 0.5) / 10000.0
+             |              AS DECIMAL(28,4)) AS price
+             |  FROM orders
+             |  JOIN customer ON c_custkey = o_custkey
+             |  JOIN nation ON n_nationkey = c_nationkey
+             |  JOIN region ON r_regionkey = n_regionkey)
+             |SELECT region, nation,
+             |       GROUPING(region) AS g_region, GROUPING(nation) AS g_nation,
+             |       count(*) AS n_orders, CAST(sum(price) AS DOUBLE) AS revenue
+             |FROM base
+             |GROUP BY GROUPING SETS ((region, nation), (region), ())
+             |ORDER BY g_region, g_nation, region, nation""".stripMargin),
+      doc = "explicit GROUPING SETS at three granularities in one Expand " +
+        "+ aggregate pass, grouping() flags to disambiguate aggregated " +
+        "NULLs, broadcast dims"),
+
+    Q("q32_unpivot",
+      (s, d) => {
+        // Wide→long unpivot (melt), the inverse of r5's pivot: per-nation
+        // customer/supplier counts and balances as a wide table, melted
+        // to (nation, metric, value) rows. Each side reduces to |nations|
+        // rows BEFORE the join (reduce-then-join); the unpivot itself is
+        // a zero-shuffle Expand — 4 output rows per input row, no
+        // repartitioning, so the long form costs nothing extra at scale.
+        val nat = Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name").as("nation"))
+        val cust = Tables.customer(s, d)
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("nation")
+          .agg(count(lit(1)).cast("double").as("n_cust"),
+            sum(pround(col("c_acctbal"), 2).cast(DecimalType(28, 2)))
+              .cast("double").as("cust_bal"))
+        val supp = Tables.supplier(s, d)
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("nation")
+          .agg(count(lit(1)).cast("double").as("n_supp"),
+            sum(pround(col("s_acctbal"), 2).cast(DecimalType(28, 2)))
+              .cast("double").as("supp_bal"))
+        cust.join(supp, Seq("nation"))
+          .unpivot(Array(col("nation")),
+            Array(col("n_cust"), col("cust_bal"), col("n_supp"), col("supp_bal")),
+            "metric", "value")
+          .orderBy("nation", "metric")
+      },
+      Some("""WITH c AS (
+             |  SELECT n_name AS nation, CAST(count(*) AS DOUBLE) AS n_cust,
+             |         CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) / 100.0
+             |                       AS DECIMAL(28,2))) AS DOUBLE) AS cust_bal
+             |  FROM customer JOIN nation ON n_nationkey = c_nationkey
+             |  GROUP BY 1),
+             |s AS (
+             |  SELECT n_name AS nation, CAST(count(*) AS DOUBLE) AS n_supp,
+             |         CAST(sum(CAST(floor(s_acctbal * 100.0 + 0.5) / 100.0
+             |                       AS DECIMAL(28,2))) AS DOUBLE) AS supp_bal
+             |  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+             |  GROUP BY 1),
+             |w AS (SELECT c.nation, n_cust, cust_bal, n_supp, supp_bal
+             |      FROM c JOIN s ON c.nation = s.nation)
+             |SELECT nation, metric, value FROM (
+             |  SELECT nation, 'n_cust' AS metric, n_cust AS value FROM w
+             |  UNION ALL
+             |  SELECT nation, 'cust_bal', cust_bal FROM w
+             |  UNION ALL
+             |  SELECT nation, 'n_supp', n_supp FROM w
+             |  UNION ALL
+             |  SELECT nation, 'supp_bal', supp_bal FROM w)
+             |ORDER BY nation, metric""".stripMargin),
+      doc = "wide-to-long unpivot (inverse of r5's pivot): reduce-then-" +
+        "join wide build, zero-shuffle Expand melt to (nation, metric, " +
+        "value)"),
   )
 }
