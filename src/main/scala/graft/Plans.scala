@@ -244,6 +244,32 @@ object Plans {
         "first, the p^T re-weighting and keep-rates are projections " +
         "over that |langs|-row table, and the deterministic md5 " +
         "thinning filter evaluates next to the scan."),
+    "q27_market_share" ->
+      ("TPC-H Q8 shape: the part-type filter semi-filters lineitem " +
+        "through the FIRST join so the only large-large join (⋈ " +
+        "orders) runs on the reduced fact; region restriction is " +
+        "broadcast dims; the share is one-pass conditional " +
+        "aggregation — no second scan."),
+    "q29_returned_customers" ->
+      ("TPC-H Q10 shape: returnflag filter pushed to the lineitem " +
+        "scan, quarter filter to the orders scan, revenue reduced " +
+        "per-customer BEFORE the dim joins, TakeOrderedAndProject " +
+        "top-20 — never a global sort."),
+    "q31_grouping_sets" ->
+      ("Explicit GROUPING SETS: ONE Expand + hash aggregate covers " +
+        "all three granularities (no union of scans); the decimal sum " +
+        "stays partially aggregated under Expand."),
+    "x19_ks_two_sample" ->
+      ("Two-sample KS: cent quantization bounds the domain, so the " +
+        "empty-partitionBy cumulative window runs over a CONSTANT " +
+        "(~50k) bin table — the per-bin counting underneath is the " +
+        "only pass over the facts and is map-side combinable."),
+    "t18_source_kl" ->
+      ("Per-source unigram KL: one combinable (source, word) count " +
+        "pass; the |vocab|×|sources| evaluation grid comes from " +
+        "broadcasting the tiny per-source totals onto the vocab " +
+        "table — the corpus is never rescanned; decimal contribution " +
+        "sums are addition-order-independent."),
   )
 
   def main(args: Array[String]): Unit = {

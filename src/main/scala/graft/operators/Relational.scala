@@ -1268,5 +1268,44 @@ object RelationalQueries {
       doc = "wide-to-long unpivot (inverse of r5's pivot): reduce-then-" +
         "join wide build, zero-shuffle Expand melt to (nation, metric, " +
         "value)"),
+
+    Q("q33_percent_rank",
+      (s, d) => {
+        // Relative-standing windows (percent_rank + cume_dist): supplier
+        // balance standing within nation. Ordering is by EXACT integer
+        // cents with the unique suppkey tiebreak — a float orderBy could
+        // rank last-ulp-different balances differently per engine, and
+        // the unique ordering makes cume_dist peer groups singletons
+        // (deterministic). One window pass partitioned by nation — the
+        // partition key scales out; no global ordering anywhere.
+        val w = Window.partitionBy("nation")
+          .orderBy(col("cents"), col("s_suppkey"))
+        Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_name").as("nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("nation"), col("s_suppkey"),
+            expr("cast(floor(s_acctbal * 100.0 + 0.5) as bigint)").as("cents"))
+          .select(col("nation"), col("s_suppkey"),
+            (col("cents").cast("double") / 100.0).as("bal"),
+            pround(percent_rank().over(w), 9).as("pr"),
+            pround(cume_dist().over(w), 9).as("cd"))
+          .orderBy("nation", "s_suppkey")
+      },
+      Some("""WITH b AS (
+             |  SELECT n_name AS nation, s_suppkey,
+             |         CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+             |  FROM supplier JOIN nation ON n_nationkey = s_nationkey)
+             |SELECT nation, s_suppkey, CAST(cents AS DOUBLE) / 100.0 AS bal,
+             |       floor(percent_rank() OVER (PARTITION BY nation
+             |               ORDER BY cents, s_suppkey) * 1000000000.0 + 0.5)
+             |         / 1000000000.0 AS pr,
+             |       floor(cume_dist() OVER (PARTITION BY nation
+             |               ORDER BY cents, s_suppkey) * 1000000000.0 + 0.5)
+             |         / 1000000000.0 AS cd
+             |FROM b ORDER BY nation, s_suppkey""".stripMargin),
+      doc = "percent_rank + cume_dist relative standing within nation: " +
+        "exact integer-cents ordering with unique tiebreak (engine-" +
+        "portable ranks), one nation-partitioned window pass"),
   )
 }

@@ -439,6 +439,61 @@ object Similarity {
       .select(col("vec_id"), col("sub"), col("pick.code").as("code"),
         col("pick.dist2").as("dist2"))
   }
+
+  /** Per-(label, dim) centroid moments — the shared front for the
+    * class-separation censuses (s11/s12): ONE explode pass over the
+    * corpus reduces to |labels| × d rows carrying exact integer sums
+    * (Σv, Σv², n per cell). Everything downstream (centroid distances,
+    * within-class variance) is arithmetic over this bounded table — the
+    * corpus is never rescanned and nothing bigger than |labels|×d ever
+    * shuffles again. */
+  private[operators] def labelMoments(vecs: DataFrame): DataFrame =
+    withFixed(vecs)
+      .select(col("label"), posexplode(col("f")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(sum("v").cast("long").as("s"),
+        sum(col("v") * col("v")).cast("long").as("sq"),
+        count(lit(1)).cast("long").as("cnt"))
+
+  /** s11: pairwise centroid distance matrix between labels — the
+    * embedding-space class-separation census (how well label regions
+    * separate; collapsing pairs flag label noise or near-duplicate
+    * classes). Per-dim squared centroid deltas are rounded to fixed
+    * scale and summed as DECIMAL (addition-order-independent), distance
+    * is one sqrt at the end. The pair join runs on the |labels|×d
+    * moments table, not the corpus. */
+  def centroidMatrix(vecs: DataFrame): DataFrame = {
+    val per = labelMoments(vecs)
+    val ca = col("a.s").cast("double") / col("a.cnt").cast("double")
+    val cb = col("b.s").cast("double") / col("b.cnt").cast("double")
+    val delta = (ca - cb) / lit(100000.0)
+    per.as("a").join(per.as("b"),
+        col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        pround(delta * delta, 9).cast(DecimalType(28, 9)).as("t"))
+      .groupBy("label_a", "label_b")
+      .agg(pround(sqrt(sum(col("t")).cast("double")), 6).as("centroid_dist"))
+  }
+
+  /** s12: per-label spread census — class size, total within-class
+    * variance (trace of the covariance: Σ_dim E[v²]−E[v]², the
+    * compactness side of s11's separation), and centroid norm. All from
+    * the same bounded moments table; decimal term sums keep every
+    * double partitioning-independent. */
+  def labelSpread(vecs: DataFrame): DataFrame = {
+    val mean = col("s").cast("double") / col("cnt").cast("double")
+    val varTerm = (col("sq").cast("double") / col("cnt").cast("double") -
+      mean * mean) / lit(1.0e10)
+    val centTerm = (mean / lit(100000.0)) * (mean / lit(100000.0))
+    labelMoments(vecs)
+      .select(col("label"), col("cnt"),
+        pround(varTerm, 9).cast(DecimalType(28, 9)).as("vt"),
+        pround(centTerm, 9).cast(DecimalType(28, 9)).as("ct"))
+      .groupBy("label")
+      .agg(min("cnt").as("n_vecs"),
+        pround(sum(col("vt")).cast("double"), 6).as("within_var"),
+        pround(sqrt(sum(col("ct")).cast("double")), 6).as("centroid_norm"))
+  }
 }
 
 object SimilarityQueries {
@@ -792,5 +847,72 @@ object SimilarityQueries {
       doc = "per-dimension embedding census (dead dims, scale drift): " +
         "exact fixed-point mean/min/max, partial agg collapses to <= d " +
         "rows per partition before the one exchange"),
+
+    Q("s11_centroid_matrix",
+      (s, d) => centroidMatrix(vecs(s, d)).orderBy("label_a", "label_b"),
+      Some(s"""WITH $fixedSqlCte,
+              |ex AS (
+              |  SELECT label, i AS dim, f[i + 1] AS v
+              |  FROM n, (SELECT unnest(range(0, 64)) AS i)
+              |  WHERE i < len(f)),
+              |per AS (
+              |  SELECT label, dim, CAST(sum(v) AS BIGINT) AS s,
+              |         CAST(count(*) AS BIGINT) AS cnt
+              |  FROM ex GROUP BY 1, 2),
+              |pt AS (
+              |  SELECT a.label AS label_a, b.label AS label_b,
+              |         CAST(floor(
+              |           ((CAST(a.s AS DOUBLE) / CAST(a.cnt AS DOUBLE)
+              |             - CAST(b.s AS DOUBLE) / CAST(b.cnt AS DOUBLE)) / 100000.0)
+              |           * ((CAST(a.s AS DOUBLE) / CAST(a.cnt AS DOUBLE)
+              |               - CAST(b.s AS DOUBLE) / CAST(b.cnt AS DOUBLE)) / 100000.0)
+              |           * 1000000000.0 + 0.5) / 1000000000.0
+              |           AS DECIMAL(28,9)) AS t
+              |  FROM per a JOIN per b
+              |    ON a.dim = b.dim AND a.label < b.label)
+              |SELECT label_a, label_b,
+              |       floor(sqrt(CAST(sum(t) AS DOUBLE)) * 1000000.0 + 0.5)
+              |         / 1000000.0 AS centroid_dist
+              |FROM pt GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin),
+      doc = "pairwise label-centroid distance matrix (class separation " +
+        "census): one corpus explode pass reduces to |labels| x d exact " +
+        "moments; the pair join and decimal term sums run over that " +
+        "bounded table only"),
+
+    Q("s12_label_spread",
+      (s, d) => labelSpread(vecs(s, d)).orderBy("label"),
+      Some(s"""WITH $fixedSqlCte,
+              |ex AS (
+              |  SELECT label, i AS dim, f[i + 1] AS v
+              |  FROM n, (SELECT unnest(range(0, 64)) AS i)
+              |  WHERE i < len(f)),
+              |per AS (
+              |  SELECT label, dim, CAST(sum(v) AS BIGINT) AS s,
+              |         CAST(sum(v * v) AS BIGINT) AS sq,
+              |         CAST(count(*) AS BIGINT) AS cnt
+              |  FROM ex GROUP BY 1, 2),
+              |t AS (
+              |  SELECT label, cnt,
+              |         CAST(floor(
+              |           (CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE)
+              |            - (CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE))
+              |              * (CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE)))
+              |           / 10000000000.0 * 1000000000.0 + 0.5) / 1000000000.0
+              |           AS DECIMAL(28,9)) AS vt,
+              |         CAST(floor(
+              |           (CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) / 100000.0)
+              |           * (CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) / 100000.0)
+              |           * 1000000000.0 + 0.5) / 1000000000.0
+              |           AS DECIMAL(28,9)) AS ct
+              |  FROM per)
+              |SELECT label, min(cnt) AS n_vecs,
+              |       floor(CAST(sum(vt) AS DOUBLE) * 1000000.0 + 0.5)
+              |         / 1000000.0 AS within_var,
+              |       floor(sqrt(CAST(sum(ct) AS DOUBLE)) * 1000000.0 + 0.5)
+              |         / 1000000.0 AS centroid_norm
+              |FROM t GROUP BY 1 ORDER BY label""".stripMargin),
+      doc = "per-label spread census: class size, within-class variance " +
+        "(covariance trace), centroid norm — compactness companion to " +
+        "s11's separation matrix, same bounded moments table"),
   )
 }

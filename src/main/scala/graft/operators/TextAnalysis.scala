@@ -477,31 +477,37 @@ object TextAnalysis {
     * word has count >= 1). KL(P_src || Q) = sum_w p ln(p/q).
     *
     * Scale shape: the one pass over text is the (source, word) count —
-    * map-side combinable. The evaluation grid is |vocab| x |sources|:
-    * built by broadcasting the tiny per-source totals vector onto the
-    * corpus vocab table (linear in V, no vocab shuffle), then a
-    * shuffle join back to the per-source counts on (source, word).
-    * Per-word contributions are rounded to fixed scale and summed as
-    * DECIMAL, so each source's KL is exact and independent of
-    * partitioning/addition order.
+    * map-side combinable, and materialized ONCE via the viaSharedScan
+    * discipline (it has four distinct consumers — vocab counts, source
+    * totals, corpus scalars, and the probe side of the grid join — and
+    * one of them is a broadcast, which runtime exchange reuse cannot
+    * dedup; without the shared scan the corpus would tokenize 4×). The
+    * evaluation grid is |vocab| x |sources|: built by broadcasting the
+    * tiny per-source totals vector onto the vocab table (linear in V,
+    * no vocab shuffle), then a shuffle join back to the per-source
+    * counts on (source, word). Per-word contributions are rounded to
+    * fixed scale and summed as DECIMAL, so each source's KL is exact
+    * and independent of partitioning/addition order.
     */
   def sourceUnigramKl(docs: DataFrame): DataFrame = {
-    val sw = docs
+    val swSrc = docs
       .select(col("source"), explode(expr(Dedup.tokensExpr)).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("c"))
-    val cw = sw.groupBy("w").agg(sum("c").cast("long").as("cw"))
-    val ns = sw.groupBy("source").agg(sum("c").cast("long").as("ns"))
-    val nv = cw.agg(sum("cw").cast("long").as("n"),
-      count(lit(1)).cast("long").as("v"))
-    val p = (coalesce(col("c"), lit(0L)).cast("double") + lit(0.5)) /
-      (col("ns").cast("double") + lit(0.5) * col("v").cast("double"))
-    val q = col("cw").cast("double") / col("n").cast("double")
-    cw.crossJoin(broadcast(ns.crossJoin(broadcast(nv))))
-      .join(sw, Seq("source", "w"), "left")
-      .select(col("source"), col("ns"),
-        pround(p * log(p / q), 12).cast(DecimalType(38, 12)).as("contrib"))
-      .groupBy(col("source"), col("ns").as("n_tokens"))
-      .agg(pround(sum(col("contrib")).cast("double"), 9).as("kl_nats"))
+    Dedup.viaSharedScan(swSrc) { sw =>
+      val cw = sw.groupBy("w").agg(sum("c").cast("long").as("cw"))
+      val ns = sw.groupBy("source").agg(sum("c").cast("long").as("ns"))
+      val nv = cw.agg(sum("cw").cast("long").as("n"),
+        count(lit(1)).cast("long").as("v"))
+      val p = (coalesce(col("c"), lit(0L)).cast("double") + lit(0.5)) /
+        (col("ns").cast("double") + lit(0.5) * col("v").cast("double"))
+      val q = col("cw").cast("double") / col("n").cast("double")
+      cw.crossJoin(broadcast(ns.crossJoin(broadcast(nv))))
+        .join(sw, Seq("source", "w"), "left")
+        .select(col("source"), col("ns"),
+          pround(p * log(p / q), 12).cast(DecimalType(38, 12)).as("contrib"))
+        .groupBy(col("source"), col("ns").as("n_tokens"))
+        .agg(pround(sum(col("contrib")).cast("double"), 9).as("kl_nats"))
+    }
   }
 }
 
