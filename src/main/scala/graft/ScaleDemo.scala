@@ -91,6 +91,10 @@ object ScaleDemo {
         d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1), 4).count()),
       "psi_drift" -> (d => operators.Sampling.psiDrift(d).count()),
       "pii_scrub" -> (d => operators.TextAnalysis.piiScrub(d).count()),
+      // KL's corpus pass is ONE materialized (source, word) count; the
+      // |vocab|×|sources| grid downstream must grow with vocab only
+      "source_kl" -> (d => operators.TextAnalysis.sourceUnigramKl(d).count()),
+      "chi2_table" -> (d => operators.Stats.chi2Contingency(d).count()),
       "dup_ngram_rate" -> (d => operators.Contamination.dupNgramRate(d).count()),
       "winnow" -> (d => operators.TextAnalysis.winnowFingerprints(d, 4).count()),
       // like ngram_candidates, 20x replication means every fingerprint is
@@ -133,7 +137,11 @@ object ScaleDemo {
       "kmeans_step" -> (v => operators.KMeans.kmeansStep(v, 6).count()),
       "semdedup" -> (v => operators.Similarity.semDedup(v, 16, 0.40).count()),
       "pq_assign" -> (v => operators.Similarity.pqAssign(v, 4, 4).count()),
-      "dim_stats" -> (v => operators.Similarity.dimStats(v).count()))
+      "dim_stats" -> (v => operators.Similarity.dimStats(v).count()),
+      // both reduce to |labels|×d moments in one explode pass — the
+      // downstream pair join must stay constant-size as the corpus grows
+      "centroid_matrix" -> (v => operators.Similarity.centroidMatrix(v).count()),
+      "label_spread" -> (v => operators.Similarity.labelSpread(v).count()))
     val eventOps: Seq[(String, DataFrame => Long)] = Seq(
       "event_transitions" -> (e => operators.Funnel.eventTransitions(e).count()),
       "funnel" -> (e => operators.Funnel.funnelConversion(e).count()),
@@ -141,7 +149,11 @@ object ScaleDemo {
         operators.Profiling.sketchQuantiles(e, "event_type", "value").count()),
       "zorder_stats" -> (e => operators.Stats.zorderClustering(e).count()),
       "salted_count" -> (e =>
-        operators.Skew.saltedCount(e, "event_type", "event_id", 32).count()))
+        operators.Skew.saltedCount(e, "event_type", "event_id", 32).count()),
+      // KS's window domain is the quantized bin table — constant in the
+      // corpus size, so F× more events must not widen the window input
+      "ks_two_sample" -> (e =>
+        operators.Stats.ksTwoSample(e, "purchase", "click").count()))
 
     def sweep(name: String, base: DataFrame, big: DataFrame,
               fns: Seq[(String, DataFrame => Long)]): Seq[String] =
