@@ -494,6 +494,49 @@ object Similarity {
         pround(sum(col("vt")).cast("double"), 6).as("within_var"),
         pround(sqrt(sum(col("ct")).cast("double")), 6).as("centroid_norm"))
   }
+
+  /** s13: end-to-end IVF search — the production ANN read path that
+    * s5 (assign) and s6/s7 (recall monitors) are components of: coarse-
+    * assign the corpus once, probe each query's `nProbe` nearest cells,
+    * exact-cosine re-rank INSIDE the probed cells only, top-k per query.
+    *
+    * Scale shape: cell restriction is a broadcast hash join on
+    * centroid_id against the tiny (q_id, centroid_id, query-vector)
+    * probe table — the corpus never shuffles; rows outside probed cells
+    * fall out of the join without being scored. Re-rank cost is
+    * |probed cells| / |cells| of brute force (s1), which is the whole
+    * point of IVF; the recall price is measured by s6. Window runs per
+    * q_id over candidate rows only. */
+  def ivfSearch(vecs: DataFrame, nCents: Int, nQueries: Int,
+                nProbe: Int, k: Int): DataFrame = {
+    val s = vecs.sparkSession
+    val assigned = assignFixed(vecs, nCents)
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id"),
+        col("f").as("fb"), col("nrm").as("nb"))
+    val base = withFixed(vecs)
+    val cents = base.orderBy("vec_id").limit(nCents)
+      .select(col("vec_id").as("centroid_id"), col("f").as("fb"),
+        col("nrm").as("nb"))
+    val queries = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("f").as("fa"), col("nrm").as("na"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("centroid_id"))
+    val probes = broadcast(queries).crossJoin(broadcast(cents))
+      .select(col("q_id"), col("centroid_id"), col("fa"), col("na"),
+        expr(cosExpr(s)).as("cos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .where(col("prn") <= nProbe)
+      .select(col("q_id"), col("centroid_id"), col("fa"), col("na"))
+    val wRank = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probes).join(assigned, Seq("centroid_id"))
+      .where(col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"), expr(cosExpr(s)).as("cos"))
+      .withColumn("rn", row_number().over(wRank))
+      .where(col("rn") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("rn").as("rank"),
+        pround(col("cos"), 6).as("cos_sim"))
+  }
 }
 
 object SimilarityQueries {
@@ -914,5 +957,47 @@ object SimilarityQueries {
       doc = "per-label spread census: class size, within-class variance " +
         "(covariance trace), centroid norm — compactness companion to " +
         "s11's separation matrix, same bounded moments table"),
+
+    Q("s13_ivf_search",
+      (s, d) => ivfSearch(vecs(s, d), 6, 5, 2, 5).orderBy("q_id", "rank"),
+      Some(s"""WITH $fixedSqlCte,
+              |cents AS (
+              |  SELECT vec_id AS centroid_id, f, nrm FROM n
+              |  ORDER BY vec_id LIMIT 6),
+              |p AS (
+              |  SELECT n.vec_id, c.centroid_id,
+              |         ${pairCosSql("n", "c")} AS cos
+              |  FROM n, cents c),
+              |r AS (
+              |  SELECT vec_id, centroid_id,
+              |         row_number() OVER (PARTITION BY vec_id
+              |           ORDER BY cos DESC, centroid_id) AS rn
+              |  FROM p),
+              |asg AS (SELECT vec_id, centroid_id FROM r WHERE rn = 1),
+              |probe AS (
+              |  SELECT vec_id AS q_id, centroid_id FROM r
+              |  WHERE vec_id < 5 AND rn <= 2),
+              |cand AS (
+              |  SELECT pr.q_id, a.vec_id AS neighbor_id
+              |  FROM probe pr JOIN asg a ON a.centroid_id = pr.centroid_id
+              |  WHERE a.vec_id <> pr.q_id),
+              |sc AS (
+              |  SELECT c.q_id, c.neighbor_id,
+              |         ${pairCosSql("a", "b")} AS cos
+              |  FROM cand c
+              |  JOIN n a ON a.vec_id = c.q_id
+              |  JOIN n b ON b.vec_id = c.neighbor_id),
+              |rr AS (
+              |  SELECT q_id, neighbor_id, cos,
+              |         row_number() OVER (PARTITION BY q_id
+              |           ORDER BY cos DESC, neighbor_id) AS rn
+              |  FROM sc)
+              |SELECT q_id, neighbor_id, rn AS rank,
+              |       floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+              |FROM rr WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin),
+      doc = "end-to-end IVF search (assign -> probe 2 nearest cells -> " +
+        "exact re-rank in-cell): corpus never shuffles, cell restriction " +
+        "is a broadcast join on centroid_id, re-rank cost = probed " +
+        "fraction of brute force"),
   )
 }

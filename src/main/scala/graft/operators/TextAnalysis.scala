@@ -489,6 +489,54 @@ object TextAnalysis {
     * fixed scale and summed as DECIMAL, so each source's KL is exact
     * and independent of partitioning/addition order.
     */
+  /** t19: Gopher-style hard-rule census (Rae et al. 2021 §A1.1 flavor)
+    * per source — the FILTER side of quality curation, complementing
+    * t2's soft score: per-rule fail counts and the all-rules pass rate,
+    * so a curation run can see which rule bites which source before
+    * committing to a cut.
+    *
+    * Rules (token flavor, thresholds documented inline):
+    *  - length: 50 <= tokens <= 100k (Gopher's word-count band);
+    *  - mean word length in [3, 10];
+    *  - stopword fraction >= 0.06 (natural-language signal);
+    *  - alphabetic-token fraction >= 0.8 (symbol/noise screen).
+    *
+    * Scale shape: one pass over text (array ops per doc, no explode —
+    * the per-doc stats are map-side projections), then one combinable
+    * (source) reduce. Nothing bigger than |sources| rows shuffles. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val stopArr = Stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    val perDoc = docs
+      .select(col("source"), expr(tokensExpr).as("toks"))
+      .select(col("source"),
+        expr("size(toks)").cast("long").as("n_tokens"),
+        expr("aggregate(toks, 0L, (s, x) -> s + length(x))").as("sum_wlen"),
+        expr(s"size(filter(toks, x -> array_contains($stopArr, x)))")
+          .cast("long").as("n_stop"),
+        expr("size(filter(toks, x -> x rlike '^[a-zA-Z]+$'))")
+          .cast("long").as("n_alpha"))
+    val meanW = col("sum_wlen").cast("double") / col("n_tokens").cast("double")
+    val stopF = col("n_stop").cast("double") / col("n_tokens").cast("double")
+    val alphaF = col("n_alpha").cast("double") / col("n_tokens").cast("double")
+    perDoc
+      .select(col("source"),
+        (col("n_tokens") >= 50L && col("n_tokens") <= 100000L).as("p_len"),
+        (meanW >= 3.0 && meanW <= 10.0).as("p_wlen"),
+        (stopF >= 0.06).as("p_stop"),
+        (alphaF >= 0.8).as("p_alpha"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!col("p_len"), 1L).otherwise(0L)).as("fail_len"),
+        sum(when(!col("p_wlen"), 1L).otherwise(0L)).as("fail_wlen"),
+        sum(when(!col("p_stop"), 1L).otherwise(0L)).as("fail_stop"),
+        sum(when(!col("p_alpha"), 1L).otherwise(0L)).as("fail_alpha"),
+        sum(when(col("p_len") && col("p_wlen") && col("p_stop") &&
+          col("p_alpha"), 1L).otherwise(0L)).as("n_pass"))
+      .withColumn("pass_rate",
+        pround(col("n_pass").cast("double") / col("n_docs").cast("double"), 6))
+  }
+
   def sourceUnigramKl(docs: DataFrame): DataFrame = {
     val swSrc = docs
       .select(col("source"), explode(expr(Dedup.tokensExpr)).as("w"))
@@ -904,5 +952,40 @@ object TextAnalysisQueries {
       doc = "per-source unigram KL divergence vs the corpus mixture: " +
         "add-half smoothing over the shared corpus vocabulary, decimal " +
         "contribution sums (order-independent), one combinable count pass"),
+
+    Q("t19_gopher_rules",
+      (s, d) => gopherRules(docs(s, d)).orderBy("source"),
+      Some(s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+              |pd AS (
+              |  SELECT source,
+              |         CAST(len(toks) AS BIGINT) AS n_tokens,
+              |         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_wlen,
+              |         CAST(len(list_filter(toks, x -> x IN $stopSql)) AS BIGINT) AS n_stop,
+              |         CAST(len(list_filter(toks, x -> regexp_matches(x, '^[a-zA-Z]+$$'))) AS BIGINT) AS n_alpha
+              |  FROM t),
+              |f AS (
+              |  SELECT source,
+              |         (n_tokens >= 50 AND n_tokens <= 100000) AS p_len,
+              |         (CAST(sum_wlen AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 3.0
+              |          AND CAST(sum_wlen AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 10.0) AS p_wlen,
+              |         (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.06) AS p_stop,
+              |         (CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.8) AS p_alpha
+              |  FROM pd)
+              |SELECT source, count(*) AS n_docs,
+              |       CAST(sum(CASE WHEN NOT p_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
+              |       CAST(sum(CASE WHEN NOT p_wlen THEN 1 ELSE 0 END) AS BIGINT) AS fail_wlen,
+              |       CAST(sum(CASE WHEN NOT p_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+              |       CAST(sum(CASE WHEN NOT p_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+              |       CAST(sum(CASE WHEN p_len AND p_wlen AND p_stop AND p_alpha
+              |                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+              |       floor(CAST(sum(CASE WHEN p_len AND p_wlen AND p_stop AND p_alpha
+              |                      THEN 1 ELSE 0 END) AS DOUBLE)
+              |             / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5)
+              |         / 1000000.0 AS pass_rate
+              |FROM f GROUP BY 1 ORDER BY source""".stripMargin),
+      doc = "Gopher-style hard-rule census per source (length band, mean " +
+        "word length, stopword fraction, alphabetic fraction): per-rule " +
+        "fail counts + all-rules pass rate, one text pass with no " +
+        "explode, |sources|-row shuffle only"),
   )
 }
