@@ -1307,5 +1307,89 @@ object RelationalQueries {
       doc = "percent_rank + cume_dist relative standing within nation: " +
         "exact integer-cents ordering with unique tiebreak (engine-" +
         "portable ranks), one nation-partitioned window pass"),
+
+    Q("q34_big_orders",
+      (s, d) => {
+        // TPC-H Q18 shape: large-volume orders (total quantity > 300, the
+        // Q18 threshold). The correlated HAVING decorrelates to
+        // reduce-then-join: lineitem collapses to per-order quantity
+        // sums FIRST (one combinable shuffle), the >300 filter cuts that
+        // reduced table to a sliver, and only the sliver joins orders
+        // and customer — the fact never joins row-by-row. Quantity sums
+        // use the q1 decimal discipline; top-20 by totalprice is
+        // TakeOrderedAndProject with the unique orderkey tiebreak.
+        val oq = Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            pround(col("l_quantity"), 6).cast(DecimalType(28, 6)).as("q"))
+          .groupBy("l_orderkey")
+          .agg(sum(col("q")).as("tot_qty"))
+          .where(col("tot_qty") > 300)
+        oq.join(Tables.orders(s, d)
+            .select("o_orderkey", "o_custkey", "o_totalprice"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d).select("c_custkey", "c_name"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            pround(col("o_totalprice"), 2).as("o_totalprice"),
+            col("tot_qty").cast("double").as("tot_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      Some("""WITH oq AS (
+             |  SELECT l_orderkey,
+             |         sum(CAST(floor(l_quantity * 1000000.0 + 0.5) / 1000000.0
+             |                  AS DECIMAL(28,6))) AS tot_qty
+             |  FROM lineitem GROUP BY 1 HAVING tot_qty > 300),
+             |j AS (
+             |  SELECT c_custkey, c_name, o_orderkey,
+             |         floor(o_totalprice * 100.0 + 0.5) / 100.0 AS o_totalprice,
+             |         CAST(tot_qty AS DOUBLE) AS tot_qty
+             |  FROM oq
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |  JOIN customer ON c_custkey = o_custkey)
+             |SELECT * FROM j
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin),
+      doc = "TPC-H Q18-style large-volume orders: correlated HAVING " +
+        "decorrelated to reduce-then-join (per-order quantity sums " +
+        "filtered before any join), TakeOrderedAndProject top-20"),
+
+    Q("q35_disjunctive_revenue",
+      (s, d) => {
+        // TPC-H Q19 shape: revenue under an OR of three conjunctive
+        // (brand, size-range, quantity-range) branches — the disjunctive-
+        // predicate stress test. The common denominator of the branches
+        // (size between 1 and 40, quantity between 1 and 50) pushes to
+        // the two scans as a residual-OR's bounding box; the exact OR
+        // evaluates at the join. One pass, one decimal scalar.
+        val branch =
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(5, 20) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(10, 40) &&
+            col("l_quantity").between(20, 50))
+        Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_quantity"),
+            pround(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+              .cast(DecimalType(28, 4)).as("vol"))
+          .join(Tables.part(s, d).select("p_partkey", "p_brand", "p_size"),
+            col("l_partkey") === col("p_partkey"))
+          .where(branch)
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("vol")).cast("double").as("revenue"))
+      },
+      Some("""SELECT count(*) AS n_lines,
+             |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5)
+             |                     / 10000.0 AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+             |       AND l_quantity BETWEEN 1 AND 20)
+             |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+             |       AND l_quantity BETWEEN 10 AND 30)
+             |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+             |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin),
+      doc = "TPC-H Q19-style disjunctive-predicate revenue: OR of three " +
+        "conjunctive branches evaluated in one join pass, decimal-exact " +
+        "scalar"),
   )
 }

@@ -250,6 +250,36 @@ object Stats {
           .as("chi2"),
         ((countDistinct("lang") - 1) * (countDistinct("source") - 1))
           .as("dof"))
+
+  /** Per-group distribution moments (mean, variance, skewness) from
+    * exact integer power sums of the cent-quantized value — the
+    * one-pass, mergeable shape of a distribution profiler: each
+    * partition contributes (n, Σc, Σc², Σc³) and the merge is addition.
+    * Sums are DECIMAL(38,0): a LongType Σc³ silently wraps around
+    * ~10^5 rows per group at cent scale, so the decimal sum IS the
+    * scale path, not pedantry. The moment arithmetic is one fixed IEEE
+    * tree over the (identical) double casts; x^1.5 is sqrt(x)·x —
+    * sqrt is IEEE-correctly-rounded, unlike pow, so no libm drift. */
+  def groupMoments(events: DataFrame, group: String): DataFrame = {
+    val c = expr("cast(floor(value * 100.0 + 0.5) as bigint)")
+    val dec = DecimalType(38, 0)
+    val a1 = col("m1").cast("double") / col("n").cast("double")
+    val a2 = col("m2").cast("double") / col("n").cast("double")
+    val a3 = col("m3").cast("double") / col("n").cast("double")
+    val ctr = a2 - a1 * a1
+    events
+      .select(col(group), c.as("c"))
+      .groupBy(group)
+      .agg(count(lit(1)).as("n"),
+        sum(col("c").cast(dec)).as("m1"),
+        sum((col("c") * col("c")).cast(dec)).as("m2"),
+        sum((col("c") * col("c") * col("c")).cast(dec)).as("m3"))
+      .select(col(group), col("n"),
+        pround(a1 / 100.0, 6).as("mean_val"),
+        pround(ctr / 10000.0, 6).as("var_val"),
+        pround((a3 - lit(3.0) * a1 * a2 + lit(2.0) * a1 * a1 * a1) /
+          (ctr * sqrt(ctr)), 6).as("skewness"))
+  }
 }
 
 object StatsQueries {
@@ -419,5 +449,35 @@ object StatsQueries {
       doc = "chi-square statistic + degrees of freedom: per-cell " +
         "contributions rounded then summed as DECIMAL, so the scalar is " +
         "exact and independent of partitioning/addition order"),
+
+    Q("x22_group_moments",
+      (s, d) => groupMoments(Tables.events(s, d), "event_type")
+        .orderBy("event_type"),
+      Some("""WITH b AS (
+             |  SELECT event_type,
+             |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+             |  FROM events),
+             |m AS (
+             |  SELECT event_type, count(*) AS n,
+             |         sum(CAST(c AS DECIMAL(38,0))) AS m1,
+             |         sum(CAST(c * c AS DECIMAL(38,0))) AS m2,
+             |         sum(CAST(c * c * c AS DECIMAL(38,0))) AS m3
+             |  FROM b GROUP BY 1),
+             |a AS (
+             |  SELECT event_type, n,
+             |         CAST(m1 AS DOUBLE) / CAST(n AS DOUBLE) AS a1,
+             |         CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE) AS a2,
+             |         CAST(m3 AS DOUBLE) / CAST(n AS DOUBLE) AS a3
+             |  FROM m)
+             |SELECT event_type, n,
+             |       floor(a1 / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS mean_val,
+             |       floor((a2 - a1 * a1) / 10000.0 * 1000000.0 + 0.5) / 1000000.0 AS var_val,
+             |       floor((a3 - 3.0 * a1 * a2 + 2.0 * a1 * a1 * a1)
+             |             / ((a2 - a1 * a1) * sqrt(a2 - a1 * a1))
+             |             * 1000000.0 + 0.5) / 1000000.0 AS skewness
+             |FROM a ORDER BY event_type""".stripMargin),
+      doc = "per-group moment profile (mean/variance/skewness) from " +
+        "exact DECIMAL power sums of cent-quantized values: one " +
+        "mergeable pass, sqrt-based x^1.5 (no libm pow drift)"),
   )
 }
