@@ -55,11 +55,19 @@ object Bench {
       val good = runs.filter(_._1).map(_._2)
       name -> (if (good.nonEmpty) good.min else runs.map(_._2).max)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal timings (0.1 ms — below bench noise): full-precision
+    // doubles pushed the one-line artifact past the driver's ~4.9 KB
+    // tail capture, so ~100 of the per-query timings arrived truncated
+    // and unparseable (ADVICE r10). At ~25 chars/entry this line stays
+    // parseable past 185 queries.
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.stripTrailingZeros.toPlainString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs_per_query":$passes,"agg":"min_across_separated_passes","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"runs_per_query":$passes,"agg":"min_across_separated_passes","sf":"$sfDir"}""")
     spark.stop()
   }
 }

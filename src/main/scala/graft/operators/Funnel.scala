@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
+import graft.functions.Parity.pround
 
 /** Behavioral-sequence operators over the events stream (extends
   * SURVEY.md §2.A's sessionization family): event-transition bigrams
@@ -84,6 +85,41 @@ object Funnel {
       sum(when(col("tc").isNotNull, 1L).otherwise(0L)).as("n_click_after_view"),
       sum(when(col("tp").isNotNull, 1L).otherwise(0L)).as("n_purchase_funnel"))
   }
+
+  /** F4: cohort retention matrix — users are cohorted by their
+    * first-active week and each cell counts how many of a cohort's users
+    * were active `week_offset` weeks later, with the retention ratio
+    * against the cohort's own week-0 size. The growth-analytics staple.
+    *
+    * Week indexing is a pure integer epoch-day division (day div 7 from
+    * 1970-01-01, a Thursday — the bucket boundary is arbitrary but
+    * identical on both engines), not date_trunc: engines disagree on
+    * week-start conventions, integer arithmetic cannot.
+    *
+    * Scale shape: the fact scan reduces immediately to distinct
+    * (user, week) — combinable, and the week column bounds it at
+    * |users|·|weeks|. Cohorts derive from THAT table with a second
+    * user_id-keyed aggregate, so the cohort join re-uses the same
+    * hash partitioning (no new shuffle under AQE's exchange reuse);
+    * cells then reduce to |weeks|² rows, and the week-0 denominator
+    * join is a broadcast of that bounded cell table. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val uw = events
+      .select(col("user_id"),
+        expr("datediff(cast(ts as date), date'1970-01-01') div 7").as("wk"))
+      .distinct()
+    val cohort = uw.groupBy("user_id").agg(min("wk").as("cw"))
+    val cells = uw.join(cohort, "user_id")
+      .groupBy(col("cw").as("cohort_week"),
+        (col("wk") - col("cw")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val base = cells.where(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("n0"))
+    cells.join(broadcast(base), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        pround(col("n_users").cast("double") / col("n0").cast("double"), 6)
+          .as("retention"))
+  }
 }
 
 object FunnelQueries {
@@ -152,5 +188,28 @@ object FunnelQueries {
       doc = "gap-based sessionization (6 h inactivity break): lag + " +
         "running session-id sum + per-session rollup, all on ONE " +
         "user_id shuffle; exact long-second gaps, event_id tiebreak"),
+
+    Q("f4_retention_cohorts",
+      (s, d) => retentionCohorts(Tables.events(s, d))
+        .orderBy("cohort_week", "week_offset"),
+      Some("""WITH uw AS (
+             |  SELECT DISTINCT user_id,
+             |         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk
+             |  FROM events),
+             |c AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY 1),
+             |cells AS (
+             |  SELECT cw AS cohort_week, wk - cw AS week_offset,
+             |         count(*) AS n_users
+             |  FROM uw JOIN c USING (user_id) GROUP BY 1, 2),
+             |b AS (SELECT cohort_week, n_users AS n0 FROM cells
+             |      WHERE week_offset = 0)
+             |SELECT cohort_week, week_offset, n_users,
+             |       floor(CAST(n_users AS DOUBLE) / CAST(n0 AS DOUBLE)
+             |             * 1000000.0 + 0.5) / 1000000.0 AS retention
+             |FROM cells JOIN b USING (cohort_week)
+             |ORDER BY cohort_week, week_offset""".stripMargin),
+      doc = "cohort retention matrix (first-active week x week offset): " +
+        "distinct (user, week) reduction, partitioning-reusing cohort " +
+        "join, bounded cell table, broadcast week-0 denominator"),
   )
 }

@@ -415,20 +415,31 @@ object Similarity {
     * shuffle carries m rows per vector. Distances are exact BIGINT sums
     * of fixed-point squares (≤16 dims × (2·10^5)² ≈ 6.4·10^11 « 2^53),
     * so codes are bit-reproducible on any engine. */
-  def pqAssign(vecs: DataFrame, m: Int = 4, k: Int = 4): DataFrame = {
-    val fixed = withFixed(vecs)
+  /** The m-subspace slice expression shared by s8/s14: one map-side
+    * transform+explode emits the subvector slices, no re-scan. */
+  private def pqSlices(m: Int): String = {
     val d = 64
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
     val sub = d / m
-    val slices = s"transform(sequence(0, ${m - 1}), " +
+    s"transform(sequence(0, ${m - 1}), " +
       s"si -> struct(si as sub, slice(f, si * $sub + 1, $sub) as fv))"
+  }
+
+  /** Deterministic per-subspace codebook (k codewords seeded from the k
+    * smallest vec_ids, the kmeansStep convention): (sub, code, cw). */
+  private def pqBook(fixed: DataFrame, m: Int, k: Int): DataFrame =
+    fixed.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("code"), col("f"))
+      .select(col("code"), explode(expr(pqSlices(m))).as("e"))
+      .select(col("e.sub").as("sub"), col("code"), col("e.fv").as("cw"))
+
+  def pqAssign(vecs: DataFrame, m: Int = 4, k: Int = 4): DataFrame = {
+    val fixed = withFixed(vecs)
+    val slices = pqSlices(m)
     val pieces = fixed
       .select(col("vec_id"), explode(expr(slices)).as("e"))
       .select(col("vec_id"), col("e.sub").as("sub"), col("e.fv").as("fv"))
-    val book = fixed.orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("code"), col("f"))
-      .select(col("code"), explode(expr(slices)).as("e"))
-      .select(col("e.sub").as("sub"), col("code"), col("e.fv").as("cw"))
+    val book = pqBook(fixed, m, k)
     pieces.join(broadcast(book), "sub")
       .select(col("vec_id"), col("sub"), col("code"),
         expr("aggregate(zip_with(fv, cw, (a, b) -> (a - b) * (a - b)), " +
@@ -438,6 +449,46 @@ object Similarity {
         struct(col("dist2"), col("code"))).as("pick"))
       .select(col("vec_id"), col("sub"), col("pick.code").as("code"),
         col("pick.dist2").as("dist2"))
+  }
+
+  /** s14: PQ asymmetric-distance (ADC) top-k — the compressed-domain ANN
+    * scan (Jégou/Douze/Schmid TPAMI'11 §IV.A): corpus vectors are ranked
+    * through their PQ codes alone; only the QUERY side ever touches exact
+    * subvectors. Estimated distance(q, x) = Σ_sub LUT_q[sub][code(x,sub)],
+    * where the LUT holds the exact squared L2 between each query
+    * subvector and each codeword.
+    *
+    * Scale shape — this is why PQ exists at 100 TB: after coding, the
+    * only corpus-sized input is the code table (m small ints per vector,
+    * ~1/64th of the raw embedding bytes); the LUT is nq·m·k rows and
+    * broadcasts; the per-(query, vector) distance is a map-side-
+    * combinable sum keyed on the corpus id (m rows in per vector); and
+    * the top-k is a bounded per-query window. The embedding column is
+    * never re-read after coding — on a real cluster the code table is
+    * the thing you keep in memory while 100 TB of raw vectors stay in
+    * cold storage. All distances are exact BIGINTs (fixed-point), so
+    * ranks are bit-reproducible across engines. */
+  def pqAdcTopK(vecs: DataFrame, nQueries: Int, k: Int,
+                m: Int = 4, codebookK: Int = 4): DataFrame = {
+    val fixed = withFixed(vecs)
+    val codes = pqAssign(vecs, m, codebookK).drop("dist2")
+    val book = pqBook(fixed, m, codebookK)
+    val qs = fixed.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), explode(expr(pqSlices(m))).as("e"))
+      .select(col("q_id"), col("e.sub").as("sub"), col("e.fv").as("qv"))
+    val lut = qs.join(book, "sub")
+      .select(col("q_id"), col("sub"), col("code"),
+        expr("aggregate(zip_with(qv, cw, (a, b) -> (a - b) * (a - b)), " +
+          "0L, (s, x) -> s + x)").as("qd2"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc_dist2"), col("vec_id"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .where(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("qd2").as("adc_dist2"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("rn").as("rank"), col("adc_dist2"))
   }
 
   /** Per-(label, dim) centroid moments — the shared front for the
@@ -872,6 +923,54 @@ object SimilarityQueries {
         "4 subspaces x 4 codewords, one corpus scan (map-side " +
         "slice-explode), broadcast codebook, combinable min_by argmin; " +
         "exact fixed-point residuals make codes engine-reproducible"),
+
+    Q("s14_pq_adc",
+      (s, d) => pqAdcTopK(vecs(s, d), 3, 10).orderBy("q_id", "rank"),
+      Some(s"""WITH $fixedSqlCte,
+              |seeds AS (SELECT vec_id, f FROM n ORDER BY vec_id LIMIT 4),
+              |book AS (
+              |  SELECT si AS sub, vec_id AS code,
+              |         f[si * 16 + 1 : (si + 1) * 16] AS cw
+              |  FROM seeds, (SELECT unnest(range(0, 4)) AS si)),
+              |pieces AS (
+              |  SELECT vec_id, si AS sub,
+              |         f[si * 16 + 1 : (si + 1) * 16] AS fv
+              |  FROM n, (SELECT unnest(range(0, 4)) AS si)),
+              |dists AS (
+              |  SELECT p.vec_id, p.sub, b.code,
+              |         CAST(list_sum(list_transform(range(1, 17),
+              |           i -> (p.fv[i] - b.cw[i]) * (p.fv[i] - b.cw[i])))
+              |           AS BIGINT) AS dist2
+              |  FROM pieces p JOIN book b ON p.sub = b.sub),
+              |codes AS (
+              |  SELECT vec_id, sub, code FROM (
+              |    SELECT vec_id, sub, code,
+              |           row_number() OVER (PARTITION BY vec_id, sub
+              |             ORDER BY dist2, code) AS rn
+              |    FROM dists) WHERE rn = 1),
+              |lut AS (
+              |  SELECT p.vec_id AS q_id, p.sub, b.code,
+              |         CAST(list_sum(list_transform(range(1, 17),
+              |           i -> (p.fv[i] - b.cw[i]) * (p.fv[i] - b.cw[i])))
+              |           AS BIGINT) AS qd2
+              |  FROM pieces p JOIN book b ON p.sub = b.sub
+              |  WHERE p.vec_id < 3),
+              |adc AS (
+              |  SELECT l.q_id, c.vec_id, CAST(sum(l.qd2) AS BIGINT) AS adc_dist2
+              |  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+              |  WHERE c.vec_id <> l.q_id
+              |  GROUP BY 1, 2),
+              |r AS (
+              |  SELECT q_id, vec_id, adc_dist2,
+              |         row_number() OVER (PARTITION BY q_id
+              |           ORDER BY adc_dist2, vec_id) AS rn
+              |  FROM adc)
+              |SELECT q_id, vec_id AS neighbor_id, rn AS rank, adc_dist2
+              |FROM r WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin),
+      doc = "PQ asymmetric-distance top-k (Jegou et al. TPAMI'11): corpus " +
+        "ranked through m-int codes only, nq*m*k LUT broadcast, " +
+        "combinable per-vector sum, bounded per-query window; exact " +
+        "BIGINT distances so ranks reproduce on any engine"),
 
     Q("s9_dim_stats",
       (s, d) => dimStats(vecs(s, d)).orderBy("dim"),

@@ -280,6 +280,95 @@ object Stats {
         pround((a3 - lit(3.0) * a1 * a2 + lit(2.0) * a1 * a1 * a1) /
           (ctr * sqrt(ctr)), 6).as("skewness"))
   }
+
+  /** Pairwise Welch's t-test between every pair of groups — "did source
+    * A's document lengths shift vs source B's?", the unequal-variance
+    * two-sample test a curation pipeline runs after every re-crawl.
+    *
+    * Scale shape: ONE map-side-combinable pass over the facts reduces to
+    * a |groups|-row moment table (n, Σx, Σx² as exact BIGINTs); the
+    * pairwise grid is a self-join of that bounded table (|groups|²/2
+    * rows), so the fact scan never repeats and nothing fact-sized
+    * shuffles. t and the Welch–Satterthwaite dof are one fixed IEEE
+    * expression tree over the exact moments, mirrored textually in the
+    * oracle SQL.
+    *
+    * Domain bound: Σx² must stay under 2^63 — holds to ~9e18/max(x)²
+    * rows per group (1e12 rows of values up to 3000); beyond that cast
+    * the moments to DECIMAL(38,0), as [[groupMoments]] does. */
+  def welchTPairwise(df: DataFrame, group: String, value: String): DataFrame = {
+    val mo = df.select(col(group).as("g"), col(value).cast("long").as("x"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    mo.as("a").join(mo.as("b"), col("a.g") < col("b.g"))
+      .select(col("a.g").as("group_a"), col("b.g").as("group_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        pround(expr(welchTExpr), 6).as("t_stat"),
+        pround(expr(welchDofExpr), 4).as("dof"))
+  }
+
+  // The t / dof expression strings are shared verbatim with the DuckDB
+  // oracle (lowercase cast() parses on both engines): IEEE double ops are
+  // deterministic, so an identical expression TREE guarantees identical
+  // doubles — a re-derivation with different association would not.
+  private def welchMean(t: String) =
+    s"cast($t.sx as double) / cast($t.n as double)"
+  private def welchVar(t: String) =
+    s"(cast($t.sxx as double) - cast($t.sx as double) * cast($t.sx as double) / cast($t.n as double)) / cast($t.n - 1 as double)"
+  private def welchSe2(t: String) = s"(${welchVar(t)}) / cast($t.n as double)"
+  private val welchSe = s"(${welchSe2("a")} + ${welchSe2("b")})"
+  private[operators] val welchTExpr =
+    s"((${welchMean("a")}) - (${welchMean("b")})) / sqrt($welchSe)"
+  private[operators] val welchDofExpr =
+    s"($welchSe * $welchSe) / " +
+      s"((${welchSe2("a")}) * (${welchSe2("a")}) / cast(a.n - 1 as double) + " +
+      s"(${welchSe2("b")}) * (${welchSe2("b")}) / cast(b.n - 1 as double))"
+
+  /** Gini coefficient of per-user total event value — the revenue/token
+    * concentration census ("what fraction of the corpus comes from the
+    * top users?") that decides whether a per-user cap is needed before
+    * training-mix assembly.
+    *
+    * Scale shape (the x19 KS discipline applied to inequality): per-user
+    * totals are ONE combinable aggregate; totals are then quantized to
+    * whole units and counted per unit value, so the sorted-prefix pass —
+    * the part that needs a global order — runs over the BINNED value
+    * domain, not the user rows. From binned counts the pair-sum
+    * telescopes: G = Σ_b c_b·(x_b·C_{<b} − T_{<b}) / (n·S), with every
+    * term an exact integer (DECIMAL(38,0) accumulators — n·S overflows
+    * long at warehouse scale) and one double division at the end. The
+    * unit quantization is the domain-bounding knob: coarsen it and the
+    * window input shrinks; the heavy passes are untouched. */
+  def giniUserValue(events: DataFrame): DataFrame = {
+    // operands pre-cast to DECIMAL(18,0) so every product stays inside
+    // Spark's 38-digit cap (the DuckDB mirror uses HUGEINT — both sides
+    // are exact integer arithmetic, so the values agree regardless of
+    // the container type)
+    val dec = DecimalType(18, 0)
+    val bins = events
+      .select(col("user_id"),
+        expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("c"))
+      .groupBy("user_id").agg(sum("c").as("cents"))
+      .select(expr("cents div 100").as("u"))
+      .groupBy("u").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("u")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ux = col("u").cast(dec) * col("cnt").cast(dec)
+    val cum = bins
+      .select(col("u"), col("cnt"),
+        (sum("cnt").over(w) - col("cnt")).as("cp"),
+        (sum(ux).over(w) - ux).as("tp"))
+    cum
+      .agg(sum("cnt").as("n_users"),
+        sum(ux).as("s_units"),
+        sum(col("cnt").cast(dec) *
+          (col("u").cast(dec) * col("cp").cast(dec) - col("tp"))).as("p"))
+      .select(col("n_users"),
+        col("s_units").cast("long").as("total_units"),
+        pround(expr("cast(p as double) / (cast(n_users as double) * cast(s_units as double))"), 9)
+          .as("gini"))
+  }
 }
 
 object StatsQueries {
@@ -479,5 +568,51 @@ object StatsQueries {
       doc = "per-group moment profile (mean/variance/skewness) from " +
         "exact DECIMAL power sums of cent-quantized values: one " +
         "mergeable pass, sqrt-based x^1.5 (no libm pow drift)"),
+
+    Q("x24_welch_ttest",
+      (s, d) => welchTPairwise(Tables.documents(s, d), "source", "n_chars")
+        .orderBy("group_a", "group_b"),
+      Some(s"""WITH mo AS (
+              |  SELECT source AS g, count(*) AS n,
+              |         CAST(sum(n_chars) AS BIGINT) AS sx,
+              |         CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+              |  FROM documents GROUP BY 1)
+              |SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+              |       floor(($welchTExpr) * 1000000.0 + 0.5) / 1000000.0 AS t_stat,
+              |       floor(($welchDofExpr) * 10000.0 + 0.5) / 10000.0 AS dof
+              |FROM mo a JOIN mo b ON a.g < b.g
+              |ORDER BY group_a, group_b""".stripMargin),
+      doc = "pairwise Welch's t-test (doc length by source): one " +
+        "combinable moment pass, bounded self-join, shared-text IEEE " +
+        "expression tree for t and Welch-Satterthwaite dof"),
+
+    Q("x25_gini",
+      (s, d) => giniUserValue(Tables.events(s, d)),
+      Some("""WITH t AS (
+             |  SELECT user_id,
+             |         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM events GROUP BY 1),
+             |bins AS (SELECT cents // 100 AS u, count(*) AS cnt FROM t GROUP BY 1),
+             |cum AS (
+             |  SELECT u, cnt,
+             |         sum(cnt) OVER w - cnt AS cp,
+             |         sum(CAST(u AS HUGEINT) * CAST(cnt AS HUGEINT)) OVER w
+             |           - CAST(u AS HUGEINT) * CAST(cnt AS HUGEINT) AS tp
+             |  FROM bins
+             |  WINDOW w AS (ORDER BY u ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |a AS (
+             |  SELECT CAST(sum(cnt) AS BIGINT) AS n_users,
+             |         sum(CAST(u AS HUGEINT) * CAST(cnt AS HUGEINT)) AS s_units,
+             |         sum(CAST(cnt AS HUGEINT) *
+             |             (CAST(u AS HUGEINT) * CAST(cp AS HUGEINT) - tp)) AS p
+             |  FROM cum)
+             |SELECT n_users, CAST(s_units AS BIGINT) AS total_units,
+             |       floor(CAST(p AS DOUBLE)
+             |             / (CAST(n_users AS DOUBLE) * CAST(s_units AS DOUBLE))
+             |             * 1000000000.0 + 0.5) / 1000000000.0 AS gini
+             |FROM a""".stripMargin),
+      doc = "Gini coefficient of per-user total event value: combinable " +
+        "per-user totals, unit-binned domain so the one global window " +
+        "runs over bins not users, exact integer pair-sum telescoping"),
   )
 }

@@ -411,6 +411,47 @@ object TextAnalysis {
         col("tfidf"))
   }
 
+  /** t20: BM25 retrieval scoring (Robertson/Walker, Okapi at TREC-3) for
+    * a fixed query-term set — the ranking function behind search-based
+    * corpus curation ("pull the documents most about X"). Per matched
+    * term: idf·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with the
+    * +1-smoothed idf ln(1 + (N−df+0.5)/(df+0.5)); per doc: the sum over
+    * its matched terms. k1 = 1.2, b = 0.75 (the standard defaults),
+    * inlined as the SAME literals in both engines.
+    *
+    * Scale shape: ONE tokenize pass feeds both the per-doc length and
+    * the postings; the term filter is a pushed-down literal IN-list, so
+    * the only (doc, term) rows that ever shuffle are postings of the
+    * |terms|-bounded query set; df reduces those postings; the corpus
+    * stats (N, Σdl) are one combinable aggregate broadcast back. The
+    * final top-k is orderBy+limit — TakeOrderedAndProject, no global
+    * sort. Per-term contributions are rounded then summed as DECIMAL,
+    * so the per-doc score is addition-order-independent (a raw double
+    * sum over join output would vary with partitioning). */
+  def bm25TopDocs(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), expr(tokensExpr).as("t"))
+      .select(col("doc_id"), expr("cast(size(t) as bigint)").as("dl"), col("t"))
+    val g = base.agg(sum("dl").as("sl"), count(lit(1)).as("nd"))
+    val tf = base.select(col("doc_id"), col("dl"), explode(col("t")).as("w"))
+      .where(col("w").isin(terms: _*))
+      .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val contrib =
+      """ln(1.0 + (cast(nd as double) - cast(df as double) + 0.5) / (cast(df as double) + 0.5))
+        | * (cast(tf as double) * 2.2)
+        | / (cast(tf as double) + 1.2 * (1.0 - 0.75 + 0.75 * cast(dl as double) / (cast(sl as double) / cast(nd as double))))"""
+        .stripMargin.replace("\n", "")
+    val scored = tf.join(broadcast(df_), "w").crossJoin(broadcast(g))
+      .select(col("doc_id"),
+        pround(expr(contrib), 9).cast(DecimalType(28, 9)).as("contrib"))
+      .groupBy("doc_id")
+      .agg(pround(sum("contrib").cast("double"), 6).as("bm25"))
+    val win = Window.orderBy(col("bm25").desc, col("doc_id"))
+    scored.orderBy(col("bm25").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(win))
+      .select(col("doc_id"), col("rank"), col("bm25"))
+  }
+
   /** t15: winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD'03). Over each document's positional 3-shingle hash sequence,
@@ -987,5 +1028,38 @@ object TextAnalysisQueries {
         "word length, stopword fraction, alphabetic fraction): per-rule " +
         "fail counts + all-rules pass rate, one text pass with no " +
         "explode, |sources|-row shuffle only"),
+
+    Q("t20_bm25",
+      (s, d) => bm25TopDocs(docs(s, d), Seq("join", "vector", "stream"), 20)
+        .orderBy("rank"),
+      Some(s"""WITH base AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM base),
+              |g AS (SELECT CAST(sum(dl) AS BIGINT) AS sl, count(*) AS nd FROM d),
+              |tok AS (SELECT doc_id, dl, unnest(t) AS w FROM d),
+              |tf AS (
+              |  SELECT doc_id, dl, w, count(*) AS tf FROM tok
+              |  WHERE w IN ('join', 'vector', 'stream') GROUP BY 1, 2, 3),
+              |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+              |c AS (
+              |  SELECT doc_id,
+              |         CAST(floor((ln(1.0 + (cast(nd as double) - cast(df as double) + 0.5) / (cast(df as double) + 0.5)) * (cast(tf as double) * 2.2) / (cast(tf as double) + 1.2 * (1.0 - 0.75 + 0.75 * cast(dl as double) / (cast(sl as double) / cast(nd as double)))))
+              |               * 1000000000.0 + 0.5) / 1000000000.0
+              |           AS DECIMAL(28,9)) AS contrib
+              |  FROM tf JOIN df USING (w) CROSS JOIN g),
+              |sc AS (
+              |  SELECT doc_id,
+              |         floor(CAST(sum(contrib) AS DOUBLE) * 1000000.0 + 0.5)
+              |           / 1000000.0 AS bm25
+              |  FROM c GROUP BY 1),
+              |r AS (
+              |  SELECT doc_id, bm25,
+              |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+              |  FROM sc)
+              |SELECT doc_id, rank, bm25 FROM r WHERE rank <= 20
+              |ORDER BY rank""".stripMargin),
+      doc = "BM25 retrieval scoring (Okapi; k1=1.2, b=0.75) for a fixed " +
+        "query-term set: pushed IN-list keeps only query-term postings " +
+        "in flight, broadcast df + corpus stats, decimal contribution " +
+        "sum, TakeOrdered top-20"),
   )
 }

@@ -37,6 +37,28 @@ class FunnelSpec extends SparkSpec {
     assert(r.getAs[Long]("n_purchase_funnel") == 1L)
   }
 
+  test("retention cohorts: week-0 cell is the cohort size, later offsets shrink") {
+    // minutes can't cross weeks — build timestamps directly
+    def wts(day: Int) = Timestamp.valueOf(f"2024-01-${day}%02d 00:00:00")
+    val df = Seq(
+      // user 1 active in consecutive weeks starting Jan 1
+      (1L, wts(1), 1L, "view"), (2L, wts(8), 1L, "view"),
+      // user 2 active only in the first week (two events — distinct must dedup)
+      (3L, wts(2), 2L, "view"), (4L, wts(3), 2L, "view"),
+      // user 3 starts a week later
+      (5L, wts(8), 3L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val r = Funnel.retentionCohorts(df).collect()
+      .map(x => (x.getAs[Long]("week_offset"), x.getAs[Long]("cohort_week")) ->
+        (x.getAs[Long]("n_users"), x.getAs[Double]("retention"))).toMap
+    val cohorts = r.keys.map(_._2).toSet
+    assert(cohorts.size == 2, s"expected 2 cohorts, got $r")
+    val first = cohorts.min
+    assert(r((0L, first)) == (2L, 1.0))
+    assert(r((1L, first)) == (1L, 0.5))
+    assert(r((0L, cohorts.max)) == (1L, 1.0))
+  }
+
   test("funnel stages are monotonically non-increasing on real data") {
     val r = Funnel.funnelConversion(Tables.events(spark, sf("sf0.01")))
       .collect().head

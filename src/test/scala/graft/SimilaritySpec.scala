@@ -196,4 +196,30 @@ class SimilaritySpec extends SparkSpec {
       assert(ips.zip(ips.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("pq adc: distances non-decreasing per query; exact on codeword vectors") {
+    val n = vecs.count().toInt
+    // k = corpus size so every (query, vector) pair appears
+    val all = Similarity.pqAdcTopK(vecs, 3, n)
+      .as[(Long, Long, Int, Long)].collect()
+    all.groupBy(_._1).values.foreach { rows =>
+      val d = rows.sortBy(_._3).map(_._4)
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b }, "adc not sorted")
+    }
+    // Codebook seeds (vec_id 0..3) are their own codewords with residual
+    // 0, so ADC(q, seed) must equal the EXACT fixed-point squared L2
+    // distance — the "asymmetric" in ADC: zero quantization error on the
+    // coded side means zero estimate error.
+    val fixed = vecs.where(col("vec_id") < 4)
+      .select(col("vec_id"),
+        expr(Similarity.fixedExpr).as("f"))
+      .as[(Long, Array[Long])].collect().toMap
+    val adc = all.map(r => (r._1, r._2) -> r._4).toMap
+    for (q <- 0L to 2L; s <- 0L to 3L if s != q) {
+      val exact = fixed(q).zip(fixed(s))
+        .map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(adc((q, s)) == exact,
+        s"ADC($q,$s)=${adc((q, s))} != exact $exact")
+    }
+  }
 }

@@ -60,6 +60,40 @@ class StatsSpec extends SparkSpec {
     assert(keys.agg(max("z")).collect().head.getLong(0) == 65535L)
   }
 
+  test("welch t: zero for identical groups, matches hand value, dof in [min(n)-1, n1+n2-2]") {
+    import spark.implicits._
+    // groups a/b identical distributions -> t = 0; c is shifted
+    val rows = (1L to 10L).flatMap(i => Seq(("a", i), ("b", i), ("c", i + 100)))
+    val r = Stats.welchTPairwise(rows.toDF("g", "x"), "g", "x").collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getAs[Double]("t_stat"), x.getAs[Double]("dof"))).toMap
+    assert(r(("a", "b"))._1 == 0.0)
+    // equal n and equal variance: Welch dof reduces to n1+n2-2 = 18
+    assert(r(("a", "b"))._2 == 18.0)
+    // a vs c: same spread, mean gap 100 -> t = -100 / sqrt(2*v/10),
+    // v = sample var of 1..10 = 55/6
+    val expectedT = -100.0 / math.sqrt(2.0 * (55.0 / 6.0) / 10.0)
+    assert(math.abs(r(("a", "c"))._1 - expectedT) < 1e-4,
+      s"t=${r(("a", "c"))._1} expected $expectedT")
+    r.values.foreach { case (_, dof) => assert(dof >= 9.0 && dof <= 18.0) }
+  }
+
+  test("gini: 0 for equal shares, (n-1)/n when one user holds everything") {
+    import spark.implicits._
+    def ev(rows: (Long, Double)*) =
+      rows.zipWithIndex.map { case ((u, v), i) => (i.toLong, u, v) }
+        .toDF("event_id", "user_id", "value")
+    val equal = Stats.giniUserValue(
+      ev((1L, 100.0), (2L, 100.0), (3L, 100.0), (4L, 100.0))).collect().head
+    assert(equal.getAs[Double]("gini") == 0.0)
+    assert(equal.getAs[Long]("n_users") == 4L)
+    // 4 users, one holds all value (others hold ~0 via sub-unit totals):
+    // G = (n-1)/n = 0.75
+    val skewed = Stats.giniUserValue(
+      ev((1L, 400.0), (2L, 0.0), (3L, 0.0), (4L, 0.0))).collect().head
+    assert(skewed.getAs[Double]("gini") == 0.75)
+  }
+
   test("zorder buckets bound both dimensions (the data-skipping property)") {
     val stats = Stats.zorderClustering(Tables.events(spark, sf("sf0.01"))).collect()
     stats.foreach { r =>

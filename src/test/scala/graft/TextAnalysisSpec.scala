@@ -219,4 +219,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1) === ((1L, 0, 0, 0, "no pii here at all".length)))
     assert(got(2) === ((2L, 2, 1, 0, "two mails <PII> <PII> one ip <PII>".length)))
   }
+
+  test("bm25: monotone in tf at equal length, term-free docs absent, ranks contiguous") {
+    val d = Seq(
+      (1L, "join x"),       // tf(join)=1, dl=2
+      (2L, "join join"),    // tf(join)=2, dl=2 — must outrank doc 1
+      (3L, "x y z"))        // no query terms — must be absent
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bm25TopDocs(d, Seq("join", "vector", "stream"), 10)
+      .orderBy("rank").as[(Long, Int, Double)].collect()
+    assert(r.map(_._1).toSet === Set(1L, 2L), "term-free doc leaked in")
+    assert(r.map(_._2).toSeq === Seq(1, 2), "ranks not contiguous")
+    assert(r.head._1 === 2L, "higher tf at equal dl must rank first")
+    assert(r.forall(_._3 > 0.0), "smoothed idf keeps scores positive")
+  }
 }
