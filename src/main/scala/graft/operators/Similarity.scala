@@ -491,6 +491,64 @@ object Similarity {
         col("rn").as("rank"), col("adc_dist2"))
   }
 
+  /** s15: IVF-PQ search — the two-level production ANN index (IVFADC,
+    * Jégou et al. TPAMI'11 §V): a coarse quantizer restricts the search
+    * to nProbe cells, and within them candidates are ranked by PQ
+    * asymmetric distance, never the raw vectors. This composes s5's
+    * coarse assignment with s14's ADC kernel — exactly how FAISS-style
+    * engines lay it out.
+    *
+    * Scale shape: the "inverted list" is the code table keyed by
+    * centroid_id — m small ints + a cell id per vector, built once in
+    * two corpus scans (coarse assign, code). At query time NOTHING
+    * corpus-sized moves: the probe set (nq·nProbe cells) broadcasts,
+    * the cell restriction is a broadcast hash join on centroid_id that
+    * touches only probed-cell rows, the LUT join is a second broadcast,
+    * and the per-(query, vector) reduce is map-side combinable. Cost ≈
+    * (probed fraction) × s14's scan, with s14's exact-BIGINT
+    * reproducibility. */
+  def ivfPqSearch(vecs: DataFrame, nCents: Int, nQueries: Int,
+                  nProbe: Int, k: Int, m: Int = 4,
+                  codebookK: Int = 4): DataFrame = {
+    val s = vecs.sparkSession
+    val base = withFixed(vecs)
+    val cents = base.orderBy("vec_id").limit(nCents)
+      .select(col("vec_id").as("centroid_id"), col("f").as("fb"),
+        col("nrm").as("nb"))
+    val queries = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("f").as("fa"), col("nrm").as("na"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("centroid_id"))
+    val probes = broadcast(queries).crossJoin(broadcast(cents))
+      .select(col("q_id"), col("centroid_id"), expr(cosExpr(s)).as("cos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .where(col("prn") <= nProbe)
+      .select(col("q_id"), col("centroid_id"))
+    // the IVF list layout: PQ codes keyed by coarse cell
+    val lists = pqAssign(vecs, m, codebookK).drop("dist2")
+      .join(assignFixed(vecs, nCents).select(col("vec_id"), col("centroid_id")),
+        "vec_id")
+    val book = pqBook(base, m, codebookK)
+    val lut = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), explode(expr(pqSlices(m))).as("e"))
+      .select(col("q_id"), col("e.sub").as("sub"), col("e.fv").as("qv"))
+      .join(book, "sub")
+      .select(col("q_id"), col("sub"), col("code"),
+        expr("aggregate(zip_with(qv, cw, (a, b) -> (a - b) * (a - b)), " +
+          "0L, (s, x) -> s + x)").as("qd2"))
+    val wRank = Window.partitionBy("q_id")
+      .orderBy(col("adc_dist2"), col("vec_id"))
+    lists.join(broadcast(probes), Seq("centroid_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("qd2").as("adc_dist2"))
+      .withColumn("rn", row_number().over(wRank))
+      .where(col("rn") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("rn").as("rank"), col("adc_dist2"))
+  }
+
   /** Per-(label, dim) centroid moments — the shared front for the
     * class-separation censuses (s11/s12): ONE explode pass over the
     * corpus reduces to |labels| × d rows carrying exact integer sums
@@ -971,6 +1029,75 @@ object SimilarityQueries {
         "ranked through m-int codes only, nq*m*k LUT broadcast, " +
         "combinable per-vector sum, bounded per-query window; exact " +
         "BIGINT distances so ranks reproduce on any engine"),
+
+    Q("s15_ivf_pq",
+      (s, d) => ivfPqSearch(vecs(s, d), 6, 3, 2, 5).orderBy("q_id", "rank"),
+      Some(s"""WITH $fixedSqlCte,
+              |seeds AS (SELECT vec_id, f FROM n ORDER BY vec_id LIMIT 4),
+              |book AS (
+              |  SELECT si AS sub, vec_id AS code,
+              |         f[si * 16 + 1 : (si + 1) * 16] AS cw
+              |  FROM seeds, (SELECT unnest(range(0, 4)) AS si)),
+              |pieces AS (
+              |  SELECT vec_id, si AS sub,
+              |         f[si * 16 + 1 : (si + 1) * 16] AS fv
+              |  FROM n, (SELECT unnest(range(0, 4)) AS si)),
+              |dists AS (
+              |  SELECT p.vec_id, p.sub, b.code,
+              |         CAST(list_sum(list_transform(range(1, 17),
+              |           i -> (p.fv[i] - b.cw[i]) * (p.fv[i] - b.cw[i])))
+              |           AS BIGINT) AS dist2
+              |  FROM pieces p JOIN book b ON p.sub = b.sub),
+              |codes AS (
+              |  SELECT vec_id, sub, code FROM (
+              |    SELECT vec_id, sub, code,
+              |           row_number() OVER (PARTITION BY vec_id, sub
+              |             ORDER BY dist2, code) AS rn
+              |    FROM dists) WHERE rn = 1),
+              |lut AS (
+              |  SELECT p.vec_id AS q_id, p.sub, b.code,
+              |         CAST(list_sum(list_transform(range(1, 17),
+              |           i -> (p.fv[i] - b.cw[i]) * (p.fv[i] - b.cw[i])))
+              |           AS BIGINT) AS qd2
+              |  FROM pieces p JOIN book b ON p.sub = b.sub
+              |  WHERE p.vec_id < 3),
+              |cents AS (
+              |  SELECT vec_id AS centroid_id, f, nrm FROM n
+              |  ORDER BY vec_id LIMIT 6),
+              |cp AS (
+              |  SELECT n.vec_id, c.centroid_id,
+              |         ${pairCosSql("n", "c")} AS cos
+              |  FROM n, cents c),
+              |cr AS (
+              |  SELECT vec_id, centroid_id,
+              |         row_number() OVER (PARTITION BY vec_id
+              |           ORDER BY cos DESC, centroid_id) AS rn
+              |  FROM cp),
+              |asg AS (SELECT vec_id, centroid_id FROM cr WHERE rn = 1),
+              |probe AS (
+              |  SELECT vec_id AS q_id, centroid_id FROM cr
+              |  WHERE vec_id < 3 AND rn <= 2),
+              |cand AS (
+              |  SELECT pr.q_id, a.vec_id
+              |  FROM probe pr JOIN asg a ON a.centroid_id = pr.centroid_id
+              |  WHERE a.vec_id <> pr.q_id),
+              |adc AS (
+              |  SELECT cd.q_id, cd.vec_id, CAST(sum(l.qd2) AS BIGINT) AS adc_dist2
+              |  FROM cand cd
+              |  JOIN codes c ON c.vec_id = cd.vec_id
+              |  JOIN lut l ON l.q_id = cd.q_id AND l.sub = c.sub AND l.code = c.code
+              |  GROUP BY 1, 2),
+              |rr AS (
+              |  SELECT q_id, vec_id, adc_dist2,
+              |         row_number() OVER (PARTITION BY q_id
+              |           ORDER BY adc_dist2, vec_id) AS rn
+              |  FROM adc)
+              |SELECT q_id, vec_id AS neighbor_id, rn AS rank, adc_dist2
+              |FROM rr WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin),
+      doc = "IVF-PQ (IVFADC) two-level search: probe 2 nearest cells, " +
+        "rank in-cell candidates by PQ asymmetric distance — broadcast " +
+        "probe set + broadcast LUT over the centroid-keyed code lists, " +
+        "nothing corpus-sized moves at query time"),
 
     Q("s9_dim_stats",
       (s, d) => dimStats(vecs(s, d)).orderBy("dim"),

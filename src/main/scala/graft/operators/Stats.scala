@@ -369,6 +369,88 @@ object Stats {
         pround(expr("cast(p as double) / (cast(n_users as double) * cast(s_units as double))"), 9)
           .as("gini"))
   }
+
+  /** Shared HLL estimator structure (same tree as [[hllDistinctWords]],
+    * including the linear-counting small-range correction); the 2^51
+    * constant needs per-engine spelling (`pow51d`): a bare decimal
+    * literal would be DECIMAL in DuckDB and overflow its multiply, so
+    * both engines cast their native bit-shift to double — the x4/x10
+    * proven form. */
+  private[operators] def hllEstSql(s: String, nz: String,
+                                   pow51d: String): String = {
+    val raw = s"0.709 * 4096.0 * $pow51d / cast($s as double)"
+    s"CASE WHEN $nz < 64 AND $raw <= 160.0 " +
+      s"THEN 64.0 * ln(64.0 / cast(64 - $nz as double)) ELSE $raw END"
+  }
+  private[operators] val hllPow51Spark =
+    "cast(shiftleft(cast(1 as bigint), 51) as double)"
+  private[operators] val hllPow51Duck =
+    "CAST((1::BIGINT << 51) AS DOUBLE)"
+
+  /** x26: HLL set algebra — per-group sketches PLUS their pairwise
+    * unions (register-wise max) and inclusion-exclusion intersections,
+    * with exact counts alongside for verification. This is the property
+    * that makes sketches warehouse-native: "distinct users in A∪B" is
+    * answered by MERGING two 64-register summaries — no re-scan of
+    * either side's facts, which is also exactly how partial sketches
+    * combine across partitions/days at 100 TB.
+    *
+    * Scale shape: ONE combinable pass builds all register tables; the
+    * dense (group × 64) grid, the pairwise max-merge, and the estimate
+    * arithmetic are all |groups|-bounded. The exact columns cost a
+    * distinct + a value self-join and exist only to let the gate verify
+    * the estimates; at corpus scale they are the thing the sketch
+    * replaces. Inclusion-exclusion can go negative on tiny overlaps —
+    * reported as-is, the standard caveat. */
+  def hllSetAlgebra(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val vals = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("string").as("v")).distinct()
+    val regs = vals
+      .select(col("g"), expr(Dedup.md5Long56("v")).as("h"))
+      .select(col("g"), (col("h") % 64).as("j"), expr("h div 64").as("r"))
+      .select(col("g"), col("j"),
+        expr("1 + size(filter(sequence(1, 50), k -> r % shiftleft(cast(1 as bigint), k) = 0))")
+          .as("rho"))
+      .groupBy("g", "j").agg(max(col("rho")).as("m"))
+    val dense = vals.select("g").distinct()
+      .select(col("g"), explode(expr("sequence(0, 63)")).as("j"))
+      .join(regs, Seq("g", "j"), "left")
+      .select(col("g"), col("j"), coalesce(col("m"), lit(0)).as("m"))
+    val pow = "shiftleft(cast(1 as bigint), cast(51 - m as int))"
+    val singles = dense.groupBy("g").agg(
+      sum(expr(pow)).as("s"),
+      sum(when(col("m") > 0, 1L).otherwise(0L)).as("nz"))
+    val unionSk = dense.as("a")
+      .join(dense.as("b"), col("a.g") < col("b.g") && col("a.j") === col("b.j"))
+      .select(col("a.g").as("ga"), col("b.g").as("gb"),
+        greatest(col("a.m"), col("b.m")).as("m"))
+      .groupBy("ga", "gb").agg(
+        sum(expr(pow)).as("su"),
+        sum(when(col("m") > 0, 1L).otherwise(0L)).as("nzu"))
+    val exact = vals.groupBy("g").agg(count(lit(1)).as("exact"))
+    val exactInter = vals.as("x")
+      .join(vals.as("y"), col("x.v") === col("y.v") && col("x.g") < col("y.g"))
+      .groupBy(col("x.g").as("ga"), col("y.g").as("gb"))
+      .agg(count(lit(1)).as("ei"))
+    val POW = hllPow51Spark
+    singles.as("a").join(singles.as("b"), col("a.g") < col("b.g"))
+      .select(col("a.g").as("ga"), col("b.g").as("gb"),
+        col("a.s").as("sa"), col("a.nz").as("nza"),
+        col("b.s").as("sb"), col("b.nz").as("nzb"))
+      .join(unionSk, Seq("ga", "gb"))
+      .join(exact.select(col("g").as("ga"), col("exact").as("exact_a")), Seq("ga"))
+      .join(exact.select(col("g").as("gb"), col("exact").as("exact_b")), Seq("gb"))
+      .join(exactInter, Seq("ga", "gb"), "left")
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("exact_a"), col("exact_b"),
+        coalesce(col("ei"), lit(0L)).as("exact_inter"),
+        pround(expr(hllEstSql("sa", "nza", POW)), 4).as("hll_a"),
+        pround(expr(hllEstSql("sb", "nzb", POW)), 4).as("hll_b"),
+        pround(expr(hllEstSql("su", "nzu", POW)), 4).as("hll_union"),
+        pround(expr(s"(${hllEstSql("sa", "nza", POW)}) + (${hllEstSql("sb", "nzb", POW)}) - (${hllEstSql("su", "nzu", POW)})"), 4)
+          .as("hll_intersect"))
+  }
 }
 
 object StatsQueries {
@@ -376,6 +458,8 @@ object StatsQueries {
 
   private val toksSql =
     "list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '')"
+
+  private val POW = Stats.hllPow51Duck
 
   val qs: Seq[Q] = Seq(
     Q("x4_hll_distinct",
@@ -614,5 +698,56 @@ object StatsQueries {
       doc = "Gini coefficient of per-user total event value: combinable " +
         "per-user totals, unit-binned domain so the one global window " +
         "runs over bins not users, exact integer pair-sum telescoping"),
+
+    Q("x26_hll_algebra",
+      (s, d) => hllSetAlgebra(Tables.events(s, d), "event_type", "user_id")
+        .orderBy("group_a", "group_b"),
+      Some(s"""WITH vals AS (
+              |  SELECT DISTINCT event_type AS g, CAST(user_id AS VARCHAR) AS v FROM events),
+              |h AS (SELECT g, ('0x' || substr(md5(v), 1, 14))::BIGINT AS h FROM vals),
+              |reg AS (SELECT g, h % 64 AS j, h // 64 AS r FROM h),
+              |rho AS (SELECT g, j, 1 + len(list_filter(range(1, 51), k -> r % (1::BIGINT << k) = 0)) AS rho FROM reg),
+              |m AS (SELECT g, j, max(rho) AS m FROM rho GROUP BY 1, 2),
+              |dense AS (
+              |  SELECT gs.g, jj.j, coalesce(m.m, 0) AS m
+              |  FROM (SELECT DISTINCT g FROM vals) gs
+              |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) jj
+              |  LEFT JOIN m ON m.g = gs.g AND m.j = jj.j),
+              |singles AS (
+              |  SELECT g, CAST(sum(1::BIGINT << CAST(51 - m AS INT)) AS BIGINT) AS s,
+              |         CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz
+              |  FROM dense GROUP BY 1),
+              |un AS (
+              |  SELECT a.g AS ga, b.g AS gb,
+              |         CAST(sum(1::BIGINT << CAST(51 - greatest(a.m, b.m) AS INT)) AS BIGINT) AS su,
+              |         CAST(sum(CASE WHEN greatest(a.m, b.m) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nzu
+              |  FROM dense a JOIN dense b ON a.g < b.g AND a.j = b.j
+              |  GROUP BY 1, 2),
+              |ex AS (SELECT g, count(*) AS exact FROM vals GROUP BY 1),
+              |ei AS (
+              |  SELECT x.g AS ga, y.g AS gb, count(*) AS ein
+              |  FROM vals x JOIN vals y ON x.v = y.v AND x.g < y.g
+              |  GROUP BY 1, 2),
+              |p AS (
+              |  SELECT a.g AS ga, b.g AS gb, a.s AS sa, a.nz AS nza,
+              |         b.s AS sb, b.nz AS nzb
+              |  FROM singles a JOIN singles b ON a.g < b.g)
+              |SELECT p.ga AS group_a, p.gb AS group_b,
+              |       xa.exact AS exact_a, xb.exact AS exact_b,
+              |       coalesce(ei.ein, 0) AS exact_inter,
+              |       floor((${hllEstSql("sa", "nza", POW)}) * 10000.0 + 0.5) / 10000.0 AS hll_a,
+              |       floor((${hllEstSql("sb", "nzb", POW)}) * 10000.0 + 0.5) / 10000.0 AS hll_b,
+              |       floor((${hllEstSql("su", "nzu", POW)}) * 10000.0 + 0.5) / 10000.0 AS hll_union,
+              |       floor(((${hllEstSql("sa", "nza", POW)}) + (${hllEstSql("sb", "nzb", POW)}) - (${hllEstSql("su", "nzu", POW)})) * 10000.0 + 0.5) / 10000.0 AS hll_intersect
+              |FROM p
+              |JOIN un ON un.ga = p.ga AND un.gb = p.gb
+              |JOIN ex xa ON xa.g = p.ga
+              |JOIN ex xb ON xb.g = p.gb
+              |LEFT JOIN ei ON ei.ga = p.ga AND ei.gb = p.gb
+              |ORDER BY group_a, group_b""".stripMargin),
+      doc = "HLL set algebra per event_type pair: register-wise max " +
+        "MERGE gives the union estimate without re-scanning facts " +
+        "(the mergeability that makes sketches warehouse-native), " +
+        "inclusion-exclusion intersection, exacts alongside for the gate"),
   )
 }

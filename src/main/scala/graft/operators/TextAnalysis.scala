@@ -452,6 +452,55 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("bm25"))
   }
 
+  /** t21: DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS'23): score every
+    * document by how much more likely its hashed-bigram profile is under
+    * a target domain (here: one source treated as the quality domain)
+    * than under the raw corpus — log w(x) = Σ_g c_x(g)·ln(p_t(g)/p_r(g)),
+    * with add-one smoothing over the hashed feature space. Resampling by
+    * these weights is the modern pretraining-mix selection step.
+    *
+    * The hashed n-gram trick IS the scale story: the feature space is
+    * `buckets` cells regardless of corpus vocabulary, so both "language
+    * models" are one bounded table built in a single combinable count
+    * pass (the target count is a conditional sum in the SAME pass — the
+    * corpus is not re-scanned), broadcast to the per-doc scorer. Per-doc
+    * scoring is explode → (doc, bucket) counts → broadcast join →
+    * combinable sum of decimal-rounded contributions
+    * (addition-order-independent, the t18 discipline). */
+  def dsirWeights(docs: DataFrame, targetSource: String,
+                  buckets: Int = 4096): DataFrame = {
+    val bigramsFromToks =
+      """CASE WHEN size(toks) >= 2
+        | THEN transform(sequence(1, size(toks) - 1),
+        |        i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))
+        | ELSE array() END""".stripMargin
+    val bg = docs.select(col("doc_id"), col("source"),
+      expr(tokensExpr).as("toks"))
+      .select(col("doc_id"), col("source"),
+        explode(expr(bigramsFromToks)).as("g"))
+      .select(col("doc_id"), col("source"),
+        (expr(Dedup.md5Long56("g")) % buckets).as("b"))
+    val lm = bg.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("ct"))
+    val tot = lm.agg(sum("cr").cast("long").as("tr"),
+      sum("ct").cast("long").as("tt"))
+    val ratio =
+      s"""ln(((cast(ct as double) + 1.0) / (cast(tt as double) + $buckets.0))
+         | / ((cast(cr as double) + 1.0) / (cast(tr as double) + $buckets.0)))"""
+        .stripMargin.replace("\n", "")
+    bg.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .join(broadcast(lm), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("c"),
+        pround(col("c").cast("double") * expr(ratio), 9)
+          .cast(DecimalType(28, 9)).as("contrib"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"),
+        pround(sum("contrib").cast("double"), 6).as("log_weight"))
+  }
+
   /** t15: winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD'03). Over each document's positional 3-shingle hash sequence,
@@ -1061,5 +1110,43 @@ object TextAnalysisQueries {
         "query-term set: pushed IN-list keeps only query-term postings " +
         "in flight, broadcast df + corpus stats, decimal contribution " +
         "sum, TakeOrdered top-20"),
+
+    Q("t21_dsir_weights",
+      (s, d) => dsirWeights(docs(s, d), "src0").orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+              |bgl AS (
+              |  SELECT doc_id, source,
+              |         unnest(CASE WHEN len(t) >= 2
+              |           THEN list_transform(range(1, len(t)),
+              |                  i -> t[i] || ' ' || t[i+1])
+              |           ELSE CAST([] AS VARCHAR[]) END) AS g
+              |  FROM t),
+              |bg AS (
+              |  SELECT doc_id, source,
+              |         ('0x' || substr(md5(g), 1, 14))::BIGINT % 4096 AS b
+              |  FROM bgl),
+              |lm AS (
+              |  SELECT b, count(*) AS cr,
+              |         CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+              |              AS BIGINT) AS ct
+              |  FROM bg GROUP BY 1),
+              |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+              |               CAST(sum(ct) AS BIGINT) AS tt FROM lm),
+              |dc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+              |ctr AS (
+              |  SELECT doc_id, c,
+              |         CAST(floor(cast(c as double) *
+              |           ln(((cast(ct as double) + 1.0) / (cast(tt as double) + 4096.0)) / ((cast(cr as double) + 1.0) / (cast(tr as double) + 4096.0)))
+              |           * 1000000000.0 + 0.5) / 1000000000.0
+              |           AS DECIMAL(28,9)) AS contrib
+              |  FROM dc JOIN lm USING (b) CROSS JOIN tot)
+              |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+              |       floor(CAST(sum(contrib) AS DOUBLE) * 1000000.0 + 0.5)
+              |         / 1000000.0 AS log_weight
+              |FROM ctr GROUP BY 1 ORDER BY doc_id""".stripMargin),
+      doc = "DSIR importance weights (Xie et al. NeurIPS'23): hashed-" +
+        "bigram log-likelihood ratio of a target source vs the raw " +
+        "corpus — bounded 4096-cell LMs from ONE conditional count " +
+        "pass, broadcast to a combinable per-doc scorer"),
   )
 }

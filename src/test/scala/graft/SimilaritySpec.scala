@@ -222,4 +222,26 @@ class SimilaritySpec extends SparkSpec {
         s"ADC($q,$s)=${adc((q, s))} != exact $exact")
     }
   }
+
+  test("ivf-pq: in-cell ADC distances agree with the flat ADC scan") {
+    val n = vecs.count().toInt
+    // flat scan = ground truth for the composed index's distances
+    val flat = Similarity.pqAdcTopK(vecs, 3, n)
+      .as[(Long, Long, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    val ivf = Similarity.ivfPqSearch(vecs, 6, 3, 2, 5)
+      .as[(Long, Long, Int, Long)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, nb, _, d) =>
+      assert(flat((q, nb)) == d,
+        s"IVF-PQ ADC($q,$nb)=$d != flat ${flat((q, nb))}")
+    }
+    // per query: ranks contiguous from 1, distances non-decreasing
+    ivf.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to sorted.length))
+      val d = sorted.map(_._4)
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b })
+    }
+  }
 }

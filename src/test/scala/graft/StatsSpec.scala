@@ -94,6 +94,32 @@ class StatsSpec extends SparkSpec {
     assert(skewed.getAs[Double]("gini") == 0.75)
   }
 
+  test("hll set algebra: exact overlaps right, union dominates singles, estimates in band") {
+    import spark.implicits._
+    // groups: a = users 1..60, b = users 41..100 (overlap 20), c = disjoint 200..220
+    val rows = (1L to 60L).map(("a", _)) ++ (41L to 100L).map(("b", _)) ++
+      (200L to 220L).map(("c", _))
+    val df = rows.zipWithIndex
+      .map { case ((g, u), i) => (i.toLong, g, u) }
+      .toDF("event_id", "event_type", "user_id")
+    val r = Stats.hllSetAlgebra(df, "event_type", "user_id").collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    val ab = r(("a", "b"))
+    assert(ab.getAs[Long]("exact_a") == 60L && ab.getAs[Long]("exact_b") == 60L)
+    assert(ab.getAs[Long]("exact_inter") == 20L)
+    assert(r(("a", "c")).getAs[Long]("exact_inter") == 0L)
+    r.values.foreach { row =>
+      val (ea, eb) = (row.getAs[Long]("exact_a"), row.getAs[Long]("exact_b"))
+      val (ha, hb, hu) = (row.getAs[Double]("hll_a"),
+        row.getAs[Double]("hll_b"), row.getAs[Double]("hll_union"))
+      // max-merged registers can only estimate >= either side
+      assert(hu >= math.max(ha, hb) - 1e-9, "union must dominate singles")
+      // 64 registers: σ ≈ 1.04/8 = 13% — allow 3σ
+      assert(math.abs(ha - ea) <= 0.4 * ea, s"hll_a=$ha exact=$ea")
+      assert(math.abs(hb - eb) <= 0.4 * eb, s"hll_b=$hb exact=$eb")
+    }
+  }
+
   test("zorder buckets bound both dimensions (the data-skipping property)") {
     val stats = Stats.zorderClustering(Tables.events(spark, sf("sf0.01"))).collect()
     stats.foreach { r =>

@@ -233,4 +233,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.head._1 === 2L, "higher tf at equal dl must rank first")
     assert(r.forall(_._3 > 0.0), "smoothed idf keeps scores positive")
   }
+
+  test("dsir: target-like text outranks off-domain text, regardless of provenance") {
+    // DSIR weights are RELATIVE (resampling cares about ordering): with
+    // target ⊆ corpus and add-one smoothing the absolute sign drifts
+    // with totals, but target-domain bigrams must always outrank
+    // off-domain ones. Target source writes over {aa bb}; off-domain
+    // over {cc dd}.
+    val d = Seq(
+      (1L, "aa bb aa bb aa", "src0"),
+      (2L, "aa bb aa bb", "src0"),
+      (3L, "cc dd cc dd cc", "src1"),
+      (4L, "aa bb aa", "src1"),  // off-target doc WITH target-like text
+      (5L, "x", "src1"))         // single token: no bigrams, absent
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.dsirWeights(d, "src0").collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_bigrams"), x.getAs[Double]("log_weight"))).toMap
+    assert(!r.contains(5L), "bigram-free doc must be absent")
+    assert(r(1L)._1 == 4L)
+    // per-bigram normalization so length doesn't confound the ordering
+    def perBg(id: Long) = r(id)._2 / r(id)._1
+    assert(perBg(1L) > perBg(3L) && perBg(2L) > perBg(3L),
+      "target-domain text must outrank off-domain text")
+    // the weight scores TEXT, not provenance: target-like text in a
+    // non-target source still ranks with the target docs (the point of
+    // importance resampling)
+    assert(perBg(4L) > perBg(3L))
+  }
 }
