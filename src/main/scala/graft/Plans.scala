@@ -270,6 +270,59 @@ object Plans {
         "broadcasting the tiny per-source totals onto the vocab " +
         "table — the corpus is never rescanned; decimal contribution " +
         "sums are addition-order-independent."),
+    "s13_ivf_search" ->
+      ("End-to-end IVF read path: probe selection is all-broadcast " +
+        "(queries × centroids), the cell restriction is a broadcast " +
+        "hash join on centroid_id — the corpus-sized assignment table " +
+        "never shuffles; exact re-rank touches only probed cells."),
+    "t19_gopher_rules" ->
+      ("Gopher rule census: every per-doc predicate evaluates in the " +
+        "scan stage (no explode — array aggregates over the tokens " +
+        "column), so the only exchange carries |sources| rows of " +
+        "partial counts."),
+    "x22_group_moments" ->
+      ("Moment profile: one partial-aggregated pass carrying four " +
+        "DECIMAL power sums per group; skewness is arithmetic over the " +
+        "merged moments — nothing fact-sized past the first exchange."),
+    "q34_big_orders" ->
+      ("TPC-H Q18 shape: the HAVING subquery reduces lineitem to " +
+        "qualifying orderkeys BEFORE the three-way join, so the join " +
+        "probes a filtered build side; top-100 is TakeOrderedAndProject."),
+    "q35_disjunctive_revenue" ->
+      ("TPC-H Q19 shape: the OR-of-ANDs predicate stays a single scan " +
+        "filter over the joined pair — Catalyst extracts the common " +
+        "part⋈lineitem equality so no cross product appears."),
+    "s14_pq_adc" ->
+      ("PQ asymmetric distance: corpus side is the m-ints-per-vector " +
+        "code table; the nq·m·k LUT broadcasts; per-(query, vector) " +
+        "sum partial-aggregates before its exchange; bounded per-query " +
+        "window for the top-k."),
+    "s15_ivf_pq" ->
+      ("IVFADC composition: both the probe set and the ADC LUT are " +
+        "broadcast joins over the centroid-keyed code lists — the plan " +
+        "shows zero corpus-sized exchanges after list construction."),
+    "t20_bm25" ->
+      ("BM25: the query-term IN-list is a pushed scan filter on the " +
+        "exploded postings; df and corpus stats broadcast back; final " +
+        "top-20 is TakeOrderedAndProject, not a global sort."),
+    "t21_dsir_weights" ->
+      ("DSIR: hashed-bigram LM is ONE conditional-count pass over a " +
+        "4096-bounded bucket space, broadcast to the per-doc scorer; " +
+        "per-doc reduce is map-side combinable."),
+    "x25_gini" ->
+      ("Gini: per-user totals partial-aggregate; the global " +
+        "cumulative window runs over the unit-binned value domain, " +
+        "not user rows — the single-partition window input is bounded " +
+        "by the quantization knob."),
+    "x26_hll_algebra" ->
+      ("HLL set algebra: one combinable register pass; dense grid, " +
+        "pairwise max-merge and estimates are |groups|-bounded " +
+        "arithmetic — the union estimate never re-touches facts."),
+    "f4_retention_cohorts" ->
+      ("Retention: distinct (user, week) reduces the facts once; the " +
+        "cohort aggregate and join reuse the user_id hash partitioning " +
+        "(AQE exchange reuse); cells are |weeks|² rows, denominator " +
+        "join broadcast."),
   )
 
   def main(args: Array[String]): Unit = {
