@@ -549,6 +549,39 @@ object Similarity {
         col("rn").as("rank"), col("adc_dist2"))
   }
 
+  /** s16: IVF recall-vs-probes ladder — measured recall@k of the IVF
+    * read path ([[ivfSearch]]) against the brute-force truth
+    * ([[cosineTopK]]) for each probe budget. This is the tuning curve an
+    * ANN deployment actually publishes ("2 probes = 87% recall at 1/3
+    * the scan"), measured in-result — the s6 discipline of carrying the
+    * evaluation with the operator instead of asserting it offline.
+    *
+    * Recall is monotone in nProbe BY CONSTRUCTION (probe sets are
+    * nested, and a true neighbor displaced from an in-cell top-k is
+    * displaced only by strictly-better true neighbors), so the ladder
+    * doubles as a correctness invariant — the spec pins it.
+    *
+    * Scale shape: the truth join is nq·k rows against nq·k·|probes|
+    * rows — bounded; each rung reuses the ivfSearch plan (broadcast
+    * probes, corpus never shuffles); the union is plan-level, not a
+    * re-scan of anything corpus-sized beyond each rung's own cell
+    * restriction. */
+  def ivfRecall(vecs: DataFrame, nCents: Int, nQueries: Int,
+                maxProbe: Int, k: Int): DataFrame = {
+    val truth = cosineTopK(vecs, nQueries, k)
+      .select(col("q_id"), col("neighbor_id"))
+    val runs = (1 to maxProbe).map { p =>
+      ivfSearch(vecs, nCents, nQueries, p, k)
+        .select(lit(p).as("n_probe"), col("q_id"), col("neighbor_id"))
+    }.reduce(_ union _)
+    runs.join(truth, Seq("q_id", "neighbor_id"))
+      .groupBy("n_probe")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("n_probe"), col("n_hits"),
+        pround(col("n_hits").cast("double") /
+          lit((nQueries * k).toDouble), 6).as("recall"))
+  }
+
   /** Per-(label, dim) centroid moments — the shared front for the
     * class-separation censuses (s11/s12): ONE explode pass over the
     * corpus reduces to |labels| × d rows carrying exact integer sums
@@ -1098,6 +1131,63 @@ object SimilarityQueries {
         "rank in-cell candidates by PQ asymmetric distance — broadcast " +
         "probe set + broadcast LUT over the centroid-keyed code lists, " +
         "nothing corpus-sized moves at query time"),
+
+    Q("s16_ivf_recall",
+      (s, d) => ivfRecall(vecs(s, d), 12, 5, 3, 5).orderBy("n_probe"),
+      Some {
+        val perProbe = (1 to 3).map { p =>
+          s"""sc$p AS (
+             |  SELECT cd.q_id, cd.neighbor_id, ${pairCosSql("a", "b")} AS cos
+             |  FROM (
+             |    SELECT pr.q_id, a.vec_id AS neighbor_id
+             |    FROM (SELECT vec_id AS q_id, centroid_id FROM cr
+             |          WHERE vec_id < 5 AND rn <= $p) pr
+             |    JOIN asg a ON a.centroid_id = pr.centroid_id
+             |    WHERE a.vec_id <> pr.q_id) cd
+             |  JOIN n a ON a.vec_id = cd.q_id
+             |  JOIN n b ON b.vec_id = cd.neighbor_id),
+             |sel$p AS (
+             |  SELECT q_id, neighbor_id FROM (
+             |    SELECT q_id, neighbor_id,
+             |           row_number() OVER (PARTITION BY q_id
+             |             ORDER BY cos DESC, neighbor_id) AS rn
+             |    FROM sc$p) WHERE rn <= 5)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $fixedSqlCte,
+           |cents AS (
+           |  SELECT vec_id AS centroid_id, f, nrm FROM n
+           |  ORDER BY vec_id LIMIT 12),
+           |cp AS (
+           |  SELECT n.vec_id, c.centroid_id,
+           |         ${pairCosSql("n", "c")} AS cos
+           |  FROM n, cents c),
+           |cr AS (
+           |  SELECT vec_id, centroid_id,
+           |         row_number() OVER (PARTITION BY vec_id
+           |           ORDER BY cos DESC, centroid_id) AS rn
+           |  FROM cp),
+           |asg AS (SELECT vec_id, centroid_id FROM cr WHERE rn = 1),
+           |tp AS (
+           |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+           |         row_number() OVER (PARTITION BY a.vec_id
+           |           ORDER BY ${pairCosSql("a", "b")} DESC, b.vec_id) AS rn
+           |  FROM n a JOIN n b ON a.vec_id < 5 AND a.vec_id <> b.vec_id),
+           |truth AS (SELECT q_id, neighbor_id FROM tp WHERE rn <= 5),
+           |$perProbe,
+           |u AS (
+           |  SELECT 1 AS n_probe, q_id, neighbor_id FROM sel1
+           |  UNION ALL SELECT 2, q_id, neighbor_id FROM sel2
+           |  UNION ALL SELECT 3, q_id, neighbor_id FROM sel3)
+           |SELECT n_probe, count(*) AS n_hits,
+           |       floor(CAST(count(*) AS DOUBLE) / 25.0
+           |             * 1000000.0 + 0.5) / 1000000.0 AS recall
+           |FROM u JOIN truth USING (q_id, neighbor_id)
+           |GROUP BY 1 ORDER BY n_probe""".stripMargin
+      },
+      doc = "IVF recall-vs-probes tuning curve measured in-result " +
+        "against the brute-force truth: nested probe sets make the " +
+        "ladder provably monotone (spec-pinned); bounded truth join, " +
+        "each rung reuses the broadcast-probe IVF plan"),
 
     Q("s9_dim_stats",
       (s, d) => dimStats(vecs(s, d)).orderBy("dim"),

@@ -370,6 +370,72 @@ object Stats {
           .as("gini"))
   }
 
+  /** x27: CUPED variance reduction (Deng/Xu/Kohavi/Walker, WSDM'13) —
+    * the experimentation-platform workhorse: adjust each user's
+    * experiment-period metric y by their PRE-period metric x,
+    * y' = y − θ·(x − mean(x)) with θ = cov(x,y)/var(x), which shrinks
+    * metric variance by the squared pre/post correlation without biasing
+    * the treatment contrast. Variants here are a deterministic hash
+    * split (user_id % 2 — the standard bucketing shape); θ is pooled
+    * across variants, as CUPED prescribes.
+    *
+    * Scale shape: ONE pass over the facts builds per-user (pre, post)
+    * cent totals — combinable conditional sums; everything downstream
+    * is exact BIGINT moments (global: one row; per-variant: |variants|
+    * rows) and one fixed IEEE tree per output, shared textually with
+    * the oracle. Nothing fact-sized survives the first aggregate.
+    * Domain bound: Σx² under 2^63 holds to ~3e7 users at 5e5-cent
+    * per-user totals; at warehouse scale cast the moments to
+    * DECIMAL(38,0) as [[groupMoments]] does. */
+  def cupedByVariant(events: DataFrame,
+                     splitTs: String = "2024-01-16 00:00:00"): DataFrame = {
+    val user = events
+      .select(col("user_id"),
+        expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("c"),
+        expr(s"ts < timestamp_ntz'$splitTs'").as("pre"))
+      .groupBy("user_id")
+      .agg(sum(when(col("pre"), col("c")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("c")).otherwise(0L)).as("y"))
+      .select((col("user_id") % 2).as("variant"), col("x"), col("y"))
+    val g = user.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    val v = user.groupBy("variant").agg(count(lit(1)).as("nv"),
+      sum("x").as("svx"), sum("y").as("svy"),
+      sum(col("x") * col("x")).as("svxx"),
+      sum(col("y") * col("y")).as("svyy"),
+      sum(col("x") * col("y")).as("svxy"))
+    v.crossJoin(broadcast(g))
+      .select(col("variant"), col("nv").as("n_users"),
+        pround(expr(cupedTheta), 9).as("theta"),
+        pround(expr(cupedMeanRaw), 6).as("mean_raw"),
+        pround(expr(cupedMeanAdj), 6).as("mean_adj"),
+        pround(expr(cupedVarRaw), 6).as("var_raw"),
+        pround(expr(cupedVarAdj), 6).as("var_adj"))
+      .orderBy("variant")
+  }
+
+  // CUPED expression strings, shared verbatim with the DuckDB oracle
+  // (the welch discipline: identical IEEE trees on identical integer
+  // moments give identical doubles).
+  private val cupedMx = "(cast(sx as double) / cast(n as double))"
+  private[operators] val cupedTheta =
+    "((cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / " +
+      "(cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)))"
+  private[operators] val cupedMeanRaw =
+    "cast(svy as double) / cast(nv as double) / 100.0"
+  private val cupedSadj =
+    s"(cast(svy as double) - $cupedTheta * (cast(svx as double) - cast(nv as double) * $cupedMx))"
+  private[operators] val cupedMeanAdj =
+    s"$cupedSadj / cast(nv as double) / 100.0"
+  private[operators] val cupedVarRaw =
+    "(cast(svyy as double) - cast(svy as double) * cast(svy as double) / cast(nv as double)) / cast(nv as double) / 10000.0"
+  private val cupedSadj2 =
+    s"(cast(svyy as double) - 2.0 * $cupedTheta * (cast(svxy as double) - $cupedMx * cast(svy as double)) + " +
+      s"$cupedTheta * $cupedTheta * (cast(svxx as double) - 2.0 * $cupedMx * cast(svx as double) + cast(nv as double) * $cupedMx * $cupedMx))"
+  private[operators] val cupedVarAdj =
+    s"($cupedSadj2 - $cupedSadj * $cupedSadj / cast(nv as double)) / cast(nv as double) / 10000.0"
+
   /** Shared HLL estimator structure (same tree as [[hllDistinctWords]],
     * including the linear-counting small-range correction); the 2^51
     * constant needs per-engine spelling (`pow51d`): a bare decimal
@@ -749,5 +815,42 @@ object StatsQueries {
         "MERGE gives the union estimate without re-scanning facts " +
         "(the mergeability that makes sketches warehouse-native), " +
         "inclusion-exclusion intersection, exacts alongside for the gate"),
+
+    Q("x27_cuped",
+      (s, d) => cupedByVariant(Tables.events(s, d)),
+      Some(s"""WITH u AS (
+              |  SELECT user_id,
+              |         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+              |                  THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+              |                  ELSE 0 END) AS BIGINT) AS x,
+              |         CAST(sum(CASE WHEN NOT (ts < TIMESTAMP '2024-01-16 00:00:00')
+              |                  THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+              |                  ELSE 0 END) AS BIGINT) AS y
+              |  FROM events GROUP BY 1),
+              |uv AS (SELECT user_id % 2 AS variant, x, y FROM u),
+              |g AS (
+              |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+              |         CAST(sum(y) AS BIGINT) AS sy,
+              |         CAST(sum(x * x) AS BIGINT) AS sxx,
+              |         CAST(sum(x * y) AS BIGINT) AS sxy
+              |  FROM uv),
+              |v AS (
+              |  SELECT variant, count(*) AS nv,
+              |         CAST(sum(x) AS BIGINT) AS svx, CAST(sum(y) AS BIGINT) AS svy,
+              |         CAST(sum(x * x) AS BIGINT) AS svxx,
+              |         CAST(sum(y * y) AS BIGINT) AS svyy,
+              |         CAST(sum(x * y) AS BIGINT) AS svxy
+              |  FROM uv GROUP BY 1)
+              |SELECT variant, nv AS n_users,
+              |       floor(($cupedTheta) * 1000000000.0 + 0.5) / 1000000000.0 AS theta,
+              |       floor(($cupedMeanRaw) * 1000000.0 + 0.5) / 1000000.0 AS mean_raw,
+              |       floor(($cupedMeanAdj) * 1000000.0 + 0.5) / 1000000.0 AS mean_adj,
+              |       floor(($cupedVarRaw) * 1000000.0 + 0.5) / 1000000.0 AS var_raw,
+              |       floor(($cupedVarAdj) * 1000000.0 + 0.5) / 1000000.0 AS var_adj
+              |FROM v CROSS JOIN g ORDER BY variant""".stripMargin),
+      doc = "CUPED variance reduction (Deng et al. WSDM'13): per-user " +
+        "pre/post cent totals in one conditional pass, pooled theta = " +
+        "cov/var from exact moments, adjusted mean + variance per " +
+        "hash-split variant; shared-text IEEE trees"),
   )
 }

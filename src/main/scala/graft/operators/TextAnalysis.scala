@@ -501,6 +501,38 @@ object TextAnalysis {
         pround(sum("contrib").cast("double"), 6).as("log_weight"))
   }
 
+  /** t22: n-gram novelty curve — per document (in doc_id order), the
+    * fraction of its distinct bigrams appearing for the FIRST time in
+    * the corpus. The curve is how you measure marginal-content decay in
+    * a crawl and pick a dedup/stop point: late documents with near-zero
+    * novelty are re-crawls in disguise (Lee et al.'s dedup papers use
+    * exactly this diagnostic).
+    *
+    * Scale shape: explode → distinct (doc, bigram) is the only
+    * corpus-sized state; first-appearance is a combinable min over the
+    * bigram-keyed index, and the join back is 1:1 on the SAME bigram
+    * key (partitioning reused, no skew amplification — a hot bigram
+    * has one index row). Final per-doc reduce is combinable. */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val bigramsFromToks =
+      """CASE WHEN size(toks) >= 2
+        | THEN transform(sequence(1, size(toks) - 1),
+        |        i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))
+        | ELSE array() END""".stripMargin
+    val bg = docs.select(col("doc_id"), expr(tokensExpr).as("toks"))
+      .select(col("doc_id"), explode(expr(bigramsFromToks)).as("g"))
+      .distinct()
+    val first = bg.groupBy("g").agg(min("doc_id").as("first_doc"))
+    bg.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigram_types"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_bigram_types"), col("n_novel"),
+        pround(col("n_novel").cast("double") /
+          col("n_bigram_types").cast("double"), 6).as("novelty_rate"))
+  }
+
   /** t15: winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD'03). Over each document's positional 3-shingle hash sequence,
@@ -1148,5 +1180,29 @@ object TextAnalysisQueries {
         "bigram log-likelihood ratio of a target source vs the raw " +
         "corpus — bounded 4096-cell LMs from ONE conditional count " +
         "pass, broadcast to a combinable per-doc scorer"),
+
+    Q("t22_ngram_novelty",
+      (s, d) => ngramNovelty(docs(s, d)).orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |bg0 AS (
+              |  SELECT doc_id,
+              |         unnest(CASE WHEN len(t) >= 2
+              |           THEN list_transform(range(1, len(t)),
+              |                  i -> t[i] || ' ' || t[i+1])
+              |           ELSE CAST([] AS VARCHAR[]) END) AS g
+              |  FROM t),
+              |bg AS (SELECT DISTINCT doc_id, g FROM bg0),
+              |f AS (SELECT g, min(doc_id) AS first_doc FROM bg GROUP BY 1)
+              |SELECT bg.doc_id, count(*) AS n_bigram_types,
+              |       CAST(sum(CASE WHEN f.first_doc = bg.doc_id THEN 1 ELSE 0 END)
+              |            AS BIGINT) AS n_novel,
+              |       floor(CAST(sum(CASE WHEN f.first_doc = bg.doc_id THEN 1 ELSE 0 END)
+              |                  AS DOUBLE) / CAST(count(*) AS DOUBLE)
+              |             * 1000000.0 + 0.5) / 1000000.0 AS novelty_rate
+              |FROM bg JOIN f USING (g)
+              |GROUP BY 1 ORDER BY doc_id""".stripMargin),
+      doc = "per-doc first-appearance bigram fraction (marginal-content " +
+        "novelty curve): distinct (doc, bigram) index, combinable " +
+        "first-doc min, 1:1 join on the same key — partitioning reused"),
   )
 }

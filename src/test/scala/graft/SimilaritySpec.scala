@@ -244,4 +244,18 @@ class SimilaritySpec extends SparkSpec {
       assert(d.zip(d.tail).forall { case (a, b) => a <= b })
     }
   }
+
+  test("ivf recall ladder: monotone in probes, bounded by 1, full scan = 1") {
+    val r = Similarity.ivfRecall(vecs, 8, 3, 3, 5)
+      .orderBy("n_probe").as[(Int, Long, Double)].collect()
+    assert(r.map(_._1).toSeq == Seq(1, 2, 3))
+    val rec = r.map(_._3)
+    assert(rec.zip(rec.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone: ${rec.toSeq}")
+    assert(rec.forall(x => x > 0.0 && x <= 1.0))
+    // probing EVERY cell is brute force: recall must be exactly 1
+    val full = Similarity.ivfRecall(vecs, 4, 3, 4, 5)
+      .orderBy("n_probe").as[(Int, Long, Double)].collect()
+    assert(full.last._3 == 1.0, s"all-cells probe recall ${full.last._3} != 1")
+  }
 }

@@ -120,6 +120,30 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("cuped: perfectly pre-correlated metric collapses to zero variance, theta exact") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // user i: pre value = i, post value = 2i (y = 2x exactly) ->
+    // theta = 2 and every adjusted value equals 2*mean(x): var_adj = 0
+    val pre = Timestamp.valueOf("2024-01-10 00:00:00")
+    val post = Timestamp.valueOf("2024-01-20 00:00:00")
+    val rows = (1L to 20L).flatMap(i =>
+      Seq((i, pre, i.toDouble), (i, post, 2.0 * i)))
+    val df = rows.zipWithIndex
+      .map { case ((u, t, v), j) => (j.toLong, t, u, v) }
+      .toDF("event_id", "ts", "user_id", "value")
+    val r = Stats.cupedByVariant(df).collect()
+    assert(r.length == 2)
+    r.foreach { row =>
+      assert(row.getAs[Double]("theta") == 2.0)
+      assert(row.getAs[Double]("var_adj") == 0.0,
+        s"variant ${row.get(0)}: var_adj ${row.getAs[Double]("var_adj")}")
+      assert(row.getAs[Double]("var_raw") > 0.0)
+      // adjusted mean = 2 * global mean(x) = 2 * mean(1..20) = 21
+      assert(row.getAs[Double]("mean_adj") == 21.0)
+    }
+  }
+
   test("zorder buckets bound both dimensions (the data-skipping property)") {
     val stats = Stats.zorderClustering(Tables.events(spark, sf("sf0.01"))).collect()
     stats.foreach { r =>

@@ -261,4 +261,19 @@ class TextAnalysisSpec extends SparkSpec {
     // importance resampling)
     assert(perBg(4L) > perBg(3L))
   }
+
+  test("ngram novelty: first doc is all-novel, repeats decay to zero") {
+    val d = Seq(
+      (1L, "a b c"),    // bigrams {a b, b c}: both novel -> 1.0
+      (2L, "a b d"),    // {a b (seen), b d (new)} -> 0.5
+      (3L, "a b c d"))  // {a b, b c, c d}: c d new -> 1/3
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.ngramNovelty(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_bigram_types"), x.getAs[Long]("n_novel"),
+          x.getAs[Double]("novelty_rate"))).toMap
+    assert(r(1L) == (2L, 2L, 1.0))
+    assert(r(2L) == (2L, 1L, 0.5))
+    assert(r(3L) == (3L, 1L, 0.333333))
+  }
 }
