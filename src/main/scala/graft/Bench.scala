@@ -55,13 +55,13 @@ object Bench {
       val good = runs.filter(_._1).map(_._2)
       name -> (if (good.nonEmpty) good.min else runs.map(_._2).max)
     }
-    // 4-decimal timings (0.1 ms — below bench noise): full-precision
+    // 3-decimal timings (1 ms — well below bench noise): full-precision
     // doubles pushed the one-line artifact past the driver's ~4.9 KB
     // tail capture, so ~100 of the per-query timings arrived truncated
-    // and unparseable (ADVICE r10). At ~25 chars/entry this line stays
-    // parseable past 185 queries.
+    // and unparseable (ADVICE r10). At ~24 chars/entry this line stays
+    // parseable past 200 queries (measured: 180 queries -> 4.5 KB).
     def fmt(v: Double): String =
-      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
         .underlying.stripTrailingZeros.toPlainString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

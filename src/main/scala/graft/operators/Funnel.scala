@@ -120,6 +120,52 @@ object Funnel {
         pround(col("n_users").cast("double") / col("n0").cast("double"), 6)
           .as("retention"))
   }
+
+  /** f5: time-to-convert census — seconds from a user's FIRST `from`
+    * event to their FIRST strictly-later `to` event, summarized as a
+    * one-row distribution profile (population, converters, mean, lower
+    * median). The latency companion to f2's conversion counts: funnels
+    * say HOW MANY convert, this says HOW FAST.
+    *
+    * Scale shape: one user_id-keyed conditional-min aggregate reduces
+    * the facts to a row per user (combinable); the median then runs on
+    * MINUTE bins of the delta — the x25/x28 domain-bounding discipline,
+    * so the single ordered window sees |distinct minutes| rows, never
+    * users. The lower median is pinned explicitly (smallest bin whose
+    * cumulative count reaches ceil(n/2)) rather than delegated to
+    * engine-varying percentile semantics. */
+  def timeToConvert(events: DataFrame, from: String = "signup",
+                    to: String = "purchase"): DataFrame = {
+    val per = events
+      .where(col("event_type").isin(from, to))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === from,
+          expr("unix_timestamp(ts)"))).as("s"),
+        min(when(col("event_type") === to,
+          expr("unix_timestamp(ts)"))).as("p"))
+    val delta = per
+      .where(col("s").isNotNull && col("p").isNotNull && col("p") > col("s"))
+      .select((col("p") - col("s")).as("d"))
+    val tot = per.agg(count(when(col("s").isNotNull, 1)).as("n_from"))
+    val m1 = delta.agg(count(lit(1)).as("nc"), sum("d").as("sd"))
+    val wm = Window.orderBy("m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = delta.select(expr("d div 60").as("m"))
+      .groupBy("m").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wm))
+      .crossJoin(broadcast(m1.select(col("nc").as("nc2"))))
+      .where(col("cum") >= expr("(nc2 + 1) div 2"))
+      .agg(min("m").as("p50_delta_min"))
+    tot.crossJoin(m1).crossJoin(med)
+      .select(col("n_from"), col("nc").as("n_converted"),
+        pround(expr(avgDeltaExpr), 6).as("avg_delta_sec"),
+        col("p50_delta_min"))
+  }
+
+  // Shared with the oracle; zero converters -> null, not ANSI div-by-zero.
+  private[operators] val avgDeltaExpr =
+    "(case when nc = 0 then cast(null as double) " +
+      "else cast(sd as double) / cast(nc as double) end)"
 }
 
 object FunnelQueries {
@@ -211,5 +257,33 @@ object FunnelQueries {
       doc = "cohort retention matrix (first-active week x week offset): " +
         "distinct (user, week) reduction, partitioning-reusing cohort " +
         "join, bounded cell table, broadcast week-0 denominator"),
+
+    Q("f5_time_to_convert",
+      (s, d) => timeToConvert(Tables.events(s, d)),
+      Some(s"""WITH per AS (
+             |  SELECT user_id,
+             |         min(CASE WHEN event_type = 'signup'
+             |                  THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS s,
+             |         min(CASE WHEN event_type = 'purchase'
+             |                  THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS p
+             |  FROM events WHERE event_type IN ('signup', 'purchase')
+             |  GROUP BY 1),
+             |d AS (SELECT p - s AS d FROM per
+             |      WHERE s IS NOT NULL AND p IS NOT NULL AND p > s),
+             |tot AS (SELECT count(*) AS n_from FROM per WHERE s IS NOT NULL),
+             |m1 AS (SELECT count(*) AS nc, CAST(sum(d) AS BIGINT) AS sd FROM d),
+             |b AS (SELECT d // 60 AS m, count(*) AS cnt FROM d GROUP BY 1),
+             |c AS (SELECT m, sum(cnt) OVER (ORDER BY m ROWS BETWEEN
+             |        UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b),
+             |med AS (SELECT min(m) AS p50_delta_min FROM c CROSS JOIN m1
+             |        WHERE cum >= (nc + 1) // 2)
+             |SELECT n_from, nc AS n_converted,
+             |       floor(($avgDeltaExpr)
+             |             * 1000000.0 + 0.5) / 1000000.0 AS avg_delta_sec,
+             |       p50_delta_min
+             |FROM tot CROSS JOIN m1 CROSS JOIN med""".stripMargin),
+      doc = "time-to-convert census (first signup -> first later " +
+        "purchase): per-user conditional-min pass, minute-binned lower " +
+        "median so the ordered window sees bins not users"),
   )
 }

@@ -679,6 +679,41 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"), col("rn").as("rank"),
         pround(col("cos"), 6).as("cos_sim"))
   }
+
+  /** s17: reciprocal-rank-fusion hybrid retrieval (Cormack/Clarke/
+    * Buettcher SIGIR'09) — merge two retrieval signals' top-k lists by
+    * score = Σ 1/(60 + rank), the standard hybrid-search combiner
+    * (dense + sparse, or here cosine + inner-product, which disagree
+    * exactly where corpus norms vary). RRF needs only RANKS, so the
+    * fusion is scale-free: no score normalization across signals.
+    *
+    * Scale shape: fusion consumes two ALREADY k-bounded lists
+    * (nQueries×kIn rows each — driver-safe whatever the corpus size),
+    * full-outer-joined on (query, neighbor); a missing rank contributes
+    * 0, the top-kIn convention. The heavy lifting stays inside the
+    * component retrievers (s1's broadcast scan, s10's norm-pruned MIPS);
+    * the combiner itself is a bounded join plus one tiny window. */
+  def rrfFusion(vecs: DataFrame, nQueries: Int = 5, kIn: Int = 10,
+                kOut: Int = 5): DataFrame = {
+    val cosR = cosineTopK(vecs, nQueries, kIn)
+      .select(col("q_id"), col("neighbor_id"), col("rank").as("r_cos"))
+    val ipR = mipsTopK(vecs, nQueries, kIn)
+      .select(col("q_id"), col("neighbor_id"), col("rank").as("r_ip"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    cosR.join(ipR, Seq("q_id", "neighbor_id"), "full_outer")
+      .withColumn("score", expr(rrfScoreExpr))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= kOut)
+      .select(col("q_id"), col("neighbor_id"), col("rn").as("rank"),
+        pround(col("score"), 9).as("rrf_score"))
+  }
+
+  // RRF score tree, shared verbatim with the oracle: ranks are exact
+  // ints, 1/(60+r) is one IEEE division — identical on both engines.
+  private[operators] val rrfScoreExpr =
+    "(coalesce(1.0 / (60.0 + cast(r_cos as double)), 0.0) + " +
+      "coalesce(1.0 / (60.0 + cast(r_ip as double)), 0.0))"
 }
 
 object SimilarityQueries {
@@ -1315,5 +1350,49 @@ object SimilarityQueries {
         "exact re-rank in-cell): corpus never shuffles, cell restriction " +
         "is a broadcast join on centroid_id, re-rank cost = probed " +
         "fraction of brute force"),
+
+    Q("s17_rrf_fusion",
+      (s, d) => rrfFusion(vecs(s, d)).orderBy("q_id", "rank"),
+      // oracle fuses the NAIVE full cosine and MIPS rankings — matching
+      // it re-proves s10's prune losslessness inside the fused list too
+      Some(s"""WITH $fixedSqlCte,
+              |pcos AS (
+              |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+              |         CAST(CAST(list_sum(list_transform(range(1, len(a.f) + 1),
+              |                i -> a.f[i] * b.f[i])) AS BIGINT) AS DOUBLE)
+              |           / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos
+              |  FROM n a JOIN n b ON b.vec_id <> a.vec_id
+              |  WHERE a.vec_id < 5),
+              |rcos AS (
+              |  SELECT q_id, neighbor_id,
+              |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS r_cos
+              |  FROM pcos),
+              |tcos AS (SELECT q_id, neighbor_id, r_cos FROM rcos WHERE r_cos <= 10),
+              |pip AS (
+              |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+              |         CAST(list_sum(list_transform(range(1, len(a.f) + 1),
+              |                i -> a.f[i] * b.f[i])) AS BIGINT) AS ip
+              |  FROM n a JOIN n b ON b.vec_id <> a.vec_id
+              |  WHERE a.vec_id < 5),
+              |rip AS (
+              |  SELECT q_id, neighbor_id,
+              |         row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, neighbor_id) AS r_ip
+              |  FROM pip),
+              |tip AS (SELECT q_id, neighbor_id, r_ip FROM rip WHERE r_ip <= 10),
+              |u AS (
+              |  SELECT q_id, neighbor_id, r_cos, r_ip
+              |  FROM tcos FULL OUTER JOIN tip USING (q_id, neighbor_id)),
+              |sc AS (SELECT q_id, neighbor_id, ($rrfScoreExpr) AS score FROM u),
+              |rr AS (
+              |  SELECT q_id, neighbor_id, score,
+              |         row_number() OVER (PARTITION BY q_id
+              |           ORDER BY score DESC, neighbor_id) AS rn
+              |  FROM sc)
+              |SELECT q_id, neighbor_id, rn AS rank,
+              |       floor(score * 1000000000.0 + 0.5) / 1000000000.0 AS rrf_score
+              |FROM rr WHERE rn <= 5 ORDER BY q_id, rank""".stripMargin),
+      doc = "reciprocal-rank-fusion hybrid retrieval (cosine + MIPS " +
+        "top-10 lists, score = sum 1/(60+rank)): bounded-list full-outer " +
+        "join, heavy work stays in the component retrievers"),
   )
 }

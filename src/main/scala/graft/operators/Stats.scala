@@ -517,6 +517,154 @@ object Stats {
         pround(expr(s"(${hllEstSql("sa", "nza", POW)}) + (${hllEstSql("sb", "nzb", POW)}) - (${hllEstSql("su", "nzu", POW)})"), 4)
           .as("hll_intersect"))
   }
+
+  /** x28: Mann-Whitney U (Wilcoxon rank-sum) between two event-type
+    * value distributions — the nonparametric complement to Welch's t
+    * (x24): no normality assumption, so it is the robust choice when
+    * metric distributions are heavy-tailed (revenue, latency).
+    *
+    * Scale shape (the x25 Gini discipline applied to ranks): values are
+    * quantized to cents and counted per distinct cent value, so the one
+    * rank-assigning window runs over the BINNED value domain (≤ |value
+    * range| rows), never the observation rows. Tied observations get the
+    * textbook average rank, kept exact by working in doubled units:
+    * 2·R_a = Σ_v ca(v)·(2·cp(v) + cnt(v) + 1) is an exact integer
+    * (DECIMAL(38,0) accumulators), as is the tie-correction term
+    * Σ(t³−t). One shared-text IEEE tree turns the exact moments into
+    * the normal-approximation z with tie correction. */
+  def mannWhitneyU(events: DataFrame, groupCol: String = "event_type",
+                   groupA: String = "click", groupB: String = "purchase",
+                   value: String = "value"): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val bins = events
+      .where(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("g"),
+        expr(s"cast(floor($value * 100.0 + 0.5) as bigint)").as("v"))
+      .groupBy("v")
+      .agg(sum(when(col("g") === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === groupB, 1L).otherwise(0L)).as("cb"))
+    // global window over cent-value bins — bounded by the value domain,
+    // not the row count (the x25 discipline)
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = bins
+      .withColumn("cnt", col("ca") + col("cb"))
+      .withColumn("cp", sum(col("cnt")).over(w) - col("cnt"))
+    ranked.agg(
+      sum("ca").as("na"), sum("cb").as("nb"),
+      sum(col("ca").cast(dec) *
+        (lit(2) * col("cp") + col("cnt") + 1).cast(dec)).as("r2a"),
+      sum(col("cnt").cast(dec) * col("cnt").cast(dec) * col("cnt").cast(dec)
+        - col("cnt").cast(dec)).as("tt"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        expr(mwUExpr).as("u_a"),
+        pround(expr(mwZExpr), 6).as("z"))
+  }
+
+  // Mann-Whitney expression strings, shared verbatim with the oracle
+  // (welch discipline). r2a is 2·(rank sum of group a); u_a = R_a −
+  // n_a(n_a+1)/2 stays a multiple of 0.5 — exact in double. Degenerate
+  // inputs (an empty group, or every observation tied) have no defined
+  // z — the CASE guards return null instead of tripping ANSI-mode
+  // divide-by-zero, and guard FIRST so the tie term never sees N < 2.
+  private val mwN = "(cast(na as double) + cast(nb as double))"
+  private val mwU2a =
+    "(cast(r2a as double) - cast(na as double) * (cast(na as double) + 1.0))"
+  private[operators] val mwUExpr = s"$mwU2a / 2.0"
+  private val mwVar =
+    s"(cast(na as double) * cast(nb as double) / 12.0 * " +
+      s"($mwN + 1.0 - cast(tt as double) / ($mwN * ($mwN - 1.0))))"
+  private[operators] val mwZExpr =
+    s"(case when cast(na as double) * cast(nb as double) = 0.0 or $mwN < 2.0 " +
+      s"then cast(null as double) when $mwVar <= 0.0 then cast(null as double) " +
+      s"else ($mwU2a / 2.0 - cast(na as double) * cast(nb as double) / 2.0) / " +
+      s"sqrt($mwVar) end)"
+
+  /** x29: per-group ordinary least squares (price on quantity per return
+    * flag) — the regression-moment pattern every feature-attribution /
+    * trend query reduces to: slope, intercept and R² from five
+    * combinable sums.
+    *
+    * Scale shape: ONE map-side-combinable aggregate per group builds
+    * exact integer moments (DECIMAL(38,0) — n·Σxy overflows BIGINT at
+    * warehouse row counts); the normal-equation numerator/denominator
+    * stay exact integers, and each output is one fixed IEEE tree shared
+    * textually with the oracle. Nothing row-sized survives the first
+    * aggregate, and adding groups only widens the |groups|-row result. */
+  def olsPriceOnQty(lineitem: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val mo = lineitem
+      .select(col("l_returnflag").as("flag"),
+        expr("cast(floor(l_quantity + 0.5) as bigint)").as("x"),
+        expr("cast(floor(l_extendedprice * 100.0 + 0.5) as bigint)").as("y"))
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+    mo.select(col("flag"), col("n"),
+      (col("n").cast(dec) * col("sxy") - col("sx") * col("sy")).as("num"),
+      (col("n").cast(dec) * col("sxx") - col("sx") * col("sx")).as("den"),
+      (col("n").cast(dec) * col("syy") - col("sy") * col("sy")).as("deny"),
+      col("sx"), col("sy"))
+      .select(col("flag"), col("n"),
+        pround(expr(olsSlope), 6).as("slope_cents_per_unit"),
+        pround(expr(olsIntercept), 4).as("intercept_cents"),
+        pround(expr(olsR2), 9).as("r2"))
+      .orderBy("flag")
+  }
+
+  // Zero x-variance (den) or y-variance (deny) leaves the fit undefined:
+  // CASE-guarded nulls, not ANSI divide-by-zero (n >= 1 by construction).
+  private[operators] val olsSlope =
+    "(case when cast(den as double) = 0.0 then cast(null as double) " +
+      "else cast(num as double) / cast(den as double) end)"
+  private[operators] val olsIntercept =
+    s"((cast(sy as double) - $olsSlope * cast(sx as double)) / cast(n as double))"
+  private[operators] val olsR2 =
+    "(case when cast(den as double) * cast(deny as double) = 0.0 " +
+      "then cast(null as double) else " +
+      "(cast(num as double) * cast(num as double)) / " +
+      "(cast(den as double) * cast(deny as double)) end)"
+
+  /** x30: lag-1 autocorrelation of the daily revenue series — the
+    * day-over-day persistence statistic behind trend/seasonality checks
+    * and anomaly alert thresholds.
+    *
+    * Scale shape: the fact table reduces to one row per DAY in a single
+    * combinable aggregate; the lag pairing is an equi-join on day+1 over
+    * that calendar-bounded table (explicitly skipping gap days rather
+    * than treating a gap as adjacency), so nothing row-sized is ever
+    * windowed or shuffled twice. Pearson over the pairs is the exact
+    * integer-moment + shared-IEEE-tree pattern (x5/x24/x29). */
+  def dailyRevenueAutocorr(events: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = events
+      .select(expr("unix_timestamp(ts) div 86400").as("day"),
+        expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("c"))
+      .groupBy("day").agg(sum("c").as("rev"))
+    val pairs = daily.as("t")
+      .join(daily.as("u"), col("u.day") === col("t.day") + 1)
+      .select(col("t.rev").as("x"), col("u.rev").as("y"))
+    pairs.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+      sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+      sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+      sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+      .select(col("n").as("n_pairs"),
+        pround(expr(acf1Expr), 9).as("autocorr_lag1"))
+  }
+
+  // Fewer than two pairs, or a constant series, has no defined
+  // correlation: CASE-guarded null, not ANSI divide-by-zero.
+  private val acf1Den =
+    "(sqrt(cast(n as double) * cast(sxx as double) - cast(sx as double) * cast(sx as double)) * " +
+      "sqrt(cast(n as double) * cast(syy as double) - cast(sy as double) * cast(sy as double)))"
+  private[operators] val acf1Expr =
+    s"(case when $acf1Den = 0.0 or $acf1Den is null then cast(null as double) else " +
+      "((cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / " +
+      s"$acf1Den) end)"
 }
 
 object StatsQueries {
@@ -852,5 +1000,87 @@ object StatsQueries {
         "pre/post cent totals in one conditional pass, pooled theta = " +
         "cov/var from exact moments, adjusted mean + variance per " +
         "hash-split variant; shared-text IEEE trees"),
+
+    Q("x28_mann_whitney",
+      (s, d) => mannWhitneyU(Tables.events(s, d)),
+      Some(s"""WITH f AS (
+              |  SELECT event_type AS g, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+              |  FROM events WHERE event_type IN ('click', 'purchase')),
+              |bins AS (
+              |  SELECT v,
+              |         CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+              |         CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+              |  FROM f GROUP BY 1),
+              |r AS (
+              |  SELECT v, ca, cb, ca + cb AS cnt,
+              |         sum(ca + cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |           - (ca + cb) AS cp
+              |  FROM bins),
+              |m AS (
+              |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+              |         sum(CAST(ca AS HUGEINT) * CAST(2 * cp + cnt + 1 AS HUGEINT)) AS r2a,
+              |         sum(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)
+              |             - CAST(cnt AS HUGEINT)) AS tt
+              |  FROM r)
+              |SELECT na AS n_a, nb AS n_b,
+              |       $mwUExpr AS u_a,
+              |       floor(($mwZExpr) * 1000000.0 + 0.5) / 1000000.0 AS z
+              |FROM m""".stripMargin),
+      doc = "Mann-Whitney U / rank-sum test (click vs purchase value): " +
+        "ranks assigned over cent-value BINS (x25 discipline), exact " +
+        "doubled-rank + tie-correction integers, shared-tree z"),
+
+    Q("x29_ols_price_qty",
+      (s, d) => olsPriceOnQty(Tables.lineitem(s, d)),
+      Some(s"""WITH f AS (
+              |  SELECT l_returnflag AS flag,
+              |         CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+              |         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+              |  FROM lineitem),
+              |mo AS (
+              |  SELECT flag, count(*) AS n,
+              |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+              |         sum(CAST(x * x AS HUGEINT)) AS sxx,
+              |         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+              |         sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+              |  FROM f GROUP BY 1),
+              |d AS (
+              |  SELECT flag, n,
+              |         CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+              |         CAST(n AS HUGEINT) * sxx - sx * sx AS den,
+              |         CAST(n AS HUGEINT) * syy - sy * sy AS deny,
+              |         sx, sy
+              |  FROM mo)
+              |SELECT flag, n,
+              |       floor(($olsSlope) * 1000000.0 + 0.5) / 1000000.0 AS slope_cents_per_unit,
+              |       floor(($olsIntercept) * 10000.0 + 0.5) / 10000.0 AS intercept_cents,
+              |       floor(($olsR2) * 1000000000.0 + 0.5) / 1000000000.0 AS r2
+              |FROM d ORDER BY flag""".stripMargin),
+      doc = "per-returnflag OLS of extendedprice on quantity: one " +
+        "combinable DECIMAL(38,0) moment pass, exact integer normal-" +
+        "equation terms, shared-tree slope/intercept/R^2"),
+
+    Q("x30_daily_autocorr",
+      (s, d) => dailyRevenueAutocorr(Tables.events(s, d)),
+      Some(s"""WITH daily AS (
+              |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+              |         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+              |  FROM events GROUP BY 1),
+              |p AS (
+              |  SELECT t.rev AS x, u.rev AS y
+              |  FROM daily t JOIN daily u ON u.day = t.day + 1),
+              |mo AS (
+              |  SELECT count(*) AS n,
+              |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+              |         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+              |         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+              |         sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+              |  FROM p)
+              |SELECT n AS n_pairs,
+              |       floor(($acf1Expr) * 1000000000.0 + 0.5) / 1000000000.0 AS autocorr_lag1
+              |FROM mo""".stripMargin),
+      doc = "lag-1 autocorrelation of daily revenue: facts reduce to one " +
+        "row per day, lag pairing is an equi-join on day+1 (gap days " +
+        "excluded, never windowed), Pearson from exact integer moments"),
   )
 }

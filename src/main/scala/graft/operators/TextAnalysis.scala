@@ -679,6 +679,42 @@ object TextAnalysis {
         .agg(pround(sum(col("contrib")).cast("double"), 9).as("kl_nats"))
     }
   }
+
+  /** t23: word burstiness — the variance-to-mean ratio of a word's
+    * per-document counts over the documents that contain it (Church &
+    * Gale's "Poisson mixtures" statistic, CSL'95). Content words clump
+    * (VMR >> 1: a doc that mentions them mentions them repeatedly);
+    * function words scatter near-Poisson (VMR ≈ 1) — a topicality
+    * signal TF-IDF can't see because it only looks at presence.
+    *
+    * Scale shape: one tokenize/explode pass reduces to (word, doc, tf)
+    * — combinable; per-word exact integer moments (df, Σtf, Σtf²)
+    * reduce that to |vocab| rows; VMR is one shared-text IEEE tree and
+    * the output is capped by a TakeOrdered top-k, so an open vocabulary
+    * never drags row-scale data through the driver or a global sort. */
+  def wordBurstiness(docs: DataFrame, minDf: Long = 2,
+                     topK: Int = 100): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val wc = docs
+      .select(col("doc_id"), explode(expr(Dedup.tokensExpr)).as("w"))
+      .groupBy("w", "doc_id").agg(count(lit(1)).as("c"))
+    wc.groupBy("w")
+      .agg(count(lit(1)).as("df"),
+        sum(col("c").cast(dec)).as("tot"),
+        sum((col("c") * col("c")).cast(dec)).as("sxx"))
+      .where(col("df") >= minDf)
+      .select(col("w").as("word"), col("df"),
+        col("tot").cast("long").as("total_tf"),
+        pround(expr(burstVmrExpr), 9).as("vmr"))
+      .orderBy(desc("vmr"), col("word"))
+      .limit(topK)
+  }
+
+  // VMR = sample variance / mean over the df docs containing the word;
+  // shared verbatim with the oracle (welch discipline).
+  private[operators] val burstVmrExpr =
+    "(((cast(sxx as double) - cast(tot as double) * cast(tot as double) / cast(df as double)) / " +
+      "(cast(df as double) - 1.0)) / (cast(tot as double) / cast(df as double)))"
 }
 
 object TextAnalysisQueries {
@@ -1204,5 +1240,20 @@ object TextAnalysisQueries {
       doc = "per-doc first-appearance bigram fraction (marginal-content " +
         "novelty curve): distinct (doc, bigram) index, combinable " +
         "first-doc min, 1:1 join on the same key — partitioning reused"),
+
+    Q("t23_burstiness",
+      (s, d) => wordBurstiness(docs(s, d)),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+              |wc AS (SELECT w, doc_id, count(*) AS c FROM tok GROUP BY 1, 2),
+              |mo AS (
+              |  SELECT w, count(*) AS df, CAST(sum(c) AS BIGINT) AS tot,
+              |         CAST(sum(c * c) AS BIGINT) AS sxx
+              |  FROM wc GROUP BY 1 HAVING count(*) >= 2)
+              |SELECT w AS word, df, tot AS total_tf,
+              |       floor(($burstVmrExpr) * 1000000000.0 + 0.5) / 1000000000.0 AS vmr
+              |FROM mo ORDER BY vmr DESC, word LIMIT 100""".stripMargin),
+      doc = "word burstiness (Church-Gale VMR of per-doc tf over " +
+        "containing docs): one explode pass, exact per-word integer " +
+        "moments, shared-tree VMR, TakeOrdered top-k cap"),
   )
 }

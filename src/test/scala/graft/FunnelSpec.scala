@@ -66,4 +66,18 @@ class FunnelSpec extends SparkSpec {
     assert(u >= v && v >= c && c >= p, s"funnel not monotone: $u $v $c $p")
     assert(p > 0, "sf0.01 should have at least one full conversion")
   }
+
+  test("time-to-convert: strictly-later purchase only; minute-binned lower median") {
+    val df = ev(
+      (1, 1, 1, "signup"), (2, 3, 1, "purchase"), // 120 s
+      (3, 1, 2, "signup"), // never purchases
+      (4, 6, 3, "signup"), (5, 5, 3, "purchase"), // purchase BEFORE signup
+      (6, 1, 4, "signup"), (7, 2, 4, "purchase")) // 60 s
+    val r = Funnel.timeToConvert(df).collect().head
+    assert(r.getAs[Long]("n_from") == 4L)
+    assert(r.getAs[Long]("n_converted") == 2L, "user 3 must not convert")
+    assert(r.getAs[Double]("avg_delta_sec") == 90.0)
+    // deltas {120 s, 60 s} -> minute bins {2, 1}; lower median = bin 1
+    assert(r.getAs[Long]("p50_delta_min") == 1L)
+  }
 }

@@ -258,4 +258,30 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("n_probe").as[(Int, Long, Double)].collect()
     assert(full.last._3 == 1.0, s"all-cells probe recall ${full.last._3} != 1")
   }
+
+  test("rrf fusion: scores recompose from the component ranks, dense per-query ranks") {
+    val kIn = 10
+    val cos = Similarity.cosineTopK(vecs, 3, kIn).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Int]("rank")).toMap
+    val ip = Similarity.mipsTopK(vecs, 3, kIn).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Int]("rank")).toMap
+    val fused = Similarity.rrfFusion(vecs, 3, kIn, 5)
+      .orderBy("q_id", "rank").collect()
+    assert(fused.length == 15)
+    fused.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 5))
+      val scores = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("rrf_score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        "rrf scores must be non-increasing in fused rank")
+    }
+    fused.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))
+      val expect = cos.get(key).map(x => 1.0 / (60.0 + x)).getOrElse(0.0) +
+        ip.get(key).map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf_score") - expect) < 1e-9,
+        s"score at $key does not recompose from component ranks")
+    }
+  }
 }

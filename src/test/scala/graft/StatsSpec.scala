@@ -144,6 +144,58 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("mann-whitney: hand value with a tie (a={1,2}, b={2,3} cents)") {
+    import spark.implicits._
+    val df = Seq(("click", 0.01), ("click", 0.02),
+      ("purchase", 0.02), ("purchase", 0.03)).toDF("event_type", "value")
+    val r = Stats.mannWhitneyU(df).collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    // ranks: 1, {2.5, 2.5} tie, 4 -> R_a = 3.5, U_a = 3.5 - 3 = 0.5
+    assert(r.getAs[Double]("u_a") == 0.5)
+    // z = (0.5 - 2) / sqrt(1/3 * (5 - 6/12)) = -1.5/sqrt(1.5)
+    assert(math.abs(r.getAs[Double]("z") - -1.224745) < 1e-9)
+  }
+
+  test("mann-whitney: identical distributions give u_a = n_a*n_b/2 and z = 0") {
+    import spark.implicits._
+    val df = (1 to 10).flatMap(i =>
+      Seq(("click", i / 100.0), ("purchase", i / 100.0)))
+      .toDF("event_type", "value")
+    val r = Stats.mannWhitneyU(df).collect().head
+    assert(r.getAs[Double]("u_a") == 50.0)
+    assert(r.getAs[Double]("z") == 0.0)
+  }
+
+  test("ols: perfect line gives exact slope/intercept/r2; hand moments for a non-fit") {
+    import spark.implicits._
+    val df = Seq(("A", 1.0, 2.00), ("A", 2.0, 4.00), ("A", 3.0, 6.00),
+      ("R", 1.0, 1.00), ("R", 2.0, 2.00), ("R", 3.0, 4.00))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val m = Stats.olsPriceOnQty(df).collect()
+      .map(r => r.getAs[String]("flag") -> r).toMap
+    assert(m("A").getAs[Double]("slope_cents_per_unit") == 200.0)
+    assert(m("A").getAs[Double]("intercept_cents") == 0.0)
+    assert(m("A").getAs[Double]("r2") == 1.0)
+    // R: num = 3*1700-6*700 = 900, den = 6 -> slope 150; r2 = 900^2/(6*140000)
+    assert(m("R").getAs[Double]("slope_cents_per_unit") == 150.0)
+    assert(math.abs(m("R").getAs[Double]("intercept_cents") - -66.6667) < 1e-9)
+    assert(math.abs(m("R").getAs[Double]("r2") - 810000.0 / 840000.0) < 1e-6)
+  }
+
+  test("daily autocorr: +1 on a doubling series; a gap day pairs only adjacents") {
+    import spark.implicits._
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day}%02d 12:00:00")
+    val perfect = Seq((d(1), 1.00), (d(2), 2.00), (d(3), 4.00)).toDF("ts", "value")
+    val r = Stats.dailyRevenueAutocorr(perfect).collect().head
+    assert(r.getAs[Long]("n_pairs") == 2L)
+    assert(r.getAs[Double]("autocorr_lag1") == 1.0)
+    val gapped = Seq((d(1), 1.00), (d(2), 2.00), (d(4), 4.00)).toDF("ts", "value")
+    val g = Stats.dailyRevenueAutocorr(gapped).collect().head
+    assert(g.getAs[Long]("n_pairs") == 1L, "day 2 -> day 4 must NOT pair")
+    assert(g.isNullAt(g.fieldIndex("autocorr_lag1")),
+      "one pair has no defined correlation — null, not a crash")
+  }
+
   test("zorder buckets bound both dimensions (the data-skipping property)") {
     val stats = Stats.zorderClustering(Tables.events(spark, sf("sf0.01"))).collect()
     stats.foreach { r =>

@@ -276,4 +276,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(2L) == (2L, 1L, 0.5))
     assert(r(3L) == (3L, 1L, 0.333333))
   }
+
+  test("burstiness: clumped word beats evenly-spread word; df<2 filtered") {
+    import spark.implicits._
+    val df = Seq((1L, "a a a b"), (2L, "a b"), (3L, "b c"))
+      .toDF("doc_id", "text")
+    val rows = operators.TextAnalysis.wordBurstiness(df).collect()
+    val m = rows.map(r => r.getAs[String]("word") ->
+      (r.getAs[Long]("df"), r.getAs[Long]("total_tf"),
+        r.getAs[Double]("vmr"))).toMap
+    // a: tf {3, 1} over 2 docs -> mean 2, var 2, VMR 1; b: tf {1,1,1} -> VMR 0
+    assert(m("a") == (2L, 4L, 1.0))
+    assert(m("b") == (3L, 3L, 0.0))
+    assert(!m.contains("c"), "df=1 word must be filtered")
+    assert(rows.head.getAs[String]("word") == "a", "ordered by VMR desc")
+  }
 }
