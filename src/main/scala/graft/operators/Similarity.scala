@@ -714,6 +714,35 @@ object Similarity {
   private[operators] val rrfScoreExpr =
     "(coalesce(1.0 / (60.0 + cast(r_cos as double)), 0.0) + " +
       "coalesce(1.0 / (60.0 + cast(r_ip as double)), 0.0))"
+
+  /** s18: Matryoshka truncation recall ladder (Kusupati et al.
+    * NeurIPS'22) — retrieval recall@k when only the first m embedding
+    * dimensions are used, for a ladder of m. MRL-trained models front-
+    * load information so prefixes stay usable; this census measures
+    * exactly the storage/recall trade a 100 TB vector store would bank
+    * on (half the dims = half the scan bytes and twice the cache hits).
+    *
+    * Scale shape: each rung reuses [[cosineTopK]]'s broadcast-query
+    * scan on a SLICED copy of the corpus (narrower vectors, same plan);
+    * recall joins two nQueries·k-bounded lists on (query, neighbor) and
+    * reduces to |dims| rows — nothing corpus-sized ever shuffles. The
+    * full-width rung doubles as a built-in sanity bound (recall = 1). */
+  def mrlRecall(vecs: DataFrame, nQueries: Int, k: Int,
+                dims: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    val full = cosineTopK(vecs, nQueries, k)
+      .select(col("q_id"), col("neighbor_id"))
+    val perDim = dims.map { m =>
+      cosineTopK(vecs.withColumn("embedding",
+        slice(col("embedding"), 1, m)), nQueries, k)
+        .select(lit(m).as("dim"), col("q_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    perDim.join(full, Seq("q_id", "neighbor_id"))
+      .groupBy("dim").agg(count(lit(1)).as("hits"))
+      .select(col("dim"), col("hits"),
+        pround(col("hits").cast("double") /
+          lit((nQueries * k).toDouble), 6).as("recall"))
+      .orderBy("dim")
+  }
 }
 
 object SimilarityQueries {
@@ -1394,5 +1423,42 @@ object SimilarityQueries {
       doc = "reciprocal-rank-fusion hybrid retrieval (cosine + MIPS " +
         "top-10 lists, score = sum 1/(60+rank)): bounded-list full-outer " +
         "join, heavy work stays in the component retrievers"),
+
+    Q("s18_mrl_recall",
+      (s, d) => mrlRecall(vecs(s, d), 5, 5),
+      Some("""WITH dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+             |fm AS (
+             |  SELECT dim, vec_id,
+             |         list_transform(range(1, dim + 1),
+             |           i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 100000.0) AS BIGINT)) AS f
+             |  FROM embeddings CROSS JOIN dims),
+             |nm AS (
+             |  SELECT dim, vec_id, f,
+             |         CAST(list_sum(list_transform(f, x -> x * x)) AS BIGINT) AS nrm
+             |  FROM fm),
+             |p AS (
+             |  SELECT a.dim, a.vec_id AS q_id, b.vec_id AS neighbor_id,
+             |         CAST(CAST(list_sum(list_transform(range(1, len(a.f) + 1),
+             |                i -> a.f[i] * b.f[i])) AS BIGINT) AS DOUBLE)
+             |           / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos
+             |  FROM nm a JOIN nm b ON b.vec_id <> a.vec_id AND b.dim = a.dim
+             |  WHERE a.vec_id < 5),
+             |r AS (
+             |  SELECT dim, q_id, neighbor_id,
+             |         row_number() OVER (PARTITION BY dim, q_id
+             |           ORDER BY cos DESC, neighbor_id) AS rn
+             |  FROM p),
+             |t AS (SELECT dim, q_id, neighbor_id FROM r WHERE rn <= 5),
+             |base AS (SELECT q_id, neighbor_id FROM t WHERE dim = 64),
+             |h AS (
+             |  SELECT t.dim, count(*) AS hits
+             |  FROM t JOIN base USING (q_id, neighbor_id) GROUP BY 1)
+             |SELECT dim, hits,
+             |       floor(cast(hits as double) / 25.0 * 1000000.0 + 0.5)
+             |         / 1000000.0 AS recall
+             |FROM h ORDER BY dim""".stripMargin),
+      doc = "Matryoshka truncation recall ladder (prefix dims 8/16/32/64 " +
+        "vs full-width top-5): sliced-corpus reuse of the broadcast " +
+        "cosine scan, bounded-list recall join, full rung pins recall=1"),
   )
 }

@@ -656,6 +656,67 @@ object Stats {
         pround(expr(acf1Expr), 9).as("autocorr_lag1"))
   }
 
+  /** x31: two-proportion z-test on conversion (did the user ever
+    * purchase?) between hash-split variants — THE A/B-test statistic
+    * for binary outcomes, complementing Welch (means, x24), CUPED
+    * (variance reduction, x27) and Mann-Whitney (distributions, x28).
+    *
+    * Scale shape: one user_id-keyed conditional-max pass reduces facts
+    * to a flag per user; variants reduce to (n, k) count pairs — two
+    * rows total — and the pooled-variance z is one shared-text IEEE
+    * tree over those exact integers. */
+  def propZTest(events: DataFrame, success: String = "purchase"): DataFrame = {
+    val per = events.groupBy("user_id")
+      .agg(max(when(col("event_type") === success, 1L).otherwise(0L)).as("s"))
+      .select((col("user_id") % 2).as("variant"), col("s"))
+    val v = per.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("s").as("k"))
+    val a = v.where(col("variant") === 0)
+      .select(col("n").as("na"), col("k").as("ka"))
+    val b = v.where(col("variant") === 1)
+      .select(col("n").as("nb"), col("k").as("kb"))
+    a.crossJoin(b).select(
+      col("na").as("n_a"), col("ka").as("k_a"),
+      col("nb").as("n_b"), col("kb").as("k_b"),
+      pround(expr(propPa), 6).as("p_a"),
+      pround(expr(propPb), 6).as("p_b"),
+      pround(expr(propZExpr), 6).as("z"))
+  }
+
+  // Pooled two-proportion z tree, shared verbatim with the oracle. A
+  // degenerate pool (0% or 100% conversion) has zero variance -> null.
+  private[operators] val propPa = "(cast(ka as double) / cast(na as double))"
+  private[operators] val propPb = "(cast(kb as double) / cast(nb as double))"
+  private val propPool =
+    "((cast(ka as double) + cast(kb as double)) / (cast(na as double) + cast(nb as double)))"
+  private[operators] val propZExpr =
+    s"(case when $propPool * (1.0 - $propPool) = 0.0 then cast(null as double) " +
+      s"else ($propPa - $propPb) / sqrt($propPool * (1.0 - $propPool) * " +
+      "(1.0 / cast(na as double) + 1.0 / cast(nb as double))) end)"
+
+  /** x32: day-of-week seasonality profile of event revenue — the
+    * weekly-cycle census behind staffing/alert baselines and the
+    * seasonal term x30's autocorrelation doesn't isolate.
+    *
+    * Scale shape: ONE combinable pass keyed by a 7-value integer
+    * day-of-week (epoch-day arithmetic, the f4 discipline — engine
+    * date functions disagree on week conventions, `(day+4) mod 7`
+    * cannot); the share denominator is a broadcast one-row total. */
+  def dowSeasonality(events: DataFrame): DataFrame = {
+    // epoch day 0 = 1970-01-01, a Thursday: +4 makes 0 = Sunday
+    val per = events
+      .select(expr("(unix_timestamp(ts) div 86400 + 4) % 7").as("dow"),
+        expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("c"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_events"), sum("c").as("rev"))
+    val tot = per.agg(sum("rev").as("tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_events"), col("rev").as("revenue_cents"),
+        pround(expr("cast(rev as double) / cast(tot as double)"), 9)
+          .as("revenue_share"))
+      .orderBy("dow")
+  }
+
   // Fewer than two pairs, or a constant series, has no defined
   // correlation: CASE-guarded null, not ANSI divide-by-zero.
   private val acf1Den =
@@ -1082,5 +1143,42 @@ object StatsQueries {
       doc = "lag-1 autocorrelation of daily revenue: facts reduce to one " +
         "row per day, lag pairing is an equi-join on day+1 (gap days " +
         "excluded, never windowed), Pearson from exact integer moments"),
+
+    Q("x31_prop_ztest",
+      (s, d) => propZTest(Tables.events(s, d)),
+      Some(s"""WITH per AS (
+              |  SELECT user_id,
+              |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s
+              |  FROM events GROUP BY 1),
+              |v AS (
+              |  SELECT user_id % 2 AS variant, count(*) AS n,
+              |         CAST(sum(s) AS BIGINT) AS k
+              |  FROM per GROUP BY 1),
+              |a AS (SELECT n AS na, k AS ka FROM v WHERE variant = 0),
+              |b AS (SELECT n AS nb, k AS kb FROM v WHERE variant = 1)
+              |SELECT na AS n_a, ka AS k_a, nb AS n_b, kb AS k_b,
+              |       floor(($propPa) * 1000000.0 + 0.5) / 1000000.0 AS p_a,
+              |       floor(($propPb) * 1000000.0 + 0.5) / 1000000.0 AS p_b,
+              |       floor(($propZExpr) * 1000000.0 + 0.5) / 1000000.0 AS z
+              |FROM a CROSS JOIN b""".stripMargin),
+      doc = "two-proportion z-test on user conversion between hash-split " +
+        "variants: per-user conditional-max pass, two (n, k) rows, " +
+        "pooled-variance shared-tree z"),
+
+    Q("x32_dow_seasonality",
+      (s, d) => dowSeasonality(Tables.events(s, d)),
+      Some("""WITH per AS (
+             |  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS dow,
+             |         count(*) AS n_events,
+             |         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+             |  FROM events GROUP BY 1),
+             |tot AS (SELECT CAST(sum(rev) AS BIGINT) AS tot FROM per)
+             |SELECT dow, n_events, rev AS revenue_cents,
+             |       floor(cast(rev as double) / cast(tot as double)
+             |             * 1000000000.0 + 0.5) / 1000000000.0 AS revenue_share
+             |FROM per CROSS JOIN tot ORDER BY dow""".stripMargin),
+      doc = "day-of-week revenue seasonality: 7-bucket integer epoch-day " +
+        "arithmetic (engine week conventions avoided), one combinable " +
+        "pass, broadcast total for shares"),
   )
 }

@@ -259,6 +259,16 @@ class SimilaritySpec extends SparkSpec {
     assert(full.last._3 == 1.0, s"all-cells probe recall ${full.last._3} != 1")
   }
 
+  test("mrl recall: full-width rung is exactly 1, recall in (0,1], hits bounded") {
+    val r = Similarity.mrlRecall(vecs, 3, 5).orderBy("dim")
+      .collect().map(x => x.getAs[Int]("dim") ->
+        (x.getAs[Long]("hits"), x.getAs[Double]("recall"))).toMap
+    assert(r(64)._2 == 1.0, "full-width truncation must reproduce the baseline")
+    r.foreach { case (d, (h, rec)) =>
+      assert(h <= 15L && rec > 0.0 && rec <= 1.0, s"dim $d: hits $h recall $rec")
+    }
+  }
+
   test("rrf fusion: scores recompose from the component ranks, dense per-query ranks") {
     val kIn = 10
     val cos = Similarity.cosineTopK(vecs, 3, kIn).collect()

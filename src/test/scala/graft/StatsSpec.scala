@@ -196,6 +196,43 @@ class StatsSpec extends SparkSpec {
       "one pair has no defined correlation — null, not a crash")
   }
 
+  test("prop z-test: hand value, and sign flips with the better variant") {
+    import spark.implicits._
+    // variant 0 (even users): 1 of 2 convert; variant 1: 2 of 2 convert
+    val df = Seq((0L, "purchase"), (0L, "view"), (2L, "view"),
+      (1L, "purchase"), (3L, "purchase"))
+      .toDF("user_id", "event_type")
+    val r = Stats.propZTest(df).collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("k_a") == 1L)
+    assert(r.getAs[Long]("n_b") == 2L && r.getAs[Long]("k_b") == 2L)
+    assert(r.getAs[Double]("p_a") == 0.5 && r.getAs[Double]("p_b") == 1.0)
+    // pooled p = 3/4; z = -0.5 / sqrt(0.1875 * 1) = -1.154701
+    assert(math.abs(r.getAs[Double]("z") - -1.154701) < 1e-9)
+  }
+
+  test("prop z-test: all-converted pool has zero variance -> null z") {
+    import spark.implicits._
+    val df = Seq((0L, "purchase"), (1L, "purchase")).toDF("user_id", "event_type")
+    val r = Stats.propZTest(df).collect().head
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
+  test("dow seasonality: 7 buckets max, shares sum to ~1, epoch day 0 is Sunday+4") {
+    import spark.implicits._
+    // 1970-01-01 (epoch day 0) is a Thursday -> (0+4)%7 = 4
+    val df = Seq(
+      (java.sql.Timestamp.valueOf("1970-01-01 06:00:00"), 1.00),
+      (java.sql.Timestamp.valueOf("1970-01-02 06:00:00"), 3.00))
+      .toDF("ts", "value")
+    val rows = Stats.dowSeasonality(df).collect()
+    val m = rows.map(r => r.getAs[Long]("dow") ->
+      (r.getAs[Long]("revenue_cents"), r.getAs[Double]("revenue_share"))).toMap
+    assert(m(4L) == (100L, 0.25) && m(5L) == (300L, 0.75))
+    val real = Stats.dowSeasonality(Tables.events(spark, sf("sf0.01"))).collect()
+    assert(real.length <= 7)
+    assert(math.abs(real.map(_.getAs[Double]("revenue_share")).sum - 1.0) < 1e-6)
+  }
+
   test("zorder buckets bound both dimensions (the data-skipping property)") {
     val stats = Stats.zorderClustering(Tables.events(spark, sf("sf0.01"))).collect()
     stats.foreach { r =>
