@@ -323,6 +323,22 @@ object Plans {
         "cohort aggregate and join reuse the user_id hash partitioning " +
         "(AQE exchange reuse); cells are |weeks|² rows, denominator " +
         "join broadcast."),
+    "x28_mann_whitney" ->
+      ("Mann-Whitney: facts partial-aggregate to cent-value bins; the " +
+        "one rank window is single-partition over the BINNED domain " +
+        "(the x25 shape), then a one-row moment aggregate."),
+    "x29_ols_price_qty" ->
+      ("OLS: pushed 3-column scan into ONE combinable decimal moment " +
+        "aggregate per flag; normal equations are |groups|-row " +
+        "projections — no second fact pass."),
+    "s17_rrf_fusion" ->
+      ("RRF: both component retrievers end in k-bounded windows; the " +
+        "fusion full-outer join and re-rank window touch only " +
+        "nQueries×k rows — nothing corpus-sized after the scans."),
+    "s18_mrl_recall" ->
+      ("MRL ladder: each rung is the same broadcast-queries cosine " +
+        "scan over a sliced corpus column (narrower vectors, same " +
+        "plan); recall joins bounded lists and reduces to |dims| rows."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -114,6 +114,9 @@ object ScaleDemo {
       // luck, bounds per-shingle emission (at cap²/2) at any corpus size
       "ngram_candidates_cap16" -> (d => operators.Dedup.ngramCandidates(
         operators.Dedup.shingleHashRows(d).distinct(), 16).count()),
+      // per-word moments + TakeOrdered cap: F× docs widen the explode,
+      // never the |vocab|-row moment table or the top-k
+      "burstiness" -> (d => operators.TextAnalysis.wordBurstiness(d).count()),
       // sink throughput (VERDICT r8 gap: W8/R7 were spec-only — no write
       // path ever appeared in a bench artifact). The timed section covers
       // compute + write + a read-back line count that doubles as the row
@@ -141,7 +144,11 @@ object ScaleDemo {
       // both reduce to |labels|×d moments in one explode pass — the
       // downstream pair join must stay constant-size as the corpus grows
       "centroid_matrix" -> (v => operators.Similarity.centroidMatrix(v).count()),
-      "label_spread" -> (v => operators.Similarity.labelSpread(v).count()))
+      "label_spread" -> (v => operators.Similarity.labelSpread(v).count()),
+      // fusion/ladder consume k-bounded lists; F× corpus grows only the
+      // component scans, never the combiner
+      "rrf_fusion" -> (v => operators.Similarity.rrfFusion(v).count()),
+      "mrl_recall" -> (v => operators.Similarity.mrlRecall(v, 5, 5).count()))
     val eventOps: Seq[(String, DataFrame => Long)] = Seq(
       "event_transitions" -> (e => operators.Funnel.eventTransitions(e).count()),
       "funnel" -> (e => operators.Funnel.funnelConversion(e).count()),
@@ -153,7 +160,14 @@ object ScaleDemo {
       // KS's window domain is the quantized bin table — constant in the
       // corpus size, so F× more events must not widen the window input
       "ks_two_sample" -> (e =>
-        operators.Stats.ksTwoSample(e, "purchase", "click").count()))
+        operators.Stats.ksTwoSample(e, "purchase", "click").count()),
+      // rank/median windows must stay on the value-domain bins as rows
+      // grow; per-user and per-day reductions are one combinable pass
+      "mann_whitney" -> (e => operators.Stats.mannWhitneyU(e).count()),
+      "prop_ztest" -> (e => operators.Stats.propZTest(e).count()),
+      "time_to_convert" -> (e => operators.Funnel.timeToConvert(e).count()),
+      "dow_seasonality" -> (e => operators.Stats.dowSeasonality(e).count()),
+      "daily_autocorr" -> (e => operators.Stats.dailyRevenueAutocorr(e).count()))
 
     def sweep(name: String, base: DataFrame, big: DataFrame,
               fns: Seq[(String, DataFrame => Long)]): Seq[String] =

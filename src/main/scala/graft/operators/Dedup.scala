@@ -812,6 +812,39 @@ object DedupQueries {
               |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       doc = "G16 cross-source near-dup overlap matrix: y4's threshold " +
         "pairs rolled up per ordered source pair with micro-quantized " +
-        "mean Jaccard — the feed-redundancy census. EAGER (via y4)"),
+        "mean Jaccard — the feed-redundancy census. EAGER (via y4)",
+    ),
+
+    Q("g17_cluster_sizes",
+      (s, d) => dedupClusters(minhashCandidates(docs(s, d), 4))
+        .groupBy("cluster").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("size"),
+      // the g6 recursive-CTE oracle with a two-level rollup on top
+      Some(s"""WITH RECURSIVE $shinglesSqlCte,
+              |hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT AS h FROM sh),
+              |b AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh),
+              |sig AS (
+              |  SELECT doc_id, band,
+              |         min(${affinePermSqlDuck("band", "h")}) AS minh
+              |  FROM b GROUP BY doc_id, band),
+              |pairs AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM sig a JOIN sig b
+              |    ON a.band = b.band AND a.minh = b.minh AND a.doc_id < b.doc_id),
+              |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |walk(node, lbl) AS (
+              |  SELECT src, src FROM e
+              |  UNION
+              |  SELECT e.src, walk.lbl FROM e JOIN walk ON e.dst = walk.node),
+              |c AS (SELECT node AS doc_id, min(lbl) AS cluster
+              |      FROM walk GROUP BY node),
+              |sz AS (SELECT cluster, count(*) AS size FROM c GROUP BY 1)
+              |SELECT size, count(*) AS n_clusters
+              |FROM sz GROUP BY 1 ORDER BY size""".stripMargin),
+      doc = "G17 dedup-cluster size census: the mega-cluster detector " +
+        "run before choosing retention policy — two combinable rollups " +
+        "on g6's component labels, output bounded by |distinct sizes|"),
   )
 }

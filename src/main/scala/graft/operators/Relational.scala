@@ -1391,5 +1391,60 @@ object RelationalQueries {
       doc = "TPC-H Q19-style disjunctive-predicate revenue: OR of three " +
         "conjunctive branches evaluated in one join pass, decimal-exact " +
         "scalar"),
+
+    Q("q36_local_supplier_volume",
+      (s, d) => {
+        // TPC-H Q5 shape — the one classic shape the suite lacked: the
+        // LOCAL-supply constraint c_nationkey = s_nationkey correlates
+        // two different dimension paths to the same fact row, so the
+        // supplier join carries a second, non-key equality. Dims filter
+        // FIRST (one region, one order year), broadcast into the fact
+        // chain; the only big shuffles are the two fact equi-joins
+        // (orders⋈customer-pruned orders, then lineitem), and revenue
+        // sums exact fixed-point units per |nations|-bounded group.
+        val nations = Tables.nation(s, d)
+          .join(Tables.region(s, d).where(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val cust = Tables.customer(s, d)
+          .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+        val ord = Tables.orders(s, d)
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+          .select("o_orderkey", "o_custkey")
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"),
+            floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * 10000.0 + 0.5).cast(DecimalType(38, 0)).as("u"))
+        // customer and supplier are FACT-sized at warehouse scale (only
+        // nation×region is broadcast); these equi-joins shuffle on their
+        // keys and AQE may still elect broadcast at small SF
+        ord.join(cust, col("o_custkey") === col("c_custkey"))
+          .join(li, col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+            col("s_suppkey") === col("l_suppkey") &&
+              col("s_nationkey") === col("c_nationkey"))
+          .groupBy("n_name")
+          .agg((sum("u").cast("double") / 10000.0).as("revenue"))
+          .orderBy(desc("revenue"), col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0 AS revenue
+             |FROM customer
+             |JOIN nation ON n_nationkey = c_nationkey
+             |JOIN region ON r_regionkey = n_regionkey AND r_name = 'ASIA'
+             |JOIN orders ON o_custkey = c_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |              AND s_nationkey = c_nationkey
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY n_name
+             |ORDER BY revenue DESC, n_name""".stripMargin),
+      doc = "TPC-H Q5-style local-supplier volume: correlated dim paths " +
+        "(c_nationkey = s_nationkey on the same fact row), filtered dims " +
+        "broadcast ahead of the two fact shuffles, exact fixed-point " +
+        "revenue per bounded nation group"),
   )
 }

@@ -63,6 +63,16 @@ class DedupClusterSpec extends SparkSpec {
     assert(got.forall { case (node, lbl) => lbl >= 1L && lbl <= node })
   }
 
+  test("cluster size histogram: path(3) + edge(2) -> one size-3 and one size-2 cluster") {
+    import org.apache.spark.sql.functions._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val hist = Dedup.dedupClusters(pairs)
+      .groupBy("cluster").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+      .as[(Long, Long)].collect().toMap
+    assert(hist === Map(3L -> 1L, 2L -> 1L))
+  }
+
   test("cluster reps: each representative has its cluster's max quality") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf("sf0.001"))

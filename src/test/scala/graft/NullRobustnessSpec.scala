@@ -61,6 +61,29 @@ class NullRobustnessSpec extends SparkSpec {
     assert(got === Set(1L, 3L))
   }
 
+  test("burstiness drops token-less docs; all-df-1 vocab yields empty, not a crash") {
+    // only doc 0 tokenizes, so every word has df=1 -> filtered out
+    assert(TextAnalysis.wordBurstiness(docs).count() === 0)
+  }
+
+  test("time-to-convert with zero converters: null mean/median, zero counts, no throw") {
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val r = operators.Funnel.timeToConvert(ev).collect().head
+    assert(r.getAs[Long]("n_from") === 0L)
+    assert(r.getAs[Long]("n_converted") === 0L)
+    assert(r.isNullAt(r.fieldIndex("avg_delta_sec")))
+    assert(r.isNullAt(r.fieldIndex("p50_delta_min")))
+  }
+
+  test("mann-whitney with one empty group: exact u_a=0, null z, no ANSI crash") {
+    val ev = Seq(("purchase", 1.00), ("purchase", 2.00)).toDF("event_type", "value")
+    val r = operators.Stats.mannWhitneyU(ev).collect().head
+    assert(r.getAs[Long]("n_a") === 0L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Double]("u_a") === 0.0)
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
   private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
