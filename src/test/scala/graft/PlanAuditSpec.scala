@@ -438,4 +438,43 @@ class PlanAuditSpec extends SparkSpec {
       "the KL plan must read the materialized count, not re-scan the " +
         "corpus per branch\n" + p.take(1500))
   }
+
+  test("x28: the rank window's input is the binned aggregate, not event rows") {
+    // exactly one windowspecdefinition, and it sits ABOVE a partial+final
+    // hash aggregate pair (the cent-value binning) — the window never
+    // consumes the raw scan
+    val p = plan("x28_mann_whitney")
+    assert("windowspecdefinition".r.findAllIn(p).size >= 1)
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(1200))
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0 && winIdx < p.lastIndexOf("HashAggregate"),
+      "rank window must be fed by the bin aggregate")
+  }
+
+  test("x29: OLS is one combinable aggregate — no window, no self-join") {
+    val p = plan("x29_ols_price_qty")
+    assert(!p.contains("Window"), "moments need no window")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "single-pass moments need no join\n" + p.take(1000))
+    assert(p.contains("partial"), "map-side partial aggregation required")
+  }
+
+  test("q36: only nation/region dims broadcast; customer and supplier joins shuffle") {
+    val p = plan("q36_local_supplier_volume")
+    // at sf0.001 AQE may elect broadcast for small sides; audit the
+    // pre-AQE plan via the logical contract instead: no broadcast HINT
+    // on customer/supplier in the analyzed plan
+    val logical = Registry.all.find(_.name == "q36_local_supplier_volume").get
+      .run(spark, sf("sf0.001")).queryExecution.analyzed.toString
+    val hints = "ResolvedHint".r.findAllIn(logical).size
+    assert(hints <= 1, s"only the nation-region dim may carry a broadcast hint\n$hints")
+  }
+
+  test("s18: every MRL rung broadcasts only the query side") {
+    val p = plan("s18_mrl_recall")
+    // sliced-corpus scans stay un-broadcast: each BroadcastExchange in
+    // the rungs carries the 5-row query filter, bounded by #rungs + 1
+    assert("BroadcastExchange".r.findAllIn(p).size <= 6, p.take(1200))
+  }
 }
