@@ -743,6 +743,54 @@ object Similarity {
           lit((nQueries * k).toDouble), 6).as("recall"))
       .orderBy("dim")
   }
+
+  /** s19: pairwise covariance/correlation census over the leading
+    * embedding dimensions — the feature-health check (dead, duplicated,
+    * or highly-correlated dimensions) run before trusting an embedding
+    * space for dedup or retrieval; the bivariate complement to s9's
+    * per-dimension univariate census.
+    *
+    * Scale shape: ONE projection explodes each vector into its
+    * C(nDims,2) leading-dim pairs (a generator, not a join — the
+    * self-join alternative would shuffle the corpus on vec_id); the
+    * pair moments are a single combinable DECIMAL(38,0) aggregate to a
+    * C(nDims,2)-row table, and covariance/correlation are shared-text
+    * IEEE trees over those exact integers. */
+  def dimCovariance(vecs: DataFrame, nDims: Int = 8): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val pairs = vecs.select(expr(fixedExpr).as("f"))
+      .select(expr(
+        // element_at is 1-based (Spark's bracket indexing is 0-based,
+        // DuckDB's is 1-based — element_at matches the oracle)
+        s"""inline(flatten(transform(sequence(1, ${nDims - 1}), i ->
+           |  transform(sequence(i + 1, $nDims), j ->
+           |    struct(cast(i as bigint) as i, cast(j as bigint) as j,
+           |           element_at(f, i) as xi, element_at(f, j) as xj)))))""".stripMargin))
+    pairs.groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi").cast(dec)).as("si"), sum(col("xj").cast(dec)).as("sj"),
+        sum(col("xi").cast(dec) * col("xj").cast(dec)).as("sij"),
+        sum(col("xi").cast(dec) * col("xi").cast(dec)).as("sii"),
+        sum(col("xj").cast(dec) * col("xj").cast(dec)).as("sjj"))
+      .select(col("i"), col("j"), col("n"),
+        pround(expr(dimCovExpr), 9).as("cov"),
+        pround(expr(dimCorrExpr), 9).as("corr"))
+      .orderBy("i", "j")
+  }
+
+  // Covariance in ORIGINAL float units (fixed-point is 1e5 per axis ->
+  // divide the sample covariance by 1e10); correlation is unitless.
+  // Shared verbatim with the oracle; constant-dim corpora -> null corr.
+  private[operators] val dimCovExpr =
+    "(((cast(sij as double) - cast(si as double) * cast(sj as double) / cast(n as double)) / " +
+      "(cast(n as double) - 1.0)) / 10000000000.0)"
+  private val dimCorrDen =
+    "(sqrt(cast(n as double) * cast(sii as double) - cast(si as double) * cast(si as double)) * " +
+      "sqrt(cast(n as double) * cast(sjj as double) - cast(sj as double) * cast(sj as double)))"
+  private[operators] val dimCorrExpr =
+    s"(case when $dimCorrDen = 0.0 then cast(null as double) else " +
+      s"(cast(n as double) * cast(sij as double) - cast(si as double) * cast(sj as double)) / " +
+      s"$dimCorrDen end)"
 }
 
 object SimilarityQueries {
@@ -1459,6 +1507,35 @@ object SimilarityQueries {
              |FROM h ORDER BY dim""".stripMargin),
       doc = "Matryoshka truncation recall ladder (prefix dims 8/16/32/64 " +
         "vs full-width top-5): sliced-corpus reuse of the broadcast " +
-        "cosine scan, bounded-list recall join, full rung pins recall=1"),
+        "cosine scan, bounded-list recall join, full rung pins recall=1",
+    ),
+
+    Q("s19_dim_covariance",
+      (s, d) => dimCovariance(vecs(s, d)),
+      Some(s"""WITH f0 AS (
+              |  SELECT list_transform(embedding,
+              |           x -> CAST(floor(CAST(x AS DOUBLE) * 100000.0) AS BIGINT)) AS f
+              |  FROM embeddings),
+              |px AS (
+              |  SELECT unnest(flatten(list_transform(range(1, 8), i ->
+              |           list_transform(range(i + 1, 9), j ->
+              |             {'i': i, 'j': j, 'xi': f[i], 'xj': f[j]})))) AS p
+              |  FROM f0),
+              |mo AS (
+              |  SELECT p.i AS i, p.j AS j, count(*) AS n,
+              |         sum(CAST(p.xi AS HUGEINT)) AS si,
+              |         sum(CAST(p.xj AS HUGEINT)) AS sj,
+              |         sum(CAST(p.xi AS HUGEINT) * CAST(p.xj AS HUGEINT)) AS sij,
+              |         sum(CAST(p.xi AS HUGEINT) * CAST(p.xi AS HUGEINT)) AS sii,
+              |         sum(CAST(p.xj AS HUGEINT) * CAST(p.xj AS HUGEINT)) AS sjj
+              |  FROM px GROUP BY 1, 2)
+              |SELECT i, j, n,
+              |       floor(($dimCovExpr) * 1000000000.0 + 0.5) / 1000000000.0 AS cov,
+              |       floor(($dimCorrExpr) * 1000000000.0 + 0.5) / 1000000000.0 AS corr
+              |FROM mo ORDER BY i, j""".stripMargin),
+      doc = "pairwise covariance/correlation census over the leading 8 " +
+        "embedding dims (feature-health check): one generator projection " +
+        "to C(8,2) pairs per vector — no self-join — then a combinable " +
+        "DECIMAL moment pass to a 28-row table"),
   )
 }

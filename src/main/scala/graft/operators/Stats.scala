@@ -717,6 +717,48 @@ object Stats {
       .orderBy("dow")
   }
 
+  /** x33: winsorized mean of event value per event type (5th/95th
+    * percentile clamping) — the robust-metric transform every
+    * experimentation platform applies before averaging heavy-tailed
+    * revenue, and the clamped complement to x16-style trimming.
+    *
+    * Scale shape (the x25/x28 domain-bounding discipline): values
+    * quantize to cents and reduce to (group, cent) bins in one
+    * combinable pass; the percentile window runs per group over the
+    * BIN table; the clamp bounds come back as a broadcast |groups|-row
+    * join, and the winsorized sum is exact integer arithmetic over the
+    * same bin table — observations are never sorted or re-scanned.
+    * Percentile convention pinned explicitly: lo/hi = smallest cent
+    * value whose cumulative count reaches ceil(0.05n)/ceil(0.95n). */
+  def winsorizedMean(events: DataFrame): DataFrame = {
+    val bins = events
+      .select(col("event_type").as("g"),
+        expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins.withColumn("cum", sum("cnt").over(w))
+    val tot = bins.groupBy("g").agg(sum("cnt").as("n"))
+    val j = cum.join(broadcast(tot), "g")
+    val lo = j.where(col("cum") >= expr("(n + 19) div 20"))
+      .groupBy("g").agg(min("v").as("lo"))
+    val hi = j.where(col("cum") >= expr("(19 * n + 19) div 20"))
+      .groupBy("g").agg(min("v").as("hi"))
+    bins.join(broadcast(lo), "g").join(broadcast(hi), "g")
+      .select(col("g"),
+        (greatest(col("lo"), least(col("hi"), col("v"))) * col("cnt")).as("wv"))
+      .groupBy("g").agg(sum("wv").as("sw"))
+      .join(broadcast(tot), "g").join(broadcast(lo), "g")
+      .join(broadcast(hi), "g")
+      .select(col("g").as("event_type"), col("n"),
+        col("lo").as("lo_cents"), col("hi").as("hi_cents"),
+        pround(expr(winsorMeanExpr), 6).as("winsorized_mean"))
+      .orderBy("event_type")
+  }
+
+  private[operators] val winsorMeanExpr =
+    "(cast(sw as double) / cast(n as double) / 100.0)"
+
   // Fewer than two pairs, or a constant series, has no defined
   // correlation: CASE-guarded null, not ANSI divide-by-zero.
   private val acf1Den =
@@ -1180,5 +1222,34 @@ object StatsQueries {
       doc = "day-of-week revenue seasonality: 7-bucket integer epoch-day " +
         "arithmetic (engine week conventions avoided), one combinable " +
         "pass, broadcast total for shares"),
+
+    Q("x33_winsorized_mean",
+      (s, d) => winsorizedMean(Tables.events(s, d)),
+      Some(s"""WITH bins AS (
+              |  SELECT event_type AS g,
+              |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+              |         count(*) AS cnt
+              |  FROM events GROUP BY 1, 2),
+              |cum AS (
+              |  SELECT g, v, cnt,
+              |         sum(cnt) OVER (PARTITION BY g ORDER BY v
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |  FROM bins),
+              |tot AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM bins GROUP BY 1),
+              |lo AS (SELECT g, min(v) AS lo FROM cum JOIN tot USING (g)
+              |       WHERE cum >= (n + 19) // 20 GROUP BY g),
+              |hi AS (SELECT g, min(v) AS hi FROM cum JOIN tot USING (g)
+              |       WHERE cum >= (19 * n + 19) // 20 GROUP BY g),
+              |sw AS (
+              |  SELECT g, CAST(sum(greatest(lo, least(hi, v)) * cnt) AS BIGINT) AS sw
+              |  FROM bins JOIN lo USING (g) JOIN hi USING (g) GROUP BY g)
+              |SELECT g AS event_type, n, lo AS lo_cents, hi AS hi_cents,
+              |       floor(($winsorMeanExpr) * 1000000.0 + 0.5) / 1000000.0 AS winsorized_mean
+              |FROM sw JOIN tot USING (g) JOIN lo USING (g) JOIN hi USING (g)
+              |ORDER BY event_type""".stripMargin),
+      doc = "5/95 winsorized mean per event type: cent-bin reduction, " +
+        "per-group percentile window over BINS, broadcast clamp bounds, " +
+        "exact integer winsorized sums; percentile convention pinned " +
+        "as smallest value reaching ceil(p*n)"),
   )
 }

@@ -269,6 +269,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dim covariance: 28 pairs, symmetric hand values, duplicated dim has corr 1") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)), StructField("label", IntegerType)))
+    // dim1 = dim2 (perfectly correlated), dim3 constant (null corr)
+    val rows = (1 to 4).map(i => Row(i.toLong,
+      Array.fill(8)(0f).updated(0, i.toFloat).updated(1, i.toFloat)
+        .updated(2, 7f).toSeq, 0))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val got = Similarity.dimCovariance(df).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) ->
+        (r.getAs[Double]("cov"), r.get(r.fieldIndex("corr")))).toMap
+    assert(got.size == 28)
+    // var of {1,2,3,4} = 5/3; identical dims -> cov = var, corr = 1
+    assert(math.abs(got((1L, 2L))._1 - 5.0 / 3.0) < 1e-6)
+    // sqrt(x)*sqrt(x) may land 1 ulp off x, so corr can round to
+    // 0.999999999 at 9 dp — assert within 1e-8 rather than exact 1.0
+    assert(math.abs(got((1L, 2L))._2.asInstanceOf[Double] - 1.0) < 1e-8)
+    assert(got((1L, 3L))._2 == null, "constant dim must yield null corr")
+    assert(got((3L, 4L))._1 == 0.0)
+  }
+
   test("rrf fusion: scores recompose from the component ranks, dense per-query ranks") {
     val kIn = 10
     val cos = Similarity.cosineTopK(vecs, 3, kIn).collect()

@@ -233,6 +233,27 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(real.map(_.getAs[Double]("revenue_share")).sum - 1.0) < 1e-6)
   }
 
+  test("winsorized mean: clamps the outlier, bounds pinned at ceil(p*n)") {
+    import spark.implicits._
+    // 20 values: 1..19 cents plus one 10000-cent outlier
+    val df = ((1 to 19).map(i => ("click", i / 100.0)) :+ (("click", 100.0)))
+      .toDF("event_type", "value")
+    val r = Stats.winsorizedMean(df).collect().head
+    // n=20: lo = v at cum>=1 -> 1; hi = v at cum>=19 -> 19 (outlier clamped)
+    assert(r.getAs[Long]("n") == 20L)
+    assert(r.getAs[Long]("lo_cents") == 1L && r.getAs[Long]("hi_cents") == 19L)
+    // winsorized sum = (1+...+19) + 19 = 209 cents -> mean 0.1045
+    assert(r.getAs[Double]("winsorized_mean") == 0.1045)
+  }
+
+  test("winsorized mean equals the plain mean when nothing crosses the bounds") {
+    import spark.implicits._
+    // all mass on one value: lo = hi = v, clamp is the identity
+    val df = (1 to 10).map(_ => ("view", 2.00)).toDF("event_type", "value")
+    val r = Stats.winsorizedMean(df).collect().head
+    assert(r.getAs[Double]("winsorized_mean") == 2.0)
+  }
+
   test("zorder buckets bound both dimensions (the data-skipping property)") {
     val stats = Stats.zorderClustering(Tables.events(spark, sf("sf0.01"))).collect()
     stats.foreach { r =>
