@@ -778,6 +778,71 @@ object Similarity {
       .orderBy("i", "j")
   }
 
+  /** s20: nDCG@k retrieval-quality census — cosine top-k judged by
+    * label agreement (binary relevance), the standard position-
+    * discounted IR metric; the graded companion to s6/s16/s18's recall
+    * ladders (recall counts hits, nDCG also rewards ranking them high).
+    *
+    * Engine parity: the rank discounts 1/log2(r+1) are baked in as a
+    * 12-dp DECIMAL literal table — libm's log2 is NOT guaranteed
+    * bit-identical across engines, a shared literal table is. DCG and
+    * ideal-DCG are exact decimal sums over that table (ideal = the
+    * cumulative weight at R = min(k, #relevant-in-corpus)); the one
+    * division is a shared-text tree, null when a query's label class
+    * has no other member.
+    *
+    * Scale shape: ranking cost is the component retriever's; judging
+    * joins the nQueries·k-bounded list against the label projection
+    * (broadcast the LIST side, never the corpus) plus a |labels|-row
+    * class-size aggregate. */
+  def ndcgAtK(vecs: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val wdf = broadcast(ndcgWeights.take(k).toDF("r", "w")
+      .select(col("r"), col("w").cast(DecimalType(14, 12)).as("w"))
+      .withColumn("cumw", sum("w").over(
+        Window.orderBy("r").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow))))
+    val lab = vecs.select(col("vec_id"), col("label"))
+    val classSize = lab.groupBy("label").agg(count(lit(1)).as("csize"))
+    val ranked = cosineTopK(vecs, nQueries, k)
+      .select(col("q_id"), col("neighbor_id"), col("rank"))
+    val judged = broadcast(ranked)
+      .join(lab.select(col("vec_id").as("q_id"), col("label").as("ql")), "q_id")
+      .join(lab.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl")), "neighbor_id")
+      .join(broadcast(wdf.select(col("r").as("rank"), col("w"))), "rank")
+    val dcg = judged.groupBy("q_id", "ql")
+      .agg(sum(when(col("nl") === col("ql"), col("w"))
+        .otherwise(lit(0).cast(DecimalType(14, 12)))).as("dcg"),
+        sum(when(col("nl") === col("ql"), 1L).otherwise(0L)).as("hits"))
+    dcg.join(broadcast(classSize.select(col("label").as("ql"),
+        col("csize"))), "ql")
+      .withColumn("rr", least(lit(k), col("csize") - 1))
+      .join(broadcast(wdf.select(col("r").as("rr"), col("cumw"))), Seq("rr"), "left")
+      .select(col("q_id"), col("hits"), (col("csize") - 1).as("n_relevant"),
+        pround(expr(ndcgExpr), 9).as("ndcg"))
+      .orderBy("q_id")
+  }
+
+  // 1/log2(r+1) at 12 dp, r = 1..10 — the shared literal discount table.
+  private val ndcgWeights: Seq[(Int, BigDecimal)] = Seq(
+    1 -> BigDecimal("1.000000000000"), 2 -> BigDecimal("0.630929753571"),
+    3 -> BigDecimal("0.500000000000"), 4 -> BigDecimal("0.430676558073"),
+    5 -> BigDecimal("0.386852807235"), 6 -> BigDecimal("0.356207187108"),
+    7 -> BigDecimal("0.333333333333"), 8 -> BigDecimal("0.315464876786"),
+    9 -> BigDecimal("0.301029995664"), 10 -> BigDecimal("0.289064826318"))
+
+  // SQL VALUES mirror of the weight table (r, w, cumulative w).
+  private[operators] val ndcgWeightsSql: String =
+    ndcgWeights.scanLeft((0, BigDecimal(0), BigDecimal(0))) {
+      case ((_, _, acc), (r, w)) => (r, w, acc + w)
+    }.tail.map { case (r, w, c) => s"($r, $w, $c)" }.mkString(", ")
+
+  private[operators] val ndcgExpr =
+    "(case when rr < 1 then cast(null as double) else " +
+      "cast(dcg as double) / cast(cumw as double) end)"
+
   // Covariance in ORIGINAL float units (fixed-point is 1e5 per axis ->
   // divide the sample covariance by 1e10); correlation is unitless.
   // Shared verbatim with the oracle; constant-dim corpora -> null corr.
@@ -1537,5 +1602,47 @@ object SimilarityQueries {
         "embedding dims (feature-health check): one generator projection " +
         "to C(8,2) pairs per vector — no self-join — then a combinable " +
         "DECIMAL moment pass to a 28-row table"),
+
+    Q("s20_ndcg",
+      (s, d) => ndcgAtK(vecs(s, d)),
+      Some(s"""WITH $fixedSqlCte,
+              |w(r, w, cumw) AS (VALUES $ndcgWeightsSql),
+              |p AS (
+              |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+              |         CAST(CAST(list_sum(list_transform(range(1, len(a.f) + 1),
+              |                i -> a.f[i] * b.f[i])) AS BIGINT) AS DOUBLE)
+              |           / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos
+              |  FROM n a JOIN n b ON b.vec_id <> a.vec_id
+              |  WHERE a.vec_id < 5),
+              |rk AS (
+              |  SELECT q_id, neighbor_id,
+              |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+              |  FROM p),
+              |t AS (SELECT q_id, neighbor_id, rn FROM rk WHERE rn <= 10),
+              |lab AS (SELECT vec_id, label FROM embeddings),
+              |cs AS (SELECT label, count(*) AS csize FROM lab GROUP BY 1),
+              |j AS (
+              |  SELECT t.q_id, ql.label AS ql, nl.label AS nl, w.w
+              |  FROM t JOIN lab ql ON ql.vec_id = t.q_id
+              |         JOIN lab nl ON nl.vec_id = t.neighbor_id
+              |         JOIN w ON w.r = t.rn),
+              |d AS (
+              |  SELECT q_id, ql,
+              |         sum(CASE WHEN nl = ql THEN w
+              |                  ELSE CAST(0 AS DECIMAL(14,12)) END) AS dcg,
+              |         CAST(sum(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS BIGINT) AS hits
+              |  FROM j GROUP BY 1, 2),
+              |fin AS (
+              |  SELECT d.q_id, d.hits, cs.csize - 1 AS n_relevant,
+              |         least(10, cs.csize - 1) AS rr, d.dcg
+              |  FROM d JOIN cs ON cs.label = d.ql)
+              |SELECT q_id, hits, n_relevant,
+              |       floor(($ndcgExpr) * 1000000000.0 + 0.5) / 1000000000.0 AS ndcg
+              |FROM fin LEFT JOIN w ON w.r = fin.rr
+              |ORDER BY q_id""".stripMargin),
+      doc = "nDCG@10 of cosine retrieval judged by label agreement: " +
+        "position discounts from a shared 12-dp DECIMAL literal table " +
+        "(libm log2 is not cross-engine stable), exact decimal DCG/IDCG " +
+        "sums, bounded-list label joins"),
   )
 }

@@ -759,6 +759,31 @@ object Stats {
   private[operators] val winsorMeanExpr =
     "(cast(sw as double) / cast(n as double) / 100.0)"
 
+  /** x34: per-day value-percentile census (p50/p95) — the daily latency/
+    * revenue distribution board behind alerting baselines; pure integer
+    * output, so zero cross-engine float risk.
+    *
+    * Scale shape: (day, cent) bin reduction in one combinable pass;
+    * per-day percentile windows run over bins (the x33 discipline); the
+    * day-total join is broadcast (the day table is calendar-bounded).
+    * Convention pinned: p = smallest cent value reaching ceil(q·n). */
+  def dailyPercentiles(events: DataFrame): DataFrame = {
+    val bins = events
+      .select(expr("unix_timestamp(ts) div 86400").as("day"),
+        expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("v"))
+      .groupBy("day", "v").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("day").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins.withColumn("cum", sum("cnt").over(w))
+    val tot = bins.groupBy("day").agg(sum("cnt").as("n"))
+    val j = cum.join(broadcast(tot), "day")
+    val p50 = j.where(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy("day").agg(min("v").as("p50_cents"))
+    val p95 = j.where(col("cum") >= expr("(19 * n + 19) div 20"))
+      .groupBy("day").agg(min("v").as("p95_cents"))
+    tot.join(p50, "day").join(p95, "day").orderBy("day")
+  }
+
   // Fewer than two pairs, or a constant series, has no defined
   // correlation: CASE-guarded null, not ANSI divide-by-zero.
   private val acf1Den =
@@ -1251,5 +1276,29 @@ object StatsQueries {
         "per-group percentile window over BINS, broadcast clamp bounds, " +
         "exact integer winsorized sums; percentile convention pinned " +
         "as smallest value reaching ceil(p*n)"),
+
+    Q("x34_daily_percentiles",
+      (s, d) => dailyPercentiles(Tables.events(s, d)),
+      Some("""WITH bins AS (
+             |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+             |         count(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT day, v, cnt,
+             |         sum(cnt) OVER (PARTITION BY day ORDER BY v
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM bins),
+             |tot AS (SELECT day, CAST(sum(cnt) AS BIGINT) AS n FROM bins GROUP BY 1),
+             |p50 AS (SELECT day, min(v) AS p50_cents FROM cum JOIN tot USING (day)
+             |        WHERE cum >= (n + 1) // 2 GROUP BY day),
+             |p95 AS (SELECT day, min(v) AS p95_cents FROM cum JOIN tot USING (day)
+             |        WHERE cum >= (19 * n + 19) // 20 GROUP BY day)
+             |SELECT day, n, p50_cents, p95_cents
+             |FROM tot JOIN p50 USING (day) JOIN p95 USING (day)
+             |ORDER BY day""".stripMargin),
+      doc = "per-day p50/p95 value census: (day, cent) bin reduction, " +
+        "percentile windows over bins, broadcast day totals; all-integer " +
+        "output, ceil(q*n) convention"),
   )
 }

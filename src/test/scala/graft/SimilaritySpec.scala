@@ -293,6 +293,36 @@ class SimilaritySpec extends SparkSpec {
     assert(got((3L, 4L))._1 == 0.0)
   }
 
+  test("ndcg: bounded by 1, null for singleton classes, perfect ranking scores 1") {
+    val rows = Similarity.ndcgAtK(vecs, 5, 10).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val nRel = r.getAs[Long]("n_relevant")
+      if (nRel == 0) assert(r.isNullAt(r.fieldIndex("ndcg")))
+      else {
+        val v = r.getAs[Double]("ndcg")
+        assert(v >= 0.0 && v <= 1.0 + 1e-9, s"ndcg $v out of range")
+        // hits can never exceed the ideal pool
+        assert(r.getAs[Long]("hits") <= math.min(10L, nRel))
+      }
+    }
+    // constructed corpus: 4 vectors of one label placed to rank perfectly
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)), StructField("label", IntegerType)))
+    // query 0 and vecs 1-3 share label 7 and point the same way; 4-5 differ
+    val data = Seq(
+      Row(0L, Seq(1f, 0f), 7), Row(1L, Seq(0.9f, 0.1f), 7),
+      Row(2L, Seq(0.8f, 0.2f), 7), Row(3L, Seq(0.7f, 0.3f), 7),
+      Row(4L, Seq(-1f, 0f), 1), Row(5L, Seq(-0.9f, -0.1f), 1))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(data), schema)
+    val perfect = Similarity.ndcgAtK(df, 1, 10).collect().head
+    assert(perfect.getAs[Long]("hits") == 3L)
+    assert(math.abs(perfect.getAs[Double]("ndcg") - 1.0) < 1e-9,
+      "all relevant docs at the top ranks must score nDCG = 1")
+  }
+
   test("rrf fusion: scores recompose from the component ranks, dense per-query ranks") {
     val kIn = 10
     val cos = Similarity.cosineTopK(vecs, 3, kIn).collect()

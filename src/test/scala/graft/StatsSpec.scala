@@ -254,6 +254,22 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("winsorized_mean") == 2.0)
   }
 
+  test("daily percentiles: hand-pinned medians per day, p50 <= p95") {
+    import spark.implicits._
+    def t(day: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day}%02d $h%02d:00:00")
+    // day 1: {1,2,3} cents -> p50=2 p95=3; day 2: {5,5,7,9} -> p50=5 p95=9
+    val df = Seq((t(1, 1), 0.01), (t(1, 2), 0.02), (t(1, 3), 0.03),
+      (t(2, 1), 0.05), (t(2, 2), 0.05), (t(2, 3), 0.07), (t(2, 4), 0.09))
+      .toDF("ts", "value")
+    val m = Stats.dailyPercentiles(df).collect()
+      .map(r => r.getAs[Long]("n") ->
+        (r.getAs[Long]("p50_cents"), r.getAs[Long]("p95_cents"))).toMap
+    assert(m(3L) == (2L, 3L))
+    assert(m(4L) == (5L, 9L))
+    val real = Stats.dailyPercentiles(Tables.events(spark, sf("sf0.01"))).collect()
+    assert(real.forall(r => r.getAs[Long]("p50_cents") <= r.getAs[Long]("p95_cents")))
+  }
+
   test("zorder buckets bound both dimensions (the data-skipping property)") {
     val stats = Stats.zorderClustering(Tables.events(spark, sf("sf0.01"))).collect()
     stats.foreach { r =>
