@@ -784,6 +784,88 @@ object Stats {
     tot.join(p50, "day").join(p95, "day").orderBy("day")
   }
 
+  /** x35: Benford first-digit census — the classic fabricated-data /
+    * unit-mixing detector: naturally-arising multiplicative quantities
+    * follow P(d) = log10(1 + 1/d); uniform-ish synthetic values do not.
+    * Flagging a source whose leading digits diverge is a standard
+    * ingest-QA gate.
+    *
+    * Engine parity: the leading digit comes from the decimal STRING of
+    * the cent value (both engines render bigints identically — no
+    * float log10 anywhere), and the Benford expectation is a shared
+    * 12-dp DECIMAL literal table, the s20 discipline. One combinable
+    * 9-row count pass; shares are shared-tree divisions. */
+  def benfordDigits(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val per = events
+      .select(expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("v"))
+      .where(col("v") > 0)
+      .select(expr("cast(substring(cast(v as string), 1, 1) as bigint)").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = per.agg(sum("n").as("t"))
+    val exp = benfordExpected.toDF("digit", "expected")
+      .select(col("digit").cast("long").as("digit"),
+        col("expected").cast(DecimalType(14, 12)).as("expected"))
+    per.join(broadcast(exp), Seq("digit"), "right")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        pround(expr("cast(coalesce(n, 0) as double) / cast(t as double)"), 9)
+          .as("share"),
+        col("expected").cast("double").as("benford_expected"))
+      .orderBy("digit")
+  }
+
+  // log10(1 + 1/d) at 12 dp, d = 1..9 — shared literal table.
+  private val benfordExpected: Seq[(Int, BigDecimal)] = Seq(
+    1 -> BigDecimal("0.301029995664"), 2 -> BigDecimal("0.176091259056"),
+    3 -> BigDecimal("0.124938736608"), 4 -> BigDecimal("0.096910013008"),
+    5 -> BigDecimal("0.079181246048"), 6 -> BigDecimal("0.066946789631"),
+    7 -> BigDecimal("0.057991946978"), 8 -> BigDecimal("0.051152522447"),
+    9 -> BigDecimal("0.045757490561"))
+
+  private[operators] val benfordSqlValues: String =
+    benfordExpected.map { case (d, e) => s"($d, $e)" }.mkString(", ")
+
+  /** x36: median absolute deviation (MAD) of event value per type — the
+    * robust scale estimate (sigma ≈ 1.4826·MAD under normality) used to
+    * set outlier fences that one wild value cannot move, completing the
+    * robust family (x33 winsorize = robust location, x36 = robust
+    * scale).
+    *
+    * Scale shape: BOTH medians run over bin tables, never observations:
+    * the first over (group, cent) bins; the deviation re-bin is a
+    * PROJECTION of that same bin table (|v − med| keyed counts), so the
+    * second median costs another bins-sized pass. Convention: lower
+    * median (smallest value reaching ceil(n/2)), matching x33/x34. */
+  def madValue(events: DataFrame): DataFrame = {
+    val bins = events
+      .select(col("event_type").as("g"),
+        expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+    val tot = bins.groupBy("g").agg(sum("cnt").as("n"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = bins.withColumn("cum", sum("cnt").over(w))
+      .join(broadcast(tot), "g")
+      .where(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy("g").agg(min("v").as("med"))
+    val dev = bins.join(broadcast(med), "g")
+      .select(col("g"), abs(col("v") - col("med")).as("dv"), col("cnt"))
+      .groupBy("g", "dv").agg(sum("cnt").as("cnt"))
+    val wd = Window.partitionBy("g").orderBy("dv")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mad = dev.withColumn("cum", sum("cnt").over(wd))
+      .join(broadcast(tot), "g")
+      .where(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy("g").agg(min("dv").as("mad_cents"))
+    tot.join(broadcast(med), "g").join(broadcast(mad), "g")
+      .select(col("g").as("event_type"), col("n"),
+        col("med").as("median_cents"), col("mad_cents"))
+      .orderBy("event_type")
+  }
+
   // Fewer than two pairs, or a constant series, has no defined
   // correlation: CASE-guarded null, not ANSI divide-by-zero.
   private val acf1Den =
@@ -1300,5 +1382,56 @@ object StatsQueries {
       doc = "per-day p50/p95 value census: (day, cent) bin reduction, " +
         "percentile windows over bins, broadcast day totals; all-integer " +
         "output, ceil(q*n) convention"),
+
+    Q("x35_benford",
+      (s, d) => benfordDigits(Tables.events(s, d)),
+      Some(s"""WITH per AS (
+              |  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+              |         count(*) AS n
+              |  FROM (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+              |        FROM events) s0
+              |  WHERE v > 0 GROUP BY 1),
+              |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM per),
+              |e(digit, expected) AS (VALUES $benfordSqlValues)
+              |SELECT CAST(e.digit AS BIGINT) AS digit,
+              |       coalesce(n, 0) AS n,
+              |       floor(cast(coalesce(n, 0) as double) / cast(t as double)
+              |             * 1000000000.0 + 0.5) / 1000000000.0 AS share,
+              |       CAST(e.expected AS DOUBLE) AS benford_expected
+              |FROM per RIGHT JOIN e ON per.digit = e.digit
+              |CROSS JOIN tot ORDER BY digit""".stripMargin),
+      doc = "Benford first-digit census: leading digit from the decimal " +
+        "STRING of exact cents (no float log10), expectations from a " +
+        "shared 12-dp literal table, one combinable 9-row count pass"),
+
+    Q("x36_mad",
+      (s, d) => madValue(Tables.events(s, d)),
+      Some("""WITH bins AS (
+             |  SELECT event_type AS g,
+             |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+             |         count(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |tot AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM bins GROUP BY 1),
+             |med AS (
+             |  SELECT g, min(v) AS med FROM (
+             |    SELECT g, v, sum(cnt) OVER (PARTITION BY g ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |    FROM bins) c JOIN tot USING (g)
+             |  WHERE cum >= (n + 1) // 2 GROUP BY g),
+             |dev AS (
+             |  SELECT g, abs(v - med) AS dv, CAST(sum(cnt) AS BIGINT) AS cnt
+             |  FROM bins JOIN med USING (g) GROUP BY 1, 2),
+             |mad AS (
+             |  SELECT g, min(dv) AS mad_cents FROM (
+             |    SELECT g, dv, sum(cnt) OVER (PARTITION BY g ORDER BY dv
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |    FROM dev) c JOIN tot USING (g)
+             |  WHERE cum >= (n + 1) // 2 GROUP BY g)
+             |SELECT g AS event_type, n, med AS median_cents, mad_cents
+             |FROM tot JOIN med USING (g) JOIN mad USING (g)
+             |ORDER BY event_type""".stripMargin),
+      doc = "median absolute deviation per event type (robust scale): " +
+        "both medians over BIN tables — the deviation table is a " +
+        "projection of the first bin table, observations never re-sorted"),
   )
 }

@@ -270,6 +270,34 @@ class StatsSpec extends SparkSpec {
     assert(real.forall(r => r.getAs[Long]("p50_cents") <= r.getAs[Long]("p95_cents")))
   }
 
+  test("benford: nine rows always, hand shares, expectations sum to ~1") {
+    import spark.implicits._
+    // cents 100,123,19,2,2000,9 -> digits 1,1,1,2,2,9
+    val df = Seq(1.00, 1.23, 0.19, 0.02, 20.00, 0.09).map(("click", _))
+      .toDF("event_type", "value")
+    val rows = Stats.benfordDigits(df).collect()
+    assert(rows.length == 9, "all nine digits present even with zero counts")
+    val m = rows.map(r => r.getAs[Long]("digit") ->
+      (r.getAs[Long]("n"), r.getAs[Double]("share"))).toMap
+    assert(m(1L) == (3L, 0.5) && m(2L) == (2L, (2.0 / 6 * 1e9).round / 1e9)
+      && m(9L)._1 == 1L && m(5L) == (0L, 0.0))
+    val exp = rows.map(_.getAs[Double]("benford_expected")).sum
+    assert(math.abs(exp - 1.0) < 1e-6)
+  }
+
+  test("mad: one wild outlier cannot move the median or the MAD") {
+    import spark.implicits._
+    val base = (1 to 9).map(i => ("click", i / 100.0))
+    val clean = Stats.madValue(base.toDF("event_type", "value")).collect().head
+    val dirty = Stats.madValue((base :+ (("click", 10000.0)))
+      .toDF("event_type", "value")).collect().head
+    // {1..9}: median 5, deviations {0..4} twice -> MAD = 2
+    assert(clean.getAs[Long]("median_cents") == 5L)
+    assert(clean.getAs[Long]("mad_cents") == 2L)
+    assert(dirty.getAs[Long]("median_cents") == 5L, "median robust to the outlier")
+    assert(dirty.getAs[Long]("mad_cents") <= 3L, "MAD robust to the outlier")
+  }
+
   test("zorder buckets bound both dimensions (the data-skipping property)") {
     val stats = Stats.zorderClustering(Tables.events(spark, sf("sf0.01"))).collect()
     stats.foreach { r =>
