@@ -34,6 +34,24 @@ object Funnel {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** f6: first-order Markov transition matrix — f1's bigram counts
+    * row-normalized into estimated transition probabilities
+    * P(next | prev), the model behind next-action prediction and
+    * behavioral-drift monitors (compare matrices across releases).
+    *
+    * Scale shape: everything heavy is f1 (one user_id shuffle reducing
+    * to |types|² rows); the row totals are a second tiny rollup of that
+    * bounded table and join back as a broadcast. The probability is a
+    * shared-tree division over exact counts. */
+  def markovMatrix(events: DataFrame): DataFrame = {
+    val t = eventTransitions(events)
+    val tot = t.groupBy("prev_type").agg(sum("n").as("row_n"))
+    t.join(broadcast(tot), "prev_type")
+      .select(col("prev_type"), col("event_type"), col("n"),
+        pround(col("n").cast("double") / col("row_n").cast("double"), 9)
+          .as("p_next"))
+  }
+
   /** F3: gap-based sessionization over the events stream — the classic
     * web-analytics operator the monitor-log delimiter sessionizer (A2)
     * approximates with explicit markers: a session breaks wherever a
@@ -285,5 +303,26 @@ object FunnelQueries {
       doc = "time-to-convert census (first signup -> first later " +
         "purchase): per-user conditional-min pass, minute-binned lower " +
         "median so the ordered window sees bins not users"),
+
+    Q("f6_markov_matrix",
+      (s, d) => markovMatrix(Tables.events(s, d))
+        .orderBy("prev_type", "event_type"),
+      Some("""WITH o AS (
+             |  SELECT user_id, event_type,
+             |         lag(event_type) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |t AS (SELECT prev_type, event_type, count(*) AS n
+             |      FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+             |r AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_n
+             |      FROM t GROUP BY 1)
+             |SELECT prev_type, event_type, n,
+             |       floor(CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE)
+             |             * 1000000000.0 + 0.5) / 1000000000.0 AS p_next
+             |FROM t JOIN r USING (prev_type)
+             |ORDER BY prev_type, event_type""".stripMargin),
+      doc = "first-order Markov transition matrix: f1's bigram counts " +
+        "row-normalized P(next|prev) — heavy work is the one user_id " +
+        "shuffle, totals are a broadcast rollup of the |types|^2 table"),
   )
 }

@@ -866,6 +866,43 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** x37: Spearman rank correlation (quantity vs extended price) — the
+    * monotone-association companion to x29's linear fit: insensitive to
+    * the price scale and to outliers, the standard screen for "does Y
+    * rise with X at all?" before fitting anything.
+    *
+    * Ranks are tie-aware AVERAGE ranks assigned over cent-value BIN
+    * tables (the x25/x28 domain-bounding discipline): a cumulative
+    * window over bins — never observations — yields each bin's doubled
+    * average rank 2·cum − cnt + 1 as an exact integer (doubling clears
+    * the ½ that tied ranks introduce; a common factor on both variables
+    * cancels in the correlation). Facts then join their two bin ranks
+    * back (quantity bins are dozens of rows; price bins are bounded by
+    * the price grid, not the row count) and ONE combinable DECIMAL
+    * moment pass feeds the x30 Pearson tree. */
+  def spearmanQtyPrice(lineitem: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val f = lineitem.select(
+      expr("cast(floor(l_quantity * 100.0 + 0.5) as bigint)").as("qx"),
+      expr("cast(floor(l_extendedprice * 100.0 + 0.5) as bigint)").as("px"))
+    def doubledRanks(vc: String, rc: String): DataFrame = {
+      val w = Window.orderBy(vc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      f.groupBy(vc).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(w))
+        .select(col(vc), (lit(2L) * col("cum") - col("cnt") + lit(1L)).as(rc))
+    }
+    f.join(broadcast(doubledRanks("qx", "x")), "qx")
+      .join(doubledRanks("px", "y"), "px")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+      .select(col("n").as("n_rows"),
+        pround(expr(acf1Expr), 9).as("spearman_rho"))
+  }
+
   // Fewer than two pairs, or a constant series, has no defined
   // correlation: CASE-guarded null, not ANSI divide-by-zero.
   private val acf1Den =
@@ -1433,5 +1470,35 @@ object StatsQueries {
       doc = "median absolute deviation per event type (robust scale): " +
         "both medians over BIN tables — the deviation table is a " +
         "projection of the first bin table, observations never re-sorted"),
+
+    Q("x37_spearman",
+      (s, d) => spearmanQtyPrice(Tables.lineitem(s, d)),
+      Some(s"""WITH f AS (
+              |  SELECT CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qx,
+              |         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS px
+              |  FROM lineitem),
+              |bx AS (SELECT qx, count(*) AS cnt FROM f GROUP BY 1),
+              |rx AS (SELECT qx, 2 * sum(cnt) OVER (ORDER BY qx ROWS BETWEEN
+              |         UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1 AS x
+              |       FROM bx),
+              |bp AS (SELECT px, count(*) AS cnt FROM f GROUP BY 1),
+              |rp AS (SELECT px, 2 * sum(cnt) OVER (ORDER BY px ROWS BETWEEN
+              |         UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1 AS y
+              |       FROM bp),
+              |j AS (SELECT x, y FROM f JOIN rx USING (qx) JOIN rp USING (px)),
+              |mo AS (
+              |  SELECT count(*) AS n,
+              |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+              |         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+              |         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+              |         sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+              |  FROM j)
+              |SELECT n AS n_rows,
+              |       floor(($acf1Expr) * 1000000000.0 + 0.5) / 1000000000.0 AS spearman_rho
+              |FROM mo""".stripMargin),
+      doc = "Spearman rank correlation (quantity vs price): tie-aware " +
+        "doubled average ranks assigned over cent BIN tables (windows " +
+        "see bins, never observations), one combinable DECIMAL moment " +
+        "pass, shared Pearson tree"),
   )
 }

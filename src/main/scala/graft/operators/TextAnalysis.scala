@@ -715,6 +715,31 @@ object TextAnalysis {
   private[operators] val burstVmrExpr =
     "(((cast(sxx as double) - cast(tot as double) * cast(tot as double) / cast(df as double)) / " +
       "(cast(df as double) - 1.0)) / (cast(tot as double) / cast(df as double)))"
+
+  /** t24: per-source hapax/vocabulary census — hapax legomena (words
+    * seen exactly once) dominate natural vocabularies (~half of types,
+    * Zipf's tail), so a source whose hapax share collapses is template/
+    * boilerplate text and one whose share explodes is noise or OCR
+    * garbage; TTR (type-token ratio) is the companion lexical-diversity
+    * number. The single-number ingest screens next to t10's full Zipf
+    * fit.
+    *
+    * Scale shape: ONE tokenize/explode pass reduces to (source, word,
+    * tf) — combinable, vocab-sized — and the census is a second rollup
+    * of that table to |sources| rows. Nothing else moves. */
+  def hapaxCensus(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(expr(Dedup.tokensExpr)).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("tf"))
+      .groupBy("source")
+      .agg(sum("tf").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        pround(col("hapax").cast("double") / col("vocab").cast("double"), 9)
+          .as("hapax_share"),
+        pround(col("vocab").cast("double") / col("n_tokens").cast("double"), 9)
+          .as("ttr"))
+      .orderBy("source")
 }
 
 object TextAnalysisQueries {
@@ -1255,5 +1280,25 @@ object TextAnalysisQueries {
       doc = "word burstiness (Church-Gale VMR of per-doc tf over " +
         "containing docs): one explode pass, exact per-word integer " +
         "moments, shared-tree VMR, TakeOrdered top-k cap"),
+
+    Q("t24_hapax",
+      (s, d) => hapaxCensus(docs(s, d)),
+      Some(s"""WITH tok AS (SELECT source, unnest($toksSql) AS w FROM documents),
+              |wc AS (SELECT source, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+              |c AS (
+              |  SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+              |         count(*) AS vocab,
+              |         CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |           AS hapax
+              |  FROM wc GROUP BY 1)
+              |SELECT source, n_tokens, vocab, hapax,
+              |       floor(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE)
+              |             * 1000000000.0 + 0.5) / 1000000000.0 AS hapax_share,
+              |       floor(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+              |             * 1000000000.0 + 0.5) / 1000000000.0 AS ttr
+              |FROM c ORDER BY source""".stripMargin),
+      doc = "per-source hapax/vocabulary census (hapax share + TTR): one " +
+        "explode pass to the vocab-sized (source, word, tf) table, then " +
+        "a |sources|-row rollup"),
   )
 }

@@ -80,4 +80,22 @@ class FunnelSpec extends SparkSpec {
     // deltas {120 s, 60 s} -> minute bins {2, 1}; lower median = bin 1
     assert(r.getAs[Long]("p50_delta_min") == 1L)
   }
+
+  test("markov matrix: rows normalize to 1 and probabilities match hand counts") {
+    val df = ev(
+      (1, 1, 1, "view"), (2, 2, 1, "click"), (3, 3, 1, "view"),
+      (4, 4, 1, "click"), (5, 5, 1, "purchase"),
+      (6, 1, 2, "view"), (7, 2, 2, "view"))
+    val rows = Funnel.markovMatrix(df).collect()
+    val p = rows.map(r => (r.getString(0), r.getString(1)) ->
+      r.getAs[Double]("p_next")).toMap
+    // from view: click twice, view once -> 2/3 and 1/3 (9-dp floor-rounded)
+    assert(p(("view", "click")) == 0.666666667)
+    assert(p(("view", "view")) == 0.333333333)
+    assert(p(("click", "view")) == 0.5 && p(("click", "purchase")) == 0.5)
+    rows.groupBy(_.getString(0)).foreach { case (prev, rs) =>
+      val s = rs.map(_.getAs[Double]("p_next")).sum
+      assert(math.abs(s - 1.0) < 1e-6, s"row $prev sums to $s")
+    }
+  }
 }

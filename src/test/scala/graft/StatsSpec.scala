@@ -309,4 +309,24 @@ class StatsSpec extends SparkSpec {
         s"bucket ${r.getAs[Long]("bucket")} spans x=$xs y=$ys — not clustered")
     }
   }
+
+  test("spearman: monotone is 1, anti-monotone is -1, ties keep |rho| <= 1") {
+    import spark.implicits._
+    def li(rows: (Double, Double)*) =
+      rows.toDF("l_quantity", "l_extendedprice")
+    val up = Stats.spearmanQtyPrice(li((1.0, 10.0), (2.0, 20.0), (3.0, 305.0)))
+      .collect().head
+    assert(up.getAs[Long]("n_rows") == 3L)
+    assert(up.getAs[Double]("spearman_rho") == 1.0,
+      "any monotone map must give rho = 1 (rank-based, scale-free)")
+    val down = Stats.spearmanQtyPrice(li((1.0, 30.0), (2.0, 20.0), (3.0, 10.0)))
+      .collect().head
+    assert(down.getAs[Double]("spearman_rho") == -1.0)
+    // heavy ties on x: {1,1,2,2} vs y strictly increasing — average-rank
+    // ties shrink the correlation below 1 but keep it positive
+    val tied = Stats.spearmanQtyPrice(
+      li((1.0, 1.0), (1.0, 2.0), (2.0, 3.0), (2.0, 4.0))).collect().head
+    val rho = tied.getAs[Double]("spearman_rho")
+    assert(rho > 0.0 && rho < 1.0, s"tie-damped rho out of range: $rho")
+  }
 }

@@ -291,4 +291,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!m.contains("c"), "df=1 word must be filtered")
     assert(rows.head.getAs[String]("word") == "a", "ordered by VMR desc")
   }
+
+  test("hapax census: counts, hapax share and TTR match hand values") {
+    import spark.implicits._
+    // source s0: tokens [a a b c] -> vocab 3, hapax {b, c} = 2, n = 4
+    // source s1: tokens [x x] -> vocab 1, hapax 0, n = 2
+    val df = Seq(("s0", "a a b"), ("s0", "c"), ("s1", "x x"))
+      .toDF("source", "text")
+    val m = operators.TextAnalysis.hapaxCensus(df).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"),
+          r.getAs[Long]("hapax"), r.getAs[Double]("hapax_share"),
+          r.getAs[Double]("ttr"))).toMap
+    assert(m("s0") == (4L, 3L, 2L, 0.666666667, 0.75))
+    assert(m("s1") == (2L, 1L, 0L, 0.0, 0.5))
+  }
 }
