@@ -56,6 +56,13 @@ object Relational {
       .agg(concat_ws(",", sort_array(collect_list(col(param))))
         .as("best_param"))
   }
+
+  // q37 growth tree, shared verbatim with the oracle: no prior month (or
+  // a zero prior) -> null, not ANSI divide-by-zero.
+  private[operators] val monthGrowthExpr =
+    "(case when prev_cents is null or prev_cents = 0 then cast(null as double) " +
+      "else (cast(rev_cents as double) - cast(prev_cents as double)) / " +
+      "cast(prev_cents as double) end)"
 }
 
 object RelationalQueries {
@@ -1446,5 +1453,41 @@ object RelationalQueries {
         "(c_nationkey = s_nationkey on the same fact row), filtered dims " +
         "broadcast ahead of the two fact shuffles, exact fixed-point " +
         "revenue per bounded nation group"),
+
+    Q("q37_month_growth",
+      (s, d) => {
+        // Month-over-month growth — the report-page staple q10's running
+        // total doesn't cover: orders reduce to one exact-cents row per
+        // CALENDAR MONTH in a single combinable pass, and lag/growth run
+        // over that |months|-bounded table (single-partition window over
+        // dozens of rows, never facts). First month's growth is null by
+        // construction, not 0 — shared CASE tree with the oracle.
+        val w = Window.orderBy("ym")
+        Tables.orders(s, d)
+          .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .as("ym"),
+            expr("cast(floor(o_totalprice * 100.0 + 0.5) as bigint)").as("c"))
+          .groupBy("ym").agg(sum("c").as("rev_cents"))
+          .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+          .select(col("ym"), col("rev_cents"), col("prev_cents"),
+            pround(expr(monthGrowthExpr), 9).as("growth"))
+          .orderBy("ym")
+      },
+      Some(s"""WITH m AS (
+              |  SELECT date_part('year', o_orderdate) * 100
+              |           + date_part('month', o_orderdate) AS ym,
+              |         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+              |              AS BIGINT) AS rev_cents
+              |  FROM orders GROUP BY 1),
+              |l AS (SELECT ym, rev_cents,
+              |             lag(rev_cents) OVER (ORDER BY ym) AS prev_cents
+              |      FROM m)
+              |SELECT ym, rev_cents, prev_cents,
+              |       floor(($monthGrowthExpr)
+              |             * 1000000000.0 + 0.5) / 1000000000.0 AS growth
+              |FROM l ORDER BY ym""".stripMargin),
+      doc = "month-over-month revenue growth: facts reduce to one exact-" +
+        "cents row per calendar month, lag + growth over the bounded " +
+        "month table only; first month null by construction"),
   )
 }

@@ -866,6 +866,44 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** x38: CUSUM changepoint scan on the daily revenue series — where did
+    * the level shift? The classic offline changepoint statistic: the day
+    * k maximizing |S_k − k·μ| (cumulative deviation from the global
+    * mean) is the most likely break. Monitoring teams run exactly this
+    * over metric series to date a regression.
+    *
+    * Exactness: μ = T/n is rational, so the statistic is computed as the
+    * INTEGER D_k = n·S_k − k·T (same argmax, no division anywhere) in
+    * DECIMAL(38,0); only the final reported magnitude is divided back by
+    * n into mean-units, through a shared IEEE tree. Ties break to the
+    * earliest day via the max-struct trick — no row ever leaves the
+    * |days|-bounded table, and the facts reduce to it in one combinable
+    * pass (the x30 discipline). */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = events
+      .select(expr("unix_timestamp(ts) div 86400").as("day"),
+        expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("c"))
+      .groupBy("day").agg(sum("c").as("rev"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.agg(sum(col("rev").cast(dec)).as("t"),
+      count(lit(1)).as("n"))
+    daily
+      .withColumn("s", sum(col("rev").cast(dec)).over(w))
+      .withColumn("k", count(lit(1)).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("day"),
+        abs(col("n").cast(dec) * col("s") - col("k").cast(dec) * col("t"))
+          .as("d"))
+      .groupBy("n")
+      .agg(max(struct(col("d"), (-col("day")).as("nd"))).as("m"))
+      .select(col("n").as("n_days"),
+        (-col("m.nd")).as("cp_day"),
+        pround(expr("cast(m.d as double) / cast(n as double)"), 4)
+          .as("cusum_max_cents"))
+  }
+
   /** x37: Spearman rank correlation (quantity vs extended price) — the
     * monotone-association companion to x29's linear fit: insensitive to
     * the price scale and to outliers, the standard screen for "does Y
@@ -1500,5 +1538,28 @@ object StatsQueries {
         "doubled average ranks assigned over cent BIN tables (windows " +
         "see bins, never observations), one combinable DECIMAL moment " +
         "pass, shared Pearson tree"),
+
+    Q("x38_cusum",
+      (s, d) => cusumChangepoint(Tables.events(s, d)),
+      Some("""WITH daily AS (
+             |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             |         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+             |  FROM events GROUP BY 1),
+             |tot AS (SELECT CAST(sum(rev) AS HUGEINT) AS t, count(*) AS n FROM daily),
+             |cs AS (
+             |  SELECT day,
+             |         sum(CAST(rev AS HUGEINT)) OVER (ORDER BY day ROWS BETWEEN
+             |           UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+             |         CAST(row_number() OVER (ORDER BY day) AS HUGEINT) AS k
+             |  FROM daily),
+             |dd AS (SELECT day, abs(CAST(n AS HUGEINT) * s - k * t) AS d, n
+             |       FROM cs CROSS JOIN tot)
+             |SELECT n AS n_days, day AS cp_day,
+             |       floor(CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+             |             * 10000.0 + 0.5) / 10000.0 AS cusum_max_cents
+             |FROM dd ORDER BY d DESC, day LIMIT 1""".stripMargin),
+      doc = "CUSUM changepoint on daily revenue: integer D_k = n*S_k - k*T " +
+        "(division-free argmax of |S_k - k*mean|), cumulative window over " +
+        "the day-bounded table, earliest-day tiebreak via max-struct"),
   )
 }

@@ -740,6 +740,38 @@ object TextAnalysis {
         pround(col("vocab").cast("double") / col("n_tokens").cast("double"), 9)
           .as("ttr"))
       .orderBy("source")
+
+  /** t25: pairwise source-vocabulary overlap — the lexical companion to
+    * g16's document-level overlap matrix: two feeds whose vocabularies
+    * are near-identical are the same upstream crawl wearing different
+    * names, and a mixture designer wants that redundancy surfaced at the
+    * SOURCE level before weighting.
+    *
+    * Scale shape: the corpus reduces once to the distinct (source, word)
+    * index; the intersection is a self-join on word whose per-word
+    * fan-out is capped by |sources|² (sources are a bounded census
+    * dimension, unlike documents — the reason this self-join is safe
+    * where g4's document-level one needed prefix filtering), and sizes
+    * join back as a broadcast of |sources| rows. */
+  def vocabOverlap(docs: DataFrame): DataFrame = {
+    val sv = docs
+      .select(col("source"), explode(expr(Dedup.tokensExpr)).as("w"))
+      .distinct()
+    val sizes = sv.groupBy("source").agg(count(lit(1)).as("sz"))
+    sv.as("a").join(sv.as("b"), col("a.w") === col("b.w"))
+      .where(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("sz").as("sz_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("sz").as("sz_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        pround(col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common")).cast("double"), 9)
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
 }
 
 object TextAnalysisQueries {
@@ -1300,5 +1332,27 @@ object TextAnalysisQueries {
       doc = "per-source hapax/vocabulary census (hapax share + TTR): one " +
         "explode pass to the vocab-sized (source, word, tf) table, then " +
         "a |sources|-row rollup"),
+
+    Q("t25_vocab_overlap",
+      (s, d) => vocabOverlap(docs(s, d)),
+      Some(s"""WITH sv AS (
+              |  SELECT DISTINCT source, w FROM
+              |    (SELECT source, unnest($toksSql) AS w FROM documents) t),
+              |sz AS (SELECT source, count(*) AS sz FROM sv GROUP BY 1),
+              |i AS (
+              |  SELECT a.source AS src_a, b.source AS src_b,
+              |         count(*) AS n_common
+              |  FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+              |  GROUP BY 1, 2)
+              |SELECT src_a, src_b, n_common,
+              |       floor(CAST(n_common AS DOUBLE)
+              |             / CAST(za.sz + zb.sz - n_common AS DOUBLE)
+              |             * 1000000000.0 + 0.5) / 1000000000.0 AS jaccard
+              |FROM i JOIN sz za ON za.source = src_a
+              |       JOIN sz zb ON zb.source = src_b
+              |ORDER BY src_a, src_b""".stripMargin),
+      doc = "pairwise source-vocabulary Jaccard: distinct (source, word) " +
+        "index, word self-join fan-out capped by |sources|^2 (bounded " +
+        "census dimension), broadcast size join"),
   )
 }

@@ -329,4 +329,20 @@ class StatsSpec extends SparkSpec {
     val rho = tied.getAs[Double]("spearman_rho")
     assert(rho > 0.0 && rho < 1.0, s"tie-damped rho out of range: $rho")
   }
+
+  test("cusum changepoint lands on the last day of the first regime") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // daily revenue 10,10,10,20,20 dollars: D_k = n*S_k - k*T peaks (in
+    // magnitude) at k=3 with |D|=6000 cents -> stat 6000/5 = 1200
+    val df = (1 to 5).map(i =>
+        (Timestamp.valueOf(f"2024-01-0$i 12:00:00"), if (i <= 3) 10.0 else 20.0))
+      .toDF("ts", "value")
+    val r = Stats.cusumChangepoint(df).collect().head
+    assert(r.getAs[Long]("n_days") == 5L)
+    val cp = r.getAs[Long]("cp_day")
+    val d3 = Timestamp.valueOf("2024-01-03 12:00:00").getTime / 86400000L
+    assert(cp == d3, s"changepoint day $cp != expected epoch day $d3")
+    assert(r.getAs[Double]("cusum_max_cents") == 1200.0)
+  }
 }

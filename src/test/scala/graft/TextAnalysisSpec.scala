@@ -306,4 +306,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m("s0") == (4L, 3L, 2L, 0.666666667, 0.75))
     assert(m("s1") == (2L, 1L, 0L, 0.0, 0.5))
   }
+
+  test("vocab overlap: jaccard from distinct vocabularies, ordered pairs only") {
+    import spark.implicits._
+    // vocabularies: s0 {a,b}, s1 {b,c}, s2 {z} — tf never matters
+    val df = Seq(("s0", "a a b"), ("s1", "b c c"), ("s2", "z"))
+      .toDF("source", "text")
+    val rows = operators.TextAnalysis.vocabOverlap(df).collect()
+    val m = rows.map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+      (r.getAs[Long]("n_common"), r.getAs[Double]("jaccard"))).toMap
+    assert(m(("s0", "s1")) == (1L, 0.333333333))
+    assert(!m.contains(("s1", "s0")), "only ordered pairs")
+    assert(!m.contains(("s0", "s2")), "disjoint vocabularies emit no row")
+  }
 }
