@@ -80,6 +80,26 @@ object Funnel {
           .as("duration_sec"))
   }
 
+  /** f7: session-depth histogram — the engagement distribution (how many
+    * sessions are one-shot bounces vs long reads) every product dashboard
+    * derives from f3's sessions. Output is one row per observed depth
+    * with its session count and share.
+    *
+    * Scale shape: f3 already reduces the facts to one row per session on
+    * a single user_id shuffle; this is a second combinable rollup of
+    * that table to |distinct depths| rows, with the total joined back as
+    * a broadcast one-row aggregate. */
+  def sessionDepthHistogram(events: DataFrame, gapSec: Long): DataFrame = {
+    val depth = gapSessions(events, gapSec)
+      .groupBy("n_events").agg(count(lit(1)).as("n_sessions"))
+    val tot = depth.agg(sum("n_sessions").as("t"))
+    depth.crossJoin(broadcast(tot))
+      .select(col("n_events"), col("n_sessions"),
+        pround(col("n_sessions").cast("double") / col("t").cast("double"), 9)
+          .as("share"))
+      .orderBy("n_events")
+  }
+
   /** Strict sequential funnel: first 'view', then the first 'click'
     * AFTER that view, then the first 'purchase' AFTER that click.
     * Output: one row of per-stage user counts. */
@@ -324,5 +344,32 @@ object FunnelQueries {
       doc = "first-order Markov transition matrix: f1's bigram counts " +
         "row-normalized P(next|prev) — heavy work is the one user_id " +
         "shuffle, totals are a broadcast rollup of the |types|^2 table"),
+
+    Q("f7_session_depth",
+      (s, d) => sessionDepthHistogram(Tables.events(s, d), 21600L),
+      Some("""WITH l AS (
+             |  SELECT user_id, event_id, ts,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |              OR CAST(floor(epoch(ts)) AS BIGINT)
+             |                 - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 21600
+             |              THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id,
+             |         CAST(sum(new_sess) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS BIGINT) AS session_id
+             |  FROM l),
+             |sess AS (SELECT user_id, session_id, count(*) AS n_events
+             |         FROM s GROUP BY 1, 2),
+             |h AS (SELECT n_events, count(*) AS n_sessions FROM sess GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS t FROM h)
+             |SELECT n_events, n_sessions,
+             |       floor(CAST(n_sessions AS DOUBLE) / CAST(t AS DOUBLE)
+             |             * 1000000000.0 + 0.5) / 1000000000.0 AS share
+             |FROM h CROSS JOIN t ORDER BY n_events""".stripMargin),
+      doc = "session-depth histogram (bounce-vs-engaged distribution): " +
+        "second rollup of f3's session table to |depths| rows, broadcast " +
+        "total for shares"),
   )
 }

@@ -856,6 +856,55 @@ object Similarity {
     s"(case when $dimCorrDen = 0.0 then cast(null as double) else " +
       s"(cast(n as double) * cast(sij as double) - cast(si as double) * cast(sj as double)) / " +
       s"$dimCorrDen end)"
+
+  /** s21: coarse-assignment margin census — the silhouette-style quality
+    * number for the IVF/SemDeDup partition: per vector, how decisively
+    * does it belong to its cell? margin = (cos₁ − cos₂) / (1 − worse
+    * cosine), where cos₁/cos₂ are the best and runner-up centroid
+    * cosines (the silhouette (b−a)/max(a,b) under cosine distance, with
+    * own-cell distance taken to the centroid). Cells full of near-zero
+    * margins are boundary soup — splitting or re-seeding them is the
+    * standard remedy before trusting cluster-local dedup (g10) or
+    * probe-limited search (s13).
+    *
+    * Scale shape: identical to s5 — centroids broadcast (bounded knob),
+    * ONE map-side pass ranks each vector's top-2 centroids, and the
+    * census reduces to |centroids| rows. Per-vector margins are
+    * 6-dp-quantized then decimal-summed (order-free), so the cell means
+    * are engine-exact. */
+  def assignMarginCensus(vecs: DataFrame, nCents: Int): DataFrame = {
+    val s = vecs.sparkSession
+    val base = withFixed(vecs)
+    val cents = base.orderBy("vec_id").limit(nCents)
+      .select(col("vec_id").as("centroid_id"), col("f").as("fb"),
+        col("nrm").as("nb"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("centroid_id"))
+    val per = base.select(col("vec_id"), col("f").as("fa"), col("nrm").as("na"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"), expr(cosExpr(s)).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2)
+      .groupBy("vec_id")
+      .agg(max(when(col("rn") === 1, col("centroid_id"))).as("centroid_id"),
+        max(when(col("rn") === 1, col("cos"))).as("cos1"),
+        max(when(col("rn") === 2, col("cos"))).as("cos2"))
+      .select(col("centroid_id"), pround(expr(marginExpr), 6).as("marg"))
+    per.groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("marg").cast(DecimalType(28, 6))).cast("double") /
+          count(lit(1))).as("mean_margin"),
+        min("marg").as("min_margin"))
+      .orderBy("centroid_id")
+  }
+
+  // Silhouette-form margin under cosine distance: a = 1 - cos1 (own
+  // cell), b = 1 - cos2 (runner-up); (b - a)/max(a,b) with cos1 >= cos2
+  // by ranking. A vector identical to both centroids has no defined
+  // margin: guarded null, not ANSI divide-by-zero.
+  private[operators] val marginExpr =
+    "(case when greatest(1.0 - cos1, 1.0 - cos2) = 0.0 then cast(null as double) " +
+      "else (cos1 - cos2) / greatest(1.0 - cos1, 1.0 - cos2) end)"
 }
 
 object SimilarityQueries {
@@ -1644,5 +1693,39 @@ object SimilarityQueries {
         "position discounts from a shared 12-dp DECIMAL literal table " +
         "(libm log2 is not cross-engine stable), exact decimal DCG/IDCG " +
         "sums, bounded-list label joins"),
+
+    Q("s21_assign_margin",
+      (s, d) => assignMarginCensus(vecs(s, d), 6),
+      Some(s"""WITH $fixedSqlCte,
+              |cents AS (
+              |  SELECT vec_id AS centroid_id, f, nrm FROM n
+              |  ORDER BY vec_id LIMIT 6),
+              |p AS (
+              |  SELECT n.vec_id, c.centroid_id,
+              |         ${pairCosSql("n", "c")} AS cos
+              |  FROM n, cents c),
+              |r AS (
+              |  SELECT vec_id, centroid_id, cos,
+              |         row_number() OVER (PARTITION BY vec_id
+              |           ORDER BY cos DESC, centroid_id) AS rn
+              |  FROM p),
+              |per AS (
+              |  SELECT vec_id,
+              |         max(CASE WHEN rn = 1 THEN centroid_id END) AS centroid_id,
+              |         max(CASE WHEN rn = 1 THEN cos END) AS cos1,
+              |         max(CASE WHEN rn = 2 THEN cos END) AS cos2
+              |  FROM r WHERE rn <= 2 GROUP BY 1),
+              |m AS (
+              |  SELECT centroid_id,
+              |         floor(($marginExpr) * 1000000.0 + 0.5) / 1000000.0 AS marg
+              |  FROM per)
+              |SELECT centroid_id, count(*) AS n_vecs,
+              |       CAST(sum(CAST(marg AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+              |         AS mean_margin,
+              |       min(marg) AS min_margin
+              |FROM m GROUP BY 1 ORDER BY centroid_id""".stripMargin),
+      doc = "coarse-assignment margin census (silhouette under cosine " +
+        "distance, own-cell distance to centroid): broadcast centroids, " +
+        "one top-2 ranking pass, 6-dp-quantized decimal-summed cell means"),
   )
 }

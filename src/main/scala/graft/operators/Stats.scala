@@ -251,6 +251,30 @@ object Stats {
         ((countDistinct("lang") - 1) * (countDistinct("source") - 1))
           .as("dof"))
 
+  /** x39: Cramér's V — the [0,1]-normalized effect size of the x21
+    * chi-square: chi2 says WHETHER lang and source are associated, V
+    * says HOW STRONGLY, comparably across tables of different size and
+    * shape (the number a mixture report actually prints).
+    *
+    * Same single count pass as x20/x21; V is one shared IEEE tree over
+    * the exact decimal chi2 sum, the exact row total, and the bounded
+    * grid dimensions. A degenerate 1×k grid has no defined V —
+    * CASE-guarded null. */
+  def cramersV(docs: DataFrame): DataFrame =
+    chi2Contingency(docs)
+      .agg(
+        sum(col("chi2_contrib").cast(DecimalType(28, 9))).cast("double")
+          .as("chi2"),
+        sum("observed").cast("long").as("n"),
+        countDistinct("lang").as("r"), countDistinct("source").as("c"))
+      .select(col("n").as("n_docs"), pround(col("chi2"), 9).as("chi2"),
+        pround(expr(cramersVExpr), 9).as("cramers_v"))
+
+  // min(r-1, c-1) = 0 (a 1×k grid) leaves V undefined: guarded null.
+  private[operators] val cramersVExpr =
+    "(case when least(r - 1, c - 1) = 0 or n = 0 then cast(null as double) " +
+      "else sqrt(chi2 / (cast(n as double) * cast(least(r - 1, c - 1) as double))) end)"
+
   /** Per-group distribution moments (mean, variance, skewness) from
     * exact integer power sums of the cent-quantized value — the
     * one-pass, mergeable shape of a distribution profiler: each
@@ -1561,5 +1585,36 @@ object StatsQueries {
       doc = "CUSUM changepoint on daily revenue: integer D_k = n*S_k - k*T " +
         "(division-free argmax of |S_k - k*mean|), cumulative window over " +
         "the day-bounded table, earliest-day tiebreak via max-struct"),
+
+    Q("x39_cramers_v",
+      (s, d) => cramersV(Tables.documents(s, d)),
+      Some(s"""WITH cnt AS (
+              |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+              |rl AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM cnt GROUP BY 1),
+              |cs AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM cnt GROUP BY 1),
+              |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cnt),
+              |f AS (SELECT rl.lang, cs.source,
+              |             CAST(coalesce(o, 0) AS BIGINT) AS observed,
+              |             CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS e
+              |      FROM rl CROSS JOIN cs CROSS JOIN nn
+              |      LEFT JOIN cnt ON cnt.lang = rl.lang AND cnt.source = cs.source),
+              |cc AS (SELECT lang, source, observed,
+              |         CAST(floor((CAST(observed AS DOUBLE) - e) * (CAST(observed AS DOUBLE) - e) / e
+              |                    * 1000000000.0 + 0.5) / 1000000000.0
+              |              AS DECIMAL(28,9)) AS contrib
+              |       FROM f),
+              |t AS (SELECT CAST(sum(contrib) AS DOUBLE) AS chi2,
+              |             CAST(sum(observed) AS BIGINT) AS n,
+              |             count(DISTINCT lang) AS r,
+              |             count(DISTINCT source) AS c
+              |      FROM cc)
+              |SELECT n AS n_docs,
+              |       floor(chi2 * 1000000000.0 + 0.5) / 1000000000.0 AS chi2,
+              |       floor(($cramersVExpr)
+              |             * 1000000000.0 + 0.5) / 1000000000.0 AS cramers_v
+              |FROM t""".stripMargin),
+      doc = "Cramér's V effect size over lang × source: the x21 exact " +
+        "decimal chi2 normalized by n·min(r-1, c-1) through one shared " +
+        "IEEE tree; 1×k grids CASE-guarded null"),
   )
 }

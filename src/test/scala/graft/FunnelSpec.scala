@@ -98,4 +98,15 @@ class FunnelSpec extends SparkSpec {
       assert(math.abs(s - 1.0) < 1e-6, s"row $prev sums to $s")
     }
   }
+
+  test("session depth histogram: counts sessions by depth, shares sum to 1") {
+    // gap 60 s; user 1: minutes 1,2 then 30 (two sessions, depths 2 and 1);
+    // user 2: minute 1 only (depth 1) -> histogram {1: 2, 2: 1}
+    val df = ev((1, 1, 1, "view"), (2, 2, 1, "view"), (3, 30, 1, "view"),
+      (4, 1, 2, "view"))
+    val rows = Funnel.sessionDepthHistogram(df, 60L).collect()
+    val m = rows.map(r => r.getAs[Long]("n_events") ->
+      (r.getAs[Long]("n_sessions"), r.getAs[Double]("share"))).toMap
+    assert(m(1L) == (2L, 0.666666667) && m(2L) == (1L, 0.333333333))
+  }
 }

@@ -348,4 +348,22 @@ class SimilaritySpec extends SparkSpec {
         s"score at $key does not recompose from component ranks")
     }
   }
+
+  test("assignment margin census partitions the corpus; margins in [0,1]") {
+    val rows = Similarity.assignMarginCensus(vecs, 4).collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == vecs.count(),
+      "every vector lands in exactly one cell")
+    rows.foreach { r =>
+      val mean = r.getAs[Double]("mean_margin")
+      val min = r.getAs[Double]("min_margin")
+      assert(min >= 0.0 && mean >= min && mean <= 1.0,
+        s"cell ${r.getAs[Long]("centroid_id")}: mean $mean min $min out of range")
+    }
+    // the census must agree with s5's assignment cell sizes
+    val s5 = Similarity.ivfAssign(vecs, 4).groupBy("centroid_id").count()
+      .collect().map(r => r.getAs[Long]("centroid_id") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      assert(s5(r.getAs[Long]("centroid_id")) == r.getAs[Long]("n_vecs"))
+    }
+  }
 }

@@ -345,4 +345,20 @@ class StatsSpec extends SparkSpec {
     assert(cp == d3, s"changepoint day $cp != expected epoch day $d3")
     assert(r.getAs[Double]("cusum_max_cents") == 1200.0)
   }
+
+  test("cramers v: perfect association is 1, independence is ~0, 1xk grid is null") {
+    import spark.implicits._
+    def docs(rows: (String, String)*) =
+      rows.zipWithIndex.map { case ((l, s), i) => (i.toLong, l, s) }
+        .toDF("doc_id", "lang", "source")
+    // perfectly diagonal 2x2: lang determines source
+    val perfect = docs(("en", "a"), ("en", "a"), ("de", "b"), ("de", "b"))
+    assert(Stats.cramersV(perfect).collect().head.getAs[Double]("cramers_v") == 1.0)
+    // exactly independent 2x2 (all cells equal)
+    val indep = docs(("en", "a"), ("en", "b"), ("de", "a"), ("de", "b"))
+    assert(Stats.cramersV(indep).collect().head.getAs[Double]("cramers_v") == 0.0)
+    // single lang: min(r-1, c-1) = 0 -> undefined
+    val flat = docs(("en", "a"), ("en", "b"))
+    assert(Stats.cramersV(flat).collect().head.isNullAt(2))
+  }
 }
