@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.{Q, Tables}
 import graft.functions.Parity.pround
@@ -57,6 +58,34 @@ object KMeans {
         pround(col("sum_f").cast("double") / col("n_members").cast("double"), 4)
           .as("mean_fp"))
   }
+
+  /** k2: convergence census — how far did each centroid MOVE in the k1
+    * step? ‖mean − seed‖₂ per centroid is the quantity a Lloyd loop
+    * monitors to decide it has converged (stop when the max shift drops
+    * below tolerance), and the cluster-health signal (a still-racing
+    * centroid after N iterations marks an unstable region).
+    *
+    * Scale shape: no second corpus pass — the shift is a |k·d|-row join
+    * between k1's update table and the posexploded seed centroids
+    * (broadcast), reduced to k rows. Per-dim squared gaps are 4-dp
+    * quantized and decimal-summed (order-free), the root is one shared
+    * IEEE op, and units are converted back from fixed-point to original
+    * float axes. */
+  def kmeansShift(vecs: DataFrame, k: Int): DataFrame = {
+    val dec = DecimalType(38, 4)
+    val seeds = Similarity.withFixed(vecs).orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("centroid_id"),
+        posexplode(col("f")).as(Seq("dim", "seed_v")))
+    kmeansStep(vecs, k)
+      .join(broadcast(seeds), Seq("centroid_id", "dim"))
+      .groupBy("centroid_id")
+      .agg(max("n_members").as("n_members"),
+        sum(pround((col("mean_fp") - col("seed_v")) *
+          (col("mean_fp") - col("seed_v")), 4).cast(dec)).as("ss"))
+      .select(col("centroid_id"), col("n_members"),
+        pround(sqrt(col("ss").cast("double")) / 100000.0, 9).as("shift"))
+      .orderBy("centroid_id")
+  }
 }
 
 object KMeansQueries {
@@ -90,5 +119,49 @@ object KMeansQueries {
               |ORDER BY centroid_id, dim""".stripMargin),
       doc = "one deterministic Lloyd step: broadcast-centroid assignment + " +
         "exact fixed-point centroid update (k x d partial-sum shuffle)"),
+
+    Q("k2_kmeans_shift",
+      (s, d) => kmeansShift(Tables.embeddings(s, d), 6),
+      Some(s"""WITH ${SimilarityQueries.fixedSqlCte},
+              |cents AS (
+              |  SELECT vec_id AS centroid_id, f, nrm FROM n
+              |  ORDER BY vec_id LIMIT 6),
+              |p AS (
+              |  SELECT n.vec_id, n.f AS vf, c.centroid_id,
+              |         ${SimilarityQueries.pairCosSql("n", "c")} AS cos
+              |  FROM n, cents c),
+              |r AS (
+              |  SELECT vec_id, vf, centroid_id,
+              |         row_number() OVER (PARTITION BY vec_id
+              |           ORDER BY cos DESC, centroid_id) AS rn
+              |  FROM p),
+              |a AS (SELECT centroid_id, vf FROM r WHERE rn = 1),
+              |ex AS (
+              |  SELECT centroid_id, i AS dim, vf[i + 1] AS v
+              |  FROM a, (SELECT unnest(range(0, 64)) AS i)
+              |  WHERE i < len(vf)),
+              |up AS (
+              |  SELECT centroid_id, dim, count(*) AS n_members,
+              |         floor(CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)
+              |               / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS mean_fp
+              |  FROM ex GROUP BY centroid_id, dim),
+              |sd AS (
+              |  SELECT c.centroid_id, i AS dim, c.f[i + 1] AS seed_v
+              |  FROM cents c, (SELECT unnest(range(0, 64)) AS i)
+              |  WHERE i < len(c.f)),
+              |g AS (
+              |  SELECT up.centroid_id, up.n_members,
+              |         CAST(floor((mean_fp - seed_v) * (mean_fp - seed_v)
+              |                    * 10000.0 + 0.5) / 10000.0
+              |              AS DECIMAL(38,4)) AS q
+              |  FROM up JOIN sd ON sd.centroid_id = up.centroid_id
+              |                 AND sd.dim = up.dim)
+              |SELECT centroid_id, max(n_members) AS n_members,
+              |       floor(sqrt(CAST(sum(q) AS DOUBLE)) / 100000.0
+              |             * 1000000000.0 + 0.5) / 1000000000.0 AS shift
+              |FROM g GROUP BY centroid_id ORDER BY centroid_id""".stripMargin),
+      doc = "k-means convergence census: per-centroid L2 shift of the k1 " +
+        "update vs its seed — a |k*d|-row broadcast join, 4-dp-quantized " +
+        "decimal-summed squared gaps, no second corpus pass"),
   )
 }

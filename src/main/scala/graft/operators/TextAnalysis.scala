@@ -772,6 +772,39 @@ object TextAnalysis {
           .as("jaccard"))
       .orderBy("src_a", "src_b")
   }
+
+  /** t26: per-source character-class composition — the cheapest ingest
+    * fingerprint there is: natural prose sits near stable alpha/space/
+    * punct ratios, while base64 blobs, tables, code, and OCR noise jump
+    * out as digit- or symbol-heavy sources long before any tokenizer
+    * runs. (The char-level complement to t19's word-level Gopher rules.)
+    *
+    * Each class count is `length(text) − length(regexp_replace(text,
+    * class, ''))` — exact integers, codegen'd, no explode — summed in
+    * one combinable pass to |sources| rows. The oracle's regexp_replace
+    * needs the 'g' flag (DuckDB replaces first-match by default; Spark
+    * replaces all). */
+  def charClassProfile(docs: DataFrame): DataFrame = {
+    def classLen(pat: String) =
+      length(col("text")) - length(regexp_replace(col("text"), pat, ""))
+    docs.select(col("source"), col("text"))
+      .groupBy("source")
+      .agg(sum(length(col("text"))).as("n_chars"),
+        sum(classLen("[A-Za-z]")).as("alpha"),
+        sum(classLen("[0-9]")).as("digit"),
+        sum(classLen("[ \\t\\n\\r\\f]")).as("space"))
+      .select(col("source"), col("n_chars"),
+        pround(col("alpha").cast("double") / col("n_chars").cast("double"), 9)
+          .as("alpha_share"),
+        pround(col("digit").cast("double") / col("n_chars").cast("double"), 9)
+          .as("digit_share"),
+        pround(col("space").cast("double") / col("n_chars").cast("double"), 9)
+          .as("space_share"),
+        pround((col("n_chars") - col("alpha") - col("digit") - col("space"))
+          .cast("double") / col("n_chars").cast("double"), 9)
+          .as("other_share"))
+      .orderBy("source")
+  }
 }
 
 object TextAnalysisQueries {
@@ -1354,5 +1387,32 @@ object TextAnalysisQueries {
       doc = "pairwise source-vocabulary Jaccard: distinct (source, word) " +
         "index, word self-join fan-out capped by |sources|^2 (bounded " +
         "census dimension), broadcast size join"),
+
+    Q("t26_char_classes",
+      (s, d) => charClassProfile(docs(s, d)),
+      Some("""WITH c AS (
+             |  SELECT source,
+             |         CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             |         CAST(sum(length(text)
+             |           - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS BIGINT) AS alpha,
+             |         CAST(sum(length(text)
+             |           - length(regexp_replace(text, '[0-9]', '', 'g'))) AS BIGINT) AS digit,
+             |         CAST(sum(length(text)
+             |           - length(regexp_replace(text, '[ \t\n\r\f]', '', 'g'))) AS BIGINT) AS space
+             |  FROM documents GROUP BY 1)
+             |SELECT source, n_chars,
+             |       floor(CAST(alpha AS DOUBLE) / CAST(n_chars AS DOUBLE)
+             |             * 1000000000.0 + 0.5) / 1000000000.0 AS alpha_share,
+             |       floor(CAST(digit AS DOUBLE) / CAST(n_chars AS DOUBLE)
+             |             * 1000000000.0 + 0.5) / 1000000000.0 AS digit_share,
+             |       floor(CAST(space AS DOUBLE) / CAST(n_chars AS DOUBLE)
+             |             * 1000000000.0 + 0.5) / 1000000000.0 AS space_share,
+             |       floor(CAST(n_chars - alpha - digit - space AS DOUBLE)
+             |             / CAST(n_chars AS DOUBLE)
+             |             * 1000000000.0 + 0.5) / 1000000000.0 AS other_share
+             |FROM c ORDER BY source""".stripMargin),
+      doc = "per-source char-class composition (alpha/digit/space/other " +
+        "shares): length-of-regexp-replace exact integer counts, one " +
+        "combinable pass, no explode; oracle uses the 'g' flag"),
   )
 }

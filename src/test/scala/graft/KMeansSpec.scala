@@ -26,4 +26,30 @@ class KMeansSpec extends SparkSpec {
       assert(math.abs(m) <= 100000.0, s"mean out of range: $r")
     }
   }
+
+  test("centroid shift is zero when every cluster is exactly its seed") {
+    import spark.implicits._
+    // 3 mutually-orthogonal vectors, k = 3: each is its own centroid and
+    // sole member, so the updated mean IS the seed -> shift 0
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f, 0.0f), 1),
+      (2L, Array(0.0f, 0.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val rows = KMeans.kmeansShift(vecs, 3).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_members") == 1L)
+      assert(r.getAs[Double]("shift") == 0.0, s"nonzero shift: $r")
+    }
+  }
+
+  test("shift census is non-negative and covers all k centroids at sf0.01") {
+    val rows = KMeans.kmeansShift(Tables.embeddings(spark, sf("sf0.01")), 6)
+      .collect()
+    assert(rows.length == 6)
+    rows.foreach(r => assert(r.getAs[Double]("shift") >= 0.0))
+    assert(rows.map(_.getAs[Long]("n_members")).sum ==
+      Tables.embeddings(spark, sf("sf0.01")).count())
+  }
 }

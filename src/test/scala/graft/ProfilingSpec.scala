@@ -45,4 +45,13 @@ class ProfilingSpec extends SparkSpec {
       assert(a95 >= e95 && a95 - e95 <= 0.011, s"$k p95: sketch $a95 vs exact $e95")
     }
   }
+
+  test("column profile: one row per column, null and distinct counts exact") {
+    import spark.implicits._
+    val df = Seq((Some(1L), Some("a")), (Some(1L), None), (None, Some("b")))
+      .toDF("k", "v")
+    val m = Profiling.columnProfile(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m == Map("k" -> (1L, 1L), "v" -> (1L, 2L)))
+  }
 }

@@ -319,4 +319,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!m.contains(("s1", "s0")), "only ordered pairs")
     assert(!m.contains(("s0", "s2")), "disjoint vocabularies emit no row")
   }
+
+  test("char classes: shares match hand counts and sum to 1") {
+    import spark.implicits._
+    // "ab 12!" -> 6 chars: 2 alpha, 2 digit, 1 space, 1 other
+    val df = Seq(("s0", "ab 12!")).toDF("source", "text")
+    val r = operators.TextAnalysis.charClassProfile(df).collect().head
+    assert(r.getAs[Long]("n_chars") == 6L)
+    assert(r.getAs[Double]("alpha_share") == 0.333333333)
+    assert(r.getAs[Double]("digit_share") == 0.333333333)
+    assert(r.getAs[Double]("space_share") == 0.166666667)
+    assert(r.getAs[Double]("other_share") == 0.166666667)
+  }
 }
