@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
+import graft.functions.Parity.pround
 
 /** Sequence-assembly operators for LLM training pipelines (SURVEY.md
   * §2.G [EXT] extension): packing documents into fixed-token-budget
@@ -38,6 +39,28 @@ object Packing {
       .groupBy(col(shard), col("batch"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tok_sum"))
   }
+
+  /** y10: packing-efficiency census — the waste report for y1's greedy
+    * packer: per shard, how many batches, how full they run on average,
+    * and how many overflow the budget (a single long doc spills past the
+    * boundary by design — the count tells you whether the budget is
+    * sized right for the corpus's document-length tail). The number a
+    * training-infra team actually tracks: fill_rate IS the fraction of
+    * non-padding tokens in each accelerator batch.
+    *
+    * Pure second rollup of y1's per-batch census to |shards| rows —
+    * nothing new touches the corpus. */
+  def packFill(docs: DataFrame, shard: String, budget: Int): DataFrame =
+    seqPacking(docs, shard, budget)
+      .groupBy(col(shard))
+      .agg(count(lit(1)).as("n_batches"),
+        sum("tok_sum").as("total_tokens"),
+        sum(when(col("tok_sum") > budget, 1L).otherwise(0L)).as("n_overfull"))
+      .select(col(shard), col("n_batches"), col("total_tokens"),
+        col("n_overfull"),
+        pround(col("total_tokens").cast("double") /
+          (col("n_batches") * budget).cast("double"), 9).as("fill_rate"))
+      .orderBy(col(shard))
 
   /** Overlapping context windows of `size` tokens at `stride` over each
     * doc; the final window is truncated, empty docs yield no chunks.
@@ -216,5 +239,31 @@ object PackingQueries {
       doc = "chunk-level exact dedup census (3-token windows): canonical " +
         "copy = smallest doc_id holding the window; dedup groupBy keys on " +
         "the full md5 digest, final join is per-doc"),
+
+    Q("y10_pack_fill",
+      (s, d) => packFill(docs(s, d), "lang", 512),
+      Some(s"""WITH t AS (
+              |  SELECT lang, doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+              |  FROM documents),
+              |c AS (
+              |  SELECT lang, doc_id, n_toks,
+              |         sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+              |           ROWS UNBOUNDED PRECEDING) AS cum
+              |  FROM t),
+              |b AS (
+              |  SELECT lang, CAST((cum - n_toks) // 512 AS BIGINT) AS batch,
+              |         CAST(sum(n_toks) AS BIGINT) AS tok_sum
+              |  FROM c GROUP BY lang, batch)
+              |SELECT lang, count(*) AS n_batches,
+              |       CAST(sum(tok_sum) AS BIGINT) AS total_tokens,
+              |       CAST(sum(CASE WHEN tok_sum > 512 THEN 1 ELSE 0 END) AS BIGINT)
+              |         AS n_overfull,
+              |       floor(CAST(sum(tok_sum) AS DOUBLE)
+              |             / CAST(count(*) * 512 AS DOUBLE)
+              |             * 1000000000.0 + 0.5) / 1000000000.0 AS fill_rate
+              |FROM b GROUP BY lang ORDER BY lang""".stripMargin),
+      doc = "packing-efficiency census: per-shard batch count, fill rate " +
+        "(non-padding token fraction) and overfull count — a second " +
+        "rollup of y1's batch table, no new corpus pass"),
   )
 }

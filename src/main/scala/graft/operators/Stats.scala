@@ -890,6 +890,45 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** x40: exact Lorenz decile curve of per-user value — the curve behind
+    * x25's Gini scalar: cumulative value share held by the bottom d/10
+    * of users, the concentration profile ("the top decile carries 60% of
+    * revenue") that drives sampling and mixture decisions.
+    *
+    * Exactness at the boundary: all users inside one cent bin hold the
+    * SAME value, so the cumulative revenue at user-rank r is
+    * cum_before + (r − users_before)·v — exact integers, no
+    * interpolation error. The decile boundary rank is ceil(d·n/10) via
+    * integer arithmetic. Windows run over cent BINS (x25/x34
+    * discipline); the ten boundary rows come from a broadcast cross with
+    * the literal decile table and a min-struct per decile. */
+  def lorenzDeciles(events: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val per = events
+      .select(col("user_id"),
+        expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("c"))
+      .groupBy("user_id").agg(sum("c").as("v"))
+    val bins = per.groupBy("v").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins.select(col("v"), col("cnt"),
+      sum("cnt").over(w).as("cu"),
+      sum((col("v").cast(dec) * col("cnt").cast(dec))).over(w).as("cr"))
+    val tot = per.agg(count(lit(1)).as("n"), sum(col("v").cast(dec)).as("t"))
+    val deciles = events.sparkSession.range(1, 11)
+      .select(col("id").as("decile"))
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(deciles))
+      .withColumn("rd", expr("(decile * n + 9) div 10"))
+      .where(col("cu") >= col("rd"))
+      .groupBy("decile", "rd", "t")
+      .agg(min(struct(col("v"), col("cnt"), col("cu"), col("cr"))).as("b"))
+      .select(col("decile"), col("rd").as("user_rank"),
+        pround((col("b.cr") -
+          (col("b.cu") - col("rd")).cast(dec) * col("b.v").cast(dec))
+          .cast("double") / col("t").cast("double"), 9).as("rev_share"))
+      .orderBy("decile")
+  }
+
   /** x38: CUSUM changepoint scan on the daily revenue series — where did
     * the level shift? The classic offline changepoint statistic: the day
     * k maximizing |S_k − k·μ| (cumulative deviation from the global
@@ -1616,5 +1655,35 @@ object StatsQueries {
       doc = "Cramér's V effect size over lang × source: the x21 exact " +
         "decimal chi2 normalized by n·min(r-1, c-1) through one shared " +
         "IEEE tree; 1×k grids CASE-guarded null"),
+
+    Q("x40_lorenz_deciles",
+      (s, d) => lorenzDeciles(Tables.events(s, d)),
+      Some("""WITH per AS (
+             |  SELECT user_id,
+             |         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v
+             |  FROM events GROUP BY 1),
+             |b AS (SELECT v, count(*) AS cnt FROM per GROUP BY 1),
+             |c AS (
+             |  SELECT v, cnt,
+             |         sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cu,
+             |         sum(CAST(v AS HUGEINT) * cnt) OVER (ORDER BY v
+             |           ROWS UNBOUNDED PRECEDING) AS cr
+             |  FROM b),
+             |t AS (SELECT count(*) AS n, CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS t
+             |      FROM per),
+             |d AS (SELECT unnest(range(1, 11)) AS decile),
+             |j AS (
+             |  SELECT decile, (decile * n + 9) // 10 AS rd, v, cnt, cu, cr, t,
+             |         row_number() OVER (PARTITION BY decile ORDER BY v) AS rn
+             |  FROM c CROSS JOIN t CROSS JOIN d
+             |  WHERE cu >= (decile * n + 9) // 10)
+             |SELECT decile, rd AS user_rank,
+             |       floor(CAST(cr - (cu - rd) * CAST(v AS HUGEINT) AS DOUBLE)
+             |             / CAST(t AS DOUBLE)
+             |             * 1000000000.0 + 0.5) / 1000000000.0 AS rev_share
+             |FROM j WHERE rn = 1 ORDER BY decile""".stripMargin),
+      doc = "exact Lorenz decile curve of per-user value: cent-bin " +
+        "windows, integer ceil(d*n/10) boundary ranks, same-bin equality " +
+        "makes the boundary split exact (no interpolation error)"),
   )
 }

@@ -128,4 +128,19 @@ class PackingSpec extends SparkSpec {
     assert(got(1) === ((1L, 5L, 5L, 1.0)))
     assert(got(2) === ((2L, 5L, 0L, 0.0)))
   }
+
+  test("y10 pack fill: batch count, overfull count and fill rate by hand") {
+    // budget 4; shard 'a': docs of 2,2,5,1 tokens -> batches (cum-n)//4:
+    // doc0 cum2 b0, doc1 cum4 b0, doc2 cum9 b1, doc3 cum10 b2
+    // batch sums: b0=4, b1=5 (overfull), b2=1; fill = 10/(3*4)
+    val docs = Seq(
+      (0L, "t t", "a"), (1L, "t t", "a"),
+      (2L, "t t t t t", "a"), (3L, "t", "a"))
+      .toDF("doc_id", "text", "lang")
+    val r = Packing.packFill(docs, "lang", 4).collect().head
+    assert(r.getAs[Long]("n_batches") == 3L)
+    assert(r.getAs[Long]("total_tokens") == 10L)
+    assert(r.getAs[Long]("n_overfull") == 1L)
+    assert(r.getAs[Double]("fill_rate") == 0.833333333)
+  }
 }

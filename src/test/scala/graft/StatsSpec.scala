@@ -361,4 +361,21 @@ class StatsSpec extends SparkSpec {
     val flat = docs(("en", "a"), ("en", "b"))
     assert(Stats.cramersV(flat).collect().head.isNullAt(2))
   }
+
+  test("lorenz deciles: uniform users give the diagonal, concentration bends it") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    // 10 users, one event of value 1.0 each -> share(d) = d/10 exactly
+    val uni = (1 to 10).map(u => (u.toLong, ts, 1.0)).toDF("user_id", "ts", "value")
+    val us = Stats.lorenzDeciles(uni).collect()
+      .map(r => r.getAs[Long]("decile") -> r.getAs[Double]("rev_share")).toMap
+    (1 to 10).foreach(d => assert(us(d.toLong) == d / 10.0, s"decile $d: ${us(d.toLong)}"))
+    // one whale: bottom deciles hold almost nothing, decile 10 holds all
+    val whale = ((1 to 9).map(u => (u.toLong, ts, 1.0)) :+ ((10L, ts, 991.0)))
+      .toDF("user_id", "ts", "value")
+    val ws = Stats.lorenzDeciles(whale).collect()
+      .map(r => r.getAs[Long]("decile") -> r.getAs[Double]("rev_share")).toMap
+    assert(ws(9L) == 0.009 && ws(10L) == 1.0)
+  }
 }
