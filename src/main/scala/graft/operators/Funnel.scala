@@ -100,6 +100,37 @@ object Funnel {
       .orderBy("n_events")
   }
 
+  /** f8: last-touch revenue attribution — every purchase's value is
+    * credited to the nearest PRECEDING non-purchase event type in the
+    * user's stream (the default attribution model in every marketing
+    * stack); purchases with no prior touch land in the null bucket
+    * rather than silently vanishing, so credited revenue always sums to
+    * total purchase revenue.
+    *
+    * "Most recent preceding" without engine-varying IGNORE NULLS
+    * semantics: a running count of non-purchase events partitions each
+    * user's stream into segments that share the same last touch, the
+    * toucher is the single non-purchase row that OPENED the segment, and
+    * purchases join their segment's toucher on (user, segment) — the
+    * same user_id-keyed partitioning as the window, so the join adds no
+    * new shuffle. Exact cent sums; the a4 event_id tiebreak keeps
+    * segment assignment deterministic. */
+  def lastTouchAttribution(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val seg = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("c"))
+      .withColumn("s",
+        sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L)).over(w))
+    val touch = seg.where(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("s"), col("event_type").as("touch_type"))
+    seg.where(col("event_type") === "purchase")
+      .join(touch, Seq("user_id", "s"), "left")
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_purchases"), sum("c").as("revenue_cents"))
+      .orderBy("touch_type")
+  }
+
   /** Strict sequential funnel: first 'view', then the first 'click'
     * AFTER that view, then the first 'purchase' AFTER that click.
     * Output: one row of per-stage user counts. */
@@ -371,5 +402,27 @@ object FunnelQueries {
       doc = "session-depth histogram (bounce-vs-engaged distribution): " +
         "second rollup of f3's session table to |depths| rows, broadcast " +
         "total for shares"),
+
+    Q("f8_last_touch",
+      (s, d) => lastTouchAttribution(Tables.events(s, d)),
+      Some("""WITH seg AS (
+             |  SELECT user_id, event_type,
+             |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+             |         CAST(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+             |  FROM events),
+             |touch AS (
+             |  SELECT user_id, s, event_type AS touch_type
+             |  FROM seg WHERE event_type <> 'purchase')
+             |SELECT touch_type, count(*) AS n_purchases,
+             |       CAST(sum(c) AS BIGINT) AS revenue_cents
+             |FROM seg LEFT JOIN touch USING (user_id, s)
+             |WHERE seg.event_type = 'purchase'
+             |GROUP BY touch_type ORDER BY touch_type""".stripMargin),
+      doc = "last-touch revenue attribution: running non-purchase count " +
+        "segments each user's stream, purchases join the segment-opening " +
+        "touch on the SAME user_id partitioning (no new shuffle), null " +
+        "bucket preserves the revenue total"),
   )
 }

@@ -905,6 +905,40 @@ object Similarity {
   private[operators] val marginExpr =
     "(case when greatest(1.0 - cos1, 1.0 - cos2) = 0.0 then cast(null as double) " +
       "else (cos1 - cos2) / greatest(1.0 - cos1, 1.0 - cos2) end)"
+
+  /** s22: one exact PCA power-iteration step — the dominant-direction
+    * probe (is the embedding space collapsing onto one axis?) that
+    * complements s19's leading-dim covariance census with a WHOLE-SPACE
+    * answer. Applies the centered covariance C to the all-ones start
+    * vector u₀ and reports the max-normalized direction C·u₀.
+    *
+    * The trick that keeps it one pass with NO d² expansion:
+    * (C·u₀)_i ∝ n·Σ_t x_i(t)·T(t) − S_i·ΣT, where T(t) is vector t's
+    * coordinate sum — so a per-vector T column plus a posexplode gives
+    * every Σ_j C_ij from d accumulators instead of d² pair moments.
+    * All sums are exact DECIMAL integers; normalization is by max|·|
+    * (order-independent, overflow-free), not the L2 norm, so no
+    * floating accumulation anywhere. */
+  def pcaPowerStep(vecs: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val withT = withFixed(vecs).select(col("vec_id"), col("f"),
+      expr("aggregate(f, 0L, (acc, x) -> acc + x)").as("t"))
+    val mo = withT.select(col("t"), posexplode(col("f")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(sum(col("x").cast(dec)).as("si"),
+        sum(col("x").cast(dec) * col("t").cast(dec)).as("sit"))
+    val tot = withT.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("t").cast(dec)).as("st"))
+    val raw = mo.crossJoin(broadcast(tot))
+      .select(col("dim"),
+        (col("n").cast(dec) * col("sit") - col("si") * col("st")).as("r"))
+    val mx = raw.agg(max(abs(col("r"))).as("m"))
+    raw.crossJoin(broadcast(mx))
+      .select(col("dim"),
+        pround(col("r").cast("double") / col("m").cast("double"), 9)
+          .as("loading"))
+      .orderBy("dim")
+  }
 }
 
 object SimilarityQueries {
@@ -1727,5 +1761,31 @@ object SimilarityQueries {
       doc = "coarse-assignment margin census (silhouette under cosine " +
         "distance, own-cell distance to centroid): broadcast centroids, " +
         "one top-2 ranking pass, 6-dp-quantized decimal-summed cell means"),
+
+    Q("s22_pca_step",
+      (s, d) => pcaPowerStep(vecs(s, d)),
+      Some(s"""WITH $fixedSqlCte,
+              |wt AS (SELECT vec_id, f, CAST(list_sum(f) AS BIGINT) AS t FROM n),
+              |ex AS (
+              |  SELECT t, i AS dim, f[i + 1] AS x
+              |  FROM wt, (SELECT unnest(range(0, 64)) AS i)
+              |  WHERE i < len(f)),
+              |mo AS (
+              |  SELECT dim, sum(CAST(x AS HUGEINT)) AS si,
+              |         sum(CAST(x AS HUGEINT) * t) AS sit
+              |  FROM ex GROUP BY 1),
+              |tt AS (SELECT count(*) AS nn,
+              |              CAST(sum(CAST(t AS HUGEINT)) AS HUGEINT) AS st
+              |       FROM wt),
+              |raw AS (SELECT dim, CAST(nn AS HUGEINT) * sit - si * st AS r
+              |        FROM mo CROSS JOIN tt),
+              |m AS (SELECT max(abs(r)) AS m FROM raw)
+              |SELECT dim,
+              |       floor(CAST(r AS DOUBLE) / CAST(m AS DOUBLE)
+              |             * 1000000000.0 + 0.5) / 1000000000.0 AS loading
+              |FROM raw CROSS JOIN m ORDER BY dim""".stripMargin),
+      doc = "one exact PCA power-iteration step (C*ones, max-normalized): " +
+        "per-vector coordinate-sum column turns the d^2 covariance apply " +
+        "into d accumulators — one pass, exact DECIMAL, no float sums"),
   )
 }

@@ -890,6 +890,48 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** x41: Tukey-fence outlier census per event type — the boxplot rule
+    * (beyond Q1 − 1.5·IQR or Q3 + 1.5·IQR) that most dashboards and
+    * pre-training value filters actually apply, completing the robust
+    * family: x33 winsorizes, x36 measures spread, x41 COUNTS the tail.
+    *
+    * Quartiles use the x34 ceil(q·n) bin convention; the fences are
+    * exact half-cent doubles (1.5·integer IQR), the fence comparison
+    * runs over the SAME bin table (a second |bins|-row pass, zero new
+    * fact scans), and the fence join is a broadcast of |groups| rows. */
+  def tukeyOutliers(events: DataFrame): DataFrame = {
+    val bins = events
+      .select(col("event_type").as("g"),
+        expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+    val tot = bins.groupBy("g").agg(sum("cnt").as("n"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins.withColumn("cum", sum("cnt").over(w))
+      .join(broadcast(tot), "g")
+    val q = cum.groupBy("g")
+      .agg(min(when(col("cum") >= expr("(n + 3) div 4"), col("v"))).as("q1"),
+        min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("v"))).as("q3"))
+      .select(col("g"), col("q1"), col("q3"),
+        (col("q1").cast("double") - (col("q3") - col("q1")).cast("double") * 1.5)
+          .as("lo"),
+        (col("q3").cast("double") + (col("q3") - col("q1")).cast("double") * 1.5)
+          .as("hi"))
+    bins.join(broadcast(q), "g")
+      .groupBy("g")
+      .agg(sum("cnt").as("n"),
+        max("q1").as("q1_cents"), max("q3").as("q3_cents"),
+        sum(when(col("v").cast("double") < col("lo"), col("cnt"))
+          .otherwise(0L)).as("n_low"),
+        sum(when(col("v").cast("double") > col("hi"), col("cnt"))
+          .otherwise(0L)).as("n_high"))
+      .select(col("g").as("event_type"), col("n"), col("q1_cents"),
+        col("q3_cents"), col("n_low"), col("n_high"),
+        pround((col("n_low") + col("n_high")).cast("double") /
+          col("n").cast("double"), 9).as("outlier_share"))
+      .orderBy("event_type")
+  }
+
   /** x40: exact Lorenz decile curve of per-user value — the curve behind
     * x25's Gini scalar: cumulative value share held by the bottom d/10
     * of users, the concentration profile ("the top decile carries 60% of
@@ -1685,5 +1727,41 @@ object StatsQueries {
       doc = "exact Lorenz decile curve of per-user value: cent-bin " +
         "windows, integer ceil(d*n/10) boundary ranks, same-bin equality " +
         "makes the boundary split exact (no interpolation error)"),
+
+    Q("x41_tukey_fences",
+      (s, d) => tukeyOutliers(Tables.events(s, d)),
+      Some("""WITH bins AS (
+             |  SELECT event_type AS g,
+             |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+             |         count(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |tot AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM bins GROUP BY 1),
+             |c AS (
+             |  SELECT g, v, cnt, n,
+             |         sum(cnt) OVER (PARTITION BY g ORDER BY v
+             |           ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM bins JOIN tot USING (g)),
+             |q AS (
+             |  SELECT g,
+             |         min(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS q1,
+             |         min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS q3
+             |  FROM c GROUP BY 1),
+             |f AS (SELECT g, q1, q3,
+             |             CAST(q1 AS DOUBLE) - CAST(q3 - q1 AS DOUBLE) * 1.5 AS lo,
+             |             CAST(q3 AS DOUBLE) + CAST(q3 - q1 AS DOUBLE) * 1.5 AS hi
+             |      FROM q)
+             |SELECT g AS event_type, CAST(sum(cnt) AS BIGINT) AS n,
+             |       max(q1) AS q1_cents, max(q3) AS q3_cents,
+             |       CAST(sum(CASE WHEN CAST(v AS DOUBLE) < lo THEN cnt ELSE 0 END) AS BIGINT) AS n_low,
+             |       CAST(sum(CASE WHEN CAST(v AS DOUBLE) > hi THEN cnt ELSE 0 END) AS BIGINT) AS n_high,
+             |       floor(CAST(sum(CASE WHEN CAST(v AS DOUBLE) < lo THEN cnt ELSE 0 END)
+             |                  + sum(CASE WHEN CAST(v AS DOUBLE) > hi THEN cnt ELSE 0 END) AS DOUBLE)
+             |             / CAST(sum(cnt) AS DOUBLE)
+             |             * 1000000000.0 + 0.5) / 1000000000.0 AS outlier_share
+             |FROM bins JOIN f USING (g)
+             |GROUP BY g ORDER BY event_type""".stripMargin),
+      doc = "Tukey-fence outlier census per event type: ceil-convention " +
+        "quartiles off cent bins, exact half-cent fences, tail counts " +
+        "from a second bins pass (no new fact scan), broadcast fence join"),
   )
 }

@@ -773,6 +773,45 @@ object TextAnalysis {
       .orderBy("src_a", "src_b")
   }
 
+  /** t27: discriminative keywords via log-odds ratio with a Dirichlet
+    * prior (Monroe, Colaresi & Quinn 2008, "Fightin' Words") — the
+    * standard "what words characterize corpus A vs corpus B" statistic:
+    * raw odds ratios explode on rare words, the +α prior shrinks them,
+    * and the z-scaling (dividing by the estimated standard deviation)
+    * keeps frequent words from dominating on sheer count.
+    *
+    * Scale shape: ONE conditional count pass over the two groups' tokens
+    * to the vocab-sized (word, ca, cb) table; totals are a broadcast
+    * one-row aggregate, z is a shared IEEE tree over exact counts, and
+    * the output is a TakeOrdered top-k on the 6-dp pround-ed z (the open
+    * vocabulary never reaches the driver or a global sort). */
+  def logOddsKeywords(docs: DataFrame, langA: String = "en",
+                      langB: String = "de", topK: Int = 20): DataFrame = {
+    val wc = docs.where(col("lang").isin(langA, langB))
+      .select(col("lang"), explode(expr(Dedup.tokensExpr)).as("w"))
+      .groupBy("w")
+      .agg(sum(when(col("lang") === langA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("lang") === langB, 1L).otherwise(0L)).as("cb"))
+    val tot = wc.agg(sum("ca").as("na"), sum("cb").as("nb"),
+      count(lit(1)).as("v"))
+    wc.crossJoin(broadcast(tot))
+      .select(col("w").as("word"), col("ca"), col("cb"),
+        pround(expr(logOddsZExpr), 6).as("z"))
+      .orderBy(desc("z"), col("word"))
+      .limit(topK)
+  }
+
+  // Fightin'-Words z with α = 0.5 per word (A = 0.5·|vocab|); shared
+  // verbatim with the oracle. ln args are strictly positive by the
+  // prior, so no domain guard is needed.
+  private val loA = "(cast(ca as double) + 0.5)"
+  private val loB = "(cast(cb as double) + 0.5)"
+  private val loDelta =
+    s"(ln($loA / (cast(na as double) + 0.5 * cast(v as double) - $loA)) - " +
+      s"ln($loB / (cast(nb as double) + 0.5 * cast(v as double) - $loB)))"
+  private[operators] val logOddsZExpr =
+    s"($loDelta / sqrt(1.0 / $loA + 1.0 / $loB))"
+
   /** t26: per-source character-class composition — the cheapest ingest
     * fingerprint there is: natural prose sits near stable alpha/space/
     * punct ratios, while base64 blobs, tables, code, and OCR noise jump
@@ -1414,5 +1453,25 @@ object TextAnalysisQueries {
       doc = "per-source char-class composition (alpha/digit/space/other " +
         "shares): length-of-regexp-replace exact integer counts, one " +
         "combinable pass, no explode; oracle uses the 'g' flag"),
+
+    Q("t27_log_odds",
+      (s, d) => logOddsKeywords(docs(s, d)),
+      Some(s"""WITH tok AS (
+              |  SELECT lang, unnest($toksSql) AS w FROM documents
+              |  WHERE lang IN ('en', 'de')),
+              |wc AS (
+              |  SELECT w, CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+              |         CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+              |  FROM tok GROUP BY 1),
+              |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+              |             CAST(sum(cb) AS BIGINT) AS nb,
+              |             count(*) AS v FROM wc)
+              |SELECT w AS word, ca, cb,
+              |       floor(($logOddsZExpr) * 1000000.0 + 0.5) / 1000000.0 AS z
+              |FROM wc CROSS JOIN t
+              |ORDER BY z DESC, word LIMIT 20""".stripMargin),
+      doc = "Fightin'-Words discriminative keywords (log-odds ratio, " +
+        "Dirichlet prior, z-scaled): one conditional count pass to the " +
+        "vocab table, broadcast totals, TakeOrdered top-k on pround-ed z"),
   )
 }

@@ -109,4 +109,23 @@ class FunnelSpec extends SparkSpec {
       (r.getAs[Long]("n_sessions"), r.getAs[Double]("share"))).toMap
     assert(m(1L) == (2L, 0.666666667) && m(2L) == (1L, 0.333333333))
   }
+
+  test("last touch: purchases credit the nearest preceding touch; no prior -> null") {
+    import spark.implicits._
+    val df = Seq(
+      // user 1: view, purchase(2.00), click, purchase(3.00)
+      (1L, ts(1), 1L, "view", 0.0), (2L, ts(2), 1L, "purchase", 2.0),
+      (3L, ts(3), 1L, "click", 0.0), (4L, ts(4), 1L, "purchase", 3.0),
+      // user 2: purchase with no prior event at all
+      (5L, ts(1), 2L, "purchase", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rows = Funnel.lastTouchAttribution(df).collect()
+    val m = rows.map(r => Option(r.getAs[String]("touch_type")) ->
+      (r.getAs[Long]("n_purchases"), r.getAs[Long]("revenue_cents"))).toMap
+    assert(m(Some("view")) == (1L, 200L))
+    assert(m(Some("click")) == (1L, 300L))
+    assert(m(None) == (1L, 500L), "orphan purchase must land in the null bucket")
+    assert(rows.map(_.getAs[Long]("revenue_cents")).sum == 1000L,
+      "attribution must conserve total purchase revenue")
+  }
 }

@@ -477,4 +477,41 @@ class PlanAuditSpec extends SparkSpec {
     // the rungs carries the 5-row query filter, bounded by #rungs + 1
     assert("BroadcastExchange".r.findAllIn(p).size <= 6, p.take(1200))
   }
+
+  test("x37: both rank windows are fed by bin aggregates, never fact rows") {
+    val p = plan("x37_spearman")
+    // two cumulative windows (one per variable), each above a
+    // partial+final aggregate; moments are map-side combinable
+    assert("windowspecdefinition".r.findAllIn(p).size >= 2, p.take(1200))
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && winIdx < p.lastIndexOf("HashAggregate"),
+      "rank windows must sit above the bin aggregates")
+  }
+
+  test("x40: lorenz windows run over cent bins; decile/total joins broadcast") {
+    val p = plan("x40_lorenz_deciles")
+    assert(p.contains("BroadcastExchange"), "decile + total tables broadcast")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && winIdx < p.lastIndexOf("HashAggregate"),
+      "cumulative windows must be fed by the bin aggregate")
+    assert(!p.contains("CartesianProduct"), p.take(1000))
+  }
+
+  test("s21: margin census broadcasts only the bounded centroid table") {
+    val logical = Registry.all.find(_.name == "s21_assign_margin").get
+      .run(spark, sf("sf0.001")).queryExecution.analyzed.toString
+    // one hint: the centroid table; the corpus never carries one
+    assert("ResolvedHint".r.findAllIn(logical).size <= 1, logical.take(800))
+    val p = plan("s21_assign_margin")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("p6: column profile is one multi-distinct aggregate over one Expand") {
+    val p = plan("p6_column_profile")
+    assert("Expand".r.findAllIn(p).size <= 2,
+      "multi-distinct must compile to a single Expand (+ stack projection)\n" +
+        p.take(1000))
+    assert(!p.contains("Join"), "no per-column re-scans\n" + p.take(1000))
+  }
 }

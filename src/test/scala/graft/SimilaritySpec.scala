@@ -366,4 +366,17 @@ class SimilaritySpec extends SparkSpec {
       assert(s5(r.getAs[Long]("centroid_id")) == r.getAs[Long]("n_vecs"))
     }
   }
+
+  test("pca power step: variance concentrated on one axis dominates the loading") {
+    // all variance lives in dim 0; dim 1 is constant -> loading (1, 0)
+    val df = Seq(
+      (0L, Array(1.0f, 0.5f), 0),
+      (1L, Array(-1.0f, 0.5f), 0),
+      (2L, Array(2.0f, 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val m = Similarity.pcaPowerStep(df).collect()
+      .map(r => r.getAs[Int]("dim") -> r.getAs[Double]("loading")).toMap
+    assert(math.abs(m(0)) == 1.0, s"dominant axis must normalize to 1: $m")
+    assert(m(1) == 0.0, s"constant axis must load 0: $m")
+  }
 }

@@ -378,4 +378,18 @@ class StatsSpec extends SparkSpec {
       .map(r => r.getAs[Long]("decile") -> r.getAs[Double]("rev_share")).toMap
     assert(ws(9L) == 0.009 && ws(10L) == 1.0)
   }
+
+  test("tukey fences: a single wild value is the only outlier counted") {
+    import spark.implicits._
+    // values 1..8 dollars plus one 100-dollar spike, all one type
+    val df = ((1 to 8).map(i => ("click", i.toDouble)) :+ (("click", 100.0)))
+      .toDF("event_type", "value")
+    val r = Stats.tukeyOutliers(df).collect().head
+    // n=9: q1 = v at ceil(9/4)=rank 3 -> 300; q3 = rank ceil(27/4)=7 -> 700
+    assert(r.getAs[Long]("q1_cents") == 300L)
+    assert(r.getAs[Long]("q3_cents") == 700L)
+    // fences: 300 - 600 = -300, 700 + 600 = 1300 -> only the 10000 spike
+    assert(r.getAs[Long]("n_low") == 0L && r.getAs[Long]("n_high") == 1L)
+    assert(r.getAs[Double]("outlier_share") == 0.111111111)
+  }
 }

@@ -331,4 +331,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("space_share") == 0.166666667)
     assert(r.getAs[Double]("other_share") == 0.166666667)
   }
+
+  test("log-odds keywords: group-exclusive words get opposite-signed z") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "alpha alpha shared", "en", "s0", 0L),
+      (1L, "beta beta shared", "de", "s0", 0L),
+      (2L, "ignored entirely", "fr", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = operators.TextAnalysis.logOddsKeywords(df).collect()
+    val z = rows.map(r => r.getAs[String]("word") -> r.getAs[Double]("z")).toMap
+    assert(z("alpha") > 0.0, "en-exclusive word must lean en")
+    assert(z("beta") < 0.0, "de-exclusive word must lean de")
+    assert(math.abs(z("shared")) < math.abs(z("alpha")),
+      "a balanced word must score nearer zero than an exclusive one")
+    assert(!z.contains("ignored"), "out-of-group langs must not contribute")
+    assert(rows.head.getAs[String]("word") == "alpha", "ordered by z desc")
+  }
 }
