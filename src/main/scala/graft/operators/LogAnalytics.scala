@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.{Q, Tables}
 import graft.functions.Parity.{exactAvg, pround}
 
@@ -205,6 +206,29 @@ object LogAnalytics {
             (unix_timestamp(col("t_shuf_end")) - unix_timestamp(col("t_shuf_start")))
               .cast("double"), 2))
         .as("overlap_pct"))
+
+  /** a21: per-node CPU–MEM correlation over the parsed monitor stream —
+    * the capacity-planning question ("is memory pressure tracking CPU
+    * load, or leaking independently?") asked of the same samples
+    * A11-A14 aggregate. Bridges the log-analytics family to the x-series
+    * moment machinery: one combinable integer-moment pass per node over
+    * a1's parsed (node, cpu, mem) records, Pearson through the shared
+    * x30 tree. Degenerate nodes (constant CPU or MEM) are guarded null,
+    * and node cardinality bounds the output however long the logs run. */
+  def cpuMemCorr(lines: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    parseMonitorLine(lines)
+      .where(col("node") =!= "")
+      .groupBy("node")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cpu").cast(dec)).as("sx"), sum(col("mem").cast(dec)).as("sy"),
+        sum((col("cpu") * col("cpu")).cast(dec)).as("sxx"),
+        sum((col("cpu") * col("mem")).cast(dec)).as("sxy"),
+        sum((col("mem") * col("mem")).cast(dec)).as("syy"))
+      .select(col("node"), col("n"),
+        pround(expr(Stats.acf1Expr), 9).as("cpu_mem_corr"))
+      .orderBy("node")
+  }
 }
 
 object LogAnalyticsQueries {
@@ -546,5 +570,33 @@ object LogAnalyticsQueries {
              |       CAST(floor(100.0 * value / (value + CAST(user_id + 1 AS DOUBLE))) AS BIGINT) AS mem_pct
              |FROM events ORDER BY event_id""".stripMargin),
       doc = "C2 MEM% projection, integer-floored (monitor_real.sh:22-28)"),
+
+    Q("a21_cpu_mem_corr",
+      (s, d) => cpuMemCorr(monitorLine(ev(s, d))),
+      Some(s"""WITH lines AS (
+              |  SELECT event_id,
+              |         '[worker' || (user_id % 3) || '-' || event_type ||
+              |         '] CPU: ' || CAST(floor(value * 10) AS BIGINT) ||
+              |         '% | MEM: ' || (user_id % 100) || '%' AS line
+              |  FROM events),
+              |p AS (
+              |  SELECT regexp_extract(line, '\\[(\\w+-\\w+)\\] CPU: (\\d+)% \\| MEM: (\\d+)%', 1) AS node,
+              |         CAST(regexp_extract(line, '\\[(\\w+-\\w+)\\] CPU: (\\d+)% \\| MEM: (\\d+)%', 2) AS BIGINT) AS cpu,
+              |         CAST(regexp_extract(line, '\\[(\\w+-\\w+)\\] CPU: (\\d+)% \\| MEM: (\\d+)%', 3) AS BIGINT) AS mem
+              |  FROM lines),
+              |mo AS (
+              |  SELECT node, count(*) AS n,
+              |         sum(CAST(cpu AS HUGEINT)) AS sx, sum(CAST(mem AS HUGEINT)) AS sy,
+              |         sum(CAST(cpu AS HUGEINT) * cpu) AS sxx,
+              |         sum(CAST(cpu AS HUGEINT) * mem) AS sxy,
+              |         sum(CAST(mem AS HUGEINT) * mem) AS syy
+              |  FROM p WHERE node <> '' GROUP BY 1)
+              |SELECT node, n,
+              |       floor((${Stats.acf1Expr})
+              |             * 1000000000.0 + 0.5) / 1000000000.0 AS cpu_mem_corr
+              |FROM mo ORDER BY node""".stripMargin),
+      doc = "per-node CPU-MEM Pearson correlation over the a1 monitor " +
+        "stream: one combinable integer-moment pass per node, shared x30 " +
+        "tree, output bounded by node cardinality"),
   )
 }

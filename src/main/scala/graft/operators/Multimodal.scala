@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -60,6 +61,37 @@ object Multimodal {
         (col("n_bytes") % 640 + 1).as("width"),
         ((col("n_bytes") * 7) % 480 + 1).as("height"),
         (col("n_bytes") % 30 + 1).as("n_frames"))
+
+  /** m8: per-source storage-budget census — count, total/mean bytes and
+    * p95 payload size, the numbers a media-lake capacity plan runs on
+    * (and the skew early-warning: one source's p95 racing its mean flags
+    * the oversized-payload tail that will dominate decode batches).
+    *
+    * Scale shape: payloads never move — the first projection reduces to
+    * (source, byte-size) BIN counts (the x34 discipline: windows run
+    * over bins, bounded by the size domain, never records), totals are a
+    * second rollup, and the p95 ceil-rank read joins the |sources|-row
+    * totals back as a broadcast. */
+  def storageBudget(docs: DataFrame): DataFrame = {
+    val bins = mediaFrame(docs)
+      .select(col("source"), octet_length(col("media")).cast("long").as("nb"))
+      .groupBy("source", "nb").agg(count(lit(1)).as("cnt"))
+    val tot = bins.groupBy("source")
+      .agg(sum(col("nb") * col("cnt")).as("total_bytes"),
+        sum("cnt").as("n_media"))
+    val w = Window.partitionBy("source").orderBy("nb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p95 = bins.withColumn("cum", sum("cnt").over(w))
+      .join(broadcast(tot.select(col("source"), col("n_media"))), "source")
+      .where(col("cum") >= expr("(19 * n_media + 19) div 20"))
+      .groupBy("source").agg(min("nb").as("p95_bytes"))
+    tot.join(broadcast(p95), "source")
+      .select(col("source"), col("n_media"), col("total_bytes"),
+        pround(col("total_bytes").cast("double") /
+          col("n_media").cast("double"), 6).as("mean_bytes"),
+        col("p95_bytes"))
+      .orderBy("source")
+  }
 
   /** The per-partition batch-decode shape: a mapPartitions pipeline with
     * the codec call stubbed. On a cluster this is where an Arrow-batched
@@ -220,5 +252,30 @@ object MultimodalQueries {
       doc = "media dedup census by content hash: the first pass of image " +
         "dedup - per source, how many payloads are byte-identical copies; " +
         "groupBy keys on the 128-bit digest, never the payload"),
+
+    Q("m8_storage_budget",
+      (s, d) => storageBudget(Tables.documents(s, d)),
+      Some("""WITH b AS (
+             |  SELECT source, CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+             |         count(*) AS cnt
+             |  FROM documents GROUP BY 1, 2),
+             |t AS (SELECT source, CAST(sum(nb * cnt) AS BIGINT) AS total_bytes,
+             |             CAST(sum(cnt) AS BIGINT) AS n_media
+             |      FROM b GROUP BY 1),
+             |c AS (
+             |  SELECT source, nb, cnt, n_media,
+             |         sum(cnt) OVER (PARTITION BY source ORDER BY nb
+             |           ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM b JOIN t USING (source)),
+             |p AS (SELECT source, min(nb) AS p95_bytes FROM c
+             |      WHERE cum >= (19 * n_media + 19) // 20 GROUP BY 1)
+             |SELECT source, n_media, total_bytes,
+             |       floor(CAST(total_bytes AS DOUBLE) / CAST(n_media AS DOUBLE)
+             |             * 1000000.0 + 0.5) / 1000000.0 AS mean_bytes,
+             |       p95_bytes
+             |FROM t JOIN p USING (source) ORDER BY source""".stripMargin),
+      doc = "per-source media storage budget (count, total/mean bytes, " +
+        "p95 payload): payloads never move — (source, size) bin counts, " +
+        "second rollup, broadcast ceil-rank p95 read"),
   )
 }

@@ -812,6 +812,38 @@ object TextAnalysis {
   private[operators] val logOddsZExpr =
     s"($loDelta / sqrt(1.0 / $loA + 1.0 / $loB))"
 
+  /** t28: Simpson concentration / effective source count per language —
+    * the mixture-design dashboard number: HHI = Σp² says how concentrated
+    * a language's feed mix is, and its reciprocal is the "effective
+    * number of sources" (20 sources feeding one language through two
+    * dominant feeds is effectively 2, not 20 — the diversity a mixture
+    * designer actually has to work with).
+    *
+    * Exactness: HHI = Σc² / n² over exact integer cell counts (c² in
+    * DECIMAL — a BIGINT c² wraps at warehouse cell sizes); both outputs
+    * are shared IEEE trees over those integers. One (lang, source) count
+    * pass, |langs|-row result. */
+  def simpsonDiversity(docs: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    docs.groupBy("lang", "source").agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(sum(col("c").cast(dec)).as("n"),
+        sum(col("c").cast(dec) * col("c").cast(dec)).as("ss"),
+        count(lit(1)).as("n_sources"))
+      .select(col("lang"), col("n").cast("long").as("n_docs"),
+        col("n_sources"),
+        pround(expr(hhiExpr), 9).as("hhi"),
+        pround(expr(effSourcesExpr), 6).as("effective_sources"))
+      .orderBy("lang")
+  }
+
+  // Shared trees over exact integers; an empty language cannot occur
+  // (groups only exist with >= 1 row) so no zero guard is needed.
+  private[operators] val hhiExpr =
+    "(cast(ss as double) / (cast(n as double) * cast(n as double)))"
+  private[operators] val effSourcesExpr =
+    "((cast(n as double) * cast(n as double)) / cast(ss as double))"
+
   /** t26: per-source character-class composition — the cheapest ingest
     * fingerprint there is: natural prose sits near stable alpha/space/
     * punct ratios, while base64 blobs, tables, code, and OCR noise jump
@@ -1473,5 +1505,23 @@ object TextAnalysisQueries {
       doc = "Fightin'-Words discriminative keywords (log-odds ratio, " +
         "Dirichlet prior, z-scaled): one conditional count pass to the " +
         "vocab table, broadcast totals, TakeOrdered top-k on pround-ed z"),
+
+    Q("t28_simpson",
+      (s, d) => simpsonDiversity(docs(s, d)),
+      Some(s"""WITH cnt AS (
+              |  SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2),
+              |g AS (
+              |  SELECT lang, CAST(sum(c) AS HUGEINT) AS n,
+              |         sum(CAST(c AS HUGEINT) * c) AS ss,
+              |         count(*) AS n_sources
+              |  FROM cnt GROUP BY 1)
+              |SELECT lang, CAST(n AS BIGINT) AS n_docs, n_sources,
+              |       floor(($hhiExpr) * 1000000000.0 + 0.5) / 1000000000.0 AS hhi,
+              |       floor(($effSourcesExpr) * 1000000.0 + 0.5) / 1000000.0
+              |         AS effective_sources
+              |FROM g ORDER BY lang""".stripMargin),
+      doc = "Simpson concentration + effective source count per language " +
+        "(HHI and its reciprocal): one (lang, source) count pass, exact " +
+        "DECIMAL c^2 sums, |langs|-row output"),
   )
 }

@@ -88,4 +88,22 @@ class LogAnalyticsSpec extends SparkSpec {
       .select("mom").as[Double].head()
     assert(mom === 25.0) // pooled mean would be 17.5
   }
+
+  test("a21: perfectly tracking cpu/mem gives corr 1, anti-tracking -1") {
+    import spark.implicits._
+    def lines(rows: (Long, Long, Long)*) = rows.map { case (id, c, m) =>
+      (id, s"[worker0-view] CPU: $c% | MEM: $m%")
+    }.toDF("event_id", "line")
+    val up = LogAnalytics.cpuMemCorr(lines((1, 10, 20), (2, 20, 40), (3, 30, 60)))
+      .collect().head
+    assert(up.getAs[Long]("n") == 3L)
+    assert(up.getAs[Double]("cpu_mem_corr") == 1.0)
+    val down = LogAnalytics.cpuMemCorr(lines((1, 10, 60), (2, 20, 40), (3, 30, 20)))
+      .collect().head
+    assert(down.getAs[Double]("cpu_mem_corr") == -1.0)
+    // constant memory -> undefined correlation, guarded null
+    val flat = LogAnalytics.cpuMemCorr(lines((1, 10, 50), (2, 20, 50)))
+      .collect().head
+    assert(flat.isNullAt(2))
+  }
 }

@@ -115,4 +115,19 @@ class MultimodalSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect().toList
     assert(got === List(("pdf", 1L, 1L, 0.0), ("web", 3L, 2L, 0.333333)))
   }
+
+  test("m8 storage budget: totals, mean and ceil-rank p95 by hand") {
+    import spark.implicits._
+    // web payloads: 2, 4, 10 bytes -> total 16, mean 5.333333,
+    // p95 rank ceil(0.95*3)=3 -> 10
+    val d = Seq(
+      (0L, "ab", "web", 2L), (1L, "abcd", "web", 4L),
+      (2L, "0123456789", "web", 10L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val r = Multimodal.storageBudget(d).collect().head
+    assert(r.getAs[Long]("n_media") == 3L)
+    assert(r.getAs[Long]("total_bytes") == 16L)
+    assert(r.getAs[Double]("mean_bytes") == 5.333333)
+    assert(r.getAs[Long]("p95_bytes") == 10L)
+  }
 }

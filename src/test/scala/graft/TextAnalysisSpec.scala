@@ -348,4 +348,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!z.contains("ignored"), "out-of-group langs must not contribute")
     assert(rows.head.getAs[String]("word") == "alpha", "ordered by z desc")
   }
+
+  test("simpson diversity: one source is HHI 1, two equal sources effectively 2") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "en", "a"), (1L, "en", "a"),                // en: all from a
+      (2L, "de", "a"), (3L, "de", "b"))                // de: 50/50
+      .toDF("doc_id", "lang", "source")
+    val m = operators.TextAnalysis.simpsonDiversity(df).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_sources"),
+          r.getAs[Double]("hhi"), r.getAs[Double]("effective_sources"))).toMap
+    assert(m("en") == (2L, 1L, 1.0, 1.0))
+    assert(m("de") == (2L, 2L, 0.5, 2.0))
+  }
 }
