@@ -116,6 +116,34 @@ object Dedup {
   private[graft] def normText(c: org.apache.spark.sql.Column) =
     lower(trim(regexp_replace(c, "[ \\t\\n\\r\\f]+", " ")))
 
+  /** g18: cross-language shared-opening census — which language
+    * combinations share a document OPENING (the lowercased first
+    * `preTokens` tokens)? Shared openings inside one language are
+    * template families (crawl redundancy); openings spanning languages
+    * are boilerplate headers or mislabeled langid ("click here to
+    * continue" tagged five ways) — and a mixture design needs the two
+    * separated before per-language weighting, because boilerplate
+    * counted once per language silently re-weights it.
+    *
+    * Scale shape: same skeleton as g1 with the prefix as the dedup key
+    * (a bounded-width key however long documents run); the lang-set is
+    * a collect_set bounded by |langs| (census dimension, never
+    * doc-scale), rendered sort_array+concat_ws for a deterministic
+    * group key; the rollup is |lang-combinations| rows. */
+  def crossLangDupCensus(docs: DataFrame, preTokens: Int = 5): DataFrame =
+    docs.select(
+        concat_ws(" ",
+          slice(expr(s"transform($tokensExpr, x -> lower(x))"), 1, preTokens))
+          .as("pre"),
+        col("lang"))
+      .groupBy("pre")
+      .agg(count(lit(1)).as("nd"),
+        concat_ws(",", sort_array(collect_set(col("lang")))).as("lang_set"))
+      .where(col("nd") > 1)
+      .groupBy("lang_set")
+      .agg(count(lit(1)).as("n_groups"), sum("nd").as("n_docs"))
+      .orderBy("lang_set")
+
   /** G1b: INCREMENTAL exact dedup — dedupe an incoming batch against an
     * existing corpus and within itself, the production shape for a
     * continuously-growing dataset (never re-deduplicate the whole
@@ -547,6 +575,26 @@ object DedupQueries {
              |      FROM documents)
              |GROUP BY norm ORDER BY doc_id""".stripMargin),
       doc = "G1 exact dedup via hash groupBy on normalized text"),
+
+    Q("g18_cross_lang_dup",
+      (s, d) => crossLangDupCensus(docs(s, d)),
+      Some(s"""WITH p AS (
+              |  SELECT array_to_string(
+              |           list_transform(($toksSql)[1:5], x -> lower(x)), ' ') AS pre,
+              |         lang
+              |  FROM documents),
+              |g AS (
+              |  SELECT pre, count(*) AS nd,
+              |         array_to_string(list_sort(list(DISTINCT lang)), ',') AS lang_set
+              |  FROM p GROUP BY pre)
+              |SELECT lang_set, count(*) AS n_groups,
+              |       CAST(sum(nd) AS BIGINT) AS n_docs
+              |FROM g WHERE nd > 1
+              |GROUP BY lang_set ORDER BY lang_set""".stripMargin),
+      doc = "cross-language shared-opening census: g1's dedup skeleton " +
+        "keyed on the lowercased 5-token prefix (bounded-width key), " +
+        "|langs|-bounded sorted lang-set — separates template families " +
+        "from cross-lang boilerplate before mixture weighting"),
 
     Q("g8_incremental_dedup",
       (s, d) => exactDedupIncremental(

@@ -890,6 +890,52 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** x42: day-of-week seasonality STRENGTH (one-way ANOVA η²) — x32
+    * reports the seven weekday means; this reports how much of the daily
+    * revenue variance those means explain (between-group SS over total
+    * SS). η² ≈ 0 says the weekday pattern is noise, η² near 1 says the
+    * calendar owns the series — the decision input for whether a
+    * forecast or anomaly detector needs weekday terms at all.
+    *
+    * Scale shape: facts reduce to one row per DAY (x30), then to 7
+    * weekday moment rows. The only non-integer step, Σ S_g²/n_g, is an
+    * EXACT integer floor-division per group (remainder subtracted before
+    * a now-exact decimal divide — a double pround here silently clamps:
+    * floor() on DoubleType returns LongType, and S_g²·10⁶ overflows a
+    * long at this magnitude; the DuckDB mirror is plain `//`), summed in
+    * DECIMAL over the 7 rows; η² is one shared IEEE tree with a
+    * zero-variance guard. Weekday indexing is integer epoch-day % 7
+    * (x32's convention: day 0 = Thursday). */
+  def dowAnova(events: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = events
+      .select(expr("unix_timestamp(ts) div 86400").as("day"),
+        expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("c"))
+      .groupBy("day").agg(sum("c").as("rev"))
+    daily
+      .select(expr("day % 7").as("dow"), col("rev"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("ng"),
+        sum(col("rev").cast(dec)).as("sg"),
+        sum(col("rev").cast(dec) * col("rev").cast(dec)).as("ssqg"))
+      .select(col("ng"), col("ssqg"), col("sg"),
+        expr("cast((sg * sg - pmod(sg * sg, cast(ng as decimal(38,0)))) " +
+          "/ cast(ng as decimal(38,0)) as decimal(38,0))").as("term"))
+      .agg(sum("ng").as("n"), sum("sg").as("s"), sum("ssqg").as("sxx"),
+        sum("term").as("st"), count(lit(1)).as("n_dows"))
+      .select(col("n").as("n_days"), col("n_dows"),
+        pround(expr(etaSqExpr), 9).as("eta_sq"))
+  }
+
+  // η² = (Σ S_g²/n_g − S²/n) / (Σx² − S²/n); a constant series has no
+  // defined ratio — guarded null. Shared verbatim with the oracle.
+  private val etaSst =
+    "(cast(sxx as double) - cast(s as double) * cast(s as double) / cast(n as double))"
+  private[operators] val etaSqExpr =
+    s"(case when $etaSst = 0.0 then cast(null as double) else " +
+      s"((cast(st as double) - cast(s as double) * cast(s as double) / cast(n as double)) / " +
+      s"$etaSst) end)"
+
   /** x41: Tukey-fence outlier census per event type — the boxplot rule
     * (beyond Q1 − 1.5·IQR or Q3 + 1.5·IQR) that most dashboards and
     * pre-training value filters actually apply, completing the robust
@@ -1763,5 +1809,33 @@ object StatsQueries {
       doc = "Tukey-fence outlier census per event type: ceil-convention " +
         "quartiles off cent bins, exact half-cent fences, tail counts " +
         "from a second bins pass (no new fact scan), broadcast fence join"),
+
+    Q("x42_dow_anova",
+      (s, d) => dowAnova(Tables.events(s, d)),
+      Some(s"""WITH daily AS (
+              |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+              |         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+              |  FROM events GROUP BY 1),
+              |g AS (
+              |  SELECT day % 7 AS dow, count(*) AS ng,
+              |         sum(CAST(rev AS HUGEINT)) AS sg,
+              |         sum(CAST(rev AS HUGEINT) * rev) AS ssqg
+              |  FROM daily GROUP BY 1),
+              |q AS (
+              |  SELECT ng, ssqg, sg, (sg * sg) // ng AS term FROM g),
+              |t AS (
+              |  SELECT CAST(sum(ng) AS BIGINT) AS n,
+              |         CAST(sum(sg) AS HUGEINT) AS s,
+              |         CAST(sum(ssqg) AS HUGEINT) AS sxx,
+              |         CAST(sum(term) AS HUGEINT) AS st,
+              |         count(*) AS n_dows
+              |  FROM q)
+              |SELECT n AS n_days, n_dows,
+              |       floor(($etaSqExpr)
+              |             * 1000000000.0 + 0.5) / 1000000000.0 AS eta_sq
+              |FROM t""".stripMargin),
+      doc = "day-of-week seasonality strength (ANOVA eta^2): day-reduced " +
+        "facts to 7 weekday moment rows, exact integer floor-division " +
+        "between-group terms, shared IEEE tree with zero-variance guard"),
   )
 }

@@ -114,4 +114,16 @@ class DedupSpec extends SparkSpec {
       "a whitespace variant must collide in all 4 bands with corpus doc 0")
     assert(!got.contains(11L), "unrelated content must not be flagged")
   }
+
+  test("g18: dup groups split by language composition; singletons dropped") {
+    val df = Seq(
+      (0L, "same  text", "en"), (1L, "same text", "de"),  // cross-lang pair
+      (2L, "other text", "en"), (3L, "other text", "en"), // same-lang pair
+      (4L, "unique text", "fr"))                          // singleton
+      .toDF("doc_id", "text", "lang")
+    val m = Dedup.crossLangDupCensus(df).collect()
+      .map(r => r.getAs[String]("lang_set") ->
+        (r.getAs[Long]("n_groups"), r.getAs[Long]("n_docs"))).toMap
+    assert(m == Map("de,en" -> (1L, 2L), "en" -> (1L, 2L)))
+  }
 }

@@ -392,4 +392,19 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_low") == 0L && r.getAs[Long]("n_high") == 1L)
     assert(r.getAs[Double]("outlier_share") == 0.111111111)
   }
+
+  test("dow anova: pure weekday pattern explains everything, constant nothing") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def days(rev: Int => Double, nDays: Int) = (0 until nDays).map { i =>
+      (Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"), rev(i))
+    }.toDF("ts", "value")
+    // two full weeks whose revenue depends ONLY on the weekday
+    val pure = Stats.dowAnova(days(i => 10.0 + (i % 7), 14)).collect().head
+    assert(pure.getAs[Long]("n_days") == 14L && pure.getAs[Long]("n_dows") == 7L)
+    assert(pure.getAs[Double]("eta_sq") == 1.0)
+    // constant revenue: total variance zero -> guarded null
+    val const = Stats.dowAnova(days(_ => 5.0, 14)).collect().head
+    assert(const.isNullAt(2))
+  }
 }
