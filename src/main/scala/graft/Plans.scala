@@ -339,6 +339,36 @@ object Plans {
       ("MRL ladder: each rung is the same broadcast-queries cosine " +
         "scan over a sliced corpus column (narrower vectors, same " +
         "plan); recall joins bounded lists and reduces to |dims| rows."),
+    "x37_spearman" ->
+      ("Spearman: both cumulative rank windows sit ABOVE partial+final " +
+        "bin aggregates (value-domain-bounded input); the rank join-back " +
+        "broadcasts the tiny quantity table, and the final moment " +
+        "aggregate partial-combines map-side."),
+    "x40_lorenz_deciles" ->
+      ("Lorenz: cumulative user/revenue windows run over cent BINS, the " +
+        "decile boundary table and one-row totals arrive via " +
+        "BroadcastExchange, and the boundary pick is a min-struct " +
+        "aggregate — no row-scale window anywhere."),
+    "s21_assign_margin" ->
+      ("Margin census: the one broadcast is the bounded centroid table " +
+        "(BroadcastNestedLoopJoin against it is the k-candidate fan-out); " +
+        "the top-2 window partitions by vec_id and the census reduces to " +
+        "|centroids| rows."),
+    "s22_pca_step" ->
+      ("PCA step: ONE posexplode pass to d accumulator rows — no d² " +
+        "pair expansion; the covariance-apply trick (per-vector " +
+        "coordinate sum) shows as a single partial+final aggregate pair " +
+        "over the exploded scan, then broadcast one-row totals."),
+    "p6_column_profile" ->
+      ("Column profile: every per-column null/distinct counter compiles " +
+        "into ONE aggregate over ONE Expand (multi-distinct rewrite); " +
+        "the stack unpivot is a zero-shuffle projection of the single " +
+        "result row."),
+    "t29_js_divergence" ->
+      ("JS matrix: the corpus tokenize+count runs ONCE (shared-scan " +
+        "materialization), the co-occurrence join keys on word with " +
+        "|sources|²-bounded fan-out, and contributions partial-sum as " +
+        "decimals before the pair-keyed exchange."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -133,7 +133,24 @@ object ScaleDemo {
           sum(col("n_chars")).as("chars"))
         operators.Relational.writeResultCsv(census, out)
         d.sparkSession.read.option("header", "true").csv(out).count()
-      }))
+      }),
+      // round-11 additions: every one must reduce to a bounded census
+      // (|sources|, |langs|, vocab, or column count) before anything
+      // non-combinable happens — F× docs may only widen the first pass
+      "hapax" -> (d => operators.TextAnalysis.hapaxCensus(d).count()),
+      // the word self-join's fan-out is |sources|², not doc-scale; F×
+      // replication grows the distinct (source, word) index sublinearly
+      "vocab_overlap" -> (d => operators.TextAnalysis.vocabOverlap(d).count()),
+      "char_classes" -> (d => operators.TextAnalysis.charClassProfile(d).count()),
+      "log_odds" -> (d => operators.TextAnalysis.logOddsKeywords(d).count()),
+      "simpson" -> (d => operators.TextAnalysis.simpsonDiversity(d).count()),
+      "cross_lang_open" -> (d => operators.Dedup.crossLangDupCensus(d).count()),
+      "pack_fill" -> (d => operators.Packing.packFill(d, "lang", 512).count()),
+      "storage_budget" -> (d => operators.Multimodal.storageBudget(d).count()),
+      // one multi-distinct aggregate: the Expand multiplies rows in
+      // flight by 2|cols| but map-side combine bounds what shuffles
+      "column_profile" -> (d => operators.Profiling.columnProfile(
+        d.select("doc_id", "lang", "source", "n_chars")).count()))
     val vecOps: Seq[(String, DataFrame => Long)] = Seq(
       "lsh_buckets" -> (v => operators.Similarity.lshBuckets(v, 4).count()),
       "ivf_assign" -> (v => operators.Similarity.ivfAssign(v, 16).count()),
@@ -148,7 +165,13 @@ object ScaleDemo {
       // fusion/ladder consume k-bounded lists; F× corpus grows only the
       // component scans, never the combiner
       "rrf_fusion" -> (v => operators.Similarity.rrfFusion(v).count()),
-      "mrl_recall" -> (v => operators.Similarity.mrlRecall(v, 5, 5).count()))
+      "mrl_recall" -> (v => operators.Similarity.mrlRecall(v, 5, 5).count()),
+      // round-11: margin census is s5's broadcast-assign plus a k-row
+      // rollup; the shift census joins k1's k×d table, never the corpus;
+      // the PCA step is ONE posexplode pass to d accumulator rows
+      "assign_margin" -> (v => operators.Similarity.assignMarginCensus(v, 16).count()),
+      "kmeans_shift" -> (v => operators.KMeans.kmeansShift(v, 6).count()),
+      "pca_step" -> (v => operators.Similarity.pcaPowerStep(v).count()))
     val eventOps: Seq[(String, DataFrame => Long)] = Seq(
       "event_transitions" -> (e => operators.Funnel.eventTransitions(e).count()),
       "funnel" -> (e => operators.Funnel.funnelConversion(e).count()),
@@ -167,7 +190,19 @@ object ScaleDemo {
       "prop_ztest" -> (e => operators.Stats.propZTest(e).count()),
       "time_to_convert" -> (e => operators.Funnel.timeToConvert(e).count()),
       "dow_seasonality" -> (e => operators.Stats.dowSeasonality(e).count()),
-      "daily_autocorr" -> (e => operators.Stats.dailyRevenueAutocorr(e).count()))
+      "daily_autocorr" -> (e => operators.Stats.dailyRevenueAutocorr(e).count()),
+      // round-11: all reduce to bounded tables (types², depths, bins,
+      // days, deciles) on ONE user_id/day/bin-keyed pass before any
+      // window or join — F× events widen only the first reduction
+      "markov" -> (e => operators.Funnel.markovMatrix(e).count()),
+      "session_depth" -> (e => operators.Funnel.sessionDepthHistogram(e, 21600L).count()),
+      "last_touch" -> (e => operators.Funnel.lastTouchAttribution(e).count()),
+      "lorenz" -> (e => operators.Stats.lorenzDeciles(e).count()),
+      "cusum" -> (e => operators.Stats.cusumChangepoint(e).count()),
+      "tukey" -> (e => operators.Stats.tukeyOutliers(e).count()),
+      "dow_anova" -> (e => operators.Stats.dowAnova(e).count()),
+      "mad" -> (e => operators.Stats.madValue(e).count()),
+      "benford" -> (e => operators.Stats.benfordDigits(e).count()))
 
     def sweep(name: String, base: DataFrame, big: DataFrame,
               fns: Seq[(String, DataFrame => Long)]): Seq[String] =

@@ -131,6 +131,33 @@ object Funnel {
       .orderBy("touch_type")
   }
 
+  /** f9: stickiness (avg DAU / WAU) per week — the engagement ratio
+    * every growth dashboard tracks: 1.0 means every weekly user shows up
+    * daily, 1/7 means each appears once. Week/day indexing is pure
+    * integer epoch-day arithmetic (f4's convention — engines disagree on
+    * week starts, integers cannot).
+    *
+    * Scale shape: ONE distinct (day, user) reduction feeds both sides —
+    * daily actives are a day-keyed rollup, weekly actives a second
+    * distinct over the derived week key (strictly smaller input), and
+    * the final join is |weeks|-row. */
+  def stickiness(events: DataFrame): DataFrame = {
+    val du = events
+      .select(expr("unix_timestamp(ts) div 86400").as("day"), col("user_id"))
+      .distinct()
+    val daily = du.groupBy("day").agg(count(lit(1)).as("dau"))
+      .select(expr("day div 7").as("wk"), col("dau"))
+      .groupBy("wk").agg(sum("dau").as("sum_dau"), count(lit(1)).as("n_days"))
+    val weekly = du.select(expr("day div 7").as("wk"), col("user_id"))
+      .distinct()
+      .groupBy("wk").agg(count(lit(1)).as("wau"))
+    daily.join(weekly, "wk")
+      .select(col("wk").as("week"), col("n_days"), col("wau"),
+        pround(col("sum_dau").cast("double") /
+          (col("n_days") * col("wau")).cast("double"), 9).as("stickiness"))
+      .orderBy("week")
+  }
+
   /** Strict sequential funnel: first 'view', then the first 'click'
     * AFTER that view, then the first 'purchase' AFTER that click.
     * Output: one row of per-stage user counts. */
@@ -424,5 +451,28 @@ object FunnelQueries {
         "segments each user's stream, purchases join the segment-opening " +
         "touch on the SAME user_id partitioning (no new shuffle), null " +
         "bucket preserves the revenue total"),
+
+    Q("f9_stickiness",
+      (s, d) => stickiness(Tables.events(s, d)),
+      Some("""WITH du AS (
+             |  SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             |         user_id
+             |  FROM events),
+             |daily AS (
+             |  SELECT day // 7 AS wk, CAST(sum(dau) AS BIGINT) AS sum_dau,
+             |         count(*) AS n_days
+             |  FROM (SELECT day, count(*) AS dau FROM du GROUP BY 1) dd
+             |  GROUP BY 1),
+             |weekly AS (
+             |  SELECT wk, count(*) AS wau FROM
+             |    (SELECT DISTINCT day // 7 AS wk, user_id FROM du) wu
+             |  GROUP BY 1)
+             |SELECT wk AS week, n_days, wau,
+             |       floor(CAST(sum_dau AS DOUBLE) / CAST(n_days * wau AS DOUBLE)
+             |             * 1000000000.0 + 0.5) / 1000000000.0 AS stickiness
+             |FROM daily JOIN weekly USING (wk) ORDER BY week""".stripMargin),
+      doc = "weekly stickiness (avg DAU / WAU): one distinct (day, user) " +
+        "reduction feeds both rollups, integer epoch-day week indexing, " +
+        "|weeks|-row join"),
   )
 }

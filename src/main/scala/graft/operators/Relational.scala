@@ -1489,5 +1489,42 @@ object RelationalQueries {
       doc = "month-over-month revenue growth: facts reduce to one exact-" +
         "cents row per calendar month, lag + growth over the bounded " +
         "month table only; first month null by construction"),
+
+    Q("q38_latest_event",
+      (s, d) => {
+        // Latest-record-per-key — THE warehouse materialization idiom
+        // (current state from an append-only event log, the read side of
+        // x8's snapshot upsert). A max_by/struct-max aggregate, NOT a
+        // row_number window: the aggregate partial-combines map-side so
+        // each partition contributes one candidate row per key, where a
+        // window would sort every key's full history on the shuffle.
+        // (ts, event_id) ordering makes the pick deterministic under
+        // same-timestamp ties. Subset filter keeps the oracle output
+        // review-sized; the plan shape is key-count-independent.
+        Tables.events(s, d)
+          .where(col("user_id") % 100 === 0)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"),
+            expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("c"))
+          .groupBy("user_id")
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+            col("c"))).as("m"))
+          .select(col("user_id"), col("m.ts").as("last_ts"),
+            col("m.event_type").as("last_type"),
+            col("m.c").as("last_value_cents"))
+          .orderBy("user_id")
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, ts, event_type,
+             |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+             |         row_number() OVER (PARTITION BY user_id
+             |           ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events WHERE user_id % 100 = 0)
+             |SELECT user_id, ts AS last_ts, event_type AS last_type,
+             |       c AS last_value_cents
+             |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin),
+      doc = "latest-record-per-key (current-state read of an event log): " +
+        "struct-max AGGREGATE, not a window — partials combine map-side " +
+        "to one candidate per key per partition; (ts, event_id) tiebreak"),
   )
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.{Q, Tables}
+import graft.functions.Parity
 import graft.functions.Parity.pround
 
 /** Text-analysis operators for training-data pipelines (SURVEY.md §2.G
@@ -812,6 +813,61 @@ object TextAnalysis {
   private[operators] val logOddsZExpr =
     s"($loDelta / sqrt(1.0 / $loA + 1.0 / $loB))"
 
+  /** t29: pairwise Jensen–Shannon divergence between source unigram
+    * distributions — the symmetric, bounded ([0, ln 2]) companion to
+    * t18's KL-vs-corpus: KL ranks each source against the mixture, JS
+    * says which PAIRS of feeds are near-clones of each other (the
+    * redundancy matrix a mixture designer reads next to g16's
+    * document-overlap matrix, at the distribution level).
+    *
+    * Zero-handling needs no smoothing: a word absent from one side
+    * contributes exactly p·ln 2 (its mixture m = p/2), so JS decomposes
+    * into co-occurring-word terms plus ln 2 · (uncovered mass)/2 — the
+    * co-occurrence join on word has |sources|²-bounded per-word fan-out
+    * and the uncovered masses come from the SAME aggregate. Per-term
+    * contributions are 12-dp-quantized and decimal-summed (t18's
+    * discipline); ln 2 is a shared 12-dp literal (libm parity).
+    *
+    * Contract: a pair sharing NO vocabulary emits no row — its JS is
+    * exactly ln 2 by definition, and the inner join keeps the plan free
+    * of a |sources|² dense grid that is all ceiling values. */
+  def jsDivergence(docs: DataFrame): DataFrame = {
+    val dec12 = DecimalType(38, 12)
+    val wc = docs
+      .select(col("source"), explode(expr(Dedup.tokensExpr)).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    Dedup.viaSharedScan(wc) { sw =>
+      val ns = sw.groupBy("source").agg(sum("c").cast("long").as("ns"))
+      val a = sw.join(broadcast(ns), "source")
+        .select(col("source").as("src_a"), col("w"),
+          (col("c").cast("double") / col("ns").cast("double")).as("p"))
+      val b = sw.join(broadcast(ns), "source")
+        .select(col("source").as("src_b"), col("w"),
+          (col("c").cast("double") / col("ns").cast("double")).as("q"))
+      a.join(b, Seq("w")).where(col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          pround(expr(jsCoTermExpr), 12).cast(dec12).as("contrib"),
+          pround(col("p"), 12).cast(dec12).as("pm"),
+          pround(col("q"), 12).cast(dec12).as("qm"))
+        .groupBy("src_a", "src_b")
+        .agg(sum("contrib").as("cs"), sum("pm").as("pco"),
+          sum("qm").as("qco"))
+        .select(col("src_a"), col("src_b"),
+          pround(expr(jsTotalExpr), 9).as("js_nats"))
+        .orderBy("src_a", "src_b")
+    }
+  }
+
+  // Co-occurring-word JS term p·ln(p/m) + q·ln(q/m), m = (p+q)/2; and
+  // the closure with the uncovered-mass ln2 terms. LN2 is a shared
+  // 12-dp literal — libm ln(2.0) is not contractually identical across
+  // engines, a fixed constant is.
+  private[operators] val jsCoTermExpr =
+    "(p * ln(p / ((p + q) / 2.0)) + q * ln(q / ((p + q) / 2.0)))"
+  private[operators] val jsTotalExpr =
+    "(0.5 * cast(cs as double) + 0.5 * 0.693147180560 * " +
+      "((1.0 - cast(pco as double)) + (1.0 - cast(qco as double))))"
+
   /** t28: Simpson concentration / effective source count per language —
     * the mixture-design dashboard number: HHI = Σp² says how concentrated
     * a language's feed mix is, and its reciprocal is the "effective
@@ -1523,5 +1579,35 @@ object TextAnalysisQueries {
       doc = "Simpson concentration + effective source count per language " +
         "(HHI and its reciprocal): one (lang, source) count pass, exact " +
         "DECIMAL c^2 sums, |langs|-row output"),
+
+    Q("t29_js_divergence",
+      (s, d) => jsDivergence(docs(s, d)),
+      Some(s"""WITH wc AS (
+              |  SELECT source, w, count(*) AS c FROM
+              |    (SELECT source, unnest($toksSql) AS w FROM documents) t
+              |  GROUP BY 1, 2),
+              |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM wc GROUP BY 1),
+              |pq AS (
+              |  SELECT wc.source, w, CAST(c AS DOUBLE) / CAST(ns AS DOUBLE) AS p
+              |  FROM wc JOIN ns USING (source)),
+              |co AS (
+              |  SELECT a.source AS src_a, b.source AS src_b,
+              |         CAST(${Parity.proundSql("(a.p * ln(a.p / ((a.p + b.p) / 2.0)) + b.p * ln(b.p / ((a.p + b.p) / 2.0)))", 12)}
+              |              AS DECIMAL(38,12)) AS contrib,
+              |         CAST(${Parity.proundSql("a.p", 12)} AS DECIMAL(38,12)) AS pm,
+              |         CAST(${Parity.proundSql("b.p", 12)} AS DECIMAL(38,12)) AS qm
+              |  FROM pq a JOIN pq b ON a.w = b.w AND a.source < b.source),
+              |g AS (
+              |  SELECT src_a, src_b, sum(contrib) AS cs, sum(pm) AS pco,
+              |         sum(qm) AS qco
+              |  FROM co GROUP BY 1, 2)
+              |SELECT src_a, src_b,
+              |       floor(($jsTotalExpr)
+              |             * 1000000000.0 + 0.5) / 1000000000.0 AS js_nats
+              |FROM g ORDER BY src_a, src_b""".stripMargin),
+      doc = "pairwise source JS divergence: co-occurrence word join with " +
+        "|sources|^2-bounded fan-out, closed-form ln2 uncovered-mass " +
+        "terms, 12-dp-quantized decimal contribution sums, shared LN2 " +
+        "literal"),
   )
 }

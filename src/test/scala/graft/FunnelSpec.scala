@@ -128,4 +128,17 @@ class FunnelSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("revenue_cents")).sum == 1000L,
       "attribution must conserve total purchase revenue")
   }
+
+  test("stickiness: part-time users drag the avg-DAU/WAU ratio below 1") {
+    import spark.implicits._
+    def dts(day: Int) = java.sql.Timestamp.valueOf(f"1970-01-0${day + 1} 10:00:00")
+    // week 0 (epoch days 0..6): user 1 active days 0 and 1; user 2 only day 0
+    // dau: d0=2, d1=1 -> sum 3 over 2 active days; wau = 2 -> 3/(2*2) = 0.75
+    val df = Seq((1L, dts(0)), (1L, dts(1)), (2L, dts(0)))
+      .toDF("user_id", "ts")
+    val r = Funnel.stickiness(df).collect().head
+    assert(r.getAs[Long]("week") == 0L)
+    assert(r.getAs[Long]("n_days") == 2L && r.getAs[Long]("wau") == 2L)
+    assert(r.getAs[Double]("stickiness") == 0.75)
+  }
 }

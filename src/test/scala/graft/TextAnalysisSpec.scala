@@ -362,4 +362,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m("en") == (2L, 1L, 1.0, 1.0))
     assert(m("de") == (2L, 2L, 0.5, 2.0))
   }
+
+  test("js divergence: identical sources give 0, disjoint vocabularies ln 2") {
+    import spark.implicits._
+    val df = Seq(
+      ("s0", "a a b"), ("s1", "a a b"),   // identical distributions
+      ("s2", "x y z"))                    // disjoint from both
+      .toDF("source", "text")
+    val m = operators.TextAnalysis.jsDivergence(df).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        r.getAs[Double]("js_nats")).toMap
+    assert(m(("s0", "s1")) == 0.0)
+    // fully disjoint pairs have no co-occurrence rows and drop out of the
+    // join — the observable contract: identical < everything else
+    m.foreach { case (pair, js) =>
+      assert(js >= 0.0 && js <= 0.6931471806, s"$pair out of [0, ln2]: $js")
+    }
+  }
 }
