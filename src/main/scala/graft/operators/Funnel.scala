@@ -131,6 +131,53 @@ object Funnel {
       .orderBy("touch_type")
   }
 
+  /** f10: per-session revenue census — how much does a session monetize?
+    * The commerce join of f3's sessionization: per (user, session) the
+    * purchase cents collapse in the SAME rollup that counts events (one
+    * user_id shuffle total), then the census reduces sessions to one
+    * profile row: counts, conversion share, exact revenue, mean per
+    * purchasing session, and the bin-convention lower median (the x36
+    * discipline — the median window sees |distinct cent values| rows,
+    * never sessions). */
+  def sessionRevenue(events: DataFrame, gapSec: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sess = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("c"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(w))
+      .groupBy("user_id", "session_id")
+      .agg(sum(when(col("event_type") === "purchase", col("c"))
+        .otherwise(0L)).as("rev"))
+    val base = sess.agg(count(lit(1)).as("n_sessions"),
+      sum(when(col("rev") > 0, 1L).otherwise(0L)).as("n_purchasing"),
+      sum("rev").as("revenue_cents"))
+    val wm = Window.orderBy("rev")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = sess.where(col("rev") > 0)
+      .groupBy("rev").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wm))
+      .crossJoin(broadcast(sess.where(col("rev") > 0)
+        .agg(count(lit(1)).as("np"))))
+      .where(col("cum") >= expr("(np + 1) div 2"))
+      .agg(min("rev").as("p50_rev_cents"))
+    base.crossJoin(med)
+      .select(col("n_sessions"), col("n_purchasing"), col("revenue_cents"),
+        pround(col("n_purchasing").cast("double") /
+          col("n_sessions").cast("double"), 9).as("purchase_share"),
+        pround(expr(meanRevExpr), 6).as("mean_rev_cents"),
+        col("p50_rev_cents"))
+  }
+
+  // Zero purchasing sessions -> null mean, not ANSI divide-by-zero.
+  private[operators] val meanRevExpr =
+    "(case when n_purchasing = 0 then cast(null as double) " +
+      "else cast(revenue_cents as double) / cast(n_purchasing as double) end)"
+
   /** f9: stickiness (avg DAU / WAU) per week — the engagement ratio
     * every growth dashboard tracks: 1.0 means every weekly user shows up
     * daily, 1/7 means each appears once. Week/day indexing is pure
@@ -474,5 +521,49 @@ object FunnelQueries {
       doc = "weekly stickiness (avg DAU / WAU): one distinct (day, user) " +
         "reduction feeds both rollups, integer epoch-day week indexing, " +
         "|weeks|-row join"),
+
+    Q("f10_session_revenue",
+      (s, d) => sessionRevenue(Tables.events(s, d), 21600L),
+      Some(s"""WITH l AS (
+              |  SELECT user_id, event_id, ts, event_type,
+              |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+              |         CASE WHEN lag(ts) OVER w IS NULL
+              |              OR CAST(floor(epoch(ts)) AS BIGINT)
+              |                 - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 21600
+              |              THEN 1 ELSE 0 END AS new_sess
+              |  FROM events
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              |s AS (
+              |  SELECT user_id, event_type, c,
+              |         CAST(sum(new_sess) OVER (PARTITION BY user_id
+              |           ORDER BY ts, event_id) AS BIGINT) AS session_id
+              |  FROM l),
+              |sess AS (
+              |  SELECT user_id, session_id,
+              |         CAST(sum(CASE WHEN event_type = 'purchase' THEN c
+              |                       ELSE 0 END) AS BIGINT) AS rev
+              |  FROM s GROUP BY 1, 2),
+              |base AS (
+              |  SELECT count(*) AS n_sessions,
+              |         CAST(sum(CASE WHEN rev > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              |           AS n_purchasing,
+              |         CAST(sum(rev) AS BIGINT) AS revenue_cents
+              |  FROM sess),
+              |pb AS (SELECT rev, count(*) AS cnt FROM sess WHERE rev > 0 GROUP BY 1),
+              |np AS (SELECT CAST(sum(cnt) AS BIGINT) AS np FROM pb),
+              |cm AS (SELECT rev, sum(cnt) OVER (ORDER BY rev ROWS BETWEEN
+              |         UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM pb),
+              |med AS (SELECT min(rev) AS p50_rev_cents FROM cm CROSS JOIN np
+              |        WHERE cum >= (np + 1) // 2)
+              |SELECT n_sessions, n_purchasing, revenue_cents,
+              |       floor(CAST(n_purchasing AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+              |             * 1000000000.0 + 0.5) / 1000000000.0 AS purchase_share,
+              |       floor(($meanRevExpr)
+              |             * 1000000.0 + 0.5) / 1000000.0 AS mean_rev_cents,
+              |       p50_rev_cents
+              |FROM base CROSS JOIN med""".stripMargin),
+      doc = "per-session revenue census: purchase cents collapse in f3's " +
+        "one-shuffle session rollup; conversion share, exact revenue, " +
+        "bin-convention lower median over |distinct cents| rows"),
   )
 }

@@ -86,6 +86,42 @@ object KMeans {
         pround(sqrt(col("ss").cast("double")) / 100000.0, 9).as("shift"))
       .orderBy("centroid_id")
   }
+
+  /** k3: within-cluster inertia (Σ‖x − c‖²) per seed centroid — the
+    * elbow-curve / cluster-compactness number a k sweep reads. With the
+    * cosine-max assignment against SEED centroids, every distance is
+    * EXACT integer arithmetic: ‖x − c‖² = x·x + c·c − 2·x·c over the
+    * fixed-point vectors (no mean, no float accumulation anywhere), so
+    * the per-cluster sums are order-free DECIMAL integers and the only
+    * division is the final unit conversion.
+    *
+    * Scale shape: same one-shuffle max_by skeleton as k1 — the
+    * broadcast candidate pass already carries every x·c dot product, so
+    * inertia costs NOTHING beyond k1's plan: pick the argmax candidate,
+    * sum its distance. Output is k rows. */
+  def kmeansInertia(vecs: DataFrame, k: Int): DataFrame = {
+    val s = vecs.sparkSession
+    val dec = DecimalType(38, 0)
+    val fixed = Similarity.withFixed(vecs)
+    val cents = fixed.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("centroid_id"), col("f").as("fb"),
+        col("nrm").as("nb"))
+    fixed.select(col("vec_id"), col("f").as("fa"), col("nrm").as("na"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        expr(Similarity.cosExpr(s)).as("cos"),
+        (col("na") + col("nb") -
+          lit(2L) * expr(Similarity.dotExpr(s, "fa", "fb"))).as("d2"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("centroid_id"), col("d2")),
+        struct(col("cos"), (-col("centroid_id")).as("tie"))).as("pick"))
+      .groupBy(col("pick.centroid_id").as("centroid_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("pick.d2").cast(dec)).as("ss"))
+      .select(col("centroid_id"), col("n_members"),
+        pround(col("ss").cast("double") / 10000000000.0, 6).as("inertia"))
+      .orderBy("centroid_id")
+  }
 }
 
 object KMeansQueries {
@@ -163,5 +199,33 @@ object KMeansQueries {
       doc = "k-means convergence census: per-centroid L2 shift of the k1 " +
         "update vs its seed — a |k*d|-row broadcast join, 4-dp-quantized " +
         "decimal-summed squared gaps, no second corpus pass"),
+
+    Q("k3_inertia",
+      (s, d) => kmeansInertia(Tables.embeddings(s, d), 6),
+      Some(s"""WITH ${SimilarityQueries.fixedSqlCte},
+              |cents AS (
+              |  SELECT vec_id AS centroid_id, f, nrm FROM n
+              |  ORDER BY vec_id LIMIT 6),
+              |p AS (
+              |  SELECT n.vec_id, c.centroid_id,
+              |         ${SimilarityQueries.pairCosSql("n", "c")} AS cos,
+              |         n.nrm + c.nrm
+              |           - 2 * CAST(list_sum(list_transform(range(1, len(n.f) + 1),
+              |                 i -> n.f[i] * c.f[i])) AS BIGINT) AS d2
+              |  FROM n, cents c),
+              |r AS (
+              |  SELECT vec_id, centroid_id, d2,
+              |         row_number() OVER (PARTITION BY vec_id
+              |           ORDER BY cos DESC, centroid_id) AS rn
+              |  FROM p)
+              |SELECT centroid_id, count(*) AS n_members,
+              |       floor(CAST(sum(CAST(d2 AS HUGEINT)) AS DOUBLE)
+              |             / 10000000000.0 * 1000000.0 + 0.5) / 1000000.0
+              |         AS inertia
+              |FROM r WHERE rn = 1
+              |GROUP BY centroid_id ORDER BY centroid_id""".stripMargin),
+      doc = "within-cluster inertia per seed centroid (elbow-curve " +
+        "number): exact integer ||x-c||^2 = x.x + c.c - 2 x.c reusing " +
+        "k1's one-shuffle max_by skeleton, order-free DECIMAL sums"),
   )
 }

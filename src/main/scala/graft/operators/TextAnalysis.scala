@@ -813,6 +813,36 @@ object TextAnalysis {
   private[operators] val logOddsZExpr =
     s"($loDelta / sqrt(1.0 / $loA + 1.0 / $loB))"
 
+  /** t30: code-vs-prose detection census — the routing decision every
+    * LLM data pipeline makes early (code goes to a code mixture with
+    * different dedup/quality rules; prose does not). The detector is
+    * the standard cheap heuristic: density of code-indicative symbols
+    * ({ } ; = < > ( )) over total characters, thresholded; natural
+    * prose sits well under 2%, real code well over 5%.
+    *
+    * Same no-explode shape as t26: two codegen'd length projections per
+    * doc, one combinable rollup to |sources| rows with the flagged
+    * count, total symbol mass, and share. */
+  def codeDetect(docs: DataFrame, threshold: Double = 0.05): DataFrame = {
+    val sym = length(col("text")) -
+      length(regexp_replace(col("text"), "[{};=<>()]", ""))
+    docs.select(col("source"), col("text"))
+      .select(col("source"), sym.as("nsym"), length(col("text")).as("nch"))
+      .where(col("nch") > 0)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nsym").cast("double") >=
+          col("nch").cast("double") * threshold, 1L).otherwise(0L))
+          .as("n_code"),
+        sum(col("nsym")).as("sym_chars"), sum(col("nch")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_code"),
+        pround(col("n_code").cast("double") / col("n_docs").cast("double"), 9)
+          .as("code_share"),
+        pround(col("sym_chars").cast("double") / col("n_chars").cast("double"), 9)
+          .as("symbol_density"))
+      .orderBy("source")
+  }
+
   /** t29: pairwise Jensen–Shannon divergence between source unigram
     * distributions — the symmetric, bounded ([0, ln 2]) companion to
     * t18's KL-vs-corpus: KL ranks each source against the mixture, JS
@@ -1609,5 +1639,30 @@ object TextAnalysisQueries {
         "|sources|^2-bounded fan-out, closed-form ln2 uncovered-mass " +
         "terms, 12-dp-quantized decimal contribution sums, shared LN2 " +
         "literal"),
+
+    Q("t30_code_detect",
+      (s, d) => codeDetect(docs(s, d)),
+      Some("""WITH per AS (
+             |  SELECT source,
+             |         CAST(length(text)
+             |           - length(regexp_replace(text, '[{};=<>()]', '', 'g'))
+             |           AS BIGINT) AS nsym,
+             |         CAST(length(text) AS BIGINT) AS nch
+             |  FROM documents WHERE length(text) > 0)
+             |SELECT source, count(*) AS n_docs,
+             |       CAST(sum(CASE WHEN CAST(nsym AS DOUBLE)
+             |                       >= CAST(nch AS DOUBLE) * 0.05
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+             |       floor(CAST(sum(CASE WHEN CAST(nsym AS DOUBLE)
+             |                             >= CAST(nch AS DOUBLE) * 0.05
+             |                           THEN 1 ELSE 0 END) AS DOUBLE)
+             |             / CAST(count(*) AS DOUBLE)
+             |             * 1000000000.0 + 0.5) / 1000000000.0 AS code_share,
+             |       floor(CAST(sum(nsym) AS DOUBLE) / CAST(sum(nch) AS DOUBLE)
+             |             * 1000000000.0 + 0.5) / 1000000000.0 AS symbol_density
+             |FROM per GROUP BY source ORDER BY source""".stripMargin),
+      doc = "code-vs-prose routing census: symbol-density threshold over " +
+        "two codegen'd length projections, no explode, |sources|-row " +
+        "rollup"),
   )
 }

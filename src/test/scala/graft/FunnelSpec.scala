@@ -141,4 +141,22 @@ class FunnelSpec extends SparkSpec {
     assert(r.getAs[Long]("n_days") == 2L && r.getAs[Long]("wau") == 2L)
     assert(r.getAs[Double]("stickiness") == 0.75)
   }
+
+  test("session revenue: purchases roll into their gap-session; median over purchasers") {
+    import spark.implicits._
+    // gap 60 s; user 1: session A (min 1-2: view + $2 purchase), session B
+    // (min 30: $4 purchase); user 2: session C (view only)
+    val df = Seq(
+      (1L, ts(1), 1L, "view", 0.0), (2L, ts(2), 1L, "purchase", 2.0),
+      (3L, ts(30), 1L, "purchase", 4.0),
+      (4L, ts(1), 2L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Funnel.sessionRevenue(df, 60L).collect().head
+    assert(r.getAs[Long]("n_sessions") == 3L)
+    assert(r.getAs[Long]("n_purchasing") == 2L)
+    assert(r.getAs[Long]("revenue_cents") == 600L)
+    assert(r.getAs[Double]("mean_rev_cents") == 300.0)
+    // purchasing sessions hold 200 and 400 cents -> lower median 200
+    assert(r.getAs[Long]("p50_rev_cents") == 200L)
+  }
 }

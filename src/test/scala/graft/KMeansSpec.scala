@@ -44,6 +44,24 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("inertia: self-clustered orthogonal vectors score 0; members partition") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f, 0.0f), 1),
+      (2L, Array(0.0f, 0.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    KMeans.kmeansInertia(vecs, 3).collect().foreach { r =>
+      assert(r.getAs[Long]("n_members") == 1L)
+      assert(r.getAs[Double]("inertia") == 0.0, s"self-cluster not tight: $r")
+    }
+    val rows = KMeans.kmeansInertia(Tables.embeddings(spark, sf("sf0.01")), 6)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n_members")).sum ==
+      Tables.embeddings(spark, sf("sf0.01")).count())
+    rows.foreach(r => assert(r.getAs[Double]("inertia") >= 0.0))
+  }
+
   test("shift census is non-negative and covers all k centroids at sf0.01") {
     val rows = KMeans.kmeansShift(Tables.embeddings(spark, sf("sf0.01")), 6)
       .collect()

@@ -379,4 +379,17 @@ class TextAnalysisSpec extends SparkSpec {
       assert(js >= 0.0 && js <= 0.6931471806, s"$pair out of [0, ln2]: $js")
     }
   }
+
+  test("code detect: symbol-dense text flags as code, prose does not") {
+    import spark.implicits._
+    val df = Seq(
+      ("src", "if (x == 1) { y = 2; }"),          // symbol-heavy
+      ("src", "plain english words flow here"))    // prose
+      .toDF("source", "text")
+    val r = operators.TextAnalysis.codeDetect(df).collect().head
+    assert(r.getAs[Long]("n_docs") == 2L)
+    assert(r.getAs[Long]("n_code") == 1L)
+    assert(r.getAs[Double]("code_share") == 0.5)
+    assert(r.getAs[Double]("symbol_density") > 0.0)
+  }
 }
