@@ -149,6 +149,41 @@ object Packing {
 
   private def size_(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.size(c).cast("long")
+
+  /** y11: chunk-dedup storage ROI per source — if y6's dedup ran today,
+    * how many bytes would each feed stop paying for? Every chunk
+    * occurrence is charged to its own doc's source; a hash's single
+    * canonical copy is credited to the source of the SMALLEST doc_id
+    * holding it (y6's keep rule), so per-source savings = occurrence
+    * bytes − canonically-owned bytes ≥ 0 and global savings add up
+    * across sources. The number that justifies (or kills) running dedup
+    * on a feed.
+    *
+    * Scale shape: all rollups key on the 128-bit chunk digest or on
+    * source — the chunk text itself never shuffles (its byte length is
+    * projected out before any exchange). */
+  def dedupSavings(docs: DataFrame, size: Int, stride: Int): DataFrame = {
+    val ch = chunkWindows(docs.select(col("doc_id"), col("text")), size, stride)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), md5(col("chunk_text")).as("h"),
+        octet_length(col("chunk_text")).cast("long").as("nb"))
+    val occ = ch.groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"), sum("nb").as("occ_bytes"))
+    val canon = ch.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("source"), col("nb"))).as("m"))
+      .groupBy(col("m.source").as("source"))
+      .agg(count(lit(1)).as("n_canonical"), sum(col("m.nb")).as("canon_bytes"))
+    occ.join(canon, Seq("source"), "left")
+      .select(col("source"), col("n_chunks"),
+        coalesce(col("n_canonical"), lit(0L)).as("n_canonical"),
+        col("occ_bytes"),
+        (col("occ_bytes") - coalesce(col("canon_bytes"), lit(0L)))
+          .as("saved_bytes"),
+        pround((col("occ_bytes") - coalesce(col("canon_bytes"), lit(0L)))
+          .cast("double") / col("occ_bytes").cast("double"), 9)
+          .as("save_share"))
+      .orderBy("source")
+  }
 }
 
 object PackingQueries {
@@ -265,5 +300,44 @@ object PackingQueries {
       doc = "packing-efficiency census: per-shard batch count, fill rate " +
         "(non-padding token fraction) and overfull count — a second " +
         "rollup of y1's batch table, no new corpus pass"),
+
+    Q("y11_dedup_savings",
+      (s, d) => dedupSavings(docs(s, d), 3, 3),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, source, $toksSql AS toks,
+              |         CAST(len($toksSql) AS BIGINT) AS n
+              |  FROM documents),
+              |e AS (
+              |  SELECT doc_id, source, toks, n,
+              |         unnest(range(0, greatest((n - 3 + 2) // 3, 0) + 1)) AS chunk_id
+              |  FROM t WHERE n > 0),
+              |c AS (
+              |  SELECT doc_id, source,
+              |         md5(array_to_string(list_slice(toks, chunk_id * 3 + 1,
+              |           chunk_id * 3 + least(3, n - chunk_id * 3)), ' ')) AS h,
+              |         CAST(octet_length(encode(array_to_string(list_slice(toks, chunk_id * 3 + 1,
+              |           chunk_id * 3 + least(3, n - chunk_id * 3)), ' '))) AS BIGINT) AS nb
+              |  FROM e),
+              |occ AS (SELECT source, count(*) AS n_chunks,
+              |               CAST(sum(nb) AS BIGINT) AS occ_bytes
+              |        FROM c GROUP BY 1),
+              |cc AS (SELECT h, min(doc_id) AS doc_id, min(nb) AS nb
+              |       FROM c GROUP BY 1),
+              |canon AS (
+              |  SELECT d.source, count(*) AS n_canonical,
+              |         CAST(sum(cc.nb) AS BIGINT) AS canon_bytes
+              |  FROM cc JOIN documents d USING (doc_id) GROUP BY 1)
+              |SELECT occ.source, n_chunks,
+              |       CAST(COALESCE(n_canonical, 0) AS BIGINT) AS n_canonical,
+              |       occ_bytes,
+              |       occ_bytes - COALESCE(canon_bytes, 0) AS saved_bytes,
+              |       floor(CAST(occ_bytes - COALESCE(canon_bytes, 0) AS DOUBLE)
+              |             / CAST(occ_bytes AS DOUBLE)
+              |             * 1000000000.0 + 0.5) / 1000000000.0 AS save_share
+              |FROM occ LEFT JOIN canon ON canon.source = occ.source
+              |ORDER BY occ.source""".stripMargin),
+      doc = "chunk-dedup storage ROI per source: occurrence bytes minus " +
+        "canonically-owned bytes (y6's min-doc keep rule); rollups key " +
+        "on the digest or source — chunk text never shuffles"),
   )
 }

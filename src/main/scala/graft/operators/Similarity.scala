@@ -906,6 +906,38 @@ object Similarity {
     "(case when greatest(1.0 - cos1, 1.0 - cos2) = 0.0 then cast(null as double) " +
       "else (cos1 - cos2) / greatest(1.0 - cos1, 1.0 - cos2) end)"
 
+  /** s23: embedding-norm census per label — the unnormalized-embedding
+    * detector: cosine retrieval assumes ‖x‖ ≈ const, and a label whose
+    * norm distribution drifts (a fine-tuned tower, a truncated batch, a
+    * zero-vector bug) silently breaks MIPS/cosine agreement (the exact
+    * failure s10's norm prune exploits). Reports min/max exactly and
+    * p50/p95 off squared-norm BINS.
+    *
+    * Scale shape: the exact integer squared norm already exists in the
+    * fixed-point pass; everything reduces to (label, norm-bin) counts —
+    * windows see bins (0.01 squared-norm units), never vectors. */
+  def normCensus(vecs: DataFrame): DataFrame = {
+    val b = withFixed(vecs)
+      .select(col("label"), col("nrm"), expr("nrm div 100000000").as("nb"))
+    val bins = b.groupBy("label", "nb").agg(count(lit(1)).as("cnt"))
+    val tot = b.groupBy("label").agg(count(lit(1)).as("n"),
+      min("nrm").as("min_nrm"), max("nrm").as("max_nrm"))
+    val w = Window.partitionBy("label").orderBy("nb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val q = bins.withColumn("cum", sum("cnt").over(w))
+      .join(broadcast(tot.select(col("label"), col("n"))), "label")
+      .groupBy("label")
+      .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("nb"))).as("b50"),
+        min(when(col("cum") >= expr("(19 * n + 19) div 20"), col("nb"))).as("b95"))
+    tot.join(broadcast(q), "label")
+      .select(col("label"), col("n"),
+        pround(col("min_nrm").cast("double") / 1e10, 6).as("min_sq_norm"),
+        pround(col("max_nrm").cast("double") / 1e10, 6).as("max_sq_norm"),
+        (col("b50").cast("double") / 100.0).as("p50_sq_norm"),
+        (col("b95").cast("double") / 100.0).as("p95_sq_norm"))
+      .orderBy("label")
+  }
+
   /** s22: one exact PCA power-iteration step — the dominant-direction
     * probe (is the embedding space collapsing onto one axis?) that
     * complements s19's leading-dim covariance census with a WHOLE-SPACE
@@ -1787,5 +1819,35 @@ object SimilarityQueries {
       doc = "one exact PCA power-iteration step (C*ones, max-normalized): " +
         "per-vector coordinate-sum column turns the d^2 covariance apply " +
         "into d accumulators — one pass, exact DECIMAL, no float sums"),
+
+    Q("s23_norm_census",
+      (s, d) => normCensus(vecs(s, d)),
+      Some(s"""WITH $fixedSqlCte,
+              |b AS (SELECT label, nrm, nrm // 100000000 AS nb FROM n),
+              |bins AS (SELECT label, nb, count(*) AS cnt FROM b GROUP BY 1, 2),
+              |t AS (SELECT label, count(*) AS cn,
+              |             min(nrm) AS min_nrm, max(nrm) AS max_nrm
+              |      FROM b GROUP BY 1),
+              |c AS (
+              |  SELECT label, nb, cnt, cn,
+              |         sum(cnt) OVER (PARTITION BY label ORDER BY nb
+              |           ROWS UNBOUNDED PRECEDING) AS cum
+              |  FROM bins JOIN t USING (label)),
+              |q AS (
+              |  SELECT label,
+              |         min(CASE WHEN cum >= (cn + 1) // 2 THEN nb END) AS b50,
+              |         min(CASE WHEN cum >= (19 * cn + 19) // 20 THEN nb END) AS b95
+              |  FROM c GROUP BY 1)
+              |SELECT label, cn AS n,
+              |       floor(CAST(min_nrm AS DOUBLE) / 10000000000.0
+              |             * 1000000.0 + 0.5) / 1000000.0 AS min_sq_norm,
+              |       floor(CAST(max_nrm AS DOUBLE) / 10000000000.0
+              |             * 1000000.0 + 0.5) / 1000000.0 AS max_sq_norm,
+              |       CAST(b50 AS DOUBLE) / 100.0 AS p50_sq_norm,
+              |       CAST(b95 AS DOUBLE) / 100.0 AS p95_sq_norm
+              |FROM t JOIN q USING (label) ORDER BY label""".stripMargin),
+      doc = "embedding-norm census per label (unnormalized-embedding " +
+        "detector): exact integer squared norms, min/max exact, p50/p95 " +
+        "off 0.01-unit squared-norm bins — windows see bins, not vectors"),
   )
 }

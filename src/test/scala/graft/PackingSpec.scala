@@ -143,4 +143,18 @@ class PackingSpec extends SparkSpec {
     assert(r.getAs[Long]("n_overfull") == 1L)
     assert(r.getAs[Double]("fill_rate") == 0.833333333)
   }
+
+  test("y11 dedup savings: duplicated chunks charge the copier, credit the owner") {
+    // chunks of 3 tokens, stride 3: doc 0 (src a) owns "x y z"; doc 1
+    // (src b) repeats it -> b saves its full occurrence, a saves nothing
+    val docs = Seq(
+      (0L, "x y z", "a"), (1L, "x y z", "b"))
+      .toDF("doc_id", "text", "source")
+    val m = Packing.dedupSavings(docs, 3, 3).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_canonical"),
+          r.getAs[Long]("saved_bytes"), r.getAs[Double]("save_share"))).toMap
+    assert(m("a") == (1L, 1L, 0L, 0.0))
+    assert(m("b") == (1L, 0L, 5L, 1.0), "5 bytes of 'x y z' saved entirely")
+  }
 }

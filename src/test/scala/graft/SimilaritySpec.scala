@@ -379,4 +379,22 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(m(0)) == 1.0, s"dominant axis must normalize to 1: $m")
     assert(m(1) == 0.0, s"constant axis must load 0: $m")
   }
+
+  test("norm census: exact min/max and bin-granular percentiles per label") {
+    // label 0: unit vectors (sq norm 1.00); label 1: a 2x-scaled vector
+    // (sq norm 4.00) next to a unit one
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.0f, 1.0f), 0),
+      (2L, Array(2.0f, 0.0f), 1), (3L, Array(1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val m = Similarity.normCensus(df).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("min_sq_norm"),
+          r.getAs[Double]("max_sq_norm"), r.getAs[Double]("p50_sq_norm"),
+          r.getAs[Double]("p95_sq_norm"))).toMap
+    assert(m(0) == (2L, 1.0, 1.0, 1.0, 1.0))
+    assert(m(1)._2 == 1.0 && m(1)._3 == 4.0)
+    assert(m(1)._4 == 1.0, "lower median is the unit vector's bin")
+    assert(m(1)._5 == 4.0, "p95 reaches the scaled vector's bin")
+  }
 }
