@@ -73,6 +73,43 @@ object Profiling {
         ((col("b95") + 1L).cast("double") / 100.0).as("p95_approx"))
   }
 
+  /** p7: referential-integrity census over the star schema — per
+    * foreign-key relationship, how many child rows point at a missing
+    * parent. The join-health guardrail a warehouse asserts before
+    * promoting a snapshot: orphans silently vanish from inner joins, so
+    * a nonzero count here explains "missing revenue" before anyone
+    * debugs a query.
+    *
+    * Scale shape: each relationship is ONE left-anti equi-join counted —
+    * the canonical orphan plan (never a NOT IN subquery, which
+    * null-poisons; never a collect). Parent key sets are distinct-
+    * reduced before the join; at 100 TB these are the same shuffles the
+    * production joins already pay, and AQE broadcasts genuinely small
+    * parents. Output is |relationships| rows. */
+  def fkOrphans(child: DataFrame, childKey: String, parent: DataFrame,
+                parentKey: String, name: String): DataFrame = {
+    val keys = parent.select(col(parentKey)).distinct()
+    val orphans = child.select(col(childKey))
+      .join(keys, col(childKey) === col(parentKey), "left_anti")
+    child.agg(count(lit(1)).as("n_child"))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+      .select(lit(name).as("relationship"), col("n_child"), col("n_orphans"))
+  }
+
+  /** All four star-schema FK relationships in one census. */
+  def fkCensus(s: SparkSession, d: String): DataFrame =
+    Seq(
+      fkOrphans(Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey", "lineitem->orders"),
+      fkOrphans(Tables.lineitem(s, d), "l_partkey",
+        Tables.part(s, d), "p_partkey", "lineitem->part"),
+      fkOrphans(Tables.lineitem(s, d), "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey", "lineitem->supplier"),
+      fkOrphans(Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey", "orders->customer"))
+      .reduce(_ unionByName _)
+      .orderBy("relationship")
+
   /** p6: whole-table column profile — one row per column with its null
     * count and exact distinct cardinality, the "describe" every ingest
     * pipeline runs first (keys should be distinct ≈ rows, enums should
@@ -211,5 +248,33 @@ object ProfilingQueries {
         "column): one multi-distinct aggregate (single Expand), " +
         "zero-shuffle stack unpivot; approx_count_distinct is the " +
         "documented 100 TB swap"),
+
+    Q("p7_fk_orphans",
+      (s, d) => Profiling.fkCensus(s, d),
+      Some("""SELECT * FROM (
+             |  SELECT 'lineitem->orders' AS relationship,
+             |         (SELECT count(*) FROM lineitem) AS n_child,
+             |         (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+             |            (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL))
+             |           AS n_orphans
+             |  UNION ALL
+             |  SELECT 'lineitem->part',
+             |         (SELECT count(*) FROM lineitem),
+             |         (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+             |            (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL))
+             |  UNION ALL
+             |  SELECT 'lineitem->supplier',
+             |         (SELECT count(*) FROM lineitem),
+             |         (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
+             |            (SELECT s_suppkey FROM supplier WHERE s_suppkey IS NOT NULL))
+             |  UNION ALL
+             |  SELECT 'orders->customer',
+             |         (SELECT count(*) FROM orders),
+             |         (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+             |            (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))
+             |) ORDER BY relationship""".stripMargin),
+      doc = "referential-integrity census (orphan FKs per relationship): " +
+        "one left-anti equi-join per FK — never NOT IN (the oracle works " +
+        "around its null-poisoning explicitly), never a collect"),
   )
 }

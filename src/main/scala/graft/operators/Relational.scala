@@ -1526,5 +1526,40 @@ object RelationalQueries {
       doc = "latest-record-per-key (current-state read of an event log): " +
         "struct-max AGGREGATE, not a window — partials combine map-side " +
         "to one candidate per key per partition; (ts, event_id) tiebreak"),
+
+    Q("q39_customer_accum",
+      (s, d) => {
+        // Customer-accumulation curve: per month, how many customers
+        // place their FIRST order, and the running total — the growth
+        // chart behind every "cumulative users" slide. Facts reduce to
+        // one row per customer (combinable min), then to |months| rows;
+        // the cumulative window runs over that bounded month table only
+        // (q37's discipline).
+        val w = Window.orderBy("ym")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .select(col("o_custkey"),
+            (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+              .as("ym"))
+          .groupBy("o_custkey").agg(min("ym").as("first_ym"))
+          .groupBy(col("first_ym").as("ym"))
+          .agg(count(lit(1)).as("n_new_customers"))
+          .withColumn("cum_customers", sum("n_new_customers").over(w))
+          .orderBy("ym")
+      },
+      Some("""WITH f AS (
+             |  SELECT o_custkey,
+             |         min(date_part('year', o_orderdate) * 100
+             |             + date_part('month', o_orderdate)) AS ym
+             |  FROM orders GROUP BY 1),
+             |m AS (SELECT ym, count(*) AS n_new_customers FROM f GROUP BY 1)
+             |SELECT ym, n_new_customers,
+             |       CAST(sum(n_new_customers) OVER (ORDER BY ym ROWS BETWEEN
+             |         UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |         AS cum_customers
+             |FROM m ORDER BY ym""".stripMargin),
+      doc = "customer-accumulation curve: combinable first-order-month " +
+        "reduction per customer, cumulative window over the bounded " +
+        "month table only"),
   )
 }

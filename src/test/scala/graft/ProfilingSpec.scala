@@ -54,4 +54,19 @@ class ProfilingSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(m == Map("k" -> (1L, 1L), "v" -> (1L, 2L)))
   }
+
+  test("fk orphans: dangling child keys counted, duplicates kept, clean is zero") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(1L, 1L, 3L, 3L).toDF("fk")
+    val r = Profiling.fkOrphans(child, "fk", parent, "pk", "c->p")
+      .collect().head
+    assert(r.getAs[String]("relationship") == "c->p")
+    assert(r.getAs[Long]("n_child") == 4L)
+    assert(r.getAs[Long]("n_orphans") == 2L, "every orphan ROW counts")
+    // the real star schema is referentially clean at sf0.01
+    val census = Profiling.fkCensus(spark, sf("sf0.01")).collect()
+    assert(census.length == 4)
+    census.foreach(c => assert(c.getAs[Long]("n_orphans") == 0L, c.toString))
+  }
 }
