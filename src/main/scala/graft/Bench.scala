@@ -67,7 +67,17 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"runs_per_query":$passes,"agg":"min_across_separated_passes","sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"runs_per_query":$passes,"agg":"min_across_separated_passes","sf":"$sfDir"}"""
+    println(line)
+    // The driver's stdout capture keeps only the last ~2-5 KB; past ~200
+    // queries the one-line JSON outgrows it and the per-query timings
+    // arrive truncated (ADVICE r10). Persist the full line to a file in
+    // the repo root so every timing survives in machine-readable form.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL_latest.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] full-artifact write skipped: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -305,6 +305,61 @@ object Funnel {
         col("p50_delta_min"))
   }
 
+  /** f11: RFM segment census. Per user: recency (days since last event,
+    * vs the corpus max day), frequency (event count), monetary (exact
+    * purchase cents); each metric maps to a quartile 1..4 and users
+    * aggregate per (r,f,m) segment.
+    *
+    * Quartiles are NOT a per-user ntile — a global single-partition
+    * window over |users| rows would serialize 10⁹ rows at warehouse
+    * scale. Instead each metric's quartile is assigned BY VALUE from the
+    * cumulative count over the |distinct values| table (the x36 median
+    * discipline): q = ceil(4·|users ≤ v| / n), computed in pure integers
+    * ((4·cum + n − 1) div n) so no float boundary can flip a bucket.
+    * Ties share a quartile by construction, which also makes the result
+    * engine-order-independent. The three value→quartile maps are
+    * distinct-value-sized and broadcast back onto the per-user table. */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val per = events
+      .select(col("user_id"),
+        expr("unix_timestamp(ts) div 86400").as("day"),
+        col("event_type"),
+        expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("c"))
+      .groupBy("user_id")
+      .agg(max("day").as("last_day"), count(lit(1)).as("freq"),
+        sum(when(col("event_type") === "purchase", col("c"))
+          .otherwise(0L)).as("mon"))
+    val ref = per.agg(max("last_day").as("ref_day"),
+      count(lit(1)).as("n_users"))
+    val m = per.crossJoin(broadcast(ref))
+      .select(col("user_id"), col("n_users"),
+        (col("ref_day") - col("last_day")).as("recency"),
+        col("freq"), col("mon"))
+    // value -> quartile map for one metric: cumulative count over the
+    // ASC-ordered distinct-value table (bounded: recency <= span days,
+    // freq small ints, mon distinct cents — the largest is the x36
+    // "window over |distinct values| rows" convention)
+    def quartileMap(metric: String): DataFrame = {
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      m.groupBy(col(metric).as("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(w))
+        .select(col("v").as(s"${metric}_v"), col("cum").as(s"${metric}_cum"))
+    }
+    m.join(broadcast(quartileMap("recency")),
+        col("recency") === col("recency_v"))
+      .join(broadcast(quartileMap("freq")), col("freq") === col("freq_v"))
+      .join(broadcast(quartileMap("mon")), col("mon") === col("mon_v"))
+      .select(col("user_id"), col("freq"), col("mon"),
+        expr("(4 * recency_cum + n_users - 1) div n_users").as("r_q"),
+        expr("(4 * freq_cum + n_users - 1) div n_users").as("f_q"),
+        expr("(4 * mon_cum + n_users - 1) div n_users").as("m_q"))
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_users"), sum("mon").as("revenue_cents"),
+        pround(avg(col("freq").cast("double")), 6).as("avg_freq"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
   // Shared with the oracle; zero converters -> null, not ANSI div-by-zero.
   private[operators] val avgDeltaExpr =
     "(case when nc = 0 then cast(null as double) " +
@@ -565,5 +620,38 @@ object FunnelQueries {
       doc = "per-session revenue census: purchase cents collapse in f3's " +
         "one-shuffle session rollup; conversion share, exact revenue, " +
         "bin-convention lower median over |distinct cents| rows"),
+
+    Q("f11_rfm_segments",
+      (s, d) => rfmSegments(Tables.events(s, d)),
+      Some("""WITH per AS (
+             |  SELECT user_id, max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS last_day,
+             |         count(*) AS freq,
+             |         CAST(sum(CASE WHEN event_type = 'purchase'
+             |           THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+             |           ELSE 0 END) AS BIGINT) AS mon
+             |  FROM events GROUP BY user_id),
+             |ref AS (SELECT max(last_day) AS ref_day, count(*) AS n_users FROM per),
+             |m AS (SELECT user_id, n_users, ref_day - last_day AS recency, freq, mon
+             |      FROM per CROSS JOIN ref),
+             |q AS (
+             |  SELECT user_id, freq, mon,
+             |         (4 * rcum + n_users - 1) // n_users AS r_q,
+             |         (4 * fcum + n_users - 1) // n_users AS f_q,
+             |         (4 * mcum + n_users - 1) // n_users AS m_q
+             |  FROM (
+             |    SELECT user_id, n_users, freq, mon,
+             |           CAST(count(*) OVER (ORDER BY recency RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rcum,
+             |           CAST(count(*) OVER (ORDER BY freq RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fcum,
+             |           CAST(count(*) OVER (ORDER BY mon RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS mcum
+             |    FROM m))
+             |SELECT r_q, f_q, m_q, count(*) AS n_users,
+             |       CAST(sum(mon) AS BIGINT) AS revenue_cents,
+             |       floor(avg(CAST(freq AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+             |         AS avg_freq
+             |FROM q GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q""".stripMargin),
+      doc = "RFM segment census: per-user recency/frequency/monetary, " +
+        "quartiles assigned BY VALUE via integer ceil(4*cum/n) over the " +
+        "|distinct values| cumulative table (never a |users| ntile), " +
+        "segment rollup with exact revenue"),
   )
 }

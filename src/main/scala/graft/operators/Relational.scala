@@ -1561,5 +1561,71 @@ object RelationalQueries {
       doc = "customer-accumulation curve: combinable first-order-month " +
         "reduction per customer, cumulative window over the bounded " +
         "month table only"),
+
+    Q("q40_nation_trade",
+      (s, d) => {
+        // TPC-H Q7 shape (volume shipping): revenue flowing between an
+        // ordered pair of nations by ship year. Two INDEPENDENT dim paths
+        // reach the same fact row — supplier nation via l_suppkey, customer
+        // nation via orders→customer — so unlike q36 there is no
+        // correlated-equality shortcut; the pair predicate is a
+        // disjunction over both directions. The 2-row filtered nation dim
+        // broadcasts into supplier and customer BEFORE the fact joins,
+        // shrinking both sides to the two nations' keys; the only big
+        // shuffles are lineitem⋈supplier (suppkey) and the
+        // orders⋈customer + lineitem⋈orders chain (custkey/orderkey).
+        // Revenue sums exact fixed-point units per (nation, nation, year)
+        // — a bounded group space.
+        val nations = Tables.nation(s, d)
+          .where(col("n_name").isin("NATION_1", "NATION_2"))
+          .select(col("n_nationkey"), col("n_name"))
+        val supp = Tables.supplier(s, d)
+          .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val cust = Tables.customer(s, d)
+          .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "cust_nation")
+        Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).as("l_year"),
+            floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * 10000.0 + 0.5).cast(DecimalType(38, 0)).as("u"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .where((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" &&
+              col("cust_nation") === "NATION_1"))
+          .groupBy("supp_nation", "cust_nation", "l_year")
+          .agg((sum("u").cast("double") / 10000.0).as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT supp_nation, cust_nation, l_year,
+             |       CAST(sum(u) AS DOUBLE) / 10000.0 AS revenue
+             |FROM (
+             |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |         date_part('year', l_shipdate) AS l_year,
+             |         CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS HUGEINT) AS u
+             |  FROM lineitem
+             |  JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |  JOIN customer ON c_custkey = o_custkey
+             |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+             |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+             |    AND l_shipdate < TIMESTAMP '1997-01-01'
+             |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+             |) GROUP BY supp_nation, cust_nation, l_year
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
+      doc = "TPC-H Q7-style nation-pair trade volume: two independent dim " +
+        "paths to the same fact row, 2-row nation dim broadcast into both " +
+        "supplier and customer before the fact shuffles, disjunctive pair " +
+        "predicate after, exact fixed-point revenue per bounded group"),
   )
 }

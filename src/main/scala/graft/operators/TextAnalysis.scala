@@ -962,6 +962,49 @@ object TextAnalysis {
           .as("other_share"))
       .orderBy("source")
   }
+
+  /** t31: top-k collocations by pointwise mutual information —
+    * PMI(w1,w2) = ln(p(w1w2) / (p(w1)·p(w2))) with bigram probability
+    * over the bigram-event total and unigram probabilities over the
+    * token total, restricted to bigrams with count ≥ minCount (PMI is
+    * degenerate on rare pairs: a hapax bigram of two hapax words
+    * maximizes it).
+    *
+    * Scale shape: the bigram event stream reduces to the observed-bigram
+    * table (corpus-sparse, far below vocab²) before ANY join; the two
+    * unigram joins are vocab-sized shuffle joins (deliberately NOT
+    * broadcast — the vocabulary of a 100 TB corpus is itself large);
+    * the 1-row totals broadcast; top-k is TakeOrderedAndProject with a
+    * bg tiebreak, never a global sort. Integer micro-nats (floor·1e6)
+    * keep the ranking reproducible across libm variants. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5L,
+      k: Int = 20): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(expr(tokensExpr)).as("w"))
+    val nTok = toks.agg(count(lit(1)).as("n_tok"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("fw"))
+    val ev = docs.select(expr(tokensExpr).as("t"))
+      .select(explode(expr(
+        """CASE WHEN size(t) >= 2
+          | THEN transform(sequence(1, size(t) - 1),
+          |        i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
+          | ELSE array() END""".stripMargin)).as("bg"))
+    val nBg = ev.agg(count(lit(1)).as("n_bg"))
+    ev.groupBy("bg").agg(count(lit(1)).as("fbg"))
+      .where(col("fbg") >= minCount)
+      .withColumn("w1", expr("split_part(bg, ' ', 1)"))
+      .withColumn("w2", expr("split_part(bg, ' ', 2)"))
+      .join(uni.select(col("w").as("u1"), col("fw").as("f1")),
+        col("w1") === col("u1"))
+      .join(uni.select(col("w").as("u2"), col("fw").as("f2")),
+        col("w2") === col("u2"))
+      .crossJoin(broadcast(nBg)).crossJoin(broadcast(nTok))
+      .select(col("bg"), col("fbg"), expr(
+        """cast(floor(ln((cast(fbg as double) / cast(n_bg as double))
+          |  / ((cast(f1 as double) / cast(n_tok as double))
+          |     * (cast(f2 as double) / cast(n_tok as double))))
+          |  * 1000000.0) as bigint)""".stripMargin).as("pmi_micro"))
+      .orderBy(desc("pmi_micro"), col("bg")).limit(k)
+  }
 }
 
 object TextAnalysisQueries {
@@ -1664,5 +1707,34 @@ object TextAnalysisQueries {
       doc = "code-vs-prose routing census: symbol-density threshold over " +
         "two codegen'd length projections, no explode, |sources|-row " +
         "rollup"),
+
+    Q("t31_pmi_collocations",
+      (s, d) => pmiCollocations(docs(s, d)),
+      Some(s"""WITH wt AS (SELECT doc_id, $toksSql AS t FROM documents),
+              |tok AS (SELECT doc_id, unnest(t) AS w FROM wt),
+              |n AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM tok),
+              |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS fw FROM tok GROUP BY w),
+              |ev AS (
+              |  SELECT unnest(CASE WHEN len(t) >= 2
+              |    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+              |    ELSE CAST([] AS VARCHAR[]) END) AS bg
+              |  FROM wt),
+              |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bg FROM ev),
+              |fbg AS (SELECT bg, CAST(count(*) AS BIGINT) AS fbg FROM ev
+              |        GROUP BY bg HAVING count(*) >= 5)
+              |SELECT bg, fbg,
+              |       CAST(floor(ln((CAST(fbg AS DOUBLE) / CAST(n_bg AS DOUBLE))
+              |         / ((CAST(f1.fw AS DOUBLE) / CAST(n_tok AS DOUBLE))
+              |            * (CAST(f2.fw AS DOUBLE) / CAST(n_tok AS DOUBLE))))
+              |         * 1000000.0) AS BIGINT) AS pmi_micro
+              |FROM fbg
+              |JOIN uni f1 ON f1.w = split_part(bg, ' ', 1)
+              |JOIN uni f2 ON f2.w = split_part(bg, ' ', 2)
+              |CROSS JOIN n CROSS JOIN nb
+              |ORDER BY pmi_micro DESC, bg LIMIT 20""".stripMargin),
+      doc = "top-20 PMI collocations (min bigram count 5): " +
+        "observed-bigram reduction before any join, vocab-sized unigram " +
+        "shuffle joins (never broadcast at corpus scale), integer " +
+        "micro-nat ranking via TakeOrderedAndProject"),
   )
 }

@@ -142,6 +142,31 @@ class FunnelSpec extends SparkSpec {
     assert(r.getAs[Double]("stickiness") == 0.75)
   }
 
+  test("rfm: quartiles assigned by value (ties share), integer ceil(4*cum/n)") {
+    import spark.implicits._
+    def dts(day: Int) = Timestamp.valueOf(f"1970-01-0${day + 1} 10:00:00")
+    // ref_day = 4, n = 4. Recencies: u1=4, u2=1, u3=0, u4=0 (tie).
+    // cum over distinct asc: 0->2, 1->3, 4->4; q=(4*cum+3) div 4 -> 2/3/4.
+    // freq 1..4 -> q 1..4; mon 0/100/200/300 -> q 1..4 by cum.
+    val df = Seq(
+      (1L, dts(0), 1L, "purchase", 1.0),
+      (2L, dts(0), 2L, "view", 0.0), (3L, dts(3), 2L, "purchase", 2.0),
+      (4L, dts(1), 3L, "view", 0.0), (5L, dts(2), 3L, "view", 0.0),
+      (6L, dts(4), 3L, "view", 0.0),
+      (7L, dts(1), 4L, "view", 0.0), (8L, dts(2), 4L, "view", 0.0),
+      (9L, dts(3), 4L, "view", 0.0), (10L, dts(4), 4L, "purchase", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rows = Funnel.rfmSegments(df).collect()
+    val segs = rows.map(r => (r.getAs[Long]("r_q"), r.getAs[Long]("f_q"),
+      r.getAs[Long]("m_q")) -> r.getAs[Long]("revenue_cents")).toMap
+    assert(segs == Map(
+      (4L, 1L, 2L) -> 100L,  // u1: stale, one event, $1
+      (3L, 2L, 3L) -> 200L,  // u2
+      (2L, 3L, 1L) -> 0L,    // u3: fresh (tied recency 0), no purchases
+      (2L, 4L, 4L) -> 300L)) // u4: shares recency quartile with u3
+    assert(rows.map(_.getAs[Long]("n_users")).sum == 4L)
+  }
+
   test("session revenue: purchases roll into their gap-session; median over purchasers") {
     import spark.implicits._
     // gap 60 s; user 1: session A (min 1-2: view + $2 purchase), session B

@@ -380,6 +380,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("pmi collocations: exclusive pair outranks the self-pair; rare pairs filtered") {
+    import spark.implicits._
+    // doc 10: "alpha beta" x5 -> bigrams: (alpha beta) x5, (beta alpha) x4
+    // doc 11: "c" x6 -> (c c) x5
+    // n_tok = 16, n_bg = 14; only fbg >= 5 survive (beta-alpha at 4 drops)
+    val df = Seq(
+      (10L, Seq.fill(5)("alpha beta").mkString(" "), "en", "s0", 0L),
+      (11L, Seq.fill(6)("c").mkString(" "), "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = TextAnalysis.pmiCollocations(df).collect()
+    def micro(fbg: Double, f1: Double, f2: Double): Long =
+      math.floor(math.log((fbg / 14.0) / ((f1 / 16.0) * (f2 / 16.0))) * 1e6).toLong
+    assert(rows.map(_.getAs[String]("bg")).toList == List("alpha beta", "c c"))
+    val m = rows.map(r => r.getAs[String]("bg") ->
+      (r.getAs[Long]("fbg"), r.getAs[Long]("pmi_micro"))).toMap
+    assert(m("alpha beta") == (5L, micro(5, 5, 5)))
+    assert(m("c c") == (5L, micro(5, 6, 6)))
+  }
+
   test("code detect: symbol-dense text flags as code, prose does not") {
     import spark.implicits._
     val df = Seq(
