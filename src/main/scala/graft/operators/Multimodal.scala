@@ -155,6 +155,50 @@ object Multimodal {
       .select(col("doc_id"), col("frame_no"),
         expr(s"ascii(substring(text, frame_no * $frameBytes + 1, 1))")
           .as("frame_lead_byte"))
+
+  /** m9: perceptual-hash NEAR-dup — the second rung of m7's ladder
+    * (content-hash exact dedup → phash near-dup, image dedup's standard
+    * two-pass shape). The 64-bit "phash" is a deterministic fake
+    * (codec-free container): 4 × 16-bit bands, band b's bit j set when
+    * payload char 16b+j has an odd code — locality-preserving on shared
+    * prefixes, which is the property the real DCT phash supplies.
+    *
+    * The REAL part is the banded Hamming join: each record explodes to 4
+    * (band_idx, band_val) rows; candidates are pairs sharing at least one
+    * band EXACTLY (equi-join on the band bucket — never an all-pairs
+    * product). By pigeonhole, Hamming ≤ 3 over 4 bands forces ≥ 1
+    * identical band, so the prune is LOSSLESS for the verify threshold —
+    * and the oracle is the naive all-pairs join, proving exactly that.
+    * Verify is bit_count over the xor'd bands on the deduped candidate
+    * set. Shuffle width is 4×(2+16)B per record, never the payload. */
+  def phashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    def band(b: Int) = expr(
+      s"""cast(aggregate(sequence(0, 15), 0, (acc, j) ->
+         |  acc + (CASE WHEN 16 * $b + j < length(text)
+         |      AND ascii(substring(text, 16 * $b + j + 1, 1)) % 2 = 1
+         |    THEN shiftleft(1, j) ELSE 0 END)) as bigint)""".stripMargin)
+    val ph = docs.select(col("doc_id"), band(0).as("b0"), band(1).as("b1"),
+      band(2).as("b2"), band(3).as("b3"))
+    val bands = ph.select(col("doc_id"), col("b0"), col("b1"), col("b2"),
+      col("b3"), explode(expr(
+        "array(struct(0 as bi, b0 as bv), struct(1 as bi, b1 as bv), " +
+          "struct(2 as bi, b2 as bv), struct(3 as bi, b3 as bv))"))
+        .as("bd"))
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("bd.bi").as("bi"), col("bd.bv").as("bv"))
+    val l = bands.toDF("doc_a", "a0", "a1", "a2", "a3", "bi", "bv")
+    val r = bands.toDF("doc_b", "c0", "c1", "c2", "c3", "bi", "bv")
+    l.join(r, Seq("bi", "bv")).where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "a0", "a1", "a2", "a3",
+        "c0", "c1", "c2", "c3")
+      .distinct() // a pair sharing k bands appears k times
+      .select(col("doc_a"), col("doc_b"), expr(
+        """cast(bit_count(a0 ^ c0) + bit_count(a1 ^ c1)
+          |  + bit_count(a2 ^ c2) + bit_count(a3 ^ c3) as bigint)"""
+          .stripMargin).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
 }
 
 object MultimodalQueries {
@@ -277,5 +321,40 @@ object MultimodalQueries {
       doc = "per-source media storage budget (count, total/mean bytes, " +
         "p95 payload): payloads never move — (source, size) bin counts, " +
         "second rollup, broadcast ceil-rank p95 read"),
+
+    Q("m9_phash_neardup",
+      (s, d) => phashNearDup(Tables.documents(s, d)),
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |         CAST(list_sum(list_transform(range(0, 16), j ->
+             |           CASE WHEN 0 + j < len(text)
+             |               AND unicode(substr(text, CAST(0 + j + 1 AS INT), 1)) % 2 = 1
+             |             THEN (1 << j) ELSE 0 END)) AS BIGINT) AS b0,
+             |         CAST(list_sum(list_transform(range(0, 16), j ->
+             |           CASE WHEN 16 + j < len(text)
+             |               AND unicode(substr(text, CAST(16 + j + 1 AS INT), 1)) % 2 = 1
+             |             THEN (1 << j) ELSE 0 END)) AS BIGINT) AS b1,
+             |         CAST(list_sum(list_transform(range(0, 16), j ->
+             |           CASE WHEN 32 + j < len(text)
+             |               AND unicode(substr(text, CAST(32 + j + 1 AS INT), 1)) % 2 = 1
+             |             THEN (1 << j) ELSE 0 END)) AS BIGINT) AS b2,
+             |         CAST(list_sum(list_transform(range(0, 16), j ->
+             |           CASE WHEN 48 + j < len(text)
+             |               AND unicode(substr(text, CAST(48 + j + 1 AS INT), 1)) % 2 = 1
+             |             THEN (1 << j) ELSE 0 END)) AS BIGINT) AS b3
+             |  FROM documents)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+             |          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+             |         AS BIGINT) AS hamming
+             |FROM p a JOIN p b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+             |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+             |ORDER BY doc_a, doc_b""".stripMargin),
+      doc = "perceptual-hash near-dup (m7's second rung): 4x16-bit banded " +
+        "Hamming join — candidates share >=1 exact band (pigeonhole makes " +
+        "the prune LOSSLESS for hamming<=3; the oracle is the naive " +
+        "all-pairs join, proving it), verify on the deduped candidate " +
+        "set, 72-byte shuffle width however large the media payload"),
   )
 }

@@ -1092,6 +1092,90 @@ object Stats {
         pround(expr(acf1Expr), 9).as("spearman_rho"))
   }
 
+  /** x43: Theil–Sen robust trend slope of daily revenue — the
+    * outlier-immune alternative to x29's OLS: the median of all pairwise
+    * slopes (rev_j − rev_i)/(day_j − day_i), i < j, over the
+    * day-reduced series.
+    *
+    * Scale shape: facts reduce once (map-side combinable) to one exact
+    * cents row per calendar day, so the pairwise grid is |days|²/2 —
+    * calendar-bounded, NOT data-bounded (a decade is ~6.7M pairs
+    * regardless of fact count). The median is the x36 lower-median
+    * convention over the |distinct slope| cumulative table, in integer
+    * micro-cents/day (floor·1e6) so the pick is engine-exact. */
+  def theilSen(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .select(expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+        expr("cast(floor(o_totalprice * 100.0 + 0.5) as bigint)").as("c"))
+      .groupBy("day").agg(sum("c").as("rev"))
+    val pairs = daily.select(col("day").as("d1"), col("rev").as("r1"))
+      .join(daily.select(col("day").as("d2"), col("rev").as("r2")),
+        col("d1") < col("d2"))
+      .select(expr(
+        """cast(floor(cast(r2 - r1 as double) / cast(d2 - d1 as double)
+          |  * 1000000.0) as bigint)""".stripMargin).as("sl"))
+    val np = pairs.agg(count(lit(1)).as("n_pairs"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("sl")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val med = pairs.groupBy("sl").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(w))
+      .crossJoin(broadcast(np))
+      .where(col("cum") >= expr("(n_pairs + 1) div 2"))
+      .agg(min("sl").as("slope_micro_p50"))
+    daily.agg(count(lit(1)).as("n_days")).crossJoin(broadcast(np))
+      .crossJoin(broadcast(med))
+      .select(col("n_days"), col("n_pairs"), col("slope_micro_p50"))
+  }
+
+  /** x44: Jarque–Bera normality census per group — is l_quantity
+    * normal within each return flag? Exact integer power sums to the
+    * 4th moment (qty ≤ 64 ⇒ qty⁴ ≤ 1.7e7: a BIGINT sum holds ~5e11
+    * rows per group; DECIMAL(38,0) is the documented swap past that),
+    * then skewness g1, excess-kurtosis-based g2 and
+    * JB = n/6·(g1² + (g2−3)²/4) as one shared IEEE tree over the
+    * |groups|-row moment table. Map-side combinable single pass;
+    * nothing fact-sized survives the first aggregate. */
+  def jarqueBera(lineitem: DataFrame): DataFrame = {
+    val mo = lineitem
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("x"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("x").as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+    mo.select(col("l_returnflag"), col("n"),
+        pround(expr(jbSkewExpr), 6).as("skewness"),
+        pround(expr(jbKurtExpr), 6).as("kurtosis"),
+        pround(expr(jbStatExpr), 4).as("jb_stat"))
+      .orderBy("l_returnflag")
+  }
+
+  // Shared central-moment IEEE trees (textually mirrored in the oracle):
+  // a_k = s_k/n; m2 = a2-a1², m3 = a3-3a1a2+2a1³,
+  // m4 = a4-4a1a3+6a1²a2-3a1⁴; degenerate (constant) groups -> null.
+  private val jbA = "cast(s1 as double) / cast(n as double)"
+  private val jbA2 = "cast(s2 as double) / cast(n as double)"
+  private val jbA3 = "cast(s3 as double) / cast(n as double)"
+  private val jbA4 = "cast(s4 as double) / cast(n as double)"
+  private val jbM2 = s"(($jbA2) - ($jbA) * ($jbA))"
+  private val jbM3 =
+    s"(($jbA3) - 3.0 * ($jbA) * ($jbA2) + 2.0 * ($jbA) * ($jbA) * ($jbA))"
+  private val jbM4 = s"(($jbA4) - 4.0 * ($jbA) * ($jbA3) " +
+    s"+ 6.0 * ($jbA) * ($jbA) * ($jbA2) " +
+    s"- 3.0 * ($jbA) * ($jbA) * ($jbA) * ($jbA))"
+  private[operators] val jbSkewExpr =
+    s"(case when $jbM2 <= 0.0 then cast(null as double) " +
+      s"else $jbM3 / ($jbM2 * sqrt($jbM2)) end)"
+  private[operators] val jbKurtExpr =
+    s"(case when $jbM2 <= 0.0 then cast(null as double) " +
+      s"else $jbM4 / ($jbM2 * $jbM2) end)"
+  private[operators] val jbStatExpr =
+    s"(case when $jbM2 <= 0.0 then cast(null as double) " +
+      s"else cast(n as double) / 6.0 * " +
+      s"(($jbSkewExpr) * ($jbSkewExpr) " +
+      s"+ (($jbKurtExpr) - 3.0) * (($jbKurtExpr) - 3.0) / 4.0) end)"
+
   // Fewer than two pairs, or a constant series, has no defined
   // correlation: CASE-guarded null, not ANSI divide-by-zero.
   private val acf1Den =
@@ -1837,5 +1921,50 @@ object StatsQueries {
       doc = "day-of-week seasonality strength (ANOVA eta^2): day-reduced " +
         "facts to 7 weekday moment rows, exact integer floor-division " +
         "between-group terms, shared IEEE tree with zero-variance guard"),
+
+    Q("x43_theil_sen",
+      (s, d) => theilSen(Tables.orders(s, d)),
+      Some("""WITH daily AS (
+             |  SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+             |         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+             |  FROM orders GROUP BY 1),
+             |pairs AS (
+             |  SELECT CAST(floor(CAST(b.rev - a.rev AS DOUBLE)
+             |           / CAST(b.day - a.day AS DOUBLE) * 1000000.0) AS BIGINT) AS sl
+             |  FROM daily a JOIN daily b ON a.day < b.day),
+             |np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs),
+             |med AS (
+             |  SELECT min(sl) AS slope_micro_p50 FROM (
+             |    SELECT sl, CAST(count(*) OVER (ORDER BY sl RANGE BETWEEN
+             |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             |    FROM pairs) c, np WHERE cum >= (n_pairs + 1) // 2)
+             |SELECT (SELECT count(*) FROM daily) AS n_days, n_pairs,
+             |       slope_micro_p50
+             |FROM np CROSS JOIN med""".stripMargin),
+      doc = "Theil-Sen robust daily-revenue trend: facts reduce once to " +
+        "exact cents per calendar day, |days|^2/2 pairwise slopes " +
+        "(calendar-bounded, not data-bounded), x36 lower median over the " +
+        "|distinct slope| cumulative table in integer micro-units"),
+
+    Q("x44_jarque_bera",
+      (s, d) => jarqueBera(Tables.lineitem(s, d)),
+      Some(s"""WITH mo AS (
+              |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+              |         CAST(sum(x) AS BIGINT) AS s1,
+              |         CAST(sum(x*x) AS BIGINT) AS s2,
+              |         CAST(sum(x*x*x) AS BIGINT) AS s3,
+              |         CAST(sum(x*x*x*x) AS BIGINT) AS s4
+              |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x
+              |        FROM lineitem)
+              |  GROUP BY l_returnflag)
+              |SELECT l_returnflag, n,
+              |       floor(($jbSkewExpr) * 1000000.0 + 0.5) / 1000000.0 AS skewness,
+              |       floor(($jbKurtExpr) * 1000000.0 + 0.5) / 1000000.0 AS kurtosis,
+              |       floor(($jbStatExpr) * 10000.0 + 0.5) / 10000.0 AS jb_stat
+              |FROM mo ORDER BY l_returnflag""".stripMargin),
+      doc = "Jarque-Bera normality census per return flag: exact integer " +
+        "power sums to the 4th moment in one combinable pass, skewness/" +
+        "kurtosis/JB as one shared IEEE tree over |groups| moment rows, " +
+        "zero-variance null guard"),
   )
 }

@@ -116,6 +116,31 @@ class MultimodalSpec extends SparkSpec {
     assert(got === List(("pdf", 1L, 1L, 0.0), ("web", 3L, 2L, 0.333333)))
   }
 
+  test("m9 phash near-dup: shared prefix pairs found, 4-bit-spread pair filtered") {
+    import spark.implicits._
+    // Chars with odd codes flip bits: 'a'=97 odd, 'b'=98 even.
+    val base = "ab" * 32 // 64 chars, bits set at even positions of each band
+    // flip ONE bit in band 0 (char 0 'a'->'b'): hamming 1 vs base -> kept.
+    val oneBit = "bb" + base.substring(2)
+    // flip one bit in EVERY band (chars 0,16,32,48): hamming 4 vs base
+    // with NO shared band (never a candidate — correct, since 4 > 3);
+    // vs oneBit it shares band 0 exactly (both flipped char 0), so the
+    // banded join surfaces it and the verify keeps it at hamming 3.
+    val fourBit = new StringBuilder(base)
+    for (p <- Seq(0, 16, 32, 48)) fourBit.setCharAt(p, 'b')
+    val d = Seq(
+      (0L, base, "web", 64L), (1L, base, "web", 64L),   // exact dup: hamming 0
+      (2L, oneBit, "web", 64L),                          // hamming 1 vs 0/1
+      (3L, fourBit.toString, "web", 64L))                // hamming 4 vs 0/1
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .withColumnRenamed("lang", "source")
+    val got = Multimodal.phashNearDup(d)
+      .as[(Long, Long, Long)].collect().toList
+    // (0,3),(1,3) at hamming 4 must be filtered; (2,3) is hamming 3.
+    assert(got === List((0L, 1L, 0L), (0L, 2L, 1L), (1L, 2L, 1L),
+      (2L, 3L, 3L)))
+  }
+
   test("m8 storage budget: totals, mean and ceil-rank p95 by hand") {
     import spark.implicits._
     // web payloads: 2, 4, 10 bytes -> total 16, mean 5.333333,

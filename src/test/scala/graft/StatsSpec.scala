@@ -393,6 +393,35 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("outlier_share") == 0.111111111)
   }
 
+  test("theil-sen: lower median of pairwise slopes in micro-units") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // days 0,1,3 with revenue 100/200/500 cents -> slopes (micro):
+    // (0,1): 100e6; (0,3): floor(400/3*1e6)=133333333; (1,3): 150e6.
+    // n_pairs=3, threshold (3+1)/2=2 -> lower median 133333333.
+    val df = Seq((1L, 1.00), (2L, 2.00), (4L, 5.00)).map { case (d, p) =>
+      (Timestamp.valueOf(f"1970-01-0$d 00:00:00"), p)
+    }.toDF("o_orderdate", "o_totalprice")
+    val r = Stats.theilSen(df).collect().head
+    assert(r.getAs[Long]("n_days") == 3L)
+    assert(r.getAs[Long]("n_pairs") == 3L)
+    assert(r.getAs[Long]("slope_micro_p50") == 133333333L)
+  }
+
+  test("jarque-bera: symmetric group skew 0 / kurtosis 1.5; constant group null") {
+    import spark.implicits._
+    // A: 1,2,3 -> m2=2/3, m3=0, m4=2/3 -> g1=0, g2=1.5,
+    // JB = 3/6*(0 + (1.5-3)^2/4) = 0.28125 -> pround4 0.2813
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 5.0), ("B", 5.0))
+      .toDF("l_returnflag", "l_quantity")
+    val m = Stats.jarqueBera(df).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    assert(m("A").getAs[Double]("skewness") == 0.0)
+    assert(m("A").getAs[Double]("kurtosis") == 1.5)
+    assert(m("A").getAs[Double]("jb_stat") == 0.2813)
+    assert(m("B").isNullAt(2) && m("B").isNullAt(3) && m("B").isNullAt(4))
+  }
+
   test("dow anova: pure weekday pattern explains everything, constant nothing") {
     import spark.implicits._
     import java.sql.Timestamp
