@@ -369,6 +369,28 @@ object Plans {
         "materialization), the co-occurrence join keys on word with " +
         "|sources|²-bounded fan-out, and contributions partial-sum as " +
         "decimals before the pair-keyed exchange."),
+    "q40_nation_trade" ->
+      ("TPC-H Q7 shape: the 2-row filtered nation dim broadcasts into " +
+        "BOTH supplier and customer before the fact joins; only the " +
+        "suppkey and custkey/orderkey chains exchange fact-sized rows, " +
+        "and the disjunctive pair predicate is a post-join filter, " +
+        "never a join condition that would force a nested loop."),
+    "m9_phash_neardup" ->
+      ("Banded Hamming join: both sides are the same 4-rows-per-record " +
+        "band explode, candidates come from an EQUALITY join on " +
+        "(band_idx, band_val) — no BroadcastNestedLoopJoin or cartesian " +
+        "product anywhere; verify is a codegen'd bit_count filter after " +
+        "the pair dedup."),
+    "t31_pmi_collocations" ->
+      ("PMI: the bigram explode reduces to the observed-bigram table " +
+        "before any join (partial+final aggregate pair), unigram joins " +
+        "are shuffle joins on the vocab tables, one-row totals " +
+        "broadcast, and the top-20 is TakeOrderedAndProject."),
+    "f11_rfm_segments" ->
+      ("RFM: one user_id exchange builds the per-user metric table; " +
+        "each quartile map is a window over a |distinct values| " +
+        "aggregate (single-partition, but value-domain-sized) that " +
+        "broadcasts back — no |users|-row global window appears."),
   )
 
   def main(args: Array[String]): Unit = {

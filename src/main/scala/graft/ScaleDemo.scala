@@ -150,7 +150,14 @@ object ScaleDemo {
       // one multi-distinct aggregate: the Expand multiplies rows in
       // flight by 2|cols| but map-side combine bounds what shuffles
       "column_profile" -> (d => operators.Profiling.columnProfile(
-        d.select("doc_id", "lang", "source", "n_chars")).count()))
+        d.select("doc_id", "lang", "source", "n_chars")).count()),
+      // PMI joins are vocab-sized after the observed-bigram reduction;
+      // F× docs widen only the explode pass, and top-k is TakeOrdered
+      "pmi_colloc" -> (d => operators.TextAnalysis.pmiCollocations(d).count()),
+      // like ngram_candidates: F× replication makes every doc an exact
+      // F-clique, so near-dup pairs grow ~F² by construction — genuine
+      // duplicate density; band buckets stay person-sized, never df²
+      "phash_neardup" -> (d => operators.Multimodal.phashNearDup(d).count()))
     val vecOps: Seq[(String, DataFrame => Long)] = Seq(
       "lsh_buckets" -> (v => operators.Similarity.lshBuckets(v, 4).count()),
       "ivf_assign" -> (v => operators.Similarity.ivfAssign(v, 16).count()),
@@ -202,7 +209,10 @@ object ScaleDemo {
       "tukey" -> (e => operators.Stats.tukeyOutliers(e).count()),
       "dow_anova" -> (e => operators.Stats.dowAnova(e).count()),
       "mad" -> (e => operators.Stats.madValue(e).count()),
-      "benford" -> (e => operators.Stats.benfordDigits(e).count()))
+      "benford" -> (e => operators.Stats.benfordDigits(e).count()),
+      // RFM: one user_id reduction, then quartile maps over |distinct
+      // value| tables only — F× events must not widen any window input
+      "rfm" -> (e => operators.Funnel.rfmSegments(e).count()))
 
     def sweep(name: String, base: DataFrame, big: DataFrame,
               fns: Seq[(String, DataFrame => Long)]): Seq[String] =

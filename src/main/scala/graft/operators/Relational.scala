@@ -1627,5 +1627,67 @@ object RelationalQueries {
         "paths to the same fact row, 2-row nation dim broadcast into both " +
         "supplier and customer before the fact shuffles, disjunctive pair " +
         "predicate after, exact fixed-point revenue per bounded group"),
+
+    Q("q41_reorder_gaps",
+      (s, d) => {
+        // Repeat-purchase interval census: how long between a customer's
+        // consecutive orders? The lag window partitions on o_custkey (a
+        // per-customer sort, shuffled once, never global) with an
+        // o_orderkey tiebreak for same-day orders; the gap stream then
+        // collapses to one totals row plus the x36 lower median over the
+        // |distinct gap| cumulative table — gaps are calendar-bounded
+        // integers, so that window's input never grows with the facts.
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("day"), col("o_orderkey"))
+        val gaps = Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            expr("unix_timestamp(o_orderdate) div 86400").as("day"))
+          .withColumn("prev", lag("day", 1).over(w))
+          .where(col("prev").isNotNull)
+          .select(col("o_custkey"), (col("day") - col("prev")).as("gap"))
+        val base = gaps.agg(
+          countDistinct("o_custkey").as("n_repeat_customers"),
+          count(lit(1)).as("n_gaps"), sum("gap").as("sg"))
+        val cumW = Window.orderBy("gap")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val med = gaps.groupBy("gap").agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum("cnt").over(cumW))
+          .crossJoin(broadcast(base.select("n_gaps")))
+          .where(col("cum") >= expr("(n_gaps + 1) div 2"))
+          .agg(min("gap").as("p50_gap_days"))
+        base.crossJoin(broadcast(med))
+          .select(col("n_repeat_customers"), col("n_gaps"),
+            pround(col("sg").cast("double") / col("n_gaps").cast("double"), 6)
+              .as("mean_gap_days"),
+            col("p50_gap_days"))
+      },
+      Some("""WITH g AS (
+             |  SELECT o_custkey,
+             |         CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400
+             |           - lag(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400)
+             |             OVER (PARTITION BY o_custkey
+             |                   ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400,
+             |                            o_orderkey) AS gap
+             |  FROM orders),
+             |gg AS (SELECT o_custkey, gap FROM g WHERE gap IS NOT NULL),
+             |base AS (
+             |  SELECT count(DISTINCT o_custkey) AS n_repeat_customers,
+             |         CAST(count(*) AS BIGINT) AS n_gaps,
+             |         CAST(sum(gap) AS BIGINT) AS sg
+             |  FROM gg),
+             |med AS (
+             |  SELECT min(gap) AS p50_gap_days FROM (
+             |    SELECT gap, CAST(count(*) OVER (ORDER BY gap RANGE BETWEEN
+             |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             |    FROM gg) c, base WHERE cum >= (n_gaps + 1) // 2)
+             |SELECT n_repeat_customers, n_gaps,
+             |       floor(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+             |             * 1000000.0 + 0.5) / 1000000.0 AS mean_gap_days,
+             |       p50_gap_days
+             |FROM base CROSS JOIN med""".stripMargin),
+      doc = "repeat-purchase interval census: one per-customer lag " +
+        "window (custkey-partitioned, orderkey tiebreak), totals in one " +
+        "combinable pass, lower median over the calendar-bounded " +
+        "|distinct gap| cumulative table"),
   )
 }

@@ -1128,6 +1128,51 @@ object Stats {
       .select(col("n_days"), col("n_pairs"), col("slope_micro_p50"))
   }
 
+  /** x45: trailing 15-day EWMA of daily revenue (α = 0.2) — the
+    * smoothed KPI line every dashboard draws. Weights are EXACT:
+    * (0.8)^k is represented as the integer 8^k·10^(14−k) (a ×10^14
+    * scaling). Every such power and product is an integer ≤ 10^14
+    * (mantissa 5^(14−k) < 2^33), so the correctly-rounded pow() both
+    * engines ship returns it EXACTLY, the DECIMAL(38,0) cast loses
+    * nothing, and the weighted sums are integer-exact — one pround'd
+    * division at the end.
+    *
+    * Scale shape: facts reduce once (combinable) to exact cents per
+    * calendar day; the trailing window is a range self-join of that
+    * |days|-bounded table (≤ 15 partners per row — calendar-bounded,
+    * not data-bounded), expressed as an EQUALITY join on 15-day
+    * buckets with the exact range as a residual (the r8 discipline: a
+    * trailing-15 partner lives in bucket(d) or bucket(d)−1, so each
+    * probe row explodes to two bucket keys — a pure-inequality join
+    * here compiles to BroadcastNestedLoopJoin, measured 15× slower
+    * even on the tiny day table). Calendar gaps weight by true day
+    * DISTANCE, not row offset, which a rowsBetween window could not
+    * express. */
+  def ewmaRevenue(orders: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = orders
+      .select(expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+        expr("cast(floor(o_totalprice * 100.0 + 0.5) as bigint)").as("c"))
+      .groupBy("day").agg(sum("c").as("rev"))
+    val a = daily.select(col("day").as("d"), col("rev").as("rev"),
+      explode(expr("array(day div 15, day div 15 - 1)")).as("bk"))
+    val b = daily.select(expr("day div 15").as("bk"),
+      col("day").as("pd"), col("rev").as("prev"))
+    a.join(b, Seq("bk"))
+      .where(col("pd") <= col("d") && col("pd") > col("d") - 15)
+      .select(col("d"), col("rev"),
+        expr("cast(pow(8.0, d - pd) * pow(10.0, 14 - (d - pd)) as decimal(38,0))")
+          .as("w"),
+        col("prev"))
+      .groupBy("d", "rev")
+      .agg(sum(col("w") * col("prev").cast(dec)).as("num"),
+        sum(col("w")).as("den"))
+      .select(col("d").as("day"), col("rev").as("rev_cents"),
+        pround(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("ewma_cents"))
+      .orderBy("day")
+  }
+
   /** x44: Jarque–Bera normality census per group — is l_quantity
     * normal within each return flag? Exact integer power sums to the
     * 4th moment (qty ≤ 64 ⇒ qty⁴ ≤ 1.7e7: a BIGINT sum holds ~5e11
@@ -1966,5 +2011,28 @@ object StatsQueries {
         "power sums to the 4th moment in one combinable pass, skewness/" +
         "kurtosis/JB as one shared IEEE tree over |groups| moment rows, " +
         "zero-variance null guard"),
+
+    Q("x45_ewma_revenue",
+      (s, d) => ewmaRevenue(Tables.orders(s, d)),
+      Some("""WITH daily AS (
+             |  SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+             |         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+             |  FROM orders GROUP BY 1)
+             |SELECT a.day AS day, a.rev AS rev_cents,
+             |       floor(CAST(sum(CAST(pow(8.0, a.day - b.day)
+             |               * pow(10.0, 14 - (a.day - b.day)) AS DECIMAL(38,0))
+             |               * b.rev) AS DOUBLE)
+             |             / CAST(sum(CAST(pow(8.0, a.day - b.day)
+             |               * pow(10.0, 14 - (a.day - b.day)) AS DECIMAL(38,0)))
+             |               AS DOUBLE)
+             |             * 1000000.0 + 0.5) / 1000000.0 AS ewma_cents
+             |FROM daily a JOIN daily b
+             |  ON b.day <= a.day AND b.day > a.day - 15
+             |GROUP BY a.day, a.rev ORDER BY day""".stripMargin),
+      doc = "trailing 15-day EWMA of daily revenue: day-reduced facts, " +
+        "calendar-bounded range self-join (<=15 partners/row), EXACT " +
+        "integer weights 8^k*10^(14-k) — every power an integer below " +
+        "2^53 so correctly-rounded pow returns it exactly; DECIMAL sums, " +
+        "bit-identical smoothing, true day-distance decay across gaps"),
   )
 }

@@ -1005,6 +1005,39 @@ object TextAnalysis {
           |  * 1000000.0) as bigint)""".stripMargin).as("pmi_micro"))
       .orderBy(desc("pmi_micro"), col("bg")).limit(k)
   }
+
+  /** t32: readability census per source — the Flesch-style reading-ease
+    * signal quality filters threshold on: words per sentence (sentence =
+    * a [.!?]+ run, min 1 per doc) and vowel-group density per word (the
+    * classic syllable proxy). Three codegen'd regexp/size projections
+    * per document, NO explode; exact longs reduce per source in one
+    * combinable pass and the score is one shared IEEE tree over the
+    * |sources|-row table. Zero-word sources guard to null. */
+  def readability(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        expr(s"cast(size($tokensExpr) as long)").as("nw"),
+        expr("cast(greatest(regexp_count(text, '[.!?]+'), 1) as long)")
+          .as("ns"),
+        expr("cast(regexp_count(text, '[aeiouAEIOU]+') as long)").as("nv"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nw").as("nw"),
+        sum("ns").as("ns"), sum("nv").as("nv"))
+      .select(col("source"), col("n_docs"), col("nw").as("n_words"),
+        pround(expr(readWps), 6).as("words_per_sentence"),
+        pround(expr(readVpw), 6).as("vowel_groups_per_word"),
+        pround(expr(readFlesch), 4).as("flesch_score"))
+      .orderBy("source")
+
+  // Shared IEEE trees (mirrored textually in the oracle); a source with
+  // zero words has no defined density/score -> guarded null.
+  private[operators] val readWps =
+    "(cast(nw as double) / cast(ns as double))"
+  private[operators] val readVpw =
+    "(case when nw = 0 then cast(null as double) " +
+      "else cast(nv as double) / cast(nw as double) end)"
+  private[operators] val readFlesch =
+    s"(case when nw = 0 then cast(null as double) " +
+      s"else 206.835 - 1.015 * $readWps - 84.6 * ($readVpw) end)"
 }
 
 object TextAnalysisQueries {
@@ -1736,5 +1769,38 @@ object TextAnalysisQueries {
         "observed-bigram reduction before any join, vocab-sized unigram " +
         "shuffle joins (never broadcast at corpus scale), integer " +
         "micro-nat ranking via TakeOrderedAndProject"),
+
+    Q("t32_readability",
+      (s, d) => readability(docs(s, d)),
+      Some(s"""WITH per AS (
+              |  SELECT source,
+              |         CAST(len($toksSql) AS BIGINT) AS nw,
+              |         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              |           AS BIGINT) AS ns,
+              |         CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+'))
+              |           AS BIGINT) AS nv
+              |  FROM documents),
+              |agg AS (
+              |  SELECT source, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS nw,
+              |         CAST(sum(ns) AS BIGINT) AS ns, CAST(sum(nv) AS BIGINT) AS nv
+              |  FROM per GROUP BY source)
+              |SELECT source, n_docs, nw AS n_words,
+              |       floor((CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))
+              |             * 1000000.0 + 0.5) / 1000000.0 AS words_per_sentence,
+              |       floor((CASE WHEN nw = 0 THEN NULL
+              |              ELSE CAST(nv AS DOUBLE) / CAST(nw AS DOUBLE) END)
+              |             * 1000000.0 + 0.5) / 1000000.0 AS vowel_groups_per_word,
+              |       floor((CASE WHEN nw = 0 THEN NULL
+              |              ELSE 206.835
+              |                - 1.015 * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))
+              |                - 84.6 * (CASE WHEN nw = 0 THEN NULL
+              |                    ELSE CAST(nv AS DOUBLE) / CAST(nw AS DOUBLE) END)
+              |              END)
+              |             * 10000.0 + 0.5) / 10000.0 AS flesch_score
+              |FROM agg ORDER BY source""".stripMargin),
+      doc = "Flesch-style readability census per source: three codegen'd " +
+        "regexp/size projections (no explode), exact-long combinable " +
+        "reduction, shared IEEE score tree over |sources| rows, " +
+        "zero-word null guard"),
   )
 }

@@ -514,4 +514,38 @@ class PlanAuditSpec extends SparkSpec {
         p.take(1000))
     assert(!p.contains("Join"), "no per-column re-scans\n" + p.take(1000))
   }
+
+  test("x45: trailing-window self-join is bucket-equality, never a nested loop") {
+    val p = plan("x45_ewma_revenue")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "the 15-day range must join on bucket keys (r8 discipline)\n" +
+        p.take(1000))
+  }
+
+  test("m9: banded Hamming join is an equality join, never a cross product") {
+    val p = plan("m9_phash_neardup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the (band, value) equi-join\n" + p.take(1000))
+    assert(p.contains("bit_count"), "verify must be the codegen'd bit_count")
+  }
+
+  test("q40: only the nation dim carries broadcast hints; fact chains shuffle") {
+    val logical = Registry.all.find(_.name == "q40_nation_trade").get
+      .run(spark, sf("sf0.001")).queryExecution.analyzed.toString
+    assert("ResolvedHint".r.findAllIn(logical).size <= 2,
+      "only the two 2-row nation dim joins may carry hints")
+  }
+
+  test("f11: no |users|-row global window — quartiles come from value tables") {
+    val q = Registry.all.find(_.name == "f11_rfm_segments").get
+      .run(spark, sf("sf0.001"))
+    val p = q.queryExecution.executedPlan.toString
+    // every window must sit above a HashAggregate (the distinct-value
+    // reduction), never directly over the per-user table
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && p.substring(winIdx).contains("HashAggregate"),
+      "quartile windows must be fed by value-domain aggregates\n" + p.take(1200))
+  }
 }

@@ -422,6 +422,28 @@ class StatsSpec extends SparkSpec {
     assert(m("B").isNullAt(2) && m("B").isNullAt(3) && m("B").isNullAt(4))
   }
 
+  test("ewma: exact 8^k*10^(14-k) weights, true day-distance decay over gaps") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // days 0,1,3 (gap!) revenue 100/200/400 cents
+    val df = Seq((1L, 1.00), (2L, 2.00), (4L, 4.00)).map { case (d, p) =>
+      (Timestamp.valueOf(f"1970-01-0$d 00:00:00"), p)
+    }.toDF("o_orderdate", "o_totalprice")
+    def w(k: Int): Double = math.pow(8.0, k) * math.pow(10.0, 14 - k)
+    def exp(terms: (Int, Long)*): Double = {
+      val num = terms.map { case (k, r) => BigDecimal(w(k)) * BigDecimal(r) }.sum
+      val den = terms.map { case (k, _) => BigDecimal(w(k)) }.sum
+      math.floor((num / den).toDouble * 1e6 + 0.5) / 1e6
+    }
+    val got = Stats.ewmaRevenue(df).collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Double]("ewma_cents")).toMap
+    assert(got(0L) == 100.0)
+    assert(got(1L) == exp(0 -> 200L, 1 -> 100L))
+    // day 3 decays day 1 by distance 2 and day 0 by distance 3 — row
+    // offsets would weight them 1 and 2
+    assert(got(3L) == exp(0 -> 400L, 2 -> 200L, 3 -> 100L))
+  }
+
   test("dow anova: pure weekday pattern explains everything, constant nothing") {
     import spark.implicits._
     import java.sql.Timestamp

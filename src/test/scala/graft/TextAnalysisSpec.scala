@@ -399,6 +399,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m("c c") == (5L, micro(5, 6, 6)))
   }
 
+  test("readability: sentence runs, vowel groups, flesch tree by hand") {
+    import spark.implicits._
+    // "Go. Go now!": [.!?]+ runs = 2; ws tokens = 3; vowel groups = 3
+    // wps = 1.5, vpw = 1.0, flesch = 206.835 - 1.5225 - 84.6 = 120.7125
+    val df = Seq((0L, "Go. Go now!", "en", "s0", 11L),
+      (1L, "xyz", "en", "s1", 3L)) // no terminator -> 1 sentence; 0 vowels
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = TextAnalysis.readability(df).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(m("s0").getAs[Double]("words_per_sentence") == 1.5)
+    assert(m("s0").getAs[Double]("vowel_groups_per_word") == 1.0)
+    assert(m("s0").getAs[Double]("flesch_score") == 120.7125)
+    assert(m("s1").getAs[Double]("words_per_sentence") == 1.0)
+    assert(m("s1").getAs[Double]("vowel_groups_per_word") == 0.0)
+  }
+
   test("code detect: symbol-dense text flags as code, prose does not") {
     import spark.implicits._
     val df = Seq(
