@@ -452,6 +452,24 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
   }
 
+  /** g19: inverted-index health census — the df distribution that
+    * justifies g4's hot-shingle cap, as a first-class profiling query a
+    * pipeline runs BEFORE choosing the cap. Per decimal order of
+    * magnitude of df (digit-count bins: exact, portable, no libm log):
+    * shingle count, posting mass (Σdf — index size), and the pair mass
+    * an UNCAPPED inverted index would emit (Σ df·(df−1)/2, the df²
+    * blow-up made visible as a number). Both rollups are combinable;
+    * output is ≤ ~10 rows at any corpus size. */
+  def shingleDfCensus(docs: DataFrame): DataFrame =
+    shingleHashRows(docs).distinct()
+      .groupBy("sh_h").agg(count(lit(1)).as("df"))
+      .select(expr("cast(length(cast(df as string)) as bigint)")
+        .as("df_digits"), col("df"))
+      .groupBy("df_digits")
+      .agg(count(lit(1)).as("n_shingles"), sum("df").as("postings"),
+        sum(expr("df * (df - 1) div 2")).as("pair_candidates"))
+      .orderBy("df_digits")
+
   /** The lazy capped inverted-index Jaccard join over a distinct
     * (doc_id, sh_h) shingle table. The per-doc sizes table is one row
     * per document — unbounded at corpus scale — so it is deliberately
@@ -894,5 +912,22 @@ object DedupQueries {
       doc = "G17 dedup-cluster size census: the mega-cluster detector " +
         "run before choosing retention policy — two combinable rollups " +
         "on g6's component labels, output bounded by |distinct sizes|"),
+
+    Q("g19_shingle_df_census",
+      (s, d) => Dedup.shingleDfCensus(docs(s, d)),
+      Some(s"""WITH $shinglesSqlCte,
+              |ss AS (SELECT DISTINCT doc_id,
+              |        ('0x' || substr(md5(sh), 1, 14))::BIGINT AS sh_h FROM sh),
+              |dfq AS (SELECT sh_h, CAST(count(*) AS BIGINT) AS df
+              |        FROM ss GROUP BY sh_h)
+              |SELECT CAST(length(CAST(df AS VARCHAR)) AS BIGINT) AS df_digits,
+              |       count(*) AS n_shingles,
+              |       CAST(sum(df) AS BIGINT) AS postings,
+              |       CAST(sum(df * (df - 1) // 2) AS BIGINT) AS pair_candidates
+              |FROM dfq GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "shingle df census (the measurement behind g4's cap choice): " +
+        "digit-count df bins — exact, no libm log — with posting mass " +
+        "and the uncapped df^2 pair mass per bin; <=~10 output rows at " +
+        "any corpus size"),
   )
 }

@@ -134,6 +134,44 @@ object Profiling {
         " as (column_name, n_nulls, n_distinct)"))
       .orderBy("column_name")
   }
+
+  /** p8: profile DRIFT between the first and second half of the event
+    * stream — p6's census, two periods, one pass: did a column's null
+    * rate or cardinality shift between deploy windows? The split point
+    * is the midpoint calendar day from one broadcast min/max row (never
+    * a median over facts); per column, null counts and exact distincts
+    * for BOTH periods compile into ONE multi-distinct aggregate (the
+    * p6 single-Expand shape — conditional distincts, so no second scan
+    * and no join between periods), then a zero-shuffle stack unpivot.
+    * The 100 TB swap is the same as p6's: approx_count_distinct. */
+  def schemaDrift(events: DataFrame, cols: Seq[String] =
+      Seq("event_type", "props", "user_id", "value")): DataFrame = {
+    val withDay = events
+      .withColumn("day", expr("unix_timestamp(ts) div 86400"))
+    val bounds = withDay.agg(min("day").as("d0"), max("day").as("d1"))
+    val p = withDay.crossJoin(broadcast(bounds))
+      .withColumn("period",
+        when(col("day") < expr("d0 + (d1 - d0 + 1) div 2"), "a")
+          .otherwise("b"))
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col("period") === "a" && col(c).isNull, 1L).otherwise(0L))
+        .as(s"na_$c"),
+      sum(when(col("period") === "b" && col(c).isNull, 1L).otherwise(0L))
+        .as(s"nb_$c"),
+      countDistinct(when(col("period") === "a", col(c))).as(s"da_$c"),
+      countDistinct(when(col("period") === "b", col(c))).as(s"db_$c"))) ++
+      Seq(sum(when(col("period") === "a", 1L).otherwise(0L)).as("rows_a"),
+        sum(when(col("period") === "b", 1L).otherwise(0L)).as("rows_b"))
+    val stackArgs = cols
+      .map(c => s"'$c', `na_$c`, `nb_$c`, `da_$c`, `db_$c`").mkString(", ")
+    p.agg(aggs.head, aggs.tail: _*)
+      .select(col("rows_a"), col("rows_b"),
+        expr(s"stack(${cols.length}, $stackArgs)" +
+          " as (column_name, nulls_a, nulls_b, distinct_a, distinct_b)"))
+      .select("column_name", "rows_a", "rows_b", "nulls_a", "nulls_b",
+        "distinct_a", "distinct_b")
+      .orderBy("column_name")
+  }
 }
 
 object ProfilingQueries {
@@ -276,5 +314,53 @@ object ProfilingQueries {
       doc = "referential-integrity census (orphan FKs per relationship): " +
         "one left-anti equi-join per FK — never NOT IN (the oracle works " +
         "around its null-poisoning explicitly), never a collect"),
+
+    Q("p8_schema_drift",
+      (s, d) => Profiling.schemaDrift(Tables.events(s, d)),
+      Some("""WITH e AS (
+             |  SELECT *, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+             |  FROM events),
+             |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+             |p AS (SELECT e.*, CASE WHEN day < d0 + (d1 - d0 + 1) // 2
+             |        THEN 'a' ELSE 'b' END AS period
+             |      FROM e CROSS JOIN b),
+             |t AS (SELECT CAST(sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS rows_a,
+             |             CAST(sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS rows_b
+             |      FROM p)
+             |SELECT column_name, rows_a, rows_b, nulls_a, nulls_b,
+             |       distinct_a, distinct_b
+             |FROM (
+             |  SELECT 'event_type' AS column_name,
+             |         CAST(sum(CASE WHEN period = 'a' AND event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_a,
+             |         CAST(sum(CASE WHEN period = 'b' AND event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_b,
+             |         count(DISTINCT CASE WHEN period = 'a' THEN event_type END) AS distinct_a,
+             |         count(DISTINCT CASE WHEN period = 'b' THEN event_type END) AS distinct_b
+             |  FROM p
+             |  UNION ALL
+             |  SELECT 'props',
+             |         CAST(sum(CASE WHEN period = 'a' AND props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |         CAST(sum(CASE WHEN period = 'b' AND props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |         count(DISTINCT CASE WHEN period = 'a' THEN props END),
+             |         count(DISTINCT CASE WHEN period = 'b' THEN props END)
+             |  FROM p
+             |  UNION ALL
+             |  SELECT 'user_id',
+             |         CAST(sum(CASE WHEN period = 'a' AND user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |         CAST(sum(CASE WHEN period = 'b' AND user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |         count(DISTINCT CASE WHEN period = 'a' THEN user_id END),
+             |         count(DISTINCT CASE WHEN period = 'b' THEN user_id END)
+             |  FROM p
+             |  UNION ALL
+             |  SELECT 'value',
+             |         CAST(sum(CASE WHEN period = 'a' AND value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |         CAST(sum(CASE WHEN period = 'b' AND value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |         count(DISTINCT CASE WHEN period = 'a' THEN value END),
+             |         count(DISTINCT CASE WHEN period = 'b' THEN value END)
+             |  FROM p
+             |) CROSS JOIN t ORDER BY column_name""".stripMargin),
+      doc = "profile drift between stream halves (p6 x 2 periods, one " +
+        "pass): midpoint-day split from a broadcast min/max row, " +
+        "conditional null + exact-distinct counters for both periods in " +
+        "ONE multi-distinct aggregate — no second scan, no period join"),
   )
 }

@@ -126,4 +126,18 @@ class DedupSpec extends SparkSpec {
         (r.getAs[Long]("n_groups"), r.getAs[Long]("n_docs"))).toMap
     assert(m == Map("de,en" -> (1L, 2L), "en" -> (1L, 2L)))
   }
+
+  test("g19: df census bins by digits; pair mass is df*(df-1)/2 per shingle") {
+    // 11 copies of a 5-token text -> 3 shingles at df=11 (2 digits);
+    // one unique 5-token text -> 3 shingles at df=1 (1 digit)
+    val copies = (0L until 11L).map(i => (i, "a b c d e"))
+    val df = (copies :+ (99L, "v w x y z")).toDF("doc_id", "text")
+    val m = Dedup.shingleDfCensus(df).collect()
+      .map(r => r.getAs[Long]("df_digits") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("postings"),
+          r.getAs[Long]("pair_candidates"))).toMap
+    assert(m == Map(
+      1L -> (3L, 3L, 0L),          // unique shingles emit no pairs
+      2L -> (3L, 33L, 3L * 55L)))  // df=11 -> C(11,2)=55 pairs each
+  }
 }

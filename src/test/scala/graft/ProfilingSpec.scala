@@ -55,6 +55,30 @@ class ProfilingSpec extends SparkSpec {
     assert(m == Map("k" -> (1L, 1L), "v" -> (1L, 2L)))
   }
 
+  test("schema drift: midpoint-day split, per-period nulls and distincts in one pass") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def dts(day: Int) = Timestamp.valueOf(f"1970-01-0${day + 1} 10:00:00")
+    // days 0..3 -> split at day 2: a = days 0,1; b = days 2,3
+    val df = Seq(
+      (1L, dts(0), 1L, "view", 1.0, "{}"),
+      (2L, dts(1), 1L, "view", 1.0, null),
+      (3L, dts(2), 2L, "click", 2.0, "{}"),
+      (4L, dts(3), 3L, null, 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val m = Profiling.schemaDrift(df).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(m("event_type").getAs[Long]("rows_a") == 2L)
+    assert(m("event_type").getAs[Long]("rows_b") == 2L)
+    assert(m("event_type").getAs[Long]("nulls_a") == 0L)
+    assert(m("event_type").getAs[Long]("nulls_b") == 1L)
+    assert(m("event_type").getAs[Long]("distinct_a") == 1L) // view
+    assert(m("event_type").getAs[Long]("distinct_b") == 1L) // click
+    assert(m("props").getAs[Long]("nulls_a") == 1L)
+    assert(m("user_id").getAs[Long]("distinct_a") == 1L)
+    assert(m("user_id").getAs[Long]("distinct_b") == 2L)
+  }
+
   test("fk orphans: dangling child keys counted, duplicates kept, clean is zero") {
     import spark.implicits._
     val parent = Seq(1L, 2L).toDF("pk")
