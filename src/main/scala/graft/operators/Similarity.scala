@@ -916,6 +916,32 @@ object Similarity {
     * Scale shape: the exact integer squared norm already exists in the
     * fixed-point pass; everything reduces to (label, norm-bin) counts —
     * windows see bins (0.01 squared-norm units), never vectors. */
+  /** s24: pair-cosine calibration census — the histogram a pipeline
+    * reads BEFORE choosing g5/g10's cosine threshold. Pairs are the
+    * deterministic consecutive-id pairing (vec 2k vs 2k+1): an EQUALITY
+    * join on the partner id, corpus-linear (n/2 pairs), no sampling RNG
+    * and no all-pairs product. Cosine is the exact integer dot over
+    * correctly-rounded sqrt (IEEE-exact in both engines); bins are
+    * floor(cos·20) (0.05 wide), and same-label counts per bin give the
+    * separability read the threshold choice needs. Output ≤ 41 rows. */
+  def pairSimCensus(vecs: DataFrame): DataFrame = {
+    val s = vecs.sparkSession
+    val base = withFixed(vecs)
+    val a = base.where(expr("vec_id % 2 = 0"))
+      .select((col("vec_id") + 1).as("pk"), col("label").as("la"),
+        col("f").as("fa"), col("nrm").as("na"))
+    val b = base.where(expr("vec_id % 2 = 1"))
+      .select(col("vec_id").as("pk"), col("label").as("lb"),
+        col("f").as("fb"), col("nrm").as("nb"))
+    a.join(b, Seq("pk"))
+      .select(
+        expr(s"cast(floor((${cosExpr(s)}) * 20.0) as bigint)").as("cos_bin"),
+        when(col("la") === col("lb"), 1L).otherwise(0L).as("same"))
+      .groupBy("cos_bin")
+      .agg(count(lit(1)).as("n_pairs"), sum("same").as("n_same_label"))
+      .orderBy("cos_bin")
+  }
+
   def normCensus(vecs: DataFrame): DataFrame = {
     val b = withFixed(vecs)
       .select(col("label"), col("nrm"), expr("nrm div 100000000").as("nb"))
@@ -1849,5 +1875,25 @@ object SimilarityQueries {
       doc = "embedding-norm census per label (unnormalized-embedding " +
         "detector): exact integer squared norms, min/max exact, p50/p95 " +
         "off 0.01-unit squared-norm bins — windows see bins, not vectors"),
+
+    Q("s24_pair_sim_census",
+      (s, d) => pairSimCensus(vecs(s, d)),
+      Some(s"""WITH $fixedSqlCte,
+              |a AS (SELECT vec_id + 1 AS pk, label AS la, f, nrm
+              |      FROM n WHERE vec_id % 2 = 0),
+              |b AS (SELECT vec_id AS pk, label AS lb, f, nrm
+              |      FROM n WHERE vec_id % 2 = 1),
+              |p AS (
+              |  SELECT CAST(floor((${pairCosSql("a", "b")}) * 20.0) AS BIGINT)
+              |           AS cos_bin,
+              |         CASE WHEN la = lb THEN 1 ELSE 0 END AS same
+              |  FROM a JOIN b USING (pk))
+              |SELECT cos_bin, count(*) AS n_pairs,
+              |       CAST(sum(same) AS BIGINT) AS n_same_label
+              |FROM p GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "pair-cosine calibration census (read before picking the " +
+        "semantic-dedup threshold): deterministic consecutive-id pairing " +
+        "via an equality join — corpus-linear, no RNG, no all-pairs — " +
+        "exact integer dot, 0.05 cosine bins with same-label share"),
   )
 }

@@ -397,4 +397,17 @@ class SimilaritySpec extends SparkSpec {
     assert(m(1)._4 == 1.0, "lower median is the unit vector's bin")
     assert(m(1)._5 == 4.0, "p95 reaches the scaled vector's bin")
   }
+
+  test("pair-sim census: consecutive pairing, cosine bins, same-label split") {
+    // pair (0,1): identical, same label -> cos 1.0 -> bin 20, same=1
+    // pair (2,3): orthogonal, labels differ -> cos 0.0 -> bin 0, same=0
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 1), (3L, Array(0.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val m = Similarity.pairSimCensus(df).collect()
+      .map(r => r.getAs[Long]("cos_bin") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_same_label"))).toMap
+    assert(m == Map(20L -> (1L, 1L), 0L -> (1L, 0L)))
+  }
 }
