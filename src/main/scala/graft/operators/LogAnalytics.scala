@@ -229,6 +229,15 @@ object LogAnalytics {
         pround(expr(Stats.acf1Expr), 9).as("cpu_mem_corr"))
       .orderBy("node")
   }
+
+  // a22's shared IEEE trees over exact (n, Σx, Σx²) moment rows —
+  // mirrored textually in the oracle; zero/negative mean -> null CV.
+  private[graft] val cvMeanExpr =
+    "(cast(sx as double) / cast(n as double))"
+  private[graft] val cvExpr =
+    s"(case when $cvMeanExpr <= 0.0 then cast(null as double) " +
+      s"else sqrt((cast(sxx as double) / cast(n as double)) " +
+      s"- ($cvMeanExpr) * ($cvMeanExpr)) / ($cvMeanExpr) end)"
 }
 
 object LogAnalyticsQueries {
@@ -467,6 +476,46 @@ object LogAnalyticsQueries {
              |       floor(CAST(sum(CAST(floor(map_s * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE) / count(*) * 100.0 + 0.5) / 100.0 AS avg_map_s
              |FROM dur GROUP BY cohort ORDER BY cohort""".stripMargin),
       doc = "A14 cross-run stage-metric means (common_utils.py:322-344)"),
+
+    Q("a22_stage_cv",
+      // Dispersion companion to a14's means: per cohort, the coefficient
+      // of variation of run duration — the "is this stage STABLE across
+      // runs?" read the reference's mean-only tables cannot give. The
+      // run durations are integer seconds, so n/Σx/Σx² are exact longs
+      // from one combinable pass over a7's per-run reduction; CV is one
+      // shared IEEE tree over the 10 cohort rows (zero-mean guard).
+      (s, d) => stageDurations(ev(s, d))
+        .select((col("user_id") % 10).as("cohort"),
+          col("total_s").cast("long").as("x"))
+        .groupBy("cohort")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("cohort"), col("n"),
+          pround(expr(cvMeanExpr), 6).as("mean_total_s"),
+          pround(expr(cvExpr), 6).as("cv_total_s"))
+        .orderBy("cohort"),
+      Some(s"""WITH st AS (
+              |  SELECT user_id, min(ts) AS t0, max(ts) AS t_end
+              |  FROM events GROUP BY user_id),
+              |d2 AS (
+              |  SELECT user_id % 10 AS cohort,
+              |         CAST(floor(epoch(t_end)) AS BIGINT)
+              |           - CAST(floor(epoch(t0)) AS BIGINT) AS x
+              |  FROM st),
+              |mo AS (
+              |  SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+              |         CAST(sum(x) AS BIGINT) AS sx,
+              |         CAST(sum(x * x) AS BIGINT) AS sxx
+              |  FROM d2 GROUP BY 1)
+              |SELECT cohort, n,
+              |       floor(($cvMeanExpr) * 1000000.0 + 0.5) / 1000000.0
+              |         AS mean_total_s,
+              |       floor(($cvExpr) * 1000000.0 + 0.5) / 1000000.0
+              |         AS cv_total_s
+              |FROM mo ORDER BY cohort""".stripMargin),
+      doc = "cross-run stage-duration dispersion (CV per cohort): exact " +
+        "integer moments in one combinable pass over a7's per-run " +
+        "reduction, shared IEEE tree, zero-mean null guard"),
 
     Q("a15_natural_sort",
       // distinct FIRST (25 combos), then synthesize+parse — same output

@@ -68,6 +68,36 @@ class LogAnalyticsSpec extends SparkSpec {
     assert(d === ((7L, 60.0, 0.0, 0.0, 0.0)))
   }
 
+  test("a22: cohort CV from exact moments; constant cohort 0, zero-mean null") {
+    import java.sql.Timestamp
+    def t(min: Int) = Timestamp.valueOf(f"2025-11-28 19:$min%02d:00")
+    // cohort 1 (users 1, 11): durations 10 and 20 min*60 -> in seconds
+    // mean 900, sd 300 (pop), cv 1/3; cohort 2 (users 2, 12): both 600
+    // -> cv 0; cohort 3 (user 3): single event -> duration 0 -> null cv
+    val ev = Seq(
+      (1L, t(0), 1L, "view", 1.0), (2L, t(10), 1L, "view", 1.0),
+      (3L, t(0), 11L, "view", 1.0), (4L, t(20), 11L, "view", 1.0),
+      (5L, t(0), 2L, "view", 1.0), (6L, t(10), 2L, "view", 1.0),
+      (7L, t(0), 12L, "view", 1.0), (8L, t(10), 12L, "view", 1.0),
+      (9L, t(0), 3L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // drive the same shape directly: durations -> moments -> cv
+    val got = LogAnalytics.stageDurations(ev)
+      .select((col("user_id") % 10).as("cohort"),
+        col("total_s").cast("long").as("x"))
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("cohort"),
+        graft.functions.Parity.pround(expr(operators.LogAnalytics.cvExpr), 6)
+          .as("cv"))
+      .collect().map(r => r.getAs[Long]("cohort") ->
+        Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(got(1L) == Some(0.333333))
+    assert(got(2L) == Some(0.0))
+    assert(got(3L).isEmpty, "zero-mean cohort must guard to null")
+  }
+
   test("A8: overlap ratio is clamped to [0, 100] over real data") {
     val r = LogAnalytics.overlapRatio(Tables.events(spark, sf("sf0.001")))
       .agg(min(col("overlap_pct")), max(col("overlap_pct")))
