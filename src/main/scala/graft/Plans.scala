@@ -391,6 +391,27 @@ object Plans {
         "each quartile map is a window over a |distinct values| " +
         "aggregate (single-partition, but value-domain-sized) that " +
         "broadcasts back — no |users|-row global window appears."),
+    "x45_ewma_revenue" ->
+      ("Trailing-window range join done right: the day table self-joins " +
+        "on 15-day BUCKET keys (each probe row explodes to two bucket " +
+        "keys) with the exact range as a residual filter — no " +
+        "BroadcastNestedLoopJoin; the weighted sums are decimal " +
+        "partial aggregates."),
+    "p8_schema_drift" ->
+      ("Two-period profile in one pass: the midpoint split comes from a " +
+        "broadcast 1-row min/max aggregate, and all per-period " +
+        "null/distinct counters compile into ONE multi-distinct " +
+        "aggregate (single Expand) — no second scan, no period join."),
+    "g19_shingle_df_census" ->
+      ("Index-health census: distinct shingles reduce to a df table " +
+        "(partial+final aggregate), then a second combinable rollup to " +
+        "digit bins — two exchanges total, output ≤ ~10 rows at any " +
+        "corpus size."),
+    "s24_pair_sim_census" ->
+      ("Pair calibration: the consecutive-id pairing is an EQUALITY " +
+        "join on the partner id (corpus-linear, no cartesian product), " +
+        "the codegen'd fixed-point dot runs inside the join projection, " +
+        "and the histogram is a bounded-key aggregate."),
   )
 
   def main(args: Array[String]): Unit = {
