@@ -360,6 +360,30 @@ object Funnel {
       .orderBy("r_q", "f_q", "m_q")
   }
 
+  /** f12: rolling 7-day active users per day — the daily DAU/WAU board
+    * (f9 gives the weekly version; this is the per-day rolling read).
+    * Each distinct (day, user) activity row fans out to the `window`
+    * future days it keeps the user "active" for (a 7× widening of the
+    * |day,user| table — bounded, documented, and the standard shape:
+    * the alternative per-day range join re-scans activity 7×), then one
+    * distinct + count per day. Early days are true partial windows. */
+  def rollingActive(events: DataFrame, window: Int = 7): DataFrame = {
+    val du = events
+      .select(expr("unix_timestamp(ts) div 86400").as("day"), col("user_id"))
+      .distinct()
+    val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(explode(expr(s"sequence(day, day + ${window - 1})")).as("day"),
+        col("user_id"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day")) // days past the stream end have no DAU row
+      .select(col("day"), col("dau"), col("wau"),
+        pround(col("dau").cast("double") / col("wau").cast("double"), 6)
+          .as("dau_wau_ratio"))
+      .orderBy("day")
+  }
+
   // Shared with the oracle; zero converters -> null, not ANSI div-by-zero.
   private[operators] val avgDeltaExpr =
     "(case when nc = 0 then cast(null as double) " +
@@ -653,5 +677,25 @@ object FunnelQueries {
         "quartiles assigned BY VALUE via integer ceil(4*cum/n) over the " +
         "|distinct values| cumulative table (never a |users| ntile), " +
         "segment rollup with exact revenue"),
+
+    Q("f12_rolling_active",
+      (s, d) => rollingActive(Tables.events(s, d)),
+      Some("""WITH du AS (
+             |  SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             |         user_id
+             |  FROM events),
+             |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+             |w AS (
+             |  SELECT DISTINCT day + o AS day, user_id
+             |  FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS o) oo),
+             |wau AS (SELECT day, count(*) AS wau FROM w GROUP BY 1)
+             |SELECT day, dau, wau,
+             |       floor(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE)
+             |             * 1000000.0 + 0.5) / 1000000.0 AS dau_wau_ratio
+             |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin),
+      doc = "rolling 7-day active users per day: each distinct (day, " +
+        "user) activity fans out to the 7 days it covers (bounded 7x " +
+        "widening, no per-day range re-scan), one distinct+count per " +
+        "day; inner join drops past-stream-end windows"),
   )
 }

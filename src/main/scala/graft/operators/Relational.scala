@@ -1689,5 +1689,63 @@ object RelationalQueries {
         "window (custkey-partitioned, orderkey tiebreak), totals in one " +
         "combinable pass, lower median over the calendar-bounded " +
         "|distinct gap| cumulative table"),
+
+    Q("q42_order_balance",
+      (s, d) => {
+        // Fact-fact reconciliation census: does o_totalprice equal the
+        // order's line total (TPC-H's documented invariant)? The
+        // synthetic data deliberately violates it (±7e7 cents) and has
+        // 257 line-less orders at sf0.01 — exactly what a real audit
+        // finds. Shape: lineitem reduces per order FIRST (combinable
+        // exact cents), then ONE orderkey-shuffled left join against
+        // orders, then a single-row census — nothing fact-sized
+        // survives past the join.
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), expr(
+            "cast(floor(l_extendedprice * (1.0 - l_discount)" +
+              " * (1.0 + l_tax) * 100.0 + 0.5) as bigint)").as("c"))
+          .groupBy("l_orderkey").agg(sum("c").as("lc"))
+        Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            expr("cast(floor(o_totalprice * 100.0 + 0.5) as bigint)")
+              .as("oc"))
+          .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(when(col("lc").isNull, 1L).otherwise(0L)).as("n_lineless"),
+            sum(when(col("oc") === col("lc"), 1L).otherwise(0L)).as("n_exact"),
+            sum(when(col("oc") > col("lc"), 1L).otherwise(0L)).as("n_over"),
+            sum(when(col("oc") < col("lc"), 1L).otherwise(0L)).as("n_under"),
+            sum(when(col("lc").isNotNull, abs(col("oc") - col("lc")))
+              .otherwise(0L)).as("sad"),
+            max(when(col("lc").isNotNull, abs(col("oc") - col("lc"))))
+              .as("max_abs_delta_cents"))
+          .select(col("n_orders"), col("n_lineless"), col("n_exact"),
+            col("n_over"), col("n_under"),
+            pround(col("sad").cast("double") /
+              (col("n_orders") - col("n_lineless")).cast("double"), 6)
+              .as("mean_abs_delta_cents"),
+            col("max_abs_delta_cents"))
+      },
+      Some("""WITH li AS (
+             |  SELECT l_orderkey,
+             |         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+             |               * (1.0 + l_tax) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS lc
+             |  FROM lineitem GROUP BY 1),
+             |j AS (
+             |  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS oc, lc
+             |  FROM orders LEFT JOIN li ON o_orderkey = l_orderkey)
+             |SELECT count(*) AS n_orders,
+             |       CAST(sum(CASE WHEN lc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lineless,
+             |       CAST(sum(CASE WHEN oc = lc THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+             |       CAST(sum(CASE WHEN oc > lc THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+             |       CAST(sum(CASE WHEN oc < lc THEN 1 ELSE 0 END) AS BIGINT) AS n_under,
+             |       floor(CAST(sum(CASE WHEN lc IS NOT NULL THEN abs(oc - lc) ELSE 0 END) AS DOUBLE)
+             |             / CAST(count(*) - sum(CASE WHEN lc IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |             * 1000000.0 + 0.5) / 1000000.0 AS mean_abs_delta_cents,
+             |       max(CASE WHEN lc IS NOT NULL THEN abs(oc - lc) END) AS max_abs_delta_cents
+             |FROM j""".stripMargin),
+      doc = "order-vs-lines reconciliation census: lineitem reduces per " +
+        "order before the single orderkey-shuffled left join; exact-cents " +
+        "deltas, line-less orders surfaced, one census row out"),
   )
 }

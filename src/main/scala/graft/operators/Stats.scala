@@ -1173,6 +1173,31 @@ object Stats {
       .orderBy("day")
   }
 
+  /** x46: paired sign test — within-user comparison of two event types
+    * (are views more frequent than clicks FOR THE SAME USER?), the
+    * nonparametric paired companion to x24's unpaired Welch t: each
+    * user contributes one sign, ties drop (classic sign-test
+    * convention), z = (pos − neg)/√(pos+neg). One user_id-keyed
+    * combinable reduction, then a 1-row census; the normal
+    * approximation is the standard large-n form. */
+  def signTest(events: DataFrame, typeA: String = "view",
+      typeB: String = "click"): DataFrame =
+    events.where(col("event_type").isin(typeA, typeB))
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("na"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("nb"))
+      .agg(sum(when(col("na") > col("nb"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("nb") > col("na"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("na") === col("nb"), 1L).otherwise(0L)).as("n_ties"))
+      .select(col("n_pos"), col("n_neg"), col("n_ties"),
+        pround(expr(signZExpr), 6).as("z"))
+
+  // No untied users -> no defined statistic (guarded null).
+  private[operators] val signZExpr =
+    "(case when n_pos + n_neg = 0 then cast(null as double) " +
+      "else (cast(n_pos as double) - cast(n_neg as double)) " +
+      "/ sqrt(cast(n_pos + n_neg as double)) end)"
+
   /** x44: Jarque–Bera normality census per group — is l_quantity
     * normal within each return flag? Exact integer power sums to the
     * 4th moment (qty ≤ 64 ⇒ qty⁴ ≤ 1.7e7: a BIGINT sum holds ~5e11
@@ -2034,5 +2059,25 @@ object StatsQueries {
         "integer weights 8^k*10^(14-k) — every power an integer below " +
         "2^53 so correctly-rounded pow returns it exactly; DECIMAL sums, " +
         "bit-identical smoothing, true day-distance decay across gaps"),
+
+    Q("x46_sign_test",
+      (s, d) => signTest(Tables.events(s, d)),
+      Some(s"""WITH per AS (
+              |  SELECT user_id,
+              |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+              |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+              |  FROM events WHERE event_type IN ('view', 'click')
+              |  GROUP BY user_id),
+              |c AS (
+              |  SELECT CAST(sum(CASE WHEN na > nb THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+              |         CAST(sum(CASE WHEN nb > na THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+              |         CAST(sum(CASE WHEN na = nb THEN 1 ELSE 0 END) AS BIGINT) AS n_ties
+              |  FROM per)
+              |SELECT n_pos, n_neg, n_ties,
+              |       floor(($signZExpr) * 1000000.0 + 0.5) / 1000000.0 AS z
+              |FROM c""".stripMargin),
+      doc = "paired sign test (views vs clicks within the same user): " +
+        "one combinable user reduction, ties dropped by convention, " +
+        "z = (pos-neg)/sqrt(pos+neg), shared IEEE tree, no-data guard"),
   )
 }

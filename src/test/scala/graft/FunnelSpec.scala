@@ -167,6 +167,22 @@ class FunnelSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_users")).sum == 4L)
   }
 
+  test("rolling active: activity covers 7 days; days without DAU drop") {
+    import spark.implicits._
+    def dts(day: Int) = Timestamp.valueOf(f"1970-01-${day + 1}%02d 10:00:00")
+    // users 1,2 on day 0; user 3 on day 1; user 1 again on day 8
+    val df = Seq((1L, dts(0)), (2L, dts(0)), (3L, dts(1)), (1L, dts(8)))
+      .toDF("user_id", "ts")
+    val got = Funnel.rollingActive(df).collect()
+      .map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"),
+          r.getAs[Double]("dau_wau_ratio"))).toMap
+    assert(got == Map(
+      0L -> (2L, 2L, 1.0),        // window [-6,0]: only day-0 users
+      1L -> (1L, 3L, 0.333333),   // day-0 pair still active in the window
+      8L -> (1L, 1L, 1.0)))       // day-1 user aged out (8-6=2 > 1)
+  }
+
   test("session revenue: purchases roll into their gap-session; median over purchasers") {
     import spark.implicits._
     // gap 60 s; user 1: session A (min 1-2: view + $2 purchase), session B

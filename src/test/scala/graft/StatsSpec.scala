@@ -444,6 +444,27 @@ class StatsSpec extends SparkSpec {
     assert(got(3L) == exp(0 -> 400L, 2 -> 200L, 3 -> 100L))
   }
 
+  test("sign test: per-user signs, ties dropped, z = (pos-neg)/sqrt(pos+neg)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    // u1: 2v/1c (+), u2: 1v/2c (-), u3: 1v/1c (tie), u4: 3v/0c (+)
+    val rows = Seq(
+      (1L, "view"), (1L, "view"), (1L, "click"),
+      (2L, "view"), (2L, "click"), (2L, "click"),
+      (3L, "view"), (3L, "click"),
+      (4L, "view"), (4L, "view"), (4L, "view"),
+      (4L, "purchase")) // other types ignored
+      .zipWithIndex.map { case ((u, t), i) => (i.toLong, t0, u, t, 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Stats.signTest(rows).collect().head
+    assert(r.getAs[Long]("n_pos") == 2L)
+    assert(r.getAs[Long]("n_neg") == 1L)
+    assert(r.getAs[Long]("n_ties") == 1L)
+    assert(r.getAs[Double]("z") ==
+      math.floor(1.0 / math.sqrt(3.0) * 1e6 + 0.5) / 1e6)
+  }
+
   test("dow anova: pure weekday pattern explains everything, constant nothing") {
     import spark.implicits._
     import java.sql.Timestamp
