@@ -122,6 +122,49 @@ object KMeans {
         pround(col("ss").cast("double") / 10000000000.0, 6).as("inertia"))
       .orderBy("centroid_id")
   }
+
+  /** k4: maximin (farthest-point-first) seeding — the deterministic
+    * k-means++ stand-in: seed 1 is vec 0, each next seed is the vector
+    * maximizing its minimum exact squared distance to the chosen set
+    * (‖x−s‖² = x·x + s·s − 2x·s over the fixed-point integers — no
+    * floats anywhere, ties to the smaller vec_id).
+    *
+    * Scale shape: k−1 driver-side rounds (k is small and bounded, the
+    * same loop discipline as Lloyd iteration); each round is one
+    * map-only pass against the ≤k-row broadcast seed set, a combinable
+    * min-per-vector reduce, and a 1-row struct-max argmax — no window,
+    * no collect, nothing corpus-sized on the driver. */
+  def maximinSeeds(vecs: DataFrame, k: Int = 4): DataFrame = {
+    val s = vecs.sparkSession
+    val fixed = Similarity.withFixed(vecs)
+      .select(col("vec_id"), col("f"), col("nrm"))
+    val distExpr = s"na + nb - 2 * ${Similarity.dotExpr(s, "fa", "fb")}"
+    var seeds = fixed.where(col("vec_id") === 0)
+      .select(col("vec_id"), col("f"), col("nrm"),
+        lit(1L).as("seed_rank"), lit(0L).as("maximin_dist"))
+    for (r <- 2 to k) {
+      // anti-join out the chosen ids: with exact duplicates in the
+      // corpus every distance can be 0, and without the exclusion the
+      // argmax tiebreak could re-pick a seed (caught by the spec)
+      val mind = fixed
+        .select(col("vec_id"), col("f").as("fa"), col("nrm").as("na"))
+        .crossJoin(broadcast(
+          seeds.select(col("f").as("fb"), col("nrm").as("nb"))))
+        .select(col("vec_id"), expr(distExpr).as("dist"))
+        .groupBy("vec_id").agg(min("dist").as("mind"))
+        .join(broadcast(seeds.select("vec_id")), Seq("vec_id"), "left_anti")
+      val pick = mind
+        .agg(max(struct(col("mind"), (-col("vec_id")).as("nid"))).as("m"))
+        .select((-col("m.nid")).as("vec_id"),
+          col("m.mind").as("maximin_dist"))
+      seeds = seeds.union(
+        pick.join(fixed, Seq("vec_id"))
+          .select(col("vec_id"), col("f"), col("nrm"),
+            lit(r.toLong).as("seed_rank"), col("maximin_dist")))
+    }
+    seeds.select(col("seed_rank"), col("vec_id"), col("maximin_dist"))
+      .orderBy("seed_rank")
+  }
 }
 
 object KMeansQueries {
@@ -227,5 +270,50 @@ object KMeansQueries {
       doc = "within-cluster inertia per seed centroid (elbow-curve " +
         "number): exact integer ||x-c||^2 = x.x + c.c - 2 x.c reusing " +
         "k1's one-shuffle max_by skeleton, order-free DECIMAL sums"),
+
+    Q("k4_maximin_seeds", {
+      // exact squared distance between row-sets v and p (f/nrm columns)
+      def dSql(v: String, p: String) =
+        s"$v.nrm + $p.nrm - 2 * CAST(list_sum(list_transform(" +
+          s"range(1, len($v.f) + 1), i -> $v.f[i] * $p.f[i])) AS BIGINT)"
+      (s: SparkSession, d: String) => maximinSeeds(Tables.embeddings(s, d))
+    },
+      Some {
+        def dSql(v: String, p: String) =
+          s"$v.nrm + $p.nrm - 2 * CAST(list_sum(list_transform(" +
+            s"range(1, len($v.f) + 1), i -> $v.f[i] * $p.f[i])) AS BIGINT)"
+        s"""WITH ${graft.operators.SimilarityQueries.fixedSqlCte},
+           |s1 AS (SELECT vec_id, f, nrm FROM n WHERE vec_id = 0),
+           |m1 AS (SELECT n.vec_id, n.f, n.nrm, ${dSql("n", "s1")} AS mind
+           |       FROM n, s1),
+           |p2 AS (SELECT vec_id, f, nrm, mind FROM m1
+           |       WHERE vec_id NOT IN (SELECT vec_id FROM s1)
+           |       ORDER BY mind DESC, vec_id LIMIT 1),
+           |m2 AS (SELECT m1.vec_id, m1.f, m1.nrm,
+           |              least(m1.mind, ${dSql("m1", "p2")}) AS mind
+           |       FROM m1, p2),
+           |p3 AS (SELECT vec_id, f, nrm, mind FROM m2
+           |       WHERE vec_id NOT IN (SELECT vec_id FROM s1
+           |                            UNION ALL SELECT vec_id FROM p2)
+           |       ORDER BY mind DESC, vec_id LIMIT 1),
+           |m3 AS (SELECT m2.vec_id, m2.f, m2.nrm,
+           |              least(m2.mind, ${dSql("m2", "p3")}) AS mind
+           |       FROM m2, p3),
+           |p4 AS (SELECT vec_id, mind FROM m3
+           |       WHERE vec_id NOT IN (SELECT vec_id FROM s1
+           |                            UNION ALL SELECT vec_id FROM p2
+           |                            UNION ALL SELECT vec_id FROM p3)
+           |       ORDER BY mind DESC, vec_id LIMIT 1)
+           |SELECT CAST(1 AS BIGINT) AS seed_rank, vec_id,
+           |       CAST(0 AS BIGINT) AS maximin_dist FROM s1
+           |UNION ALL SELECT 2, vec_id, CAST(mind AS BIGINT) FROM p2
+           |UNION ALL SELECT 3, vec_id, CAST(mind AS BIGINT) FROM p3
+           |UNION ALL SELECT 4, vec_id, CAST(mind AS BIGINT) FROM p4
+           |ORDER BY seed_rank""".stripMargin
+      },
+      doc = "maximin farthest-point seeding (deterministic k-means++ " +
+        "stand-in): k-1 driver rounds, each a map-only pass vs the " +
+        "broadcast seed set + combinable min-reduce + 1-row argmax; " +
+        "exact integer distances, smaller-vec_id tiebreak"),
   )
 }

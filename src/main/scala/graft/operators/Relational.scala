@@ -1747,5 +1747,63 @@ object RelationalQueries {
       doc = "order-vs-lines reconciliation census: lineitem reduces per " +
         "order before the single orderkey-shuffled left join; exact-cents " +
         "deltas, line-less orders surfaced, one census row out"),
+
+    Q("q43_promo_suppliers",
+      (s, d) => {
+        // TPC-H Q20's shape without partsupp: which suppliers are
+        // PROMO-concentrated — more than a quarter of their 1996
+        // shipped value in PROMO-type parts (PROMO is 1 of 5 types, so
+        // >25% means over-indexed vs the ~20% base rate)? Part type joins INTO the fact before the
+        // supplier reduction (p_type is one pruned column; at warehouse
+        // scale part is fact-sized so this is a partkey shuffle, never
+        // a broadcast hint), then ONE conditional-sum reduction per
+        // supplier, the share filter, and a bounded-output name join
+        // against the supplier dim AFTER the reduce (q18's discipline:
+        // dims join the reduced table, not the fact stream).
+        val li = Tables.lineitem(s, d)
+          .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
+          .select(col("l_suppkey"), col("l_partkey"),
+            floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * 10000.0 + 0.5).cast(DecimalType(38, 0)).as("u"))
+        val shares = li
+          .join(Tables.part(s, d).select(col("p_partkey"), col("p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("l_suppkey")
+          .agg(sum("u").as("total_u"),
+            sum(when(col("p_type") === "PROMO", col("u")).otherwise(0))
+              .as("promo_u"))
+          .where(col("promo_u") * 4 > col("total_u"))
+        shares
+          .join(Tables.supplier(s, d).select("s_suppkey", "s_name"),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_name"),
+            (col("total_u").cast("double") / 10000.0).as("total_revenue"),
+            pround(col("promo_u").cast("double") /
+              col("total_u").cast("double"), 6).as("promo_share"))
+          .orderBy(desc("promo_share"), col("s_name"))
+      },
+      Some("""WITH j AS (
+             |  SELECT l_suppkey,
+             |         CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS HUGEINT) AS u,
+             |         p_type
+             |  FROM lineitem JOIN part ON p_partkey = l_partkey
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1997-01-01'),
+             |sh AS (
+             |  SELECT l_suppkey, CAST(sum(u) AS HUGEINT) AS total_u,
+             |         CAST(sum(CASE WHEN p_type = 'PROMO' THEN u ELSE 0 END) AS HUGEINT) AS promo_u
+             |  FROM j GROUP BY 1)
+             |SELECT s_name,
+             |       CAST(total_u AS DOUBLE) / 10000.0 AS total_revenue,
+             |       floor(CAST(promo_u AS DOUBLE) / CAST(total_u AS DOUBLE)
+             |             * 1000000.0 + 0.5) / 1000000.0 AS promo_share
+             |FROM sh JOIN supplier ON s_suppkey = l_suppkey
+             |WHERE promo_u * 4 > total_u
+             |ORDER BY promo_share DESC, s_name""".stripMargin),
+      doc = "TPC-H Q20-style promo-concentrated suppliers: part type " +
+        "joins the fact on partkey (no dim broadcast hint — part is " +
+        "fact-sized at scale), one conditional-sum supplier reduction, " +
+        "share filter, name join AFTER the reduce"),
   )
 }

@@ -680,6 +680,37 @@ object Stats {
         pround(expr(acf1Expr), 9).as("autocorr_lag1"))
   }
 
+  /** x47: autocorrelation ladder — x30's lag-1 read generalized to lags
+    * 1..7 in ONE pass: each day row fans out to its 7 future probe days
+    * (a bounded 7× widening of the |days| table, the f12 discipline —
+    * never 7 separate lag joins re-scanning the series), the lagged
+    * pairs join back on day equality, and the per-lag Pearson runs over
+    * exact DECIMAL moments grouped by lag. Weekly seasonality shows as
+    * an acf peak at lag 7. */
+  def acfLadder(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = events
+      .select(expr("unix_timestamp(ts) div 86400").as("day"),
+        expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("c"))
+      .groupBy("day").agg(sum("c").as("rev"))
+    val probes = daily
+      .select(col("day"), col("rev").as("x"),
+        explode(expr(s"sequence(1, $maxLag)")).as("lag"))
+      .select((col("day") + col("lag")).as("pday"), col("lag"), col("x"))
+    probes
+      .join(daily.select(col("day").as("pday"), col("rev").as("y")),
+        Seq("pday"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+      .select(col("lag"), col("n").as("n_pairs"),
+        pround(expr(acf1Expr), 9).as("acf"))
+      .orderBy("lag")
+  }
+
   /** x31: two-proportion z-test on conversion (did the user ever
     * purchase?) between hash-split variants — THE A/B-test statistic
     * for binary outcomes, complementing Welch (means, x24), CUPED
@@ -2079,5 +2110,37 @@ object StatsQueries {
       doc = "paired sign test (views vs clicks within the same user): " +
         "one combinable user reduction, ties dropped by convention, " +
         "z = (pos-neg)/sqrt(pos+neg), shared IEEE tree, no-data guard"),
+
+    Q("x47_acf_ladder",
+      (s, d) => acfLadder(Tables.events(s, d)),
+      Some("""WITH daily AS (
+             |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             |         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+             |  FROM events GROUP BY 1),
+             |pairs AS (
+             |  SELECT o AS lag, t.rev AS x, u.rev AS y
+             |  FROM daily t
+             |  CROSS JOIN (SELECT unnest(range(1, 8)) AS o) oo
+             |  JOIN daily u ON u.day = t.day + o),
+             |mo AS (
+             |  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             |         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             |         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             |         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             |         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+             |  FROM pairs GROUP BY lag)
+             |SELECT lag, n AS n_pairs,
+             |       floor((CASE WHEN (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) = 0.0
+             |                OR (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) IS NULL
+             |              THEN NULL
+             |              ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |                   / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             |              END) * 1000000000.0 + 0.5) / 1000000000.0 AS acf
+             |FROM mo ORDER BY lag""".stripMargin),
+      doc = "autocorrelation ladder (lags 1..7 in one pass): day rows " +
+        "fan out to 7 lagged probes (bounded widening, no per-lag " +
+        "re-scan), per-lag Pearson over exact DECIMAL moments; weekly " +
+        "seasonality reads as the lag-7 peak"),
   )
 }

@@ -70,4 +70,34 @@ class KMeansSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_members")).sum ==
       Tables.embeddings(spark, sf("sf0.01")).count())
   }
+
+  test("maximin seeds: farthest-point-first order with exact distances") {
+    import spark.implicits._
+    // power-of-two floats are exact in float32, so the x1e5 floor is
+    // stable: 2^-13 -> 12, 2^-15 -> 3, 2^-16 -> 1.
+    // s1=v0; dists 144/9/1 -> s2=v1; v2 min(9,153)=9, v3 min(1,121)=1
+    // -> s3=v2; v3 min(1,10)=1 -> s4=v3
+    val df = Seq(
+      (0L, Array(0.0f, 0.0f), 0),
+      (1L, Array(math.pow(2, -13).toFloat, 0.0f), 0),
+      (2L, Array(0.0f, math.pow(2, -15).toFloat), 0),
+      (3L, Array(math.pow(2, -16).toFloat, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = KMeans.maximinSeeds(df).collect()
+      .map(r => (r.getAs[Long]("seed_rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("maximin_dist"))).toList
+    assert(got == List((1L, 0L, 0L), (2L, 1L, 144L), (3L, 2L, 9L),
+      (4L, 3L, 1L)))
+  }
+
+  test("maximin seeds: duplicate corpus never re-picks a chosen seed") {
+    import spark.implicits._
+    // every vector identical -> all distances 0; seeds must still be
+    // 4 DISTINCT ids (smallest unchosen wins each round)
+    val df = (0L until 6L).map(i => (i, Array(1e-3f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = KMeans.maximinSeeds(df).collect()
+      .map(r => r.getAs[Long]("vec_id")).toList
+    assert(got == List(0L, 1L, 2L, 3L))
+  }
 }

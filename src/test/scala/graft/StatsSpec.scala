@@ -465,6 +465,22 @@ class StatsSpec extends SparkSpec {
       math.floor(1.0 / math.sqrt(3.0) * 1e6 + 0.5) / 1e6)
   }
 
+  test("acf ladder: alternating series gives -1 at odd lags, +1 at even") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // one event per day, value alternating 1.00 / 2.00 over days 0..9
+    val df = (0 until 10).map { day =>
+      (day.toLong, Timestamp.valueOf(f"1970-01-${day + 1}%02d 00:00:00"),
+        1L, "view", if (day % 2 == 0) 1.0 else 2.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val m = Stats.acfLadder(df).collect()
+      .map(r => r.getAs[Long]("lag") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("acf"))).toMap
+    assert(m(1L) == (9L, -1.0))
+    assert(m(2L) == (8L, 1.0))
+    assert(m(7L) == (3L, -1.0))
+  }
+
   test("dow anova: pure weekday pattern explains everything, constant nothing") {
     import spark.implicits._
     import java.sql.Timestamp
