@@ -184,6 +184,36 @@ object Packing {
           .as("save_share"))
       .orderBy("source")
   }
+
+  /** y12: truncation-loss ladder — for each candidate context length,
+    * how many documents overflow it and what share of corpus tokens a
+    * truncate-at-L policy throws away. The companion decision input to
+    * y10's fill rate: short contexts pack tight but truncate the tail,
+    * and this census prices that trade exactly.
+    *
+    * Shape: ONE tokenize pass reduces to a per-doc token count; all
+    * |limits|×2 conditional sums compile into a single combinable
+    * aggregate, stack-unpivoted to |limits| rows. */
+  def truncationLadder(docs: DataFrame,
+      limits: Seq[Int] = Seq(128, 512, 2048)): DataFrame = {
+    val per = docs.select(
+      expr(s"cast(size(${Dedup.tokensExpr}) as long)").as("t"))
+    val aggs = Seq(count(lit(1)).as("n_docs"),
+      sum("t").as("n_tokens")) ++ limits.flatMap(l => Seq(
+      sum(when(col("t") > l, 1L).otherwise(0L)).as(s"over_$l"),
+      sum(when(col("t") > l, col("t") - l).otherwise(0L)).as(s"lost_$l")))
+    val stackArgs = limits
+      .map(l => s"cast($l as bigint), `over_$l`, `lost_$l`").mkString(", ")
+    per.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_docs"), col("n_tokens"),
+        expr(s"stack(${limits.length}, $stackArgs)" +
+          " as (context_len, n_truncated_docs, tokens_lost)"))
+      .select(col("context_len"), col("n_docs"), col("n_tokens"),
+        col("n_truncated_docs"), col("tokens_lost"),
+        pround(col("tokens_lost").cast("double") /
+          col("n_tokens").cast("double"), 9).as("loss_share"))
+      .orderBy("context_len")
+  }
 }
 
 object PackingQueries {
@@ -339,5 +369,35 @@ object PackingQueries {
       doc = "chunk-dedup storage ROI per source: occurrence bytes minus " +
         "canonically-owned bytes (y6's min-doc keep rule); rollups key " +
         "on the digest or source — chunk text never shuffles"),
+
+    Q("y12_truncation_ladder",
+      (s, d) => truncationLadder(docs(s, d)),
+      Some(s"""WITH per AS (
+              |  SELECT CAST(len($toksSql) AS BIGINT) AS t FROM documents),
+              |agg AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |         CAST(sum(t) AS BIGINT) AS n_tokens,
+              |         CAST(sum(CASE WHEN t > 128 THEN 1 ELSE 0 END) AS BIGINT) AS o128,
+              |         CAST(sum(CASE WHEN t > 128 THEN t - 128 ELSE 0 END) AS BIGINT) AS l128,
+              |         CAST(sum(CASE WHEN t > 512 THEN 1 ELSE 0 END) AS BIGINT) AS o512,
+              |         CAST(sum(CASE WHEN t > 512 THEN t - 512 ELSE 0 END) AS BIGINT) AS l512,
+              |         CAST(sum(CASE WHEN t > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS o2048,
+              |         CAST(sum(CASE WHEN t > 2048 THEN t - 2048 ELSE 0 END) AS BIGINT) AS l2048
+              |  FROM per)
+              |SELECT context_len, n_docs, n_tokens, n_truncated_docs,
+              |       tokens_lost,
+              |       floor(CAST(tokens_lost AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+              |             * 1000000000.0 + 0.5) / 1000000000.0 AS loss_share
+              |FROM (
+              |  SELECT CAST(128 AS BIGINT) AS context_len, n_docs, n_tokens,
+              |         o128 AS n_truncated_docs, l128 AS tokens_lost FROM agg
+              |  UNION ALL
+              |  SELECT 512, n_docs, n_tokens, o512, l512 FROM agg
+              |  UNION ALL
+              |  SELECT 2048, n_docs, n_tokens, o2048, l2048 FROM agg)
+              |ORDER BY context_len""".stripMargin),
+      doc = "truncation-loss ladder (the y10 fill-rate trade priced): " +
+        "one tokenize pass to per-doc counts, all conditional sums in a " +
+        "single combinable aggregate, stack unpivot to |limits| rows"),
   )
 }

@@ -1204,6 +1204,33 @@ object Stats {
       .orderBy("day")
   }
 
+  /** x48: Hill tail-index estimate over document lengths — the
+    * heavy-tail diagnostic for web corpora (α ≈ 1–2 means extreme docs
+    * dominate storage; α > 3 means the tail is benign). Top-k order
+    * statistics arrive via TakeOrderedAndProject (never a global
+    * sort), the k-th value broadcasts back, and
+    * α = (k−1)/Σ ln(x_i/x_k) runs over integer micro-nat floors so the
+    * estimate is engine-exact. Ties at the boundary contribute ln(1)=0,
+    * making the answer membership-independent under ties. */
+  def hillTail(docs: DataFrame, k: Int = 100): DataFrame = {
+    val top = docs.select(col("n_chars").cast("long").as("x"), col("doc_id"))
+      .orderBy(desc("x"), col("doc_id")).limit(k)
+    val xk = top.agg(min("x").as("x_k"))
+    top.crossJoin(broadcast(xk))
+      .select(col("x_k"), expr(
+        """cast(floor(ln(cast(x as double) / cast(x_k as double))
+          |  * 1000000.0) as bigint)""".stripMargin).as("lr_micro"))
+      .groupBy("x_k")
+      .agg(count(lit(1)).as("k"), sum("lr_micro").as("s"))
+      .select(col("k"), col("x_k"),
+        pround(expr(hillAlphaExpr), 6).as("hill_alpha"))
+  }
+
+  // Degenerate tail (all top-k equal) has no defined index -> null.
+  private[operators] val hillAlphaExpr =
+    "(case when s = 0 then cast(null as double) " +
+      "else (cast(k as double) - 1.0) / (cast(s as double) / 1000000.0) end)"
+
   /** x46: paired sign test — within-user comparison of two event types
     * (are views more frequent than clicks FOR THE SAME USER?), the
     * nonparametric paired companion to x24's unpaired Welch t: each
@@ -2142,5 +2169,28 @@ object StatsQueries {
         "fan out to 7 lagged probes (bounded widening, no per-lag " +
         "re-scan), per-lag Pearson over exact DECIMAL moments; weekly " +
         "seasonality reads as the lag-7 peak"),
+
+    Q("x48_hill_tail",
+      (s, d) => hillTail(Tables.documents(s, d)),
+      Some(s"""WITH top AS (
+              |  SELECT CAST(n_chars AS BIGINT) AS x FROM documents
+              |  ORDER BY n_chars DESC, doc_id LIMIT 100),
+              |xk AS (SELECT min(x) AS x_k FROM top),
+              |sc AS (
+              |  SELECT x_k,
+              |         CAST(floor(ln(CAST(x AS DOUBLE) / CAST(x_k AS DOUBLE))
+              |           * 1000000.0) AS BIGINT) AS lr_micro
+              |  FROM top CROSS JOIN xk),
+              |mo AS (SELECT x_k, CAST(count(*) AS BIGINT) AS k,
+              |              CAST(sum(lr_micro) AS BIGINT) AS s
+              |       FROM sc GROUP BY x_k)
+              |SELECT k, x_k,
+              |       floor(($hillAlphaExpr) * 1000000.0 + 0.5) / 1000000.0
+              |         AS hill_alpha
+              |FROM mo""".stripMargin),
+      doc = "Hill tail-index over doc lengths (heavy-tail storage " +
+        "diagnostic): top-k via TakeOrderedAndProject, broadcast k-th " +
+        "value, integer micro-nat log-ratios, tie-robust, degenerate " +
+        "tail guarded null"),
   )
 }

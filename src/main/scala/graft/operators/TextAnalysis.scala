@@ -1021,6 +1021,60 @@ object TextAnalysis {
       .orderBy(desc("pmi_micro"), col("bg")).limit(k)
   }
 
+  /** t33: held-out bigram perplexity per source — t16 scores documents
+    * with a model trained on the SAME corpus (optimistic by
+    * construction); this is the honest split: the bigram LM trains on
+    * even doc_ids only and scores odd doc_ids, so memorized duplicates
+    * can't flatter the number. Jelinek-Mercer λ=0.75 with an add-one
+    * unigram backoff ((fw+1)/(N+V+1)) so unseen contexts and OOV words
+    * score finitely.
+    *
+    * Scale shape: model tables (bigram/context/unigram counts) are
+    * vocab-sized reductions of the train half; the test bigram stream
+    * LEFT-joins them (coalesce 0 = unseen) — nothing corpus-sized is
+    * ever collected, and the final rollup is |sources| rows of
+    * integer micro-nat sums. */
+  def heldoutPerplexity(docs: DataFrame): DataFrame = {
+    val train = docs.where(col("doc_id") % 2 === 0)
+    val test = docs.where(col("doc_id") % 2 === 1)
+    def bigrams(d: DataFrame) = d
+      .select(col("source"), expr(tokensExpr).as("t"))
+      .select(col("source"), explode(expr(
+        """CASE WHEN size(t) >= 2
+          | THEN transform(sequence(1, size(t) - 1),
+          |        i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
+          | ELSE array() END""".stripMargin)).as("bg"))
+    val trainToks = train.select(explode(expr(tokensExpr)).as("w"))
+    val uni = trainToks.groupBy("w").agg(count(lit(1)).as("fw"))
+    val totals = uni.agg(sum("fw").as("n_tok"),
+      count(lit(1)).as("v_size"))
+    val fbg = bigrams(train).groupBy("bg").agg(count(lit(1)).as("fbg"))
+    val ctx = fbg.select(expr("split_part(bg, ' ', 1)").as("cw"),
+        col("fbg"))
+      .groupBy("cw").agg(sum("fbg").as("c1"))
+    test.transform(bigrams)
+      .withColumn("w1", expr("split_part(bg, ' ', 1)"))
+      .withColumn("w2", expr("split_part(bg, ' ', 2)"))
+      .join(fbg, Seq("bg"), "left")
+      .join(ctx, col("w1") === col("cw"), "left")
+      .join(uni.select(col("w").as("uw"), col("fw")),
+        col("w2") === col("uw"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("source"), expr(
+        """cast(floor(-ln(
+          |    0.75 * (case when c1 is null or c1 = 0 then 0.0
+          |            else cast(coalesce(fbg, 0) as double) / cast(c1 as double) end)
+          |  + 0.25 * ((cast(coalesce(fw, 0) as double) + 1.0)
+          |            / (cast(n_tok as double) + cast(v_size as double) + 1.0)))
+          |  * 1000000.0) as bigint)""".stripMargin).as("nll_micro"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"), sum("nll_micro").as("s"))
+      .select(col("source"), col("n_bigrams"),
+        pround(exp(col("s").cast("double") / 1000000.0 /
+          col("n_bigrams").cast("double")), 4).as("heldout_ppl"))
+      .orderBy("source")
+  }
+
   /** t32: readability census per source — the Flesch-style reading-ease
     * signal quality filters threshold on: words per sentence (sentence =
     * a [.!?]+ run, min 1 per doc) and vowel-group density per word (the
@@ -1817,5 +1871,50 @@ object TextAnalysisQueries {
         "regexp/size projections (no explode), exact-long combinable " +
         "reduction, shared IEEE score tree over |sources| rows, " +
         "zero-word null guard"),
+
+    Q("t33_heldout_ppl",
+      (s, d) => heldoutPerplexity(docs(s, d)),
+      Some(s"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+              |te AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+              |trt AS (SELECT unnest($toksSql) AS w FROM tr),
+              |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS fw FROM trt GROUP BY w),
+              |tot AS (SELECT CAST(sum(fw) AS BIGINT) AS n_tok,
+              |               CAST(count(*) AS BIGINT) AS v_size FROM uni),
+              |trb AS (
+              |  SELECT unnest(CASE WHEN len(t) >= 2
+              |    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+              |    ELSE CAST([] AS VARCHAR[]) END) AS bg
+              |  FROM (SELECT $toksSql AS t FROM tr) x),
+              |fbg AS (SELECT bg, CAST(count(*) AS BIGINT) AS fbg FROM trb GROUP BY bg),
+              |ctx AS (SELECT split_part(bg, ' ', 1) AS cw,
+              |               CAST(sum(fbg) AS BIGINT) AS c1
+              |        FROM fbg GROUP BY 1),
+              |teb AS (
+              |  SELECT source, unnest(CASE WHEN len(t) >= 2
+              |    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+              |    ELSE CAST([] AS VARCHAR[]) END) AS bg
+              |  FROM (SELECT source, $toksSql AS t FROM te) x),
+              |sc AS (
+              |  SELECT source,
+              |         CAST(floor(-ln(
+              |             0.75 * (CASE WHEN c1 IS NULL OR c1 = 0 THEN 0.0
+              |                     ELSE CAST(coalesce(fbg, 0) AS DOUBLE) / CAST(c1 AS DOUBLE) END)
+              |           + 0.25 * ((CAST(coalesce(fw, 0) AS DOUBLE) + 1.0)
+              |                     / (CAST(n_tok AS DOUBLE) + CAST(v_size AS DOUBLE) + 1.0)))
+              |           * 1000000.0) AS BIGINT) AS nll_micro
+              |  FROM teb
+              |  LEFT JOIN fbg USING (bg)
+              |  LEFT JOIN ctx ON split_part(bg, ' ', 1) = cw
+              |  LEFT JOIN uni ON split_part(bg, ' ', 2) = uni.w
+              |  CROSS JOIN tot)
+              |SELECT source, count(*) AS n_bigrams,
+              |       floor(exp(CAST(sum(nll_micro) AS DOUBLE) / 1000000.0
+              |                 / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5)
+              |         / 10000.0 AS heldout_ppl
+              |FROM sc GROUP BY source ORDER BY source""".stripMargin),
+      doc = "held-out bigram perplexity per source (even docs train, odd " +
+        "score — duplicates can't flatter the number): vocab-sized model " +
+        "tables LEFT-joined by the test bigram stream, add-one unigram " +
+        "backoff for OOV, integer micro-nat sums, |sources| rollup"),
   )
 }

@@ -157,4 +157,17 @@ class PackingSpec extends SparkSpec {
     assert(m("a") == (1L, 1L, 0L, 0.0))
     assert(m("b") == (1L, 0L, 5L, 1.0), "5 bytes of 'x y z' saved entirely")
   }
+
+  test("y12 truncation ladder: per-limit overflow docs and tokens lost") {
+    // token counts 2 / 200 / 600 (n_tokens 802)
+    val docs = Seq(
+      (0L, "a b"), (1L, Seq.fill(200)("w").mkString(" ")),
+      (2L, Seq.fill(600)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = Packing.truncationLadder(docs).collect()
+      .map(r => r.getAs[Long]("context_len") ->
+        (r.getAs[Long]("n_truncated_docs"), r.getAs[Long]("tokens_lost"))).toMap
+    assert(m == Map(128L -> (2L, 544L), 512L -> (1L, 88L),
+      2048L -> (0L, 0L)))
+  }
 }

@@ -481,6 +481,25 @@ class StatsSpec extends SparkSpec {
     assert(m(7L) == (3L, -1.0))
   }
 
+  test("hill tail: alpha from micro-nat log ratios; tie-robust at the cut") {
+    import spark.implicits._
+    // lengths 8,4,2,2 with k=4 -> x_k=2; ln ratios 4x/2x/1/1
+    val df = Seq((0L, "t", "en", "s", 8L), (1L, "t", "en", "s", 4L),
+      (2L, "t", "en", "s", 2L), (3L, "t", "en", "s", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val s = math.floor(math.log(4.0) * 1e6).toLong +
+      math.floor(math.log(2.0) * 1e6).toLong
+    val expAlpha = math.floor(3.0 / (s / 1e6) * 1e6 + 0.5) / 1e6
+    val r = Stats.hillTail(df, 4).collect().head
+    assert(r.getAs[Long]("k") == 4L)
+    assert(r.getAs[Long]("x_k") == 2L)
+    assert(r.getAs[Double]("hill_alpha") == expAlpha)
+    // all-equal tail -> s = 0 -> guarded null
+    val flat = Seq((0L, "t", "en", "s", 5L), (1L, "t", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Stats.hillTail(flat, 2).collect().head.isNullAt(2))
+  }
+
   test("dow anova: pure weekday pattern explains everything, constant nothing") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -415,6 +415,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m("s1").getAs[Double]("vowel_groups_per_word") == 0.0)
   }
 
+  test("heldout ppl: even docs train, odd score; unseen backs off to add-one unigram") {
+    import spark.implicits._
+    // train (doc 0): "a b a b" -> uni a:2 b:2 (N=4, V=2);
+    // fbg "a b":2 "b a":1; ctx a->2 b->1.
+    // test (doc 1): "a b c" -> bigrams "a b" (seen), "b c" (unseen w2)
+    val df = Seq((0L, "a b a b", "en", "s0", 7L),
+      (1L, "a b c", "en", "s0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def nllMicro(p: Double): Long = math.floor(-math.log(p) * 1e6).toLong
+    val n1 = nllMicro(0.75 * (2.0 / 2.0) + 0.25 * (3.0 / 7.0)) // "a b"
+    val n2 = nllMicro(0.25 * (1.0 / 7.0))                       // "b c"
+    val expPpl = math.floor(math.exp((n1 + n2) / 2.0 / 1e6) * 1e4 + 0.5) / 1e4
+    val r = TextAnalysis.heldoutPerplexity(df).collect().head
+    assert(r.getAs[String]("source") == "s0")
+    assert(r.getAs[Long]("n_bigrams") == 2L)
+    assert(r.getAs[Double]("heldout_ppl") == expPpl)
+  }
+
   test("code detect: symbol-dense text flags as code, prose does not") {
     import spark.implicits._
     val df = Seq(
