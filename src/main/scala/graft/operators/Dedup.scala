@@ -452,6 +452,21 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
   }
 
+  /** g21: LSH index-health census — g19's read for the OTHER index:
+    * the bucket-size profile of g2's banded minhash table, predicting
+    * the candidate join's exact cost BEFORE running it (per band, the
+    * pair mass Σ c·(c−1)/2 IS the number of rows the band's self-join
+    * will emit). A hot bucket here means a degenerate permutation or a
+    * boilerplate-dominated corpus — the two failure modes the banded
+    * join inherits. Two combinable rollups; |bands| output rows. */
+  def lshBucketCensus(docs: DataFrame, bands: Int = 4): DataFrame =
+    minhashSignature(docs, bands)
+      .groupBy("band", "minh").agg(count(lit(1)).as("c"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"), max("c").as("max_bucket"),
+        sum(expr("c * (c - 1) div 2")).as("pair_mass"))
+      .orderBy("band")
+
   /** g19: inverted-index health census — the df distribution that
     * justifies g4's hot-shingle cap, as a first-class profiling query a
     * pipeline runs BEFORE choosing the cap. Per decimal order of
@@ -929,5 +944,24 @@ object DedupQueries {
         "digit-count df bins — exact, no libm log — with posting mass " +
         "and the uncapped df^2 pair mass per bin; <=~10 output rows at " +
         "any corpus size"),
+
+    Q("g21_lsh_bucket_census",
+      (s, d) => Dedup.lshBucketCensus(docs(s, d)),
+      Some(s"""WITH $shinglesSqlCte,
+              |hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT AS h FROM sh),
+              |b AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh),
+              |sig AS (
+              |  SELECT doc_id, band,
+              |         min(${affinePermSqlDuck("band", "h")}) AS minh
+              |  FROM b GROUP BY doc_id, band),
+              |bk AS (SELECT band, minh, CAST(count(*) AS BIGINT) AS c
+              |       FROM sig GROUP BY band, minh)
+              |SELECT band, count(*) AS n_buckets, max(c) AS max_bucket,
+              |       CAST(sum(c * (c - 1) // 2) AS BIGINT) AS pair_mass
+              |FROM bk GROUP BY band ORDER BY band""".stripMargin),
+      doc = "LSH bucket census (g19's read for the minhash index): per " +
+        "band, bucket count, largest bucket and the exact pair mass the " +
+        "band's candidate self-join will emit — the pre-flight cost " +
+        "estimate for g2; two combinable rollups, |bands| rows"),
   )
 }

@@ -360,6 +360,42 @@ object Funnel {
       .orderBy("r_q", "f_q", "m_q")
   }
 
+  /** f13: the conversion funnel split by A/B variant — f2's strict
+    * sequential funnel per hash-variant (user_id % 2, the same
+    * deterministic split x31's z-test uses, so the two queries read the
+    * same experiment). Per-user stage times come from the SAME windowed
+    * conditional-min chain as f2 (one user_id shuffle); the variant
+    * rollup adds a 2-row aggregate and conversion shares. */
+  def funnelByVariant(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val staged = events
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("tv",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("tc",
+        min(when(col("event_type") === "click" && col("ts") > col("tv"),
+          col("ts"))).over(w))
+      .withColumn("tp",
+        min(when(col("event_type") === "purchase" && col("ts") > col("tc"),
+          col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(min("tv").as("tv"), min("tc").as("tc"), min("tp").as("tp"))
+    staged.select((col("user_id") % 2).as("variant"), col("tv"), col("tc"),
+        col("tp"))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("tv").isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("tc").isNotNull, 1L).otherwise(0L))
+          .as("n_click_after_view"),
+        sum(when(col("tp").isNotNull, 1L).otherwise(0L))
+          .as("n_purchase_funnel"))
+      .select(col("variant"), col("n_users"), col("n_view"),
+        col("n_click_after_view"), col("n_purchase_funnel"),
+        pround(col("n_purchase_funnel").cast("double") /
+          col("n_users").cast("double"), 6).as("conversion"))
+      .orderBy("variant")
+  }
+
   /** f12: rolling 7-day active users per day — the daily DAU/WAU board
     * (f9 gives the weekly version; this is the per-day rolling read).
     * Each distinct (day, user) activity row fans out to the `window`
@@ -697,5 +733,34 @@ object FunnelQueries {
         "user) activity fans out to the 7 days it covers (bounded 7x " +
         "widening, no per-day range re-scan), one distinct+count per " +
         "day; inner join drops past-stream-end windows"),
+
+    Q("f13_funnel_by_variant",
+      (s, d) => funnelByVariant(Tables.events(s, d)),
+      Some("""WITH a AS (
+             |  SELECT user_id, ts, event_type,
+             |         min(CASE WHEN event_type = 'view' THEN ts END)
+             |           OVER (PARTITION BY user_id) AS tv
+             |  FROM events),
+             |b AS (
+             |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > tv THEN ts END)
+             |              OVER (PARTITION BY user_id) AS tc
+             |  FROM a),
+             |c AS (
+             |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > tc THEN ts END)
+             |              OVER (PARTITION BY user_id) AS tp
+             |  FROM b),
+             |u AS (SELECT user_id, min(tv) AS tv, min(tc) AS tc, min(tp) AS tp
+             |      FROM c GROUP BY user_id)
+             |SELECT user_id % 2 AS variant, count(*) AS n_users,
+             |       CAST(sum(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+             |       CAST(sum(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_view,
+             |       CAST(sum(CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_funnel,
+             |       floor(CAST(sum(CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |             / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5)
+             |         / 1000000.0 AS conversion
+             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "A/B-split sequential funnel (f2 x x31's hash variant): same " +
+        "windowed conditional-min chain, one user_id shuffle, 2-row " +
+        "variant rollup with conversion shares"),
   )
 }

@@ -942,6 +942,22 @@ object Similarity {
       .orderBy("cos_bin")
   }
 
+  /** s25: IVF cell-balance census — the hot-cell read before deploying
+    * s13's IVF search: if max_cell ≫ n/k, probing the hot cell costs a
+    * near-full scan and the index is mis-trained. One assignment pass
+    * (broadcast centroids), one k-row rollup, one census row with the
+    * imbalance factor max/(n/k). */
+  def ivfBalance(vecs: DataFrame, nCents: Int = 6): DataFrame = {
+    val sizes = ivfAssign(vecs, nCents)
+      .groupBy("centroid_id").agg(count(lit(1)).as("c"))
+    sizes.agg(count(lit(1)).as("n_cells"), sum("c").as("n_vectors"),
+        max("c").as("max_cell"), min("c").as("min_cell"))
+      .select(col("n_cells"), col("n_vectors"), col("min_cell"),
+        col("max_cell"),
+        pround(col("max_cell").cast("double") * col("n_cells").cast("double")
+          / col("n_vectors").cast("double"), 6).as("imbalance"))
+  }
+
   def normCensus(vecs: DataFrame): DataFrame = {
     val b = withFixed(vecs)
       .select(col("label"), col("nrm"), expr("nrm div 100000000").as("nb"))
@@ -1895,5 +1911,31 @@ object SimilarityQueries {
         "semantic-dedup threshold): deterministic consecutive-id pairing " +
         "via an equality join — corpus-linear, no RNG, no all-pairs — " +
         "exact integer dot, 0.05 cosine bins with same-label share"),
+
+    Q("s25_ivf_balance",
+      (s, d) => ivfBalance(vecs(s, d)),
+      Some(s"""WITH $fixedSqlCte,
+              |cents AS (
+              |  SELECT vec_id AS centroid_id, f, nrm FROM n
+              |  ORDER BY vec_id LIMIT 6),
+              |p AS (
+              |  SELECT n.vec_id, c.centroid_id,
+              |         ${pairCosSql("n", "c")} AS cos
+              |  FROM n, cents c),
+              |r AS (
+              |  SELECT vec_id, centroid_id,
+              |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+              |  FROM p),
+              |sz AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS c
+              |       FROM r WHERE rn = 1 GROUP BY 1)
+              |SELECT count(*) AS n_cells, CAST(sum(c) AS BIGINT) AS n_vectors,
+              |       min(c) AS min_cell, max(c) AS max_cell,
+              |       floor(CAST(max(c) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+              |             / CAST(sum(c) AS DOUBLE) * 1000000.0 + 0.5)
+              |         / 1000000.0 AS imbalance
+              |FROM sz""".stripMargin),
+      doc = "IVF cell-balance census (hot-cell pre-flight for s13): one " +
+        "broadcast-centroid assignment pass, k-row rollup, imbalance " +
+        "factor max/(n/k) on one census row"),
   )
 }

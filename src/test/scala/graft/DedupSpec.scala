@@ -127,6 +127,20 @@ class DedupSpec extends SparkSpec {
     assert(m == Map("de,en" -> (1L, 2L), "en" -> (1L, 2L)))
   }
 
+  test("g21: duplicate docs share every band bucket; pair mass counts the join") {
+    val df = Seq(
+      (0L, "a b c d e"), (1L, "a b c d e"), // identical -> same sig all bands
+      (2L, "v w x y z"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.lshBucketCensus(df).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_buckets") == 2L)
+      assert(r.getAs[Long]("max_bucket") == 2L)
+      assert(r.getAs[Long]("pair_mass") == 1L)
+    }
+  }
+
   test("g19: df census bins by digits; pair mass is df*(df-1)/2 per shingle") {
     // 11 copies of a 5-token text -> 3 shingles at df=11 (2 digits);
     // one unique 5-token text -> 3 shingles at df=1 (1 digit)

@@ -142,6 +142,21 @@ class FunnelSpec extends SparkSpec {
     assert(r.getAs[Double]("stickiness") == 0.75)
   }
 
+  test("funnel by variant: per-variant stage counts and conversion share") {
+    // u0 (v0): full funnel; u2 (v0): view+click; u1 (v1): view only
+    val df = ev((1, 1, 0, "view"), (2, 2, 0, "click"), (3, 3, 0, "purchase"),
+      (4, 1, 2, "view"), (5, 2, 2, "click"),
+      (6, 1, 1, "view"))
+    val m = Funnel.funnelByVariant(df).collect()
+      .map(r => r.getAs[Long]("variant") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("n_view"),
+          r.getAs[Long]("n_click_after_view"),
+          r.getAs[Long]("n_purchase_funnel"),
+          r.getAs[Double]("conversion"))).toMap
+    assert(m(0L) == (2L, 2L, 2L, 1L, 0.5))
+    assert(m(1L) == (1L, 1L, 0L, 0L, 0.0))
+  }
+
   test("rfm: quartiles assigned by value (ties share), integer ceil(4*cum/n)") {
     import spark.implicits._
     def dts(day: Int) = Timestamp.valueOf(f"1970-01-0${day + 1} 10:00:00")

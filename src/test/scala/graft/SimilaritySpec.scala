@@ -398,6 +398,19 @@ class SimilaritySpec extends SparkSpec {
     assert(m(1)._5 == 4.0, "p95 reaches the scaled vector's bin")
   }
 
+  test("ivf balance: hot cell yields imbalance max*k/n") {
+    // centroids v0,v1; v2,v3 duplicate v0 -> cells 3/1, imbalance 1.5
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.0f, 1.0f), 0),
+      (2L, Array(1.0f, 0.0f), 0), (3L, Array(1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.ivfBalance(df, 2).collect().head
+    assert(r.getAs[Long]("n_cells") == 2L)
+    assert(r.getAs[Long]("n_vectors") == 4L)
+    assert(r.getAs[Long]("min_cell") == 1L && r.getAs[Long]("max_cell") == 3L)
+    assert(r.getAs[Double]("imbalance") == 1.5)
+  }
+
   test("pair-sim census: consecutive pairing, cosine bins, same-label split") {
     // pair (0,1): identical, same label -> cos 1.0 -> bin 20, same=1
     // pair (2,3): orthogonal, labels differ -> cos 0.0 -> bin 0, same=0
