@@ -1204,6 +1204,44 @@ object Stats {
       .orderBy("day")
   }
 
+  /** x49: Mann–Kendall trend test on daily revenue — the significance
+    * companion to x43's Theil–Sen slope (same day-reduced series, same
+    * calendar-bounded pair grid): S = Σ sign(rev_j − rev_i) over i<j,
+    * tie-corrected variance 18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)
+    * kept as an exact integer, and the continuity-corrected
+    * z = (S∓1)/√Var. Everything before the final 1-row IEEE tree is
+    * integer-exact. */
+  def mannKendall(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .select(expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+        expr("cast(floor(o_totalprice * 100.0 + 0.5) as bigint)").as("c"))
+      .groupBy("day").agg(sum("c").as("rev"))
+    val sStat = daily.select(col("day").as("d1"), col("rev").as("r1"))
+      .join(daily.select(col("day").as("d2"), col("rev").as("r2")),
+        col("d1") < col("d2"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("cast(sign(r2 - r1) as bigint)")).as("s"))
+    val ties = daily.groupBy("rev").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L))
+        .as("tie18"))
+    val nd = daily.agg(count(lit(1)).as("n_days"))
+    nd.crossJoin(broadcast(sStat)).crossJoin(broadcast(ties))
+      .select(col("n_days"), col("n_pairs"), col("s").as("s_stat"),
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie18")
+          .as("var18"),
+        pround(expr(mkZExpr), 6).as("z"))
+  }
+
+  // Continuity-corrected z; a constant or single-day series (Var = 0)
+  // has no defined statistic -> null.
+  private[operators] val mkZExpr =
+    "(case when var18 <= 0 then cast(null as double) " +
+      "when s_stat > 0 then (cast(s_stat as double) - 1.0) " +
+      "/ sqrt(cast(var18 as double) / 18.0) " +
+      "when s_stat < 0 then (cast(s_stat as double) + 1.0) " +
+      "/ sqrt(cast(var18 as double) / 18.0) " +
+      "else 0.0 end)"
+
   /** x48: Hill tail-index estimate over document lengths — the
     * heavy-tail diagnostic for web corpora (α ≈ 1–2 means extreme docs
     * dominate storage; α > 3 means the tail is benign). Top-k order
@@ -2192,5 +2230,31 @@ object StatsQueries {
         "diagnostic): top-k via TakeOrderedAndProject, broadcast k-th " +
         "value, integer micro-nat log-ratios, tie-robust, degenerate " +
         "tail guarded null"),
+
+    Q("x49_mann_kendall",
+      (s, d) => mannKendall(Tables.orders(s, d)),
+      Some(s"""WITH daily AS (
+              |  SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+              |         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+              |  FROM orders GROUP BY 1),
+              |sp AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+              |         CAST(sum(CAST(sign(b.rev - a.rev) AS BIGINT)) AS BIGINT) AS s_stat
+              |  FROM daily a JOIN daily b ON a.day < b.day),
+              |ti AS (
+              |  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie18
+              |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY rev) x),
+              |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+              |c AS (
+              |  SELECT n_days, n_pairs, s_stat,
+              |         n_days * (n_days - 1) * (2 * n_days + 5) - tie18 AS var18
+              |  FROM nd CROSS JOIN sp CROSS JOIN ti)
+              |SELECT n_days, n_pairs, s_stat, var18,
+              |       floor(($mkZExpr) * 1000000.0 + 0.5) / 1000000.0 AS z
+              |FROM c""".stripMargin),
+      doc = "Mann-Kendall trend significance (x43's companion): exact " +
+        "integer S and tie-corrected 18*Var over the calendar-bounded " +
+        "day-pair grid, continuity-corrected z in one 1-row IEEE tree, " +
+        "zero-variance null guard"),
   )
 }

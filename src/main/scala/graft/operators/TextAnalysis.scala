@@ -1075,6 +1075,38 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** t34: Heaps-law vocabulary growth curve — V(N) at ten corpus-prefix
+    * checkpoints (by doc_id), the saturation read behind "will more data
+    * still buy new vocabulary?". NO cumulative-distinct window: each
+    * word reduces to its FIRST doc (vocab-sized combinable min), each
+    * doc to its token count, and every checkpoint is a conditional sum
+    * over those two reduced tables — one aggregate each, stacked to 10
+    * rows of exact integers (engine-exact, no floats anywhere). */
+  def heapsCurve(docs: DataFrame, points: Int = 10): DataFrame = {
+    val bounds = docs.agg((max("doc_id") + 1).as("lim"))
+    val firstDoc = docs
+      .select(col("doc_id"), explode(expr(tokensExpr)).as("w"))
+      .groupBy("w").agg(min("doc_id").as("fd"))
+      .crossJoin(broadcast(bounds))
+    val perDoc = docs
+      .select(col("doc_id"), expr(s"cast(size($tokensExpr) as long)").as("t"))
+      .crossJoin(broadcast(bounds))
+    def thr(i: Int) = s"(lim * $i div $points)"
+    val vAggs = (1 to points).map(i =>
+      sum(when(expr(s"fd < ${thr(i)}"), 1L).otherwise(0L)).as(s"v_$i"))
+    val nAggs = (1 to points).map(i =>
+      sum(when(expr(s"doc_id < ${thr(i)}"), col("t")).otherwise(0L))
+        .as(s"n_$i"))
+    val vRow = firstDoc.agg(vAggs.head, vAggs.tail: _*)
+    val nRow = perDoc.agg(nAggs.head, nAggs.tail: _*)
+    val stackArgs = (1 to points)
+      .map(i => s"cast($i as bigint), `n_$i`, `v_$i`").mkString(", ")
+    vRow.crossJoin(nRow)
+      .select(expr(s"stack($points, $stackArgs)" +
+        " as (decile, n_tokens, vocab_size)"))
+      .orderBy("decile")
+  }
+
   /** t32: readability census per source — the Flesch-style reading-ease
     * signal quality filters threshold on: words per sentence (sentence =
     * a [.!?]+ run, min 1 per doc) and vowel-group density per word (the
@@ -1916,5 +1948,30 @@ object TextAnalysisQueries {
         "score — duplicates can't flatter the number): vocab-sized model " +
         "tables LEFT-joined by the test bigram stream, add-one unigram " +
         "backoff for OOV, integer micro-nat sums, |sources| rollup"),
+
+    Q("t34_heaps_curve",
+      (s, d) => heapsCurve(docs(s, d)),
+      Some(s"""WITH b AS (SELECT max(doc_id) + 1 AS lim FROM documents),
+              |fd AS (
+              |  SELECT w, min(doc_id) AS fd FROM (
+              |    SELECT doc_id, unnest($toksSql) AS w FROM documents) x
+              |  GROUP BY w),
+              |pd AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS t
+              |       FROM documents),
+              |g AS (SELECT unnest(range(1, 11)) AS decile),
+              |v AS (
+              |  SELECT decile,
+              |         CAST(sum(CASE WHEN fd < lim * decile // 10 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_size
+              |  FROM fd CROSS JOIN b CROSS JOIN g GROUP BY decile),
+              |n AS (
+              |  SELECT decile,
+              |         CAST(sum(CASE WHEN doc_id < lim * decile // 10 THEN t ELSE 0 END) AS BIGINT) AS n_tokens
+              |  FROM pd CROSS JOIN b CROSS JOIN g GROUP BY decile)
+              |SELECT CAST(decile AS BIGINT) AS decile, n_tokens, vocab_size
+              |FROM v JOIN n USING (decile) ORDER BY decile""".stripMargin),
+      doc = "Heaps-law vocabulary growth at 10 doc-id prefix checkpoints " +
+        "(does more data still buy vocabulary?): words reduce to their " +
+        "first doc, docs to token counts, every checkpoint a conditional " +
+        "sum — no cumulative-distinct window, exact integers only"),
   )
 }

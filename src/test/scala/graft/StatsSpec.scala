@@ -500,6 +500,23 @@ class StatsSpec extends SparkSpec {
     assert(Stats.hillTail(flat, 2).collect().head.isNullAt(2))
   }
 
+  test("mann-kendall: monotone series z, constant series guarded null") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def df(rev: Seq[Double]) = rev.zipWithIndex.map { case (p, d) =>
+      (Timestamp.valueOf(f"1970-01-0${d + 1} 00:00:00"), p)
+    }.toDF("o_orderdate", "o_totalprice")
+    val up = Stats.mannKendall(df(Seq(1.0, 2.0, 3.0))).collect().head
+    assert(up.getAs[Long]("s_stat") == 3L)
+    assert(up.getAs[Long]("var18") == 66L) // 3*2*11, no ties
+    val expZ = math.floor(2.0 / math.sqrt(66.0 / 18.0) * 1e6 + 0.5) / 1e6
+    assert(up.getAs[Double]("z") == expZ)
+    val const = Stats.mannKendall(df(Seq(5.0, 5.0, 5.0))).collect().head
+    assert(const.getAs[Long]("s_stat") == 0L)
+    assert(const.getAs[Long]("var18") == 0L) // ties cancel the variance
+    assert(const.isNullAt(4))
+  }
+
   test("dow anova: pure weekday pattern explains everything, constant nothing") {
     import spark.implicits._
     import java.sql.Timestamp

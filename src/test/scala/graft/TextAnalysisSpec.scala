@@ -433,6 +433,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("heldout_ppl") == expPpl)
   }
 
+  test("heaps curve: prefix checkpoints count first-occurrence vocabulary") {
+    import spark.implicits._
+    // doc 0 "a b", doc 1 "a c": lim=2; deciles 1-4 -> threshold 0,
+    // 5-9 -> 1 (doc 0 only), 10 -> 2 (both)
+    val df = Seq((0L, "a b", "en", "s0", 3L), (1L, "a c", "en", "s0", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = TextAnalysis.heapsCurve(df).collect()
+      .map(r => r.getAs[Long]("decile") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab_size"))).toMap
+    assert(m(1L) == (0L, 0L))
+    assert(m(5L) == (2L, 2L))
+    assert(m(9L) == (2L, 2L))
+    assert(m(10L) == (4L, 3L))
+  }
+
   test("code detect: symbol-dense text flags as code, prose does not") {
     import spark.implicits._
     val df = Seq(
