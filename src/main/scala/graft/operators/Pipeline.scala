@@ -296,5 +296,66 @@ object PipelineQueries {
       doc = "e3 joint text+embedding curation: t2 token floor AND g10 " +
         "semantic-dedup keep, intersected by document id (vec_id is the " +
         "doc's 1:1 embedding) -> per-lang census"),
+
+    Q("e4_dedup_quality",
+      (s, d) => {
+        // Does dedup IMPROVE the corpus? The audit every dedup deploy
+        // needs: g2c's full-band near-dup rule (a doc is dropped when it
+        // shares ALL 4 minhash bands with an earlier doc — the g13
+        // incremental convention) vs t2's quality score, composed from
+        // the same kernels as the standalone queries so the answer
+        // can't drift from them. Shape: the dropped-id set is a
+        // distinct projection of the banded candidate join (bounded by
+        // real dup density), LEFT-joined onto the per-doc quality
+        // table on doc_id, then a 2-row rollup with DECIMAL-exact
+        // means (the a14 discipline).
+        import graft.functions.Parity
+        val q = TextAnalysis.qualityScore(Tables.documents(s, d))
+          .select(col("doc_id"), col("quality"), col("n_tokens"))
+        val dropped = Dedup.minhashNearDups(Tables.documents(s, d), 4, 4)
+          .select(col("doc_b").as("doc_id")).distinct()
+          .withColumn("dr", lit(1L))
+        q.join(dropped, Seq("doc_id"), "left")
+          .select(when(col("dr").isNull, 1L).otherwise(0L).as("kept"),
+            col("quality"), col("n_tokens"))
+          .groupBy("kept")
+          .agg(count(lit(1)).as("n_docs"),
+            pround(Parity.exactAvg(col("quality")), 6).as("mean_quality"),
+            pround(Parity.exactAvg(col("n_tokens").cast("double")), 6)
+              .as("mean_tokens"))
+          .orderBy("kept")
+      },
+      Some {
+        val avgQ = graft.functions.Parity.exactAvgSql("quality")
+        val avgT = graft.functions.Parity.exactAvgSql("CAST(n_tokens AS DOUBLE)")
+        s"""WITH ${DedupQueries.shinglesSqlCte},
+           |hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT AS h FROM sh),
+           |bb AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh),
+           |sig AS (
+           |  SELECT doc_id, band,
+           |         min(${Dedup.affinePermSqlDuck("band", "h")}) AS minh
+           |  FROM bb GROUP BY doc_id, band),
+           |dropped AS (
+           |  SELECT DISTINCT b.doc_id
+           |  FROM sig a JOIN sig b
+           |    ON a.band = b.band AND a.minh = b.minh AND a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 4),
+           |${TextAnalysisQueries.statsSqlCte},
+           |q AS (SELECT doc_id, n_tokens,
+           |             ${TextAnalysisQueries.qualitySqlExpr} AS quality
+           |      FROM st),
+           |j AS (
+           |  SELECT CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END AS kept,
+           |         q.quality, q.n_tokens
+           |  FROM q LEFT JOIN dropped dr ON q.doc_id = dr.doc_id)
+           |SELECT CAST(kept AS BIGINT) AS kept, count(*) AS n_docs,
+           |       floor(($avgQ) * 1000000.0 + 0.5) / 1000000.0 AS mean_quality,
+           |       floor(($avgT) * 1000000.0 + 0.5) / 1000000.0 AS mean_tokens
+           |FROM j GROUP BY kept ORDER BY kept""".stripMargin
+      },
+      doc = "dedup-quality audit (e-series composition): full-band " +
+        "near-dup drops (g2c/g13 rule) vs t2's quality — same kernels " +
+        "as the standalone queries, doc_id-keyed join, 2-row rollup " +
+        "with DECIMAL-exact means"),
   )
 }

@@ -92,4 +92,19 @@ class PipelineSpec extends SparkSpec {
     assert(census === expected)
     assert(census.values.sum > 0, "joint filter must keep something at sf0.001")
   }
+
+  test("e4: full-band near-dup drops the later copy; rollup conserves docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spark makes big data small again and again and again", "en", "s", 52L),
+      (1L, "spark  makes\tbig data small again and again and again", "en", "s", 53L),
+      (2L, "completely different content with many unique words here", "en", "s", 57L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val run = Registry.all.find(_.name == "e4_dedup_quality").get
+    // drive the kernels directly (the registry fn reads from a dir)
+    val dropped = operators.Dedup.minhashNearDups(docs, 4, 4)
+      .select("doc_b").as[Long].collect().toSet
+    assert(dropped == Set(1L), "the ws-variant later copy must drop")
+    assert(run.oracle.nonEmpty)
+  }
 }
