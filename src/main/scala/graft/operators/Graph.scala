@@ -53,6 +53,57 @@ object Graph {
     }
     ranks.select(col("node").as("doc_id"), pround(col("r"), 6).as("pagerank"))
   }
+
+  /** g22: triangle census over the near-dup candidate graph — the
+    * cohesion read on duplicate neighborhoods. A high global clustering
+    * coefficient means LSH candidates close into tight cliques (true
+    * duplicate clusters); a low one means chains and hubs (shingle
+    * collisions bridging unrelated docs) — the quality signal for the
+    * banding choice, next to g21's bucket census.
+    *
+    * Design for 100 TB: triangle enumeration is the classic skew bomb —
+    * a hub of degree d contributes d² wedges, so pivoting on arbitrary
+    * vertices dies on the first celebrity node. The standard fix
+    * (degree orientation): direct every edge from its lower-(deg, id)
+    * endpoint to the higher; every triangle then has exactly one vertex
+    * with BOTH out-edges, and out-degrees are bounded by the graph
+    * degeneracy (O(√m) worst case) regardless of hub size. The wedge
+    * self-join fans out per-edge-bounded, and closure is an equality
+    * semi-join on the canonical (lo, hi) pair key — no inequality join
+    * anywhere. The pair frame feeds four consumers (degrees,
+    * orientation, closure probe, edge count), so it materializes once
+    * via [[Materialize]] — one LSH pass ever. */
+  def triangleCensus(rawPairs: DataFrame): DataFrame = {
+    val p = Materialize.frame(rawPairs.select(col("doc_a"), col("doc_b")))
+    val deg = p.select(explode(array(col("doc_a"), col("doc_b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val degStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)).as("n_wedges"))
+    val oriented = p
+      .join(deg.select(col("node").as("doc_a"), col("deg").as("da")), "doc_a")
+      .join(deg.select(col("node").as("doc_b"), col("deg").as("db")), "doc_b")
+      .select(when(col("da") < col("db") ||
+            (col("da") === col("db") && col("doc_a") < col("doc_b")),
+          struct(col("doc_a").as("u"), col("doc_b").as("v")))
+        .otherwise(struct(col("doc_b").as("u"), col("doc_a").as("v")))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val wedges = oriented.select(col("u"), col("v").as("x"))
+      .join(oriented.select(col("u"), col("v").as("y")), "u")
+      .where(col("x") < col("y"))
+    val tri = wedges
+      .join(p, col("x") === col("doc_a") && col("y") === col("doc_b"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val ec = p.agg(count(lit(1)).as("n_edges"))
+    degStats.crossJoin(broadcast(ec)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        pround(when(col("n_wedges") > 0,
+          lit(3.0) * col("n_triangles").cast("double")
+            / col("n_wedges").cast("double")), 9).as("global_cc"))
+  }
 }
 
 object GraphQueries {
@@ -69,22 +120,28 @@ object GraphQueries {
        |         JOIN deg d ON e.src = d.src
        |  GROUP BY e.dst)""".stripMargin
 
+  /** The LSH candidate-pair CTE chain (shingles -> 4-band minhash ->
+    * canonical doc_a < doc_b pairs) — the SAME graph g9 and g22 run on,
+    * factored so the two oracles can't drift. */
+  private[operators] val candPairsSqlCtes =
+    s"""${DedupQueries.shinglesSqlCte},
+       |hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT AS h FROM sh),
+       |b AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh),
+       |sig AS (
+       |  SELECT doc_id, band,
+       |         min(${Dedup.affinePermSqlDuck("band", "h")}) AS minh
+       |  FROM b GROUP BY doc_id, band),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b
+       |    ON a.band = b.band AND a.minh = b.minh AND a.doc_id < b.doc_id)""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("g9_pagerank",
       (s, d) => pagerank(
         Dedup.minhashCandidates(Tables.documents(s, d), 4), 3)
         .orderBy("doc_id"),
-      Some(s"""WITH ${DedupQueries.shinglesSqlCte},
-              |hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT AS h FROM sh),
-              |b AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh),
-              |sig AS (
-              |  SELECT doc_id, band,
-              |         min(${Dedup.affinePermSqlDuck("band", "h")}) AS minh
-              |  FROM b GROUP BY doc_id, band),
-              |pairs AS (
-              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              |  FROM sig a JOIN sig b
-              |    ON a.band = b.band AND a.minh = b.minh AND a.doc_id < b.doc_id),
+      Some(s"""WITH $candPairsSqlCtes,
               |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
               |      UNION ALL SELECT doc_b, doc_a FROM pairs),
               |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
@@ -98,5 +155,36 @@ object GraphQueries {
       doc = "3-round damped PageRank over the LSH candidate graph — " +
         "decimal-exact contribution sums make ranks engine- and " +
         "partitioning-independent"),
+
+    Q("g22_triangles",
+      (s, d) => triangleCensus(
+        Dedup.minhashCandidates(Tables.documents(s, d), 4)),
+      Some(s"""WITH $candPairsSqlCtes,
+              |e AS (SELECT doc_a AS node FROM pairs
+              |      UNION ALL SELECT doc_b FROM pairs),
+              |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+              |        FROM e GROUP BY 1),
+              |ds AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+              |              CAST(coalesce(sum(deg * (deg - 1) // 2), 0)
+              |                   AS BIGINT) AS n_wedges
+              |       FROM deg),
+              |tr AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+              |       FROM pairs p1
+              |       JOIN pairs p2 ON p2.doc_a = p1.doc_a
+              |                    AND p2.doc_b > p1.doc_b
+              |       JOIN pairs p3 ON p3.doc_a = p1.doc_b
+              |                    AND p3.doc_b = p2.doc_b),
+              |ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs)
+              |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+              |       CASE WHEN n_wedges > 0 THEN
+              |         floor(3.0 * CAST(n_triangles AS DOUBLE)
+              |               / CAST(n_wedges AS DOUBLE)
+              |               * 1000000000.0 + 0.5) / 1000000000.0
+              |       END AS global_cc
+              |FROM ds CROSS JOIN tr CROSS JOIN ec""".stripMargin),
+      doc = "triangle census over the LSH candidate graph with " +
+        "degree-orientation (out-degree bounded by degeneracy, not hub " +
+        "size): nodes/edges/wedges/triangles + global clustering " +
+        "coefficient; the oracle counts canonical a<b<c triples naively"),
   )
 }

@@ -1805,5 +1805,53 @@ object RelationalQueries {
         "joins the fact on partkey (no dim broadcast hint — part is " +
         "fact-sized at scale), one conditional-sum supplier reduction, " +
         "share filter, name join AFTER the reduce"),
+
+    Q("q44_also_bought",
+      (s, d) => {
+        // Market-basket co-occurrence ("customers who bought X also
+        // bought Y"): distinct items per order, then the in-order
+        // id-ordered pair expansion reduced on the pair key. The pair
+        // fan-out is quadratic in basket size — TPC-H baskets hold <= 7
+        // parts, but real carts are unbounded, so a documented
+        // per-order cap (row_number <= 64, id-ordered so the kept
+        // subset is deterministic) bounds the worst basket at 2016
+        // pairs. The self-join shares ONE l_orderkey shuffle with the
+        // cap window; top-20 with a full tiebreak lands on
+        // TakeOrderedAndProject — no global sort.
+        val items = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val capW = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+        val capped = items.withColumn("rn", row_number().over(capW))
+          .where(col("rn") <= 64).drop("rn")
+        capped.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+          .join(capped.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+            "l_orderkey")
+          .where(col("part_a") < col("part_b"))
+          .groupBy("part_a", "part_b")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+          .limit(20)
+      },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |cap AS (
+             |  SELECT l_orderkey, l_partkey FROM (
+             |    SELECT l_orderkey, l_partkey,
+             |           row_number() OVER (PARTITION BY l_orderkey
+             |                              ORDER BY l_partkey) AS rn
+             |    FROM it) x
+             |  WHERE rn <= 64),
+             |pr AS (
+             |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+             |  FROM cap a JOIN cap b
+             |    ON a.l_orderkey = b.l_orderkey
+             |   AND a.l_partkey < b.l_partkey)
+             |SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+             |FROM pr GROUP BY 1, 2
+             |ORDER BY n_orders DESC, part_a, part_b
+             |LIMIT 20""".stripMargin),
+      doc = "also-bought pair mining: distinct items per order, " +
+        "deterministic 64-item basket cap (quadratic fan-out guard), " +
+        "pair-key reduction with map-side combine, top-20 via " +
+        "TakeOrderedAndProject"),
   )
 }

@@ -1351,6 +1351,39 @@ object Stats {
     s"(case when $acf1Den = 0.0 or $acf1Den is null then cast(null as double) else " +
       "((cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / " +
       s"$acf1Den) end)"
+
+  /** x50: 2-D Pareto skyline of parts — every part no other part
+    * dominates on (maximize p_size, minimize price). d dominates p iff
+    * d.size >= p.size AND d.price <= p.price with at least one strict;
+    * equal-(size, price) twins dominate neither, so all copies of a
+    * frontier point are kept. The catalog read behind "biggest part per
+    * budget": the frontier is exactly the points a rational
+    * size-maximizing buyer could pick.
+    *
+    * Design for 100 TB: the textbook block-nested-loop skyline is O(n²)
+    * row comparisons. For 2-D the frontier collapses to the DISTINCT
+    * KEY domain: reduce rows to (size, min price) — one combinable
+    * groupBy — then a running min over sizes DESCENDING marks size s on
+    * the frontier iff m(s) < min over all larger sizes (strict: an
+    * equal-price larger part dominates). That window runs over the
+    * |distinct size| table (~50 rows), never the facts, and the
+    * frontier broadcast-joins back to emit member rows. Prices compare
+    * in exact cents. */
+  def skylineParts(part: DataFrame): DataFrame = {
+    val rows = part.select(col("p_partkey"), col("p_size"),
+      expr("cast(floor(p_retailprice * 100.0 + 0.5) as bigint)")
+        .as("price_cents"))
+    val bySize = rows.groupBy("p_size").agg(min("price_cents").as("m"))
+    val w = Window.orderBy(col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = bySize
+      .withColumn("best_larger", min("m").over(w))
+      .where(col("best_larger").isNull || col("m") < col("best_larger"))
+      .select(col("p_size"), col("m"))
+    rows.join(broadcast(frontier), Seq("p_size"))
+      .where(col("price_cents") === col("m"))
+      .select(col("p_partkey"), col("p_size"), col("price_cents"))
+  }
 }
 
 object StatsQueries {
@@ -2256,5 +2289,25 @@ object StatsQueries {
         "integer S and tie-corrected 18*Var over the calendar-bounded " +
         "day-pair grid, continuity-corrected z in one 1-row IEEE tree, " +
         "zero-variance null guard"),
+
+    Q("x50_skyline",
+      (s, d) => skylineParts(Tables.part(s, d)),
+      Some("""WITH p AS (
+             |  SELECT p_partkey, p_size,
+             |         CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)
+             |           AS price_cents
+             |  FROM part)
+             |SELECT o.p_partkey, o.p_size, o.price_cents
+             |FROM p o
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM p d
+             |  WHERE d.p_size >= o.p_size
+             |    AND d.price_cents <= o.price_cents
+             |    AND (d.p_size > o.p_size
+             |         OR d.price_cents < o.price_cents))""".stripMargin),
+      doc = "2-D Pareto skyline (max size, min price): distinct-size " +
+        "reduction + running-min window over the ~50-row size table, " +
+        "broadcast frontier re-join — never the O(n^2) dominance scan " +
+        "the NOT EXISTS oracle runs; exact cents"),
   )
 }

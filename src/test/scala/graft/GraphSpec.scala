@@ -24,6 +24,30 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got(1L) - (0.15 + 0.85 / 3)) < 1e-6)
   }
 
+  test("triangle census: a 4-clique closes every wedge; a path closes none") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val r = Graph.triangleCensus(k4).collect()(0)
+    // K4: 4 nodes, 6 edges, C(3,2)*4 = 12 wedges, 4 triangles, cc = 1
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 6L, 12L, 4L)))
+    assert(r.getDouble(4) == 1.0)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val pr = Graph.triangleCensus(path).collect()(0)
+    assert(pr.getLong(2) == 2L && pr.getLong(3) == 0L)
+    assert(pr.getDouble(4) == 0.0)
+  }
+
+  test("triangle census: hub star orients away from leaves, no false triangles") {
+    // star K1,4 : wedges 6 at the hub, 0 triangles — the degree
+    // orientation points every edge leaf->hub (out-degree 1 and 0), so
+    // the join enumerates ZERO candidate wedges at the quadratic hub
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("doc_a", "doc_b")
+    val r = Graph.triangleCensus(star).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((5L, 4L, 6L, 0L)))
+  }
+
   test("ranks are bounded below by the damping floor on real data") {
     val pairs = operators.Dedup.minhashCandidates(
       Tables.documents(spark, sf("sf0.001")), 4)

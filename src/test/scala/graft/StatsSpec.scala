@@ -531,4 +531,19 @@ class StatsSpec extends SparkSpec {
     val const = Stats.dowAnova(days(_ => 5.0, 14)).collect().head
     assert(const.isNullAt(2))
   }
+
+  test("skyline keeps exactly the non-dominated points, including equal twins") {
+    import spark.implicits._
+    val parts = Seq(
+      (1L, 10, 5.00), // dominated by 4: smaller and pricier
+      (2L, 20, 3.00), // frontier
+      (3L, 20, 3.00), // exact twin of 2 — neither dominates, both kept
+      (4L, 15, 2.00), // frontier
+      (5L, 20, 4.00), // dominated by 2: same size, pricier
+      (6L, 25, 9.00), // frontier: nothing larger exists
+      (7L, 15, 2.50)  // dominated by 4: same size, pricier
+    ).toDF("p_partkey", "p_size", "p_retailprice")
+    val got = Stats.skylineParts(parts).collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L, 4L, 6L))
+  }
 }
