@@ -172,8 +172,50 @@ object Profiling {
         "distinct_a", "distinct_b")
       .orderBy("column_name")
   }
-}
 
+
+  /** p9: zone-map skip census — would min/max footer stats let a
+    * date-range predicate skip whole files? Rows bucket by the physical
+    * write order proxy (l_orderkey div 8192 ≈ one row-group), each
+    * bucket reduces to its [min, max] l_shipdate zone (one combinable
+    * groupBy — the shuffle moves one row per bucket), and the census
+    * reports how many zones a fixed summer-quarter predicate prunes and
+    * what fraction of rows the surviving zones force a scan of. The
+    * physical-design read behind "is this table date-clustered enough,
+    * or does it need a z-order/sort rewrite (x6)?" — on TPC-H-shaped
+    * data orderkey order correlates with orderdate, so skipping is
+    * partial but real. Everything is exact integers except the two
+    * 6-dp fractions. */
+  def zoneMapSkips(lineitem: DataFrame,
+      lo: String = "1995-06-01", hi: String = "1995-09-01"): DataFrame = {
+    // boundary days as exact epoch-day integers — no timestamp-literal
+    // cast parity to get wrong between engines
+    val loD = java.time.LocalDate.parse(lo).toEpochDay
+    val hiD = java.time.LocalDate.parse(hi).toEpochDay
+    val zones = lineitem
+      .select(expr("l_orderkey div 8192").as("bucket"),
+        expr("unix_timestamp(l_shipdate) div 86400").as("day"))
+      .select(col("bucket"), col("day"),
+        (col("day") >= loD && col("day") < hiD).cast("long").as("hit"))
+      .groupBy("bucket")
+      .agg(min("day").as("zmin"), max("day").as("zmax"),
+        count(lit(1)).as("rows"), sum("hit").as("matched"))
+    zones.agg(
+      count(lit(1)).as("n_zones"),
+      sum(expr(s"case when zmax < ${loD}L or zmin >= ${hiD}L then 1L else 0L end"))
+        .as("n_skipped"),
+      sum("rows").as("n_rows"),
+      sum(expr(s"case when zmax < ${loD}L or zmin >= ${hiD}L then 0L else rows end"))
+        .as("rows_scanned"),
+      sum("matched").as("rows_matched"))
+      .select(col("n_zones"), col("n_skipped"),
+        pround(col("n_skipped").cast("double") / col("n_zones").cast("double"), 6)
+          .as("skip_frac"),
+        col("n_rows"), col("rows_scanned"), col("rows_matched"),
+        pround(col("rows_scanned").cast("double") / col("n_rows").cast("double"), 6)
+          .as("scan_frac"))
+  }
+}
 object ProfilingQueries {
   val qs: Seq[Q] = Seq(
     Q("p1_value_percentiles",
@@ -362,5 +404,43 @@ object ProfilingQueries {
         "pass): midpoint-day split from a broadcast min/max row, " +
         "conditional null + exact-distinct counters for both periods in " +
         "ONE multi-distinct aggregate — no second scan, no period join"),
+
+    Q("p9_zonemap_skips",
+      (s, d) => Profiling.zoneMapSkips(Tables.lineitem(s, d)),
+      Some {
+        val loD = java.time.LocalDate.parse("1995-06-01").toEpochDay
+        val hiD = java.time.LocalDate.parse("1995-09-01").toEpochDay
+        s"""WITH dd AS (
+           |  SELECT l_orderkey // 8192 AS bucket,
+           |         CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400 AS day
+           |  FROM lineitem),
+           |z AS (
+           |  SELECT bucket, min(day) AS zmin, max(day) AS zmax,
+           |         CAST(count(*) AS BIGINT) AS nrows,
+           |         CAST(sum(CASE WHEN day >= $loD AND day < $hiD
+           |                  THEN 1 ELSE 0 END) AS BIGINT) AS matched
+           |  FROM dd GROUP BY 1),
+           |a AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_zones,
+           |         CAST(sum(CASE WHEN zmax < $loD OR zmin >= $hiD
+           |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+           |         CAST(sum(nrows) AS BIGINT) AS n_rows,
+           |         CAST(sum(CASE WHEN zmax < $loD OR zmin >= $hiD
+           |                  THEN 0 ELSE nrows END) AS BIGINT) AS rows_scanned,
+           |         CAST(sum(matched) AS BIGINT) AS rows_matched
+           |  FROM z)
+           |SELECT n_zones, n_skipped,
+           |       floor(CAST(n_skipped AS DOUBLE) / CAST(n_zones AS DOUBLE)
+           |             * 1000000.0 + 0.5) / 1000000.0 AS skip_frac,
+           |       n_rows, rows_scanned, rows_matched,
+           |       floor(CAST(rows_scanned AS DOUBLE) / CAST(n_rows AS DOUBLE)
+           |             * 1000000.0 + 0.5) / 1000000.0 AS scan_frac
+           |FROM a""".stripMargin
+      },
+      doc = "zone-map (min/max footer) skip census for a summer-quarter " +
+        "shipdate predicate over 8192-order write buckets: one " +
+        "combinable zone reduction (shuffle moves one row per zone), " +
+        "exact epoch-day integers, skip + forced-scan fractions — the " +
+        "'is this table date-clustered enough' physical-design read"),
   )
 }

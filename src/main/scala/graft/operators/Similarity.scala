@@ -1013,6 +1013,51 @@ object Similarity {
           .as("loading"))
       .orderBy("dim")
   }
+
+  /** s26: one linear-SVM (hinge-loss) subgradient step — the
+    * quality-classifier training primitive a curation pipeline runs at
+    * full-corpus scale (fastText-style filters are linear models over
+    * document features). Pegasos subgradient of
+    * λ/2·‖w‖² + mean hinge(y·⟨w,x⟩): g_j = λ·w_j − (1/n)·Σ_{active}
+    * y_i·x_ij, active ⟺ y_i·⟨w,x_i⟩ < 1.
+    *
+    * Determinism: the hinge is piecewise LINEAR — no sigmoid, no exp —
+    * so with fixed-point vectors the entire active-set decision is an
+    * exact integer compare (y·z < 1e5 where z = ⟨f, w⟩ is an exact long
+    * dot against the integer weight literal), and the per-dim numerator
+    * Σ y·f_j is an exact long sum (order-free). Only the final 64-row
+    * projection divides into doubles, on a fixed IEEE tree.
+    *
+    * Design for 100 TB: one scan — margin + active filter + posexplode
+    * to 64 accumulators with map-side combine; the weight vector rides
+    * as a literal (zero-byte "broadcast"), the dim spine and row count
+    * are 64-row/1-row broadcasts. This is exactly one distributed-SGD
+    * epoch step; a real trainer loops it with [[Materialize]] like
+    * dedupClusters. Binary task: label < 5 vs rest. */
+  def svmStep(vecs: DataFrame, lambda: Double = 0.01): DataFrame = {
+    val s = vecs.sparkSession
+    val w = planeWeights(7, 1)(0) // 64 ints in [-9,9]; family 7 is not an LSH table
+    val wLit = s"array(${w.mkString("L,")}L)"
+    val active = vecs
+      .selectExpr("label", s"$fixedExpr as f")
+      .selectExpr("f",
+        "(case when label < 5 then 1L else -1L end) as y",
+        s"${dotExpr(s, "f", s"slice($wLit, 1, size(f))")} as z")
+      .where(col("y") * col("z") < lit(100000L))
+    val perDim = active
+      .select(col("y"), posexplode(col("f")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(sum(col("y") * col("x")).as("syf"))
+    val spine = s.range(1)
+      .selectExpr(s"posexplode(array(${w.mkString(",")})) as (dim, w)")
+    val nn = vecs.agg(count(lit(1)).as("n"))
+    spine.join(perDim, Seq("dim"), "left").crossJoin(broadcast(nn))
+      .select(col("dim"), col("w").cast("long").as("w"),
+        coalesce(col("syf"), lit(0L)).as("sum_yf"),
+        pround(expr(s"$lambda * cast(w as double) - " +
+          "cast(coalesce(syf, 0L) as double) / (cast(n as double) * 100000.0)"), 9)
+          .as("grad"))
+      .orderBy("dim")
+  }
 }
 
 object SimilarityQueries {
@@ -1937,5 +1982,41 @@ object SimilarityQueries {
       doc = "IVF cell-balance census (hot-cell pre-flight for s13): one " +
         "broadcast-centroid assignment pass, k-row rollup, imbalance " +
         "factor max/(n/k) on one census row"),
+
+    Q("s26_svm_step",
+      (s, d) => svmStep(vecs(s, d)),
+      Some {
+        val w = Similarity.planeWeights(7, 1)(0)
+        val wl = s"[${w.mkString(",")}]"
+        s"""WITH $fixedSqlCte,
+           |m AS (
+           |  SELECT f, CASE WHEN label < 5 THEN 1 ELSE -1 END AS y,
+           |         CAST(list_sum(list_transform(range(1, len(f) + 1),
+           |                i -> f[i] * ($wl)[i])) AS BIGINT) AS z
+           |  FROM f),
+           |act AS (SELECT f, y FROM m WHERE y * z < 100000),
+           |ex AS (
+           |  SELECT y, i AS dim, f[i + 1] AS x
+           |  FROM act, (SELECT unnest(range(0, 64)) AS i)
+           |  WHERE i < len(f)),
+           |pd AS (SELECT dim, CAST(sum(y * x) AS BIGINT) AS syf
+           |       FROM ex GROUP BY 1),
+           |sp AS (SELECT i AS dim, ($wl)[i + 1] AS w
+           |       FROM (SELECT unnest(range(0, 64)) AS i)),
+           |nn AS (SELECT count(*) AS n FROM f)
+           |SELECT sp.dim, CAST(sp.w AS BIGINT) AS w,
+           |       CAST(coalesce(pd.syf, 0) AS BIGINT) AS sum_yf,
+           |       floor((0.01 * CAST(sp.w AS DOUBLE)
+           |              - CAST(coalesce(pd.syf, 0) AS DOUBLE)
+           |                / (CAST(n AS DOUBLE) * 100000.0))
+           |             * 1000000000.0 + 0.5) / 1000000000.0 AS grad
+           |FROM sp CROSS JOIN nn LEFT JOIN pd USING (dim)
+           |ORDER BY sp.dim""".stripMargin
+      },
+      doc = "one linear-SVM hinge subgradient step (label<5 vs rest): " +
+        "exact integer margins against the weight literal (piecewise-" +
+        "linear loss, no transcendentals), exact long per-dim numerators " +
+        "with map-side combine, one scan; the distributed-SGD epoch " +
+        "primitive behind fastText-style quality filters"),
   )
 }

@@ -1352,6 +1352,49 @@ object Stats {
       "((cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / " +
       s"$acf1Den) end)"
 
+  /** x51: Kendall τ-b between daily revenue and daily order count —
+    * the rank-concordance companion to x37's Spearman ρ (τ-b is the
+    * robust choice when the day grid has ties). Concordant/discordant
+    * pair counts are exact integer comparisons over the
+    * calendar-bounded day-pair grid (the x49 discipline — the join
+    * input is the |days| table, never the facts), tie corrections
+    * n1/n2 come from |distinct value| group counts, and only the final
+    * 1-row τ-b = (C−D)/√(n0−n1)/√(n0−n2) tree is floating. */
+  def kendallTau(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .select(expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+        expr("cast(floor(o_totalprice * 100.0 + 0.5) as bigint)").as("c"))
+      .groupBy("day").agg(sum("c").as("rev"), count(lit(1)).as("cnt"))
+    val pp = daily.select(col("day").as("d1"), col("rev").as("r1"),
+        col("cnt").as("c1"))
+      .join(daily.select(col("day").as("d2"), col("rev").as("r2"),
+        col("cnt").as("c2")), col("d1") < col("d2"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("case when (r2 > r1 and c2 > c1) or (r2 < r1 and c2 < c1) " +
+          "then 1L else 0L end")).as("concordant"),
+        sum(expr("case when (r2 > r1 and c2 < c1) or (r2 < r1 and c2 > c1) " +
+          "then 1L else 0L end")).as("discordant"))
+    val tr = daily.groupBy("rev").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) div 2")), lit(0L)).as("tie_rev"))
+    val tc = daily.groupBy("cnt").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) div 2")), lit(0L)).as("tie_cnt"))
+    val nd = daily.agg(count(lit(1)).as("n_days"))
+    nd.crossJoin(broadcast(pp)).crossJoin(broadcast(tr))
+      .crossJoin(broadcast(tc))
+      .select(col("n_days"), col("n_pairs"), col("concordant"),
+        col("discordant"), col("tie_rev"), col("tie_cnt"),
+        pround(expr(tauBExpr), 6).as("tau_b"))
+  }
+
+  // τ-b with fully-tied-variable guard: if every pair ties on either
+  // variable the denominator is 0 -> null, not a divide error.
+  private[operators] val tauBExpr =
+    "(case when n_pairs - tie_rev <= 0 or n_pairs - tie_cnt <= 0 " +
+      "then cast(null as double) " +
+      "else cast(concordant - discordant as double) " +
+      "/ (sqrt(cast(n_pairs - tie_rev as double)) " +
+      "* sqrt(cast(n_pairs - tie_cnt as double))) end)"
+
   /** x50: 2-D Pareto skyline of parts — every part no other part
     * dominates on (maximize p_size, minimize price). d dominates p iff
     * d.size >= p.size AND d.price <= p.price with at least one strict;
@@ -2309,5 +2352,35 @@ object StatsQueries {
         "reduction + running-min window over the ~50-row size table, " +
         "broadcast frontier re-join — never the O(n^2) dominance scan " +
         "the NOT EXISTS oracle runs; exact cents"),
+
+    Q("x51_kendall_tau",
+      (s, d) => kendallTau(Tables.orders(s, d)),
+      Some(s"""WITH daily AS (
+              |  SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+              |         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev,
+              |         CAST(count(*) AS BIGINT) AS cnt
+              |  FROM orders GROUP BY 1),
+              |pp AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+              |         CAST(sum(CASE WHEN (b.rev > a.rev AND b.cnt > a.cnt)
+              |                         OR (b.rev < a.rev AND b.cnt < a.cnt)
+              |                  THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+              |         CAST(sum(CASE WHEN (b.rev > a.rev AND b.cnt < a.cnt)
+              |                         OR (b.rev < a.rev AND b.cnt > a.cnt)
+              |                  THEN 1 ELSE 0 END) AS BIGINT) AS discordant
+              |  FROM daily a JOIN daily b ON a.day < b.day),
+              |tr AS (SELECT CAST(coalesce(sum(t * (t - 1) // 2), 0) AS BIGINT) AS tie_rev
+              |       FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY rev) x),
+              |tc AS (SELECT CAST(coalesce(sum(t * (t - 1) // 2), 0) AS BIGINT) AS tie_cnt
+              |       FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY cnt) x),
+              |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+              |SELECT n_days, n_pairs, concordant, discordant, tie_rev, tie_cnt,
+              |       floor(($tauBExpr) * 1000000.0 + 0.5) / 1000000.0 AS tau_b
+              |FROM nd CROSS JOIN pp CROSS JOIN tr CROSS JOIN tc""".stripMargin),
+      doc = "Kendall tau-b between daily revenue and daily order count " +
+        "(x37 Spearman's tie-robust companion): exact integer " +
+        "concordance over the calendar-bounded day-pair grid, tie " +
+        "corrections from |distinct value| tables, 1-row IEEE tail, " +
+        "fully-tied guard null"),
   )
 }

@@ -93,4 +93,22 @@ class ProfilingSpec extends SparkSpec {
     assert(census.length == 4)
     census.foreach(c => assert(c.getAs[Long]("n_orphans") == 0L, c.toString))
   }
+
+  test("zone-map skip census: disjoint zones skip, straddling zones scan") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def row(ok: Long, d: String) = (ok, Timestamp.valueOf(s"$d 00:00:00"))
+    val li = Seq(
+      row(0L, "1995-03-01"), row(10L, "1995-04-15"),       // zone 0: all before
+      row(8192L, "1995-05-20"), row(8200L, "1995-07-15"),  // zone 1: straddles
+      row(16384L, "1995-10-01")                            // zone 2: all after
+    ).toDF("l_orderkey", "l_shipdate")
+    val r = Profiling.zoneMapSkips(li).collect().head
+    assert(r.getAs[Long]("n_zones") == 3L)
+    assert(r.getAs[Long]("n_skipped") == 2L)
+    assert(r.getAs[Long]("n_rows") == 5L)
+    assert(r.getAs[Long]("rows_scanned") == 2L, "only the straddling zone scans")
+    assert(r.getAs[Long]("rows_matched") == 1L, "one row actually in range")
+    assert(r.getAs[Double]("scan_frac") == 0.4)
+  }
 }

@@ -423,4 +423,34 @@ class SimilaritySpec extends SparkSpec {
         (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_same_label"))).toMap
     assert(m == Map(20L -> (1L, 1L), 0L -> (1L, 0L)))
   }
+
+  test("svm step: zero vectors are all active and grad is the pure L2 term") {
+    val vecs = (0L until 6L).map(i => (i, Array.fill(4)(0.0f), (i % 10).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.svmStep(vecs).collect()
+    assert(rows.length == 64)
+    val w = Similarity.planeWeights(7, 1)(0)
+    rows.foreach { r =>
+      val dim = r.getInt(0)
+      assert(r.getLong(2) == 0L) // zero margins: active but zero numerator
+      assert(r.getDouble(3) ==
+        math.floor(0.01 * w(dim) * 1e9 + 0.5) / 1e9)
+    }
+  }
+
+  test("svm step: confident correct rows leave the active set, wrong side stays") {
+    val w = Similarity.planeWeights(7, 1)(0)
+    val j = w.indexWhere(_ > 0)
+    // e has 2.0 at dim j: z = w_j * 200000 >= 200000, i.e. margin >= 2.
+    // label 0 (y=+1): y*z >= 2e5 -> hinge satisfied, drops out.
+    // label 9 (y=-1): y*z < 0 -> active, contributes -f_j.
+    val e = Array.tabulate(j + 1)(i => if (i == j) 2.0f else 0.0f)
+    val vecs = Seq((0L, e, 0), (1L, e, 9)).toDF("vec_id", "embedding", "label")
+    val rows = Similarity.svmStep(vecs).collect()
+    val at = rows.map(r => r.getInt(0) -> r).toMap
+    assert(at(j).getLong(2) == -200000L)
+    assert(at(j).getDouble(3) ==
+      math.floor((0.01 * w(j) - (-200000.0) / (2.0 * 100000.0)) * 1e9 + 0.5) / 1e9)
+    rows.filter(_.getInt(0) != j).foreach(r => assert(r.getLong(2) == 0L))
+  }
 }

@@ -532,6 +532,27 @@ class StatsSpec extends SparkSpec {
     assert(const.isNullAt(2))
   }
 
+  test("kendall tau-b: hand-counted concordance and full-tie null guard") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def o(day: Int, price: Double) =
+      (Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), price)
+    // daily: (d1: rev 1000, cnt 1) (d2: rev 3000, cnt 2) (d3: rev 1500, cnt 3)
+    // pairs: 1-2 concordant, 1-3 concordant, 2-3 discordant -> tau = 1/3
+    val orders = Seq(o(1, 10.00), o(2, 10.00), o(2, 20.00),
+      o(3, 5.00), o(3, 5.00), o(3, 5.00))
+      .toDF("o_orderdate", "o_totalprice")
+    val r = Stats.kendallTau(orders).collect().head
+    assert(r.getAs[Long]("n_days") == 3L && r.getAs[Long]("n_pairs") == 3L)
+    assert(r.getAs[Long]("concordant") == 2L && r.getAs[Long]("discordant") == 1L)
+    assert(r.getAs[Long]("tie_rev") == 0L && r.getAs[Long]("tie_cnt") == 0L)
+    assert(r.getAs[Double]("tau_b") == 0.333333)
+    // constant: every pair ties on both variables -> denominator 0 -> null
+    val const = Seq(o(1, 7.00), o(2, 7.00), o(3, 7.00))
+      .toDF("o_orderdate", "o_totalprice")
+    assert(Stats.kendallTau(const).collect().head.isNullAt(6))
+  }
+
   test("skyline keeps exactly the non-dominated points, including equal twins") {
     import spark.implicits._
     val parts = Seq(
