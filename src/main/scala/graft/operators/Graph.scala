@@ -104,6 +104,53 @@ object Graph {
           lit(3.0) * col("n_triangles").cast("double")
             / col("n_wedges").cast("double")), 9).as("global_cc"))
   }
+
+  /** g23: Resource-Allocation link prediction over the candidate graph —
+    * score every NON-adjacent pair (x, y) by Σ_{u ∈ Γ(x)∩Γ(y)} 1/deg(u)
+    * and keep the top k: "these two docs share several low-degree
+    * (discriminative) neighbors but no LSH band put them together" —
+    * the recall-recovery read for near-dup candidate generation (RA is
+    * Adamic–Adar with 1/deg instead of 1/log deg, so no transcendental
+    * enters the score).
+    *
+    * Determinism: each pivot contribution 1/deg quantizes to 12 dp and
+    * sums as DECIMAL(38,12) (the g9 discipline) — order-free, so the
+    * top-k ordering agrees bit-for-bit with the oracle.
+    *
+    * Design for 100 TB: common-neighbor enumeration needs BOTH wedge
+    * directions (unlike g22's closed triangles, a 2-path's endpoints can
+    * both out-rank the pivot), so hub pivots are genuinely quadratic.
+    * The guard is a degree cap on the PIVOT (deg ≤ 256, mirrored in the
+    * oracle): a hub's per-path contribution is ≤ 1/257 — noise for a
+    * top-k score — while its fan-out is deg², so the cap drops the
+    * least informative pivots exactly where they cost the most. The
+    * existing-edge exclusion is a left-anti equality join on the
+    * canonical pair key. */
+  def resourceAllocTop(rawPairs: DataFrame, k: Int,
+      degCap: Int = 256): DataFrame = {
+    val p = Materialize.frame(rawPairs.select(col("doc_a"), col("doc_b")))
+    val edges = p
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adj = edges.join(deg.where(col("deg") <= degCap), "src")
+    val paths = adj.select(col("src"), col("dst").as("x"), col("deg"))
+      .join(adj.select(col("src"), col("dst").as("y")), "src")
+      .where(col("x") < col("y"))
+      .select(col("x"), col("y"),
+        pround(lit(1.0) / col("deg").cast("double"), 12).as("c"))
+    paths
+      .join(p, paths("x") === p("doc_a") && paths("y") === p("doc_b"),
+        "left_anti")
+      .groupBy("x", "y")
+      .agg(pround(sum(col("c").cast(DecimalType(38, 12))).cast("double"), 9)
+        .as("ra_score"))
+      .select(col("x").as("doc_a"), col("y").as("doc_b"), col("ra_score"))
+      .orderBy(col("ra_score").desc, col("doc_a"), col("doc_b"))
+      .limit(k)
+  }
 }
 
 object GraphQueries {
@@ -186,5 +233,39 @@ object GraphQueries {
         "degree-orientation (out-degree bounded by degeneracy, not hub " +
         "size): nodes/edges/wedges/triangles + global clustering " +
         "coefficient; the oracle counts canonical a<b<c triples naively"),
+
+    Q("g23_link_predict",
+      (s, d) => resourceAllocTop(
+        Dedup.minhashCandidates(Tables.documents(s, d), 4), 15),
+      Some(s"""WITH $candPairsSqlCtes,
+              |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+              |        FROM e GROUP BY 1),
+              |adj AS (SELECT e.src, e.dst, d.deg
+              |        FROM e JOIN deg d ON d.src = e.src
+              |        WHERE d.deg <= 256),
+              |pth AS (
+              |  SELECT a.dst AS x, b.dst AS y,
+              |         CAST(floor(1.0 / CAST(a.deg AS DOUBLE)
+              |                    * 1000000000000.0 + 0.5)
+              |              / 1000000000000.0 AS DECIMAL(38,12)) AS c
+              |  FROM adj a JOIN adj b
+              |    ON a.src = b.src AND a.dst < b.dst),
+              |ne AS (
+              |  SELECT x, y, c FROM pth
+              |  WHERE NOT EXISTS (SELECT 1 FROM pairs p
+              |                    WHERE p.doc_a = pth.x AND p.doc_b = pth.y))
+              |SELECT x AS doc_a, y AS doc_b,
+              |       floor(CAST(sum(c) AS DOUBLE) * 1000000000.0 + 0.5)
+              |         / 1000000000.0 AS ra_score
+              |FROM ne GROUP BY 1, 2
+              |ORDER BY ra_score DESC, doc_a, doc_b
+              |LIMIT 15""".stripMargin),
+      doc = "Resource-Allocation link prediction (Adamic-Adar's " +
+        "transcendental-free sibling) over non-adjacent candidate " +
+        "pairs: decimal-exact 1/deg pivot sums, 256-degree pivot cap " +
+        "mirrored in the oracle (hub wedges are quadratic and worth " +
+        "<= 1/257 each), anti-join edge exclusion, deterministic top-15"),
   )
 }

@@ -1352,6 +1352,47 @@ object Stats {
       "((cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / " +
       s"$acf1Den) end)"
 
+  /** x52: promo-vs-base decile shift ladder — the quantile treatment
+    * effect read: at each decile of the line-price distribution, how
+    * many cents higher (or lower) do PROMO-part line items price than
+    * the rest? Mean-shift tests (x24/x27) hide distributional effects
+    * that act only on the tails; the ladder shows WHERE the
+    * distribution moved.
+    *
+    * Design for 100 TB: the quantile machinery is the bin-table
+    * discipline (p4/x36) — values quantize to exact cents, reduce to
+    * (group, cent, count) — a mergeable table bounded by the price
+    * domain, not the row count — and every decile reads off ONE
+    * cumulative window per group over bins. The 9-row decile spine is
+    * a broadcast; nothing row-scale ever sorts. */
+  def decileShift(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val vals = lineitem
+      .join(part.select(col("p_partkey"),
+        (col("p_type") === "PROMO").cast("int").as("g")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("g"),
+        expr("cast(floor(l_extendedprice * 100.0 + 0.5) as bigint)")
+          .as("cents"))
+    val bins = vals.groupBy("g", "cents").agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy("g").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins.select(col("g"), col("cents"),
+      sum("c").over(cumW).as("cum"),
+      sum("c").over(Window.partitionBy("g")).as("n"))
+    val spine = lineitem.sparkSession.range(1, 10)
+      .select(col("id").as("decile"))
+    val dec = cum.crossJoin(broadcast(spine))
+      .where(col("cum") >= expr("(n * decile + 9) div 10"))
+      .groupBy("g", "decile").agg(min("cents").as("v"))
+    dec.where(col("g") === 1)
+      .select(col("decile"), col("v").as("promo_cents"))
+      .join(dec.where(col("g") === 0)
+        .select(col("decile"), col("v").as("base_cents")), "decile")
+      .select(col("decile"), col("promo_cents"), col("base_cents"),
+        (col("promo_cents") - col("base_cents")).as("shift_cents"))
+      .orderBy("decile")
+  }
+
   /** x51: Kendall τ-b between daily revenue and daily order count —
     * the rank-concordance companion to x37's Spearman ρ (τ-b is the
     * robust choice when the day grid has ties). Concordant/discordant
@@ -2382,5 +2423,31 @@ object StatsQueries {
         "concordance over the calendar-bounded day-pair grid, tie " +
         "corrections from |distinct value| tables, 1-row IEEE tail, " +
         "fully-tied guard null"),
+
+    Q("x52_decile_shift",
+      (s, d) => decileShift(Tables.lineitem(s, d), Tables.part(s, d)),
+      Some("""WITH v AS (
+             |  SELECT CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS g,
+             |         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+             |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+             |b AS (SELECT g, cents, CAST(count(*) AS BIGINT) AS c
+             |      FROM v GROUP BY 1, 2),
+             |cm AS (SELECT g, cents,
+             |              sum(c) OVER (PARTITION BY g ORDER BY cents) AS cum,
+             |              sum(c) OVER (PARTITION BY g) AS n
+             |       FROM b),
+             |d AS (SELECT g, decile, min(cents) AS v
+             |      FROM cm, (SELECT unnest(range(1, 10)) AS decile) dd
+             |      WHERE cum >= (n * decile + 9) // 10
+             |      GROUP BY 1, 2)
+             |SELECT a.decile, a.v AS promo_cents, bb.v AS base_cents,
+             |       CAST(a.v - bb.v AS BIGINT) AS shift_cents
+             |FROM d a JOIN d bb ON a.decile = bb.decile
+             |WHERE a.g = 1 AND bb.g = 0
+             |ORDER BY a.decile""".stripMargin),
+      doc = "promo-vs-base decile shift ladder (quantile treatment " +
+        "effect): exact-cent bin tables (mergeable, domain-bounded), " +
+        "one cumulative window per group over bins, broadcast 9-row " +
+        "decile spine, integer shifts"),
   )
 }

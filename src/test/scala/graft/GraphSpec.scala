@@ -48,6 +48,20 @@ class GraphSpec extends SparkSpec {
       ((5L, 4L, 6L, 0L)))
   }
 
+  test("resource-allocation link prediction: shared low-degree neighbors score") {
+    // path 1-2-3: only (1,3) is non-adjacent with a common neighbor;
+    // RA = 1/deg(2) = 0.5
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val p = Graph.resourceAllocTop(path, 5).collect()
+    assert(p.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 3L, 0.5)))
+    // 4-cycle 1-2-3-4-1: both diagonals share two degree-2 neighbors -> 1.0
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val c = Graph.resourceAllocTop(cyc, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(c == Set((1L, 3L, 1.0), (2L, 4L, 1.0)))
+  }
+
   test("ranks are bounded below by the damping floor on real data") {
     val pairs = operators.Dedup.minhashCandidates(
       Tables.documents(spark, sf("sf0.001")), 4)

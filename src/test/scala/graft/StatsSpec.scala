@@ -553,6 +553,25 @@ class StatsSpec extends SparkSpec {
     assert(Stats.kendallTau(const).collect().head.isNullAt(6))
   }
 
+  test("decile shift ladder: constant translation shows as a flat shift") {
+    import spark.implicits._
+    val part = (1L to 2L).map(k => (k, if (k == 1) "PROMO" else "STANDARD"))
+      .toDF("p_partkey", "p_type")
+    // promo prices 1..10 dollars, base prices 11..20: every decile
+    // shifts by exactly -10.00
+    val li = ((1 to 10).map(i => (1L, i.toDouble)) ++
+      (1 to 10).map(i => (2L, (10 + i).toDouble)))
+      .toDF("l_partkey", "l_extendedprice")
+    val rows = Stats.decileShift(li, part).collect()
+    assert(rows.length == 9)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("decile")
+      assert(r.getAs[Long]("promo_cents") == d * 100L)
+      assert(r.getAs[Long]("base_cents") == (10 + d) * 100L)
+      assert(r.getAs[Long]("shift_cents") == -1000L)
+    }
+  }
+
   test("skyline keeps exactly the non-dominated points, including equal twins") {
     import spark.implicits._
     val parts = Seq(
