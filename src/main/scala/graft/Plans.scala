@@ -412,6 +412,37 @@ object Plans {
         "join on the partner id (corpus-linear, no cartesian product), " +
         "the codegen'd fixed-point dot runs inside the join projection, " +
         "and the histogram is a bounded-key aggregate."),
+    "g22_triangles" ->
+      ("Triangle census with degree orientation: the candidate pairs " +
+        "arrive from ONE materialized LSH pass (checkpoint scans), the " +
+        "wedge self-join keys on the low-rank pivot u (out-degrees " +
+        "bounded by degeneracy, so no hub blowup), and closure is a " +
+        "LeftSemi EQUALITY probe on the canonical (lo, hi) pair key — " +
+        "no inequality join anywhere; the census tail is 1-row " +
+        "broadcast crossJoins."),
+    "g23_link_predict" ->
+      ("Resource-Allocation link prediction: pivots pass a degree cap " +
+        "filter before the 2-path self-join (hub fan-out is the one " +
+        "quadratic risk), adjacency exclusion is a LeftAnti equality " +
+        "join on the canonical pair key, score sums are decimal partial " +
+        "aggregates, and the top-15 is TakeOrderedAndProject."),
+    "s26_svm_step" ->
+      ("One distributed-SGD epoch step: margin + active-set filter + " +
+        "posexplode compile into one scan feeding a single " +
+        "hashpartitioning(dim) exchange with partial_sum combine; the " +
+        "weight vector is a plan literal (zero-byte broadcast), the " +
+        "64-row spine and 1-row count arrive via BroadcastExchange."),
+    "x52_decile_shift" ->
+      ("Quantile treatment effect on bin tables: raw line items reduce " +
+        "to (group, cent) bins with map-side combine BEFORE any window; " +
+        "the cumulative windows partition on the 2-value group key over " +
+        "the domain-bounded bin table, the decile spine is a 9-row " +
+        "broadcast, and the final promo/base join is decile-keyed."),
+    "p9_zonemap_skips" ->
+      ("Zone-map census: one hashpartitioning(bucket) exchange carries " +
+        "one partially-aggregated row per zone (min/max/count/matched), " +
+        "then a 1-row global rollup — the scan never re-visits rows and " +
+        "the predicate constants fold into exact epoch-day literals."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -47,6 +47,12 @@ object ScaleDemo {
     val factor = args.headOption.map(_.toInt).getOrElse(20)
     require(factor >= 1, s"factor must be >= 1, got $factor " +
       "(sequence(0, factor-1) would count DOWNWARD and corrupt doc_ids)")
+    // optional second arg: comma-separated op names — sweep only those
+    // (new-operator baselining without re-running the full matrix)
+    val only: Option[Set[String]] =
+      args.lift(1).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def keep(fns: Seq[(String, DataFrame => Long)]) =
+      only.fold(fns)(sel => fns.filter(f => sel(f._1)))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -157,7 +163,18 @@ object ScaleDemo {
       // like ngram_candidates: F× replication makes every doc an exact
       // F-clique, so near-dup pairs grow ~F² by construction — genuine
       // duplicate density; band buckets stay person-sized, never df²
-      "phash_neardup" -> (d => operators.Multimodal.phashNearDup(d).count()))
+      "phash_neardup" -> (d => operators.Multimodal.phashNearDup(d).count()),
+      // F× replication turns every doc into an F-clique: pairs grow ~F²
+      // and triangles ~F³ BY CONSTRUCTION (a 20-clique really holds 1140
+      // triangles) — output-bound like phash_neardup; the orientation
+      // keeps per-edge wedge fan-out degeneracy-bounded throughout
+      "triangles" -> (d => operators.Graph.triangleCensus(
+        operators.Dedup.minhashCandidates(d, 4)).count()),
+      // RA pivots are degree-capped at 256; the F-clique degree is ~F so
+      // replication leaves pivots under the cap — fan-out grows with the
+      // genuine clique density, and the top-k is TakeOrdered
+      "link_predict" -> (d => operators.Graph.resourceAllocTop(
+        operators.Dedup.minhashCandidates(d, 4), 15).count()))
     val vecOps: Seq[(String, DataFrame => Long)] = Seq(
       "lsh_buckets" -> (v => operators.Similarity.lshBuckets(v, 4).count()),
       "ivf_assign" -> (v => operators.Similarity.ivfAssign(v, 16).count()),
@@ -178,7 +195,10 @@ object ScaleDemo {
       // the PCA step is ONE posexplode pass to d accumulator rows
       "assign_margin" -> (v => operators.Similarity.assignMarginCensus(v, 16).count()),
       "kmeans_shift" -> (v => operators.KMeans.kmeansShift(v, 6).count()),
-      "pca_step" -> (v => operators.Similarity.pcaPowerStep(v).count()))
+      "pca_step" -> (v => operators.Similarity.pcaPowerStep(v).count()),
+      // one scan to 64 accumulator rows; the weight literal rides in the
+      // plan, so F× vectors must scale linearly with zero extra shuffles
+      "svm_step" -> (v => operators.Similarity.svmStep(v).count()))
     val eventOps: Seq[(String, DataFrame => Long)] = Seq(
       "event_transitions" -> (e => operators.Funnel.eventTransitions(e).count()),
       "funnel" -> (e => operators.Funnel.funnelConversion(e).count()),
@@ -228,9 +248,9 @@ object ScaleDemo {
       .localCheckpoint()
     val evF = replicateEvents(ev1, factor).localCheckpoint()
 
-    val lines = sweep("documents", docs1, docsF, ops) ++
-      sweep("embeddings", vecs1, vecsF, vecOps) ++
-      sweep("events", ev1, evF, eventOps)
+    val lines = sweep("documents", docs1, docsF, keep(ops)) ++
+      sweep("embeddings", vecs1, vecsF, keep(vecOps)) ++
+      sweep("events", ev1, evF, keep(eventOps))
     lines.foreach(println)
     println(s"""{"demo":"scale_sweep","factor":$factor,"docs_1x":${docs1.count()},"docs_${factor}x":${docsF.count()}}""")
     spark.stop()

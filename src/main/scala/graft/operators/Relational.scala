@@ -63,6 +63,20 @@ object Relational {
     "(case when prev_cents is null or prev_cents = 0 then cast(null as double) " +
       "else (cast(rev_cents as double) - cast(prev_cents as double)) / " +
       "cast(prev_cents as double) end)"
+
+  /** Distinct items per order under the deterministic 64-item basket
+    * cap — the ONE kernel q44 (support ranking) and q45 (lift ranking)
+    * both expand, so the two basket views cannot drift. The cap bounds
+    * the quadratic pair fan-out real carts would otherwise produce
+    * (worst basket = 2016 pairs); the kept subset is id-ordered, so it
+    * is deterministic and mirrored in both oracles. */
+  private[operators] def cappedBasketItems(lineitem: DataFrame,
+      cap: Int = 64): DataFrame = {
+    val items = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val capW = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    items.withColumn("rn", row_number().over(capW))
+      .where(col("rn") <= cap).drop("rn")
+  }
 }
 
 object RelationalQueries {
@@ -1818,11 +1832,7 @@ object RelationalQueries {
         // pairs. The self-join shares ONE l_orderkey shuffle with the
         // cap window; top-20 with a full tiebreak lands on
         // TakeOrderedAndProject — no global sort.
-        val items = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val capW = Window.partitionBy("l_orderkey").orderBy("l_partkey")
-        val capped = items.withColumn("rn", row_number().over(capW))
-          .where(col("rn") <= 64).drop("rn")
+        val capped = cappedBasketItems(Tables.lineitem(s, d))
         capped.select(col("l_orderkey"), col("l_partkey").as("part_a"))
           .join(capped.select(col("l_orderkey"), col("l_partkey").as("part_b")),
             "l_orderkey")
@@ -1853,5 +1863,73 @@ object RelationalQueries {
         "deterministic 64-item basket cap (quadratic fan-out guard), " +
         "pair-key reduction with map-side combine, top-20 via " +
         "TakeOrderedAndProject"),
+
+    Q("q45_basket_lift",
+      (s, d) => {
+        // q44 ranks pairs by raw support, which just surfaces popular
+        // items; lift = P(a,b)/(P(a)P(b)) normalizes away item
+        // popularity — the association measure recommenders actually
+        // rank by. The basket kernel is SHARED with q44 (cappedBasket-
+        // Items) and materialized once for its three consumers (pair
+        // expansion, item frequencies, order total). A support floor
+        // (>= 3 co-orders) keeps 1-count flukes from topping the
+        // ranking; lift divides exact integer products only at the end,
+        // so ordering agrees bit-for-bit with the oracle.
+        val capped = Materialize.frame(
+          cappedBasketItems(Tables.lineitem(s, d)))
+        val pairs = capped
+          .select(col("l_orderkey"), col("l_partkey").as("part_a"))
+          .join(capped.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+            "l_orderkey")
+          .where(col("part_a") < col("part_b"))
+          .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_both"))
+          .where(col("n_both") >= 3)
+        val freq = capped.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+        val tot = capped.select("l_orderkey").distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        pairs
+          .join(freq.select(col("l_partkey").as("part_a"), col("cnt").as("ca")),
+            "part_a")
+          .join(freq.select(col("l_partkey").as("part_b"), col("cnt").as("cb")),
+            "part_b")
+          .crossJoin(broadcast(tot))
+          .select(col("part_a"), col("part_b"), col("n_both"),
+            pround(expr("cast(n_both * n_orders as double) / " +
+              "cast(ca * cb as double)"), 6).as("lift"))
+          .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+          .limit(15)
+      },
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |cap AS (
+             |  SELECT l_orderkey, l_partkey FROM (
+             |    SELECT l_orderkey, l_partkey,
+             |           row_number() OVER (PARTITION BY l_orderkey
+             |                              ORDER BY l_partkey) AS rn
+             |    FROM it) x
+             |  WHERE rn <= 64),
+             |pr AS (
+             |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             |         CAST(count(*) AS BIGINT) AS n_both
+             |  FROM cap a JOIN cap b
+             |    ON a.l_orderkey = b.l_orderkey
+             |   AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 3),
+             |fq AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+             |       FROM cap GROUP BY 1),
+             |tt AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+             |       FROM cap)
+             |SELECT part_a, part_b, n_both,
+             |       floor(CAST(n_both * n_orders AS DOUBLE)
+             |             / CAST(ca.cnt * cb.cnt AS DOUBLE)
+             |             * 1000000.0 + 0.5) / 1000000.0 AS lift
+             |FROM pr JOIN fq ca ON ca.l_partkey = part_a
+             |        JOIN fq cb ON cb.l_partkey = part_b
+             |        CROSS JOIN tt
+             |ORDER BY lift DESC, part_a, part_b
+             |LIMIT 15""".stripMargin),
+      doc = "basket lift ranking (q44's popularity-normalized " +
+        "companion): shared capped-basket kernel materialized once for " +
+        "three consumers, support floor >= 3, exact integer products " +
+        "divided only in the final projection, deterministic top-15"),
   )
 }

@@ -1352,6 +1352,32 @@ object Stats {
       "((cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / " +
       s"$acf1Den) end)"
 
+  /** x53: sample-ratio-mismatch guardrail for the f13 A/B split — the
+    * pre-flight every experiment readout runs first: does the observed
+    * user allocation match the designed 50/50? A failing SRM check
+    * invalidates the whole experiment (biased logging/bucketing), so it
+    * gates f13/x31 downstream. χ² against the even split is
+    * (n_a − n_b)²/(n_a + n_b) with 1 df; the 0.05 critical value 3.841
+    * flags. One distinct-user reduction (the same user_id shuffle the
+    * funnel pays), then a 2-row rollup — integers until the final
+    * 1-row division. */
+  def srmCheck(events: DataFrame): DataFrame =
+    events.select(col("user_id")).distinct()
+      .select((col("user_id") % 2).as("variant"))
+      .groupBy("variant").agg(count(lit(1)).as("n"))
+      .agg(
+        coalesce(sum(when(col("variant") === 0, col("n"))), lit(0L)).as("n_a"),
+        coalesce(sum(when(col("variant") === 1, col("n"))), lit(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        pround(expr(srmChiExpr), 9).as("chi2"),
+        expr(s"cast(case when ($srmChiExpr) > 3.841 then 1 else 0 end as bigint)")
+          .as("srm_flag"))
+
+  private[operators] val srmChiExpr =
+    "(case when n_a + n_b = 0 then cast(null as double) " +
+      "else cast((n_a - n_b) * (n_a - n_b) as double) " +
+      "/ cast(n_a + n_b as double) end)"
+
   /** x52: promo-vs-base decile shift ladder — the quantile treatment
     * effect read: at each decile of the line-price distribution, how
     * many cents higher (or lower) do PROMO-part line items price than
@@ -2449,5 +2475,23 @@ object StatsQueries {
         "effect): exact-cent bin tables (mergeable, domain-bounded), " +
         "one cumulative window per group over bins, broadcast 9-row " +
         "decile spine, integer shifts"),
+
+    Q("x53_srm_check",
+      (s, d) => srmCheck(Tables.events(s, d)),
+      Some(s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+              |v AS (SELECT user_id % 2 AS variant FROM u),
+              |c AS (SELECT CAST(coalesce(sum(CASE WHEN variant = 0 THEN 1 END), 0) AS BIGINT) AS n_a,
+              |             CAST(coalesce(sum(CASE WHEN variant = 1 THEN 1 END), 0) AS BIGINT) AS n_b
+              |      FROM v)
+              |SELECT n_a, n_b,
+              |       floor((${srmChiExpr}) * 1000000000.0 + 0.5)
+              |         / 1000000000.0 AS chi2,
+              |       CAST(CASE WHEN (${srmChiExpr}) > 3.841 THEN 1 ELSE 0 END
+              |            AS BIGINT) AS srm_flag
+              |FROM c""".stripMargin),
+      doc = "sample-ratio-mismatch guardrail for the f13 A/B split: " +
+        "chi-square vs the designed 50/50 over distinct users, 1-df " +
+        "critical flag — the readout-invalidating check that gates " +
+        "f13/x31; integers until the final 1-row division"),
   )
 }

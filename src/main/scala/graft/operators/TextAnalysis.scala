@@ -627,7 +627,10 @@ object TextAnalysis {
     * Scale shape: one pass over text (array ops per doc, no explode —
     * the per-doc stats are map-side projections), then one combinable
     * (source) reduce. Nothing bigger than |sources| rows shuffles. */
-  def gopherRules(docs: DataFrame): DataFrame = {
+  /** The per-doc Gopher predicate flags — the ONE definition t19's
+    * per-source report and t36's ablation census both aggregate, so the
+    * two views of the same rules cannot drift. */
+  private[operators] def gopherFlags(docs: DataFrame): DataFrame = {
     val stopArr = Stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
     val perDoc = docs
       .select(col("source"), expr(tokensExpr).as("toks"))
@@ -647,6 +650,10 @@ object TextAnalysis {
         (meanW >= 3.0 && meanW <= 10.0).as("p_wlen"),
         (stopF >= 0.06).as("p_stop"),
         (alphaF >= 0.8).as("p_alpha"))
+  }
+
+  def gopherRules(docs: DataFrame): DataFrame =
+    gopherFlags(docs)
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -658,7 +665,33 @@ object TextAnalysis {
           col("p_alpha"), 1L).otherwise(0L)).as("n_pass"))
       .withColumn("pass_rate",
         pround(col("n_pass").cast("double") / col("n_docs").cast("double"), 6))
-  }
+
+  /** t36: filter-ablation census over the same Gopher rules — the Venn
+    * attribution t19's marginal fail counts can't show: how many docs
+    * would relaxing EACH filter alone recover (docs failing only that
+    * filter), and how many do multiple filters agree on dropping
+    * (redundant kills — the safe-to-simplify signal)? One combinable
+    * pass over the shared [[gopherFlags]] kernel to a 1-row census;
+    * nothing per-doc survives the aggregate. */
+  def filterAblation(docs: DataFrame): DataFrame =
+    gopherFlags(docs)
+      .select(col("p_len"), col("p_wlen"), col("p_stop"), col("p_alpha"),
+        (when(col("p_len"), 0L).otherwise(1L) +
+          when(col("p_wlen"), 0L).otherwise(1L) +
+          when(col("p_stop"), 0L).otherwise(1L) +
+          when(col("p_alpha"), 0L).otherwise(1L)).as("n_fail"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_fail") === 0, 1L).otherwise(0L)).as("n_pass"),
+        sum(when(col("n_fail") === 1 && !col("p_len"), 1L).otherwise(0L))
+          .as("only_len"),
+        sum(when(col("n_fail") === 1 && !col("p_wlen"), 1L).otherwise(0L))
+          .as("only_wlen"),
+        sum(when(col("n_fail") === 1 && !col("p_stop"), 1L).otherwise(0L))
+          .as("only_stop"),
+        sum(when(col("n_fail") === 1 && !col("p_alpha"), 1L).otherwise(0L))
+          .as("only_alpha"),
+        sum(when(col("n_fail") >= 2, 1L).otherwise(0L)).as("multi_fail"))
 
   def sourceUnigramKl(docs: DataFrame): DataFrame = {
     val swSrc = docs
@@ -1147,6 +1180,27 @@ object TextAnalysisQueries {
 
   private val toksSql = "list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '')"
   private val stopSql = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** The per-doc Gopher flag CTE chain — the oracle twin of
+    * [[TextAnalysis.gopherFlags]], shared by t19 and t36 so the two
+    * rule censuses cannot drift. */
+  private val gopherFlagsSqlCtes =
+    s"""t AS (SELECT source, $toksSql AS toks FROM documents),
+       |pd AS (
+       |  SELECT source,
+       |         CAST(len(toks) AS BIGINT) AS n_tokens,
+       |         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_wlen,
+       |         CAST(len(list_filter(toks, x -> x IN $stopSql)) AS BIGINT) AS n_stop,
+       |         CAST(len(list_filter(toks, x -> regexp_matches(x, '^[a-zA-Z]+$$'))) AS BIGINT) AS n_alpha
+       |  FROM t),
+       |f AS (
+       |  SELECT source,
+       |         (n_tokens >= 50 AND n_tokens <= 100000) AS p_len,
+       |         (CAST(sum_wlen AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 3.0
+       |          AND CAST(sum_wlen AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 10.0) AS p_wlen,
+       |         (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.06) AS p_stop,
+       |         (CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.8) AS p_alpha
+       |  FROM pd)""".stripMargin
   private[operators] val statsSqlCte =
     s"""tok AS (SELECT doc_id, lang, n_chars, unnest($toksSql) AS w FROM documents),
        |st AS (
@@ -1537,22 +1591,7 @@ object TextAnalysisQueries {
 
     Q("t19_gopher_rules",
       (s, d) => gopherRules(docs(s, d)).orderBy("source"),
-      Some(s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
-              |pd AS (
-              |  SELECT source,
-              |         CAST(len(toks) AS BIGINT) AS n_tokens,
-              |         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_wlen,
-              |         CAST(len(list_filter(toks, x -> x IN $stopSql)) AS BIGINT) AS n_stop,
-              |         CAST(len(list_filter(toks, x -> regexp_matches(x, '^[a-zA-Z]+$$'))) AS BIGINT) AS n_alpha
-              |  FROM t),
-              |f AS (
-              |  SELECT source,
-              |         (n_tokens >= 50 AND n_tokens <= 100000) AS p_len,
-              |         (CAST(sum_wlen AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 3.0
-              |          AND CAST(sum_wlen AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 10.0) AS p_wlen,
-              |         (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.06) AS p_stop,
-              |         (CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.8) AS p_alpha
-              |  FROM pd)
+      Some(s"""WITH $gopherFlagsSqlCtes
               |SELECT source, count(*) AS n_docs,
               |       CAST(sum(CASE WHEN NOT p_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
               |       CAST(sum(CASE WHEN NOT p_wlen THEN 1 ELSE 0 END) AS BIGINT) AS fail_wlen,
@@ -1973,5 +2012,28 @@ object TextAnalysisQueries {
         "(does more data still buy vocabulary?): words reduce to their " +
         "first doc, docs to token counts, every checkpoint a conditional " +
         "sum — no cumulative-distinct window, exact integers only"),
+
+    Q("t36_filter_ablation",
+      (s, d) => filterAblation(docs(s, d)),
+      Some(s"""WITH $gopherFlagsSqlCtes,
+              |nf AS (
+              |  SELECT p_len, p_wlen, p_stop, p_alpha,
+              |         (CASE WHEN p_len THEN 0 ELSE 1 END
+              |          + CASE WHEN p_wlen THEN 0 ELSE 1 END
+              |          + CASE WHEN p_stop THEN 0 ELSE 1 END
+              |          + CASE WHEN p_alpha THEN 0 ELSE 1 END) AS n_fail
+              |  FROM f)
+              |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |       CAST(sum(CASE WHEN n_fail = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+              |       CAST(sum(CASE WHEN n_fail = 1 AND NOT p_len THEN 1 ELSE 0 END) AS BIGINT) AS only_len,
+              |       CAST(sum(CASE WHEN n_fail = 1 AND NOT p_wlen THEN 1 ELSE 0 END) AS BIGINT) AS only_wlen,
+              |       CAST(sum(CASE WHEN n_fail = 1 AND NOT p_stop THEN 1 ELSE 0 END) AS BIGINT) AS only_stop,
+              |       CAST(sum(CASE WHEN n_fail = 1 AND NOT p_alpha THEN 1 ELSE 0 END) AS BIGINT) AS only_alpha,
+              |       CAST(sum(CASE WHEN n_fail >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS multi_fail
+              |FROM nf""".stripMargin),
+      doc = "Gopher filter ablation (t19's Venn companion): docs failing " +
+        "ONLY each rule (what relaxing it alone recovers) vs multi-rule " +
+        "kills (redundancy), one combinable pass over the shared flag " +
+        "kernel to a 1-row census"),
   )
 }

@@ -548,4 +548,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(winIdx >= 0 && p.substring(winIdx).contains("HashAggregate"),
       "quartile windows must be fed by value-domain aggregates\n" + p.take(1200))
   }
+
+  test("g22: triangle closure is a LeftSemi equality join on the pair key") {
+    val p = plan("g22_triangles")
+    assert(p.contains("LeftSemi"),
+      "wedge closure must be a semi-join probe, not a count join\n" + p.take(1000))
+  }
+
+  test("g23: existing-edge exclusion is a LeftAnti equality join") {
+    val p = plan("g23_link_predict")
+    assert(p.contains("LeftAnti"),
+      "adjacent pairs must drop via anti-join on the canonical key\n" + p.take(1000))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must never be a global sort\n" + p.take(1000))
+  }
+
+  test("s26: one dim-keyed exchange; margins and numerators are map-side combined") {
+    val p = plan("s26_svm_step")
+    assert(p.split("Exchange hashpartitioning\\(dim").length == 2,
+      "exactly one shuffle, keyed on the 64-dim accumulator\n" + p.take(1200))
+    assert(p.contains("partial_sum"),
+      "per-dim numerators must partial-aggregate before the exchange")
+  }
+
+  test("x52: decile windows run over the (g, cents) bin table, never raw rows") {
+    val p = plan("x52_decile_shift")
+    assert(p.contains("hashpartitioning(g") && p.contains("partial_count"),
+      "bins must reduce with map-side combine before any window\n" + p.take(1200))
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && p.substring(winIdx).contains("HashAggregate"),
+      "cumulative windows must be fed by the bin aggregate\n" + p.take(1200))
+  }
+
+  test("p9: zones reduce on one bucket-keyed exchange") {
+    val p = plan("p9_zonemap_skips")
+    assert(p.contains("hashpartitioning(bucket"),
+      "zone reduction must shuffle one row per bucket\n" + p.take(1000))
+  }
 }

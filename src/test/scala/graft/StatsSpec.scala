@@ -553,6 +553,20 @@ class StatsSpec extends SparkSpec {
     assert(Stats.kendallTau(const).collect().head.isNullAt(6))
   }
 
+  test("srm check: balanced split is silent, one-sided split flags") {
+    import spark.implicits._
+    // duplicates must not count twice: allocation is over distinct users
+    val balanced = ((0L to 9L) ++ (0L to 9L)).toDF("user_id")
+    val b = Stats.srmCheck(balanced).collect().head
+    assert((b.getLong(0), b.getLong(1), b.getDouble(2), b.getLong(3)) ==
+      ((5L, 5L, 0.0, 0L)))
+    val skewed = Seq(1L, 3L, 5L, 7L).toDF("user_id")
+    val s = Stats.srmCheck(skewed).collect().head
+    // chi2 = (0-4)^2/4 = 4.0 > 3.841 -> flag
+    assert((s.getLong(0), s.getLong(1), s.getDouble(2), s.getLong(3)) ==
+      ((0L, 4L, 4.0, 1L)))
+  }
+
   test("decile shift ladder: constant translation shows as a flat shift") {
     import spark.implicits._
     val part = (1L to 2L).map(k => (k, if (k == 1) "PROMO" else "STANDARD"))

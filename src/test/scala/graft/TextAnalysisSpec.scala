@@ -460,4 +460,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("code_share") == 0.5)
     assert(r.getAs[Double]("symbol_density") > 0.0)
   }
+
+  test("filter ablation: exclusive vs multi-rule failures partition the drops") {
+    import spark.implicits._
+    val good = Array.fill(10)("the cats sat on the mats").mkString(" ") // 60 toks
+    val docs = Seq(
+      ("s", good),                       // passes all four rules
+      ("s", "the cats sat on the mats"), // 6 tokens: fails ONLY length
+      ("s", "1234 5678 9012"))           // fails length + stopword + alpha
+      .toDF("source", "text")
+    val r = operators.TextAnalysis.filterAblation(docs).collect().head
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_pass") == 1L)
+    assert(r.getAs[Long]("only_len") == 1L)
+    assert(r.getAs[Long]("only_wlen") == 0L)
+    assert(r.getAs[Long]("only_stop") == 0L)
+    assert(r.getAs[Long]("only_alpha") == 0L)
+    assert(r.getAs[Long]("multi_fail") == 1L)
+    // the five buckets partition the corpus
+    assert(r.getAs[Long]("n_pass") + r.getAs[Long]("only_len") +
+      r.getAs[Long]("only_wlen") + r.getAs[Long]("only_stop") +
+      r.getAs[Long]("only_alpha") + r.getAs[Long]("multi_fail") == 3L)
+  }
 }
