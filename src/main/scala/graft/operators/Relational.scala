@@ -1931,5 +1931,44 @@ object RelationalQueries {
         "companion): shared capped-basket kernel materialized once for " +
         "three consumers, support floor >= 3, exact integer products " +
         "divided only in the final projection, deterministic top-15"),
+
+    Q("q46_incremental_agg",
+      (s, d) => {
+        // Incremental view maintenance, proven: a per-supplier revenue
+        // aggregate maintained as MERGEABLE partial state. The
+        // "warehouse state" (shipments before the 1996-01-01 cutover)
+        // and the "new batch" (after) each reduce to (suppkey, sum,
+        // count) partials; the merge is a second groupBy-sum over the
+        // union — sums of sums, never a re-scan of history. The ORACLE
+        // computes the aggregate directly over all rows, so the driver
+        // compare IS the proof that merge(partials) == full recompute
+        // (the x26 HLL-algebra read, for exact aggregates). At 100 TB
+        // the state side is a stored table and only the delta scans.
+        val cut = java.time.LocalDate.parse("1996-01-01").toEpochDay
+        val li = Tables.lineitem(s, d).select(col("l_suppkey"),
+          expr("cast(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) as bigint)")
+            .as("cents"),
+          expr("unix_timestamp(l_shipdate) div 86400").as("day"))
+        def partial(df: DataFrame) = df.groupBy("l_suppkey")
+          .agg(sum("cents").as("s"), count(lit(1)).as("c"))
+        partial(li.where(col("day") < cut))
+          .unionByName(partial(li.where(col("day") >= cut)))
+          .groupBy("l_suppkey")
+          .agg(sum("s").as("rev_cents"), sum("c").as("n_items"))
+          .select(col("l_suppkey"), col("rev_cents"), col("n_items"),
+            pround(col("rev_cents").cast("double")
+              / col("n_items").cast("double"), 6).as("avg_cents"))
+      },
+      Some("""SELECT l_suppkey,
+             |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+             |       CAST(count(*) AS BIGINT) AS n_items,
+             |       floor(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             |             / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5)
+             |         / 1000000.0 AS avg_cents
+             |FROM lineitem GROUP BY 1""".stripMargin),
+      doc = "incremental aggregate maintenance, proven: state + delta " +
+        "partials (pre/post a date cutover) merge by summing partial " +
+        "sums/counts, and the oracle recomputes directly over all rows " +
+        "— equality is the mergeability proof; exact cents, 6-dp mean"),
   )
 }

@@ -749,6 +749,44 @@ object Stats {
       s"else ($propPa - $propPb) / sqrt($propPool * (1.0 - $propPool) * " +
       "(1.0 / cast(na as double) + 1.0 / cast(nb as double))) end)"
 
+  /** x54: minimum detectable effect (MDE) at 80% power for the x31
+    * two-proportion test — the experiment-DESIGN companion: before
+    * running a test on these arms, what's the smallest conversion lift
+    * it could even see? Reuses x31's exact reduction (one user_id
+    * conditional-max pass → two (n, k) rows), then one 1-row IEEE tree:
+    * mde = (z_α/2 + z_β)·√(p̄(1−p̄)(1/n_a + 1/n_b)) with the standard
+    * 1.959964/0.841621 constants. Degenerate pools guard to null. */
+  def mdePower(events: DataFrame, success: String = "purchase"): DataFrame = {
+    val per = events.groupBy("user_id")
+      .agg(max(when(col("event_type") === success, 1L).otherwise(0L)).as("s"))
+      .select((col("user_id") % 2).as("variant"), col("s"))
+    val v = per.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("s").as("k"))
+    val a = v.where(col("variant") === 0)
+      .select(col("n").as("na"), col("k").as("ka"))
+    val b = v.where(col("variant") === 1)
+      .select(col("n").as("nb"), col("k").as("kb"))
+    a.crossJoin(b).select(
+      col("na").as("n_a"), col("ka").as("k_a"),
+      col("nb").as("n_b"), col("kb").as("k_b"),
+      pround(expr(mdePool), 6).as("p_pool"),
+      pround(expr(mdeAbsExpr), 9).as("mde_abs"),
+      pround(expr(mdeRelExpr), 9).as("mde_rel"))
+  }
+
+  // MDE trees, shared verbatim with the oracle; 1.959964 = z_{0.025},
+  // 0.841621 = z_{0.20} (80% power).
+  private[operators] val mdePool =
+    "((cast(ka as double) + cast(kb as double)) / (cast(na as double) + cast(nb as double)))"
+  private[operators] val mdeAbsExpr =
+    s"(case when $mdePool * (1.0 - $mdePool) = 0.0 then cast(null as double) " +
+      s"else (1.959964 + 0.841621) * sqrt($mdePool * (1.0 - $mdePool) * " +
+      "(1.0 / cast(na as double) + 1.0 / cast(nb as double))) end)"
+  private[operators] val mdeRelExpr =
+    s"(case when $mdePool * (1.0 - $mdePool) = 0.0 then cast(null as double) " +
+      s"else ((1.959964 + 0.841621) * sqrt($mdePool * (1.0 - $mdePool) * " +
+      s"(1.0 / cast(na as double) + 1.0 / cast(nb as double)))) / $mdePool end)"
+
   /** x32: day-of-week seasonality profile of event revenue — the
     * weekly-cycle census behind staffing/alert baselines and the
     * seasonal term x30's autocorrelation doesn't isolate.
@@ -2493,5 +2531,31 @@ object StatsQueries {
         "chi-square vs the designed 50/50 over distinct users, 1-df " +
         "critical flag — the readout-invalidating check that gates " +
         "f13/x31; integers until the final 1-row division"),
+
+    Q("x54_mde_power",
+      (s, d) => mdePower(Tables.events(s, d)),
+      Some(s"""WITH per AS (
+              |  SELECT user_id,
+              |         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS s
+              |  FROM events GROUP BY 1),
+              |v AS (SELECT user_id % 2 AS variant,
+              |             CAST(count(*) AS BIGINT) AS n,
+              |             CAST(sum(s) AS BIGINT) AS k
+              |      FROM per GROUP BY 1),
+              |ab AS (
+              |  SELECT a.n AS na, a.k AS ka, b.n AS nb, b.k AS kb
+              |  FROM (SELECT n, k FROM v WHERE variant = 0) a
+              |  CROSS JOIN (SELECT n, k FROM v WHERE variant = 1) b)
+              |SELECT na AS n_a, ka AS k_a, nb AS n_b, kb AS k_b,
+              |       floor(($mdePool) * 1000000.0 + 0.5) / 1000000.0 AS p_pool,
+              |       floor(($mdeAbsExpr) * 1000000000.0 + 0.5)
+              |         / 1000000000.0 AS mde_abs,
+              |       floor(($mdeRelExpr) * 1000000000.0 + 0.5)
+              |         / 1000000000.0 AS mde_rel
+              |FROM ab""".stripMargin),
+      doc = "minimum detectable effect at 80% power for the x31 " +
+        "two-proportion design (experiment pre-flight): x31's exact " +
+        "(n, k) reduction, one 1-row IEEE tree with the standard " +
+        "1.959964/0.841621 constants, degenerate-pool null guard"),
   )
 }

@@ -567,6 +567,20 @@ class StatsSpec extends SparkSpec {
       ((0L, 4L, 4.0, 1L)))
   }
 
+  test("mde power: hand-computed tree on a tiny balanced design") {
+    import spark.implicits._
+    val ev = Seq((0L, "purchase"), (1L, "click"), (2L, "click"),
+      (3L, "purchase")).toDF("user_id", "event_type")
+    val r = Stats.mdePower(ev).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 2L, 1L)))
+    assert(r.getAs[Double]("p_pool") == 0.5)
+    val e = (1.959964 + 0.841621) *
+      math.sqrt(0.5 * (1.0 - 0.5) * (1.0 / 2.0 + 1.0 / 2.0))
+    assert(r.getAs[Double]("mde_abs") == math.floor(e * 1e9 + 0.5) / 1e9)
+    assert(r.getAs[Double]("mde_rel") == math.floor(e / 0.5 * 1e9 + 0.5) / 1e9)
+  }
+
   test("decile shift ladder: constant translation shows as a flat shift") {
     import spark.implicits._
     val part = (1L to 2L).map(k => (k, if (k == 1) "PROMO" else "STANDARD"))
