@@ -241,4 +241,68 @@ class PropertySpec extends SparkSpec {
       assert(got.toSeq === again.toSeq)
     }
   }
+
+  test("skyline: window formulation equals brute-force dominance on any point set") {
+    import spark.implicits._
+    val ptGen = Gen.zip(Gen.choose(1, 8), Gen.choose(1, 8))
+    forAllSamples(Gen.nonEmptyListOf(ptGen), n = 8) { pts =>
+      val rows = pts.zipWithIndex.map { case ((sz, pr), i) =>
+        (i.toLong, sz, pr.toDouble) }
+      val df = rows.toDF("p_partkey", "p_size", "p_retailprice")
+      val got = operators.Stats.skylineParts(df).collect()
+        .map(_.getLong(0)).toSet
+      val brute = rows.filter { case (_, s, p) =>
+        !rows.exists { case (_, ds, dp) =>
+          ds >= s && dp <= p && (ds > s || dp < p) }
+      }.map(_._1).toSet
+      assert(got === brute, s"points: $rows")
+    }
+  }
+
+  test("triangle census: orientation count equals brute-force on any graph") {
+    import spark.implicits._
+    val edgeGen = Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L))
+      .suchThat { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    forAllSamples(Gen.nonEmptyListOf(edgeGen).map(_.distinct), n = 8) { edges =>
+      val df = edges.toDF("doc_a", "doc_b")
+      val r = operators.Graph.triangleCensus(df).collect().head
+      val es = edges.toSet
+      def adj(a: Long, b: Long) = es((math.min(a, b), math.max(a, b)))
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val tri = (for {
+        i <- nodes; j <- nodes if j > i; k <- nodes if k > j
+        if adj(i, j) && adj(j, k) && adj(i, k)
+      } yield 1).size.toLong
+      val deg = nodes.map(n => edges.count(e => e._1 == n || e._2 == n).toLong)
+      assert(r.getLong(0) === nodes.size.toLong)
+      assert(r.getLong(1) === edges.size.toLong)
+      assert(r.getLong(2) === deg.map(d => d * (d - 1) / 2).sum)
+      assert(r.getLong(3) === tri, s"edges: $edges")
+    }
+  }
+
+  test("kendall tau-b: spark grid equals the sequential brute count") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // (dayOffset, priceCents) orders; days collapse like the query's
+    val oGen = Gen.zip(Gen.choose(0, 5), Gen.choose(1, 50))
+    forAllSamples(Gen.nonEmptyListOf(oGen), n = 8) { os =>
+      val df = os.map { case (d, c) =>
+        (Timestamp.valueOf(f"2024-01-${d + 1}%02d 06:00:00"), c.toDouble) }
+        .toDF("o_orderdate", "o_totalprice")
+      val r = operators.Stats.kendallTau(df).collect().head
+      val daily = os.groupBy(_._1).map { case (d, g) =>
+        (d, g.map(x => x._2.toLong * 100L).sum, g.size.toLong) }.toSeq.sortBy(_._1)
+      val pairs = for { a <- daily; b <- daily if a._1 < b._1 } yield (a, b)
+      val conc = pairs.count { case (a, b) =>
+        (b._2 > a._2 && b._3 > a._3) || (b._2 < a._2 && b._3 < a._3) }
+      val disc = pairs.count { case (a, b) =>
+        (b._2 > a._2 && b._3 < a._3) || (b._2 < a._2 && b._3 > a._3) }
+      assert(r.getAs[Long]("n_days") === daily.size.toLong)
+      assert(r.getAs[Long]("n_pairs") === pairs.size.toLong)
+      assert(r.getAs[Long]("concordant") === conc.toLong)
+      assert(r.getAs[Long]("discordant") === disc.toLong)
+    }
+  }
 }
