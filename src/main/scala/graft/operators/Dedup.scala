@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -466,6 +467,33 @@ object Dedup {
       .agg(count(lit(1)).as("n_buckets"), max("c").as("max_bucket"),
         sum(expr("c * (c - 1) div 2")).as("pair_mass"))
       .orderBy("band")
+
+  /** g24: band-agreement curve — how many candidate pairs survive each
+    * AND-amplification threshold (collide in ≥ k of the 4 bands)? The
+    * tuning read for [[minhashNearDups]]'s `minShared` knob: the drop
+    * from k to k+1 is exactly the pair volume that extra band of
+    * agreement buys, so the operator picks its precision/recall point
+    * from this 4-row table instead of re-running dedup per setting.
+    *
+    * Scale shape: ONE signature pass and ONE (band, minh) bucket join
+    * (the same join every candidate generator pays), reduced to a
+    * shared-band histogram; the ladder is a cumulative window over the
+    * |bands|-row spine — nothing per-pair survives the first groupBy. */
+  def bandAgreementCurve(docs: DataFrame, bands: Int = 4): DataFrame = {
+    val hist = minhashNearDups(docs, bands, 1)
+      .groupBy("shared_bands").agg(count(lit(1)).as("n"))
+    val spine = docs.sparkSession.range(1, bands + 1)
+      .select(col("id").as("min_bands"))
+    val cw = Window.orderBy(col("min_bands").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(hist.withColumnRenamed("shared_bands", "min_bands"),
+        Seq("min_bands"), "left")
+      .select(col("min_bands"), coalesce(col("n"), lit(0L)).as("n_exact"))
+      .select(col("min_bands"), col("n_exact"),
+        sum("n_exact").over(cw).as("n_pairs"))
+      .orderBy("min_bands")
+  }
 
   /** g19: inverted-index health census — the df distribution that
     * justifies g4's hot-shingle cap, as a first-class profiling query a
@@ -963,5 +991,34 @@ object DedupQueries {
         "band, bucket count, largest bucket and the exact pair mass the " +
         "band's candidate self-join will emit — the pre-flight cost " +
         "estimate for g2; two combinable rollups, |bands| rows"),
+
+    Q("g24_band_agreement",
+      (s, d) => Dedup.bandAgreementCurve(docs(s, d)),
+      Some(s"""WITH $shinglesSqlCte,
+              |hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT AS h FROM sh),
+              |b AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh),
+              |sig AS (
+              |  SELECT doc_id, band,
+              |         min(${Dedup.affinePermSqlDuck("band", "h")}) AS minh
+              |  FROM b GROUP BY doc_id, band),
+              |ps AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |         CAST(count(*) AS BIGINT) AS shared
+              |  FROM sig a JOIN sig b
+              |    ON a.band = b.band AND a.minh = b.minh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |h AS (SELECT shared, CAST(count(*) AS BIGINT) AS n
+              |      FROM ps GROUP BY 1),
+              |sp AS (SELECT unnest(range(1, 5)) AS min_bands),
+              |j AS (SELECT min_bands, CAST(coalesce(n, 0) AS BIGINT) AS n_exact
+              |      FROM sp LEFT JOIN h ON shared = min_bands)
+              |SELECT min_bands, n_exact,
+              |       CAST(sum(n_exact) OVER (ORDER BY min_bands DESC)
+              |            AS BIGINT) AS n_pairs
+              |FROM j ORDER BY min_bands""".stripMargin),
+      doc = "AND-amplification tuning curve: candidate pairs surviving " +
+        "each >= k shared-band threshold from ONE signature pass and " +
+        "one bucket join — the precision/recall dial for g2c read off a " +
+        "4-row ladder instead of re-running dedup per setting"),
   )
 }

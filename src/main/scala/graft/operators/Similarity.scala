@@ -1014,6 +1014,24 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** s27: PQ codebook distortion census — per subspace, how much
+    * squared error does quantizing to the codebook leave? The
+    * "is this codebook good enough" pre-flight for s14's ADC scan
+    * (distortion is exactly the noise floor ADC distance estimates
+    * carry): a subspace whose mean distortion dwarfs the others needs
+    * more codewords or a rotation. One |m·n|-row rollup of [[pqAssign]]
+    * — the dist2 column is already the exact fixed-point quantization
+    * error, so the census adds one combinable groupBy, nothing else. */
+  def pqDistortion(vecs: DataFrame, m: Int = 4, k: Int = 4): DataFrame =
+    pqAssign(vecs, m, k)
+      .groupBy("sub")
+      .agg(count(lit(1)).as("n_vecs"), sum("dist2").as("sum_dist2"),
+        max("dist2").as("max_dist2"))
+      .select(col("sub"), col("n_vecs"), col("sum_dist2"), col("max_dist2"),
+        pround(col("sum_dist2").cast("double") / col("n_vecs").cast("double"), 6)
+          .as("mean_dist2"))
+      .orderBy("sub")
+
   /** s26: one linear-SVM (hinge-loss) subgradient step — the
     * quality-classifier training primitive a curation pipeline runs at
     * full-corpus scale (fastText-style filters are linear models over
@@ -1088,6 +1106,32 @@ object SimilarityQueries {
 
   /** The single-table 4-plane bucket id (s2/s3/s6). */
   private[operators] val bucketSqlExpr = bucketSqlDuck(4, 0)
+
+  /** The PQ assignment CTE chain (seeds → codebook → subvector pieces →
+    * exact distances → rank-1 pick) — shared by s8 and s27 so the
+    * assignment the distortion census rolls up cannot drift from the
+    * assignment query itself. */
+  private[operators] val pqAssignSqlCtes =
+    """seeds AS (SELECT vec_id, f FROM n ORDER BY vec_id LIMIT 4),
+      |book AS (
+      |  SELECT si AS sub, vec_id AS code,
+      |         f[si * 16 + 1 : (si + 1) * 16] AS cw
+      |  FROM seeds, (SELECT unnest(range(0, 4)) AS si)),
+      |pieces AS (
+      |  SELECT vec_id, si AS sub,
+      |         f[si * 16 + 1 : (si + 1) * 16] AS fv
+      |  FROM n, (SELECT unnest(range(0, 4)) AS si)),
+      |dists AS (
+      |  SELECT p.vec_id, p.sub, b.code,
+      |         CAST(list_sum(list_transform(range(1, 17),
+      |           i -> (p.fv[i] - b.cw[i]) * (p.fv[i] - b.cw[i])))
+      |           AS BIGINT) AS dist2
+      |  FROM pieces p JOIN book b ON p.sub = b.sub),
+      |r AS (
+      |  SELECT vec_id, sub, code, dist2,
+      |         row_number() OVER (PARTITION BY vec_id, sub
+      |           ORDER BY dist2, code) AS rn
+      |  FROM dists)""".stripMargin
 
   /** SQL fragment: exact pair cosine between rows a/c of the `n` CTE. */
   private[operators] def pairCosSql(a: String, b: String) =
@@ -1367,26 +1411,7 @@ object SimilarityQueries {
     Q("s8_pq_assign",
       (s, d) => pqAssign(vecs(s, d), 4, 4).orderBy("vec_id", "sub"),
       Some(s"""WITH $fixedSqlCte,
-              |seeds AS (SELECT vec_id, f FROM n ORDER BY vec_id LIMIT 4),
-              |book AS (
-              |  SELECT si AS sub, vec_id AS code,
-              |         f[si * 16 + 1 : (si + 1) * 16] AS cw
-              |  FROM seeds, (SELECT unnest(range(0, 4)) AS si)),
-              |pieces AS (
-              |  SELECT vec_id, si AS sub,
-              |         f[si * 16 + 1 : (si + 1) * 16] AS fv
-              |  FROM n, (SELECT unnest(range(0, 4)) AS si)),
-              |dists AS (
-              |  SELECT p.vec_id, p.sub, b.code,
-              |         CAST(list_sum(list_transform(range(1, 17),
-              |           i -> (p.fv[i] - b.cw[i]) * (p.fv[i] - b.cw[i])))
-              |           AS BIGINT) AS dist2
-              |  FROM pieces p JOIN book b ON p.sub = b.sub),
-              |r AS (
-              |  SELECT vec_id, sub, code, dist2,
-              |         row_number() OVER (PARTITION BY vec_id, sub
-              |           ORDER BY dist2, code) AS rn
-              |  FROM dists)
+              |$pqAssignSqlCtes
               |SELECT vec_id, sub, code, dist2 FROM r WHERE rn = 1
               |ORDER BY vec_id, sub""".stripMargin),
       doc = "product-quantization assignment (Jegou et al. TPAMI'11): " +
@@ -2018,5 +2043,21 @@ object SimilarityQueries {
         "linear loss, no transcendentals), exact long per-dim numerators " +
         "with map-side combine, one scan; the distributed-SGD epoch " +
         "primitive behind fastText-style quality filters"),
+
+    Q("s27_pq_distortion",
+      (s, d) => pqDistortion(vecs(s, d), 4, 4),
+      Some(s"""WITH $fixedSqlCte,
+              |$pqAssignSqlCtes,
+              |a AS (SELECT sub, dist2 FROM r WHERE rn = 1)
+              |SELECT sub, CAST(count(*) AS BIGINT) AS n_vecs,
+              |       CAST(sum(dist2) AS BIGINT) AS sum_dist2,
+              |       CAST(max(dist2) AS BIGINT) AS max_dist2,
+              |       floor(CAST(sum(dist2) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+              |             * 1000000.0 + 0.5) / 1000000.0 AS mean_dist2
+              |FROM a GROUP BY sub ORDER BY sub""".stripMargin),
+      doc = "PQ codebook distortion census (the noise floor under s14's " +
+        "ADC estimates): per-subspace mean/max exact quantization error " +
+        "from the SHARED s8 assignment chain plus one combinable rollup " +
+        "— the 'which subspace needs more codewords' pre-flight"),
   )
 }

@@ -711,6 +711,37 @@ object Stats {
       .orderBy("lag")
   }
 
+  /** x55: lead–lag cross-correlation ladder between daily revenue and
+    * daily event volume — "does volume LEAD revenue?" (lag 0 is the
+    * contemporaneous Pearson; lag ℓ correlates rev(day) with
+    * cnt(day+ℓ)). x47's autocorrelation discipline verbatim: one
+    * day-reduced table, lags explode against the calendar-bounded day
+    * grid, decimal-exact moment sums per lag, and the shared acf1Expr
+    * IEEE tree only on the 8-row ladder. */
+  def ccfLadder(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = events
+      .select(expr("unix_timestamp(ts) div 86400").as("day"),
+        expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("c"))
+      .groupBy("day").agg(sum("c").as("rev"), count(lit(1)).as("cnt"))
+    val probes = daily
+      .select(col("day"), col("rev").as("x"),
+        explode(expr(s"sequence(0, $maxLag)")).as("lag"))
+      .select((col("day") + col("lag")).as("pday"), col("lag"), col("x"))
+    probes
+      .join(daily.select(col("day").as("pday"), col("cnt").as("y")),
+        Seq("pday"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+      .select(col("lag"), col("n").as("n_pairs"),
+        pround(expr(acf1Expr), 9).as("ccf"))
+      .orderBy("lag")
+  }
+
   /** x31: two-proportion z-test on conversion (did the user ever
     * purchase?) between hash-split variants — THE A/B-test statistic
     * for binary outcomes, complementing Welch (means, x24), CUPED
@@ -2557,5 +2588,37 @@ object StatsQueries {
         "two-proportion design (experiment pre-flight): x31's exact " +
         "(n, k) reduction, one 1-row IEEE tree with the standard " +
         "1.959964/0.841621 constants, degenerate-pool null guard"),
+
+    Q("x55_ccf_ladder",
+      (s, d) => ccfLadder(Tables.events(s, d)),
+      Some("""WITH daily AS (
+             |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             |         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev,
+             |         CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1),
+             |pairs AS (
+             |  SELECT o AS lag, t.rev AS x, u.cnt AS y
+             |  FROM daily t
+             |  CROSS JOIN (SELECT unnest(range(0, 8)) AS o) oo
+             |  JOIN daily u ON u.day = t.day + o),
+             |mo AS (
+             |  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             |         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             |         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             |         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             |         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+             |  FROM pairs GROUP BY lag)
+             |SELECT lag, n AS n_pairs,
+             |       floor((CASE WHEN (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) = 0.0
+             |                OR (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) IS NULL
+             |              THEN NULL
+             |              ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |                   / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             |              END) * 1000000000.0 + 0.5) / 1000000000.0 AS ccf
+             |FROM mo ORDER BY lag""".stripMargin),
+      doc = "lead-lag cross-correlation ladder rev(t) vs volume(t+lag), " +
+        "lags 0..7 in one pass (x47's ACF discipline on two series): " +
+        "day-grid joins, decimal-exact moments, 8-row IEEE tail"),
   )
 }

@@ -154,4 +154,19 @@ class DedupSpec extends SparkSpec {
       1L -> (3L, 3L, 0L),          // unique shingles emit no pairs
       2L -> (3L, 33L, 3L * 55L)))  // df=11 -> C(11,2)=55 pairs each
   }
+
+  test("band agreement curve: ladder is non-increasing; twins agree in all bands") {
+    val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"),
+      (3L, "v w x y z q r")).toDF("doc_id", "text")
+    val rows = Dedup.bandAgreementCurve(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L))
+    // identical docs share identical signatures -> survive every threshold
+    (1L to 4L).foreach(k => assert(rows(k)._2 >= 1L, s"k=$k: $rows"))
+    assert(rows(4L)._1 >= 1L, "the twin pair collides in exactly 4 bands")
+    // cumulative ladder never increases with the threshold
+    (1L to 3L).foreach(k => assert(rows(k)._2 >= rows(k + 1)._2))
+    // threshold-1 volume is exactly the candidate-pair count
+    assert(rows(1L)._2 == Dedup.minhashCandidates(df, 4).count())
+  }
 }

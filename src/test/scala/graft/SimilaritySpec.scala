@@ -424,6 +424,22 @@ class SimilaritySpec extends SparkSpec {
     assert(m == Map(20L -> (1L, 1L), 0L -> (1L, 0L)))
   }
 
+  test("pq distortion: a seeds-only corpus quantizes itself with zero error") {
+    // the 4 codebook seeds ARE the corpus -> every subvector's nearest
+    // codeword is itself, so distortion is exactly zero in all subspaces
+    val vecs = (0L until 4L).map(i =>
+      (i, Array.tabulate(64)(j => (i + j % 3).toFloat), i.toInt))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.pqDistortion(vecs, 4, 4).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == 4L)
+      assert(r.getAs[Long]("sum_dist2") == 0L)
+      assert(r.getAs[Long]("max_dist2") == 0L)
+      assert(r.getAs[Double]("mean_dist2") == 0.0)
+    }
+  }
+
   test("svm step: zero vectors are all active and grad is the pure L2 term") {
     val vecs = (0L until 6L).map(i => (i, Array.fill(4)(0.0f), (i % 10).toInt))
       .toDF("vec_id", "embedding", "label")

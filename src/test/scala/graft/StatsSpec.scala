@@ -567,6 +567,33 @@ class StatsSpec extends SparkSpec {
       ((0L, 4L, 4.0, 1L)))
   }
 
+  test("ccf ladder: lag-0 equals the direct Pearson; pair counts shrink by lag") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // day d carries d events of value d + 0.37 -> rev(d) = d*(100d+37),
+    // cnt(d) = d over days 1..5
+    val evs = for { d <- 1 to 5; _ <- 1 to d }
+      yield (Timestamp.valueOf(f"2024-01-0$d%1d 08:00:00"), d + 0.37)
+    val rows = Stats.ccfLadder(evs.toDF("ts", "value")).collect()
+      .map(r => r.getInt(0).toLong ->
+        (r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    (0 to 4).foreach(l => assert(rows(l.toLong)._1 == (5 - l).toLong))
+    assert(!rows.contains(5L), "empty lags emit no row")
+    assert(rows(4L)._2.isNaN, "a single-pair lag has no defined correlation")
+    val daily = (1 to 5).map(d => (d.toLong * (100L * d + 37L), d.toLong))
+    def pearson(xs: Seq[Long], ys: Seq[Long]): Double = {
+      val n = xs.size.toDouble
+      val sx = xs.sum.toDouble; val sy = ys.sum.toDouble
+      val sxx = xs.map(x => x * x).sum.toDouble
+      val syy = ys.map(y => y * y).sum.toDouble
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum.toDouble
+      (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    val exp0 = pearson(daily.map(_._1), daily.map(_._2))
+    assert(rows(0L)._2 == math.floor(exp0 * 1e9 + 0.5) / 1e9)
+  }
+
   test("mde power: hand-computed tree on a tiny balanced design") {
     import spark.implicits._
     val ev = Seq((0L, "purchase"), (1L, "click"), (2L, "click"),
