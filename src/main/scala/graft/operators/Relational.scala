@@ -1970,5 +1970,65 @@ object RelationalQueries {
         "partials (pre/post a date cutover) merge by summing partial " +
         "sums/counts, and the oracle recomputes directly over all rows " +
         "— equality is the mergeability proof; exact cents, 6-dp mean"),
+
+    Q("q47_next_purchase",
+      (s, d) => {
+        // Sequential pattern mining: "customers who bought A went on to
+        // buy B in their NEXT order" — the temporal association q44/q45
+        // (within-basket) cannot see; the training signal behind
+        // next-purchase recommenders. Per customer, orders rank by
+        // (date, orderkey) — ONE o_custkey window over the orders dim,
+        // never the facts — and item pairs cross only CONSECUTIVE order
+        // pairs, so per-customer fan-out is bounded by orders ×
+        // basket² (baskets already capped by the shared q44 kernel).
+        // Directional pairs (A then B ≠ B then A); top-20 by support
+        // with a full tiebreak lands on TakeOrderedAndProject.
+        val seq = Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            expr("unix_timestamp(o_orderdate) div 86400").as("day"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("o_custkey").orderBy(col("day"), col("o_orderkey"))))
+        val items = cappedBasketItems(Tables.lineitem(s, d))
+        val withSeq = Materialize.frame(
+          items.join(seq, col("l_orderkey") === col("o_orderkey"))
+            .select(col("o_custkey"), col("rnk"), col("l_partkey")))
+        withSeq.select(col("o_custkey"), col("rnk"),
+            col("l_partkey").as("part_from"))
+          .join(withSeq.select(col("o_custkey"), (col("rnk") - 1).as("rnk"),
+            col("l_partkey").as("part_to")), Seq("o_custkey", "rnk"))
+          .groupBy("part_from", "part_to")
+          .agg(count(lit(1)).as("n_transitions"))
+          .orderBy(col("n_transitions").desc, col("part_from"), col("part_to"))
+          .limit(20)
+      },
+      Some("""WITH sq AS (
+             |  SELECT o_custkey, o_orderkey,
+             |         row_number() OVER (PARTITION BY o_custkey
+             |           ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400,
+             |                    o_orderkey) AS rnk
+             |  FROM orders),
+             |it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |cap AS (
+             |  SELECT l_orderkey, l_partkey FROM (
+             |    SELECT l_orderkey, l_partkey,
+             |           row_number() OVER (PARTITION BY l_orderkey
+             |                              ORDER BY l_partkey) AS rn
+             |    FROM it) x
+             |  WHERE rn <= 64),
+             |ws AS (
+             |  SELECT s.o_custkey, s.rnk, c.l_partkey
+             |  FROM cap c JOIN sq s ON c.l_orderkey = s.o_orderkey)
+             |SELECT a.l_partkey AS part_from, b.l_partkey AS part_to,
+             |       CAST(count(*) AS BIGINT) AS n_transitions
+             |FROM ws a JOIN ws b
+             |  ON a.o_custkey = b.o_custkey AND b.rnk = a.rnk + 1
+             |GROUP BY 1, 2
+             |ORDER BY n_transitions DESC, part_from, part_to
+             |LIMIT 20""".stripMargin),
+      doc = "next-purchase sequential pairs (the temporal association " +
+        "within-basket mining can't see): one o_custkey rank window " +
+        "over the orders dim, consecutive-order equality join on " +
+        "(custkey, rnk), shared capped-basket kernel, top-20 " +
+        "TakeOrderedAndProject"),
   )
 }

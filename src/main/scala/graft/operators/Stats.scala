@@ -711,6 +711,35 @@ object Stats {
       .orderBy("lag")
   }
 
+  /** x56: Theil T inequality index of order revenue — the
+    * decomposable member of the inequality family (x25 Gini, x40
+    * Lorenz): T = Σ (x/S)·ln(x/μ), 0 for perfect equality, ln(n) at
+    * total concentration. The ln is the one transcendental, handled
+    * with the t11 micro-nat discipline: each DISTINCT cent value's
+    * ln(v/μ) quantizes to an integer micro-nat once (|distinct values|
+    * evaluations, not per row), and everything else is exact
+    * DECIMAL(38,0) sums of c·v·t — order-free, engine-identical. The
+    * value bin table is the only shuffle; the total rides broadcast. */
+  def theilIndex(orders: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val bins = orders
+      .select(expr("cast(floor(o_totalprice * 100.0 + 0.5) as bigint)").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("c"))
+    val tot = bins.agg(
+      sum(col("v").cast(dec) * col("c").cast(dec)).as("s"),
+      sum("c").as("n"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("c"), col("v"), col("s"), col("n"),
+        expr("cast(floor(ln(cast(v as double) / (cast(s as double) " +
+          "/ cast(n as double))) * 1000000.0 + 0.5) as bigint)").as("t"))
+      .agg(max("n").as("n_orders"), max("s").as("sd"),
+        sum(col("c").cast(dec) * col("v").cast(dec) * col("t").cast(dec))
+          .as("num"))
+      .select(col("n_orders"), col("sd").cast("long").as("total_cents"),
+        pround(expr("cast(num as double) / (cast(sd as double) * 1000000.0)"), 9)
+          .as("theil"))
+  }
+
   /** x55: lead–lag cross-correlation ladder between daily revenue and
     * daily event volume — "does volume LEAD revenue?" (lag 0 is the
     * contemporaneous Pearson; lag ℓ correlates rev(day) with
@@ -2620,5 +2649,31 @@ object StatsQueries {
       doc = "lead-lag cross-correlation ladder rev(t) vs volume(t+lag), " +
         "lags 0..7 in one pass (x47's ACF discipline on two series): " +
         "day-grid joins, decimal-exact moments, 8-row IEEE tail"),
+
+    Q("x56_theil_index",
+      (s, d) => theilIndex(Tables.orders(s, d)),
+      Some("""WITH vv AS (
+             |  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
+             |  FROM orders),
+             |b AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM vv GROUP BY 1),
+             |t AS (SELECT CAST(sum(CAST(v AS HUGEINT) * c) AS HUGEINT) AS s,
+             |             CAST(sum(c) AS BIGINT) AS n
+             |      FROM b),
+             |q AS (
+             |  SELECT b.c, b.v, t.s, t.n,
+             |         CAST(floor(ln(CAST(b.v AS DOUBLE)
+             |                       / (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)))
+             |                    * 1000000.0 + 0.5) AS BIGINT) AS tt
+             |  FROM b CROSS JOIN t)
+             |SELECT CAST(max(n) AS BIGINT) AS n_orders,
+             |       CAST(max(s) AS BIGINT) AS total_cents,
+             |       floor(CAST(sum(CAST(c AS HUGEINT) * v * tt) AS DOUBLE)
+             |             / (CAST(max(s) AS DOUBLE) * 1000000.0)
+             |             * 1000000000.0 + 0.5) / 1000000000.0 AS theil
+             |FROM q""".stripMargin),
+      doc = "Theil T inequality of order revenue (the decomposable " +
+        "member next to x25 Gini / x40 Lorenz): micro-nat ln per " +
+        "DISTINCT cent value only, exact decimal c*v*t sums, broadcast " +
+        "total — 1-row census"),
   )
 }

@@ -594,6 +594,22 @@ class StatsSpec extends SparkSpec {
     assert(rows(0L)._2 == math.floor(exp0 * 1e9 + 0.5) / 1e9)
   }
 
+  test("theil index: zero at equality, hand micro-nat value when concentrated") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def o(p: Double) = (Timestamp.valueOf("2024-01-01 00:00:00"), p)
+    val eq = Seq(o(5.0), o(5.0), o(5.0)).toDF("o_orderdate", "o_totalprice")
+    val r0 = Stats.theilIndex(eq).collect().head
+    assert(r0.getAs[Long]("n_orders") == 3L && r0.getAs[Double]("theil") == 0.0)
+    // values 100,100,100,300 cents: mu = 150, S = 600
+    val sk = Seq(o(1.0), o(1.0), o(1.0), o(3.0)).toDF("o_orderdate", "o_totalprice")
+    val r1 = Stats.theilIndex(sk).collect().head
+    val t100 = math.floor(math.log(100.0 / (600.0 / 4.0)) * 1e6 + 0.5).toLong
+    val t300 = math.floor(math.log(300.0 / (600.0 / 4.0)) * 1e6 + 0.5).toLong
+    val expected = (3L * 100L * t100 + 300L * t300).toDouble / (600.0 * 1e6)
+    assert(r1.getAs[Double]("theil") == math.floor(expected * 1e9 + 0.5) / 1e9)
+  }
+
   test("mde power: hand-computed tree on a tiny balanced design") {
     import spark.implicits._
     val ev = Seq((0L, "purchase"), (1L, "click"), (2L, "click"),
