@@ -215,6 +215,29 @@ object Profiling {
         pround(col("rows_scanned").cast("double") / col("n_rows").cast("double"), 6)
           .as("scan_frac"))
   }
+  /** p10: sketch-calibration census — per column, the exact distinct
+    * count next to the 64-register HLL estimate and its relative
+    * error: the evidence behind p6's "at 100 TB swap exact distincts
+    * for sketches" note, measured on THIS data instead of asserted.
+    * One unpivot pass (stack — no per-column re-scan) feeds the same
+    * mergeable register kernel x4/x10 use; doubles unpivot through
+    * exact cents so both engines stringify identical integers (float
+    * formatting is not engine-portable). */
+  def hllCalibration(events: DataFrame): DataFrame =
+    Stats.hllDistinctPerGroup(
+      events.selectExpr(
+        "stack(4, 'event_type', cast(event_type as string), " +
+          "'props', cast(props as string), " +
+          "'user_id', cast(user_id as string), " +
+          "'value_cents', cast(cast(floor(value * 100.0 + 0.5) as bigint) as string)) " +
+          "as (column_name, v)")
+        .where(col("v").isNotNull),
+      "column_name", "v")
+      .select(col("column_name"), col("exact_distinct"),
+        col("nonzero_registers"), col("hll_estimate"),
+        pround((col("hll_estimate") - col("exact_distinct").cast("double"))
+          / col("exact_distinct").cast("double"), 6).as("rel_err"))
+      .orderBy("column_name")
 }
 object ProfilingQueries {
   val qs: Seq[Q] = Seq(
@@ -442,5 +465,50 @@ object ProfilingQueries {
         "combinable zone reduction (shuffle moves one row per zone), " +
         "exact epoch-day integers, skip + forced-scan fractions — the " +
         "'is this table date-clustered enough' physical-design read"),
+
+    Q("p10_hll_calibration",
+      (s, d) => Profiling.hllCalibration(Tables.events(s, d)),
+      Some("""WITH vals0 AS (
+             |  SELECT 'event_type' AS g, CAST(event_type AS VARCHAR) AS v FROM events
+             |  UNION ALL
+             |  SELECT 'props', CAST(props AS VARCHAR) FROM events
+             |  UNION ALL
+             |  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+             |  UNION ALL
+             |  SELECT 'value_cents',
+             |         CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS VARCHAR)
+             |  FROM events),
+             |vals AS (SELECT DISTINCT g, v FROM vals0 WHERE v IS NOT NULL),
+             |h AS (SELECT g, ('0x' || substr(md5(v), 1, 14))::BIGINT AS h FROM vals),
+             |reg AS (SELECT g, h % 64 AS j, h // 64 AS r FROM h),
+             |rho AS (SELECT g, j, 1 + len(list_filter(range(1, 51), k -> r % (1::BIGINT << k) = 0)) AS rho FROM reg),
+             |m AS (SELECT g, j, max(rho) AS m FROM rho GROUP BY g, j),
+             |sk AS (SELECT g, CAST(sum(1::BIGINT << CAST(51 - m AS INT)) AS BIGINT) AS s_present,
+             |              count(*) AS nz FROM m GROUP BY g),
+             |e AS (SELECT g, CAST(count(*) AS BIGINT) AS exact_distinct FROM vals GROUP BY g),
+             |est AS (
+             |  SELECT g, nz, 0.709 * 4096.0 * CAST((1::BIGINT << 51) AS DOUBLE)
+             |             / CAST(s_present + (64 - nz) * (1::BIGINT << 51) AS DOUBLE) AS raw
+             |  FROM sk),
+             |est2 AS (
+             |  SELECT g, CAST(nz AS BIGINT) AS nonzero_registers,
+             |         floor((CASE WHEN nz < 64 AND raw <= 160.0
+             |                 THEN 64.0 * ln(64.0 / CAST(64 - nz AS DOUBLE))
+             |                 ELSE raw END)
+             |               * 10000.0 + 0.5) / 10000.0 AS hll_estimate
+             |  FROM est)
+             |SELECT e.g AS column_name, exact_distinct, nonzero_registers,
+             |       hll_estimate,
+             |       floor((hll_estimate - CAST(exact_distinct AS DOUBLE))
+             |             / CAST(exact_distinct AS DOUBLE)
+             |             * 1000000.0 + 0.5) / 1000000.0 AS rel_err
+             |FROM e JOIN est2 ON e.g = est2.g
+             |ORDER BY column_name""".stripMargin),
+      doc = "sketch-calibration census: per column, exact distinct vs " +
+        "the 64-register HLL estimate and its relative error — the " +
+        "measured evidence behind p6's exact-to-approx swap note; one " +
+        "stack unpivot pass into the shared x4/x10 register kernel, " +
+        "doubles unpivot through exact cents (float formatting is not " +
+        "engine-portable)"),
   )
 }

@@ -711,6 +711,69 @@ object Stats {
       .orderBy("lag")
   }
 
+  /** x57: randomization (permutation) test for the first-half vs
+    * second-half daily-revenue mean shift — distribution-free
+    * significance with NO normality assumption (x24's Welch needs one;
+    * x28's Mann–Whitney needs rank machinery): re-randomize the
+    * half-labels 64 times and ask how often a random labeling beats
+    * the observed mean gap. Randomness is the x1 md5 discipline —
+    * label(day, p) = md5(day:p) parity — so every engine and every
+    * partitioning draws the SAME permutations; this is a randomization
+    * test (random relabeling, group sizes vary ±binomial) rather than
+    * an exact permutation test, the standard large-sample substitute.
+    *
+    * Scale shape: facts reduce to the calendar-bounded day table
+    * first; the ×64 explode happens on DAYS, not rows; per-permutation
+    * sums are exact longs and the 64 mean-gap trees are fixed IEEE.
+    * Permutations that land every day on one side have no statistic
+    * and drop from the denominator. */
+  def permTest(events: DataFrame, nPerms: Int = 64): DataFrame = {
+    val daily = events
+      .select(expr("unix_timestamp(ts) div 86400").as("day"),
+        expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("c"))
+      .groupBy("day").agg(sum("c").as("rev"))
+    val mm = daily.agg(min("day").as("dmin"), max("day").as("dmax"))
+    val labeled = daily.crossJoin(broadcast(mm))
+      .select(col("day"), col("rev"),
+        (col("day") * 2 <= col("dmin") + col("dmax")).cast("long").as("g"))
+    val obs = labeled.agg(
+      count(lit(1)).as("n_days"),
+      sum(when(col("g") === 1, col("rev"))).as("s1"),
+      sum(when(col("g") === 1, 1L)).as("n1"),
+      sum(when(col("g") === 0, col("rev"))).as("s0"),
+      sum(when(col("g") === 0, 1L)).as("n0"))
+      .select(col("n_days"), expr(permDiffExpr).as("obs_diff"))
+    val perms = labeled
+      .select(col("day"), col("rev"),
+        explode(expr(s"sequence(0, ${nPerms - 1})")).as("p"))
+      .select(col("p"), col("rev"),
+        (expr(Dedup.md5Long56("concat(cast(day as string), ':', cast(p as string))")) % 2)
+          .as("pg"))
+      .groupBy("p").agg(
+        sum(when(col("pg") === 1, col("rev"))).as("s1"),
+        coalesce(sum(when(col("pg") === 1, 1L)), lit(0L)).as("n1"),
+        sum(when(col("pg") === 0, col("rev"))).as("s0"),
+        coalesce(sum(when(col("pg") === 0, 1L)), lit(0L)).as("n0"))
+      .where(col("n1") > 0 && col("n0") > 0)
+      .select(expr(permDiffExpr).as("pd"))
+    val tail = perms.crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("n_valid"),
+        sum(when(abs(col("pd")) >= abs(col("obs_diff")), 1L).otherwise(0L))
+          .as("n_ge"))
+    obs.crossJoin(broadcast(tail))
+      .select(col("n_days"), pround(col("obs_diff"), 6).as("obs_diff"),
+        lit(nPerms.toLong).as("n_perms"), col("n_valid"), col("n_ge"),
+        pround(when(col("n_valid") > 0,
+          col("n_ge").cast("double") / col("n_valid").cast("double")), 6)
+          .as("p_value"))
+  }
+
+  // Mean gap (half-1 minus half-0) over exact integer sums, shared
+  // verbatim between the observed row and every permutation row.
+  private[operators] val permDiffExpr =
+    "(cast(s1 as double) / cast(n1 as double) " +
+      "- cast(s0 as double) / cast(n0 as double))"
+
   /** x56: Theil T inequality index of order revenue — the
     * decomposable member of the inequality family (x25 Gini, x40
     * Lorenz): T = Σ (x/S)·ln(x/μ), 0 for perfect equality, ln(n) at
@@ -2675,5 +2738,55 @@ object StatsQueries {
         "member next to x25 Gini / x40 Lorenz): micro-nat ln per " +
         "DISTINCT cent value only, exact decimal c*v*t sums, broadcast " +
         "total — 1-row census"),
+
+    Q("x57_perm_test",
+      (s, d) => permTest(Tables.events(s, d)),
+      Some(s"""WITH daily AS (
+              |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+              |         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+              |  FROM events GROUP BY 1),
+              |mm AS (SELECT min(day) AS dmin, max(day) AS dmax FROM daily),
+              |lab AS (SELECT day, rev,
+              |               CASE WHEN day * 2 <= dmin + dmax THEN 1 ELSE 0 END AS g
+              |        FROM daily CROSS JOIN mm),
+              |ob AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+              |              sum(CASE WHEN g = 1 THEN rev END) AS s1,
+              |              sum(CASE WHEN g = 1 THEN 1 END) AS n1,
+              |              sum(CASE WHEN g = 0 THEN rev END) AS s0,
+              |              sum(CASE WHEN g = 0 THEN 1 END) AS n0
+              |       FROM lab),
+              |obd AS (SELECT n_days,
+              |               (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              |                - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS obs_diff
+              |        FROM ob),
+              |pr AS (SELECT p, rev,
+              |              ('0x' || substr(md5(CAST(day AS VARCHAR) || ':'
+              |                || CAST(p AS VARCHAR)), 1, 14))::BIGINT % 2 AS pg
+              |       FROM lab CROSS JOIN (SELECT unnest(range(0, 64)) AS p) pp),
+              |ps AS (SELECT p,
+              |              sum(CASE WHEN pg = 1 THEN rev END) AS s1,
+              |              coalesce(sum(CASE WHEN pg = 1 THEN 1 END), 0) AS n1,
+              |              sum(CASE WHEN pg = 0 THEN rev END) AS s0,
+              |              coalesce(sum(CASE WHEN pg = 0 THEN 1 END), 0) AS n0
+              |       FROM pr GROUP BY p),
+              |pd AS (SELECT (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              |               - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS pd
+              |       FROM ps WHERE n1 > 0 AND n0 > 0),
+              |tl AS (SELECT CAST(count(*) AS BIGINT) AS n_valid,
+              |              CAST(sum(CASE WHEN abs(pd) >= abs(obs_diff)
+              |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+              |       FROM pd CROSS JOIN obd)
+              |SELECT n_days,
+              |       floor(obs_diff * 1000000.0 + 0.5) / 1000000.0 AS obs_diff,
+              |       CAST(64 AS BIGINT) AS n_perms, n_valid, n_ge,
+              |       CASE WHEN n_valid > 0
+              |            THEN floor(CAST(n_ge AS DOUBLE) / CAST(n_valid AS DOUBLE)
+              |                       * 1000000.0 + 0.5) / 1000000.0 END AS p_value
+              |FROM obd CROSS JOIN tl""".stripMargin),
+      doc = "randomization test for the half-vs-half daily-revenue mean " +
+        "shift (distribution-free; x24/x28's assumption-light sibling): " +
+        "64 deterministic md5 relabelings of the DAY table (never the " +
+        "facts), exact long sums per permutation, fixed IEEE mean-gap " +
+        "trees, one-sided-empty permutations dropped"),
   )
 }

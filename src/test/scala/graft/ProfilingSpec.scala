@@ -94,6 +94,28 @@ class ProfilingSpec extends SparkSpec {
     census.foreach(c => assert(c.getAs[Long]("n_orphans") == 0L, c.toString))
   }
 
+  test("hll calibration: exact counts per column, all-null columns drop out") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ev = (1 to 10).map(i => (Timestamp.valueOf("2024-01-01 00:00:00"),
+      i.toLong, if (i % 2 == 0) "click" else "view", i * 1.0,
+      null.asInstanceOf[String]))
+      .toDF("ts", "user_id", "event_type", "value", "props")
+    val rows = Profiling.hllCalibration(ev).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(rows.keySet == Set("event_type", "user_id", "value_cents"),
+      "all-null props has no distinct values and drops out")
+    assert(rows("event_type").getAs[Long]("exact_distinct") == 2L)
+    assert(rows("user_id").getAs[Long]("exact_distinct") == 10L)
+    assert(rows("value_cents").getAs[Long]("exact_distinct") == 10L)
+    rows.values.foreach { r =>
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      val est = r.getAs[Double]("hll_estimate")
+      val expected = math.floor((est - exact) / exact * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("rel_err") == expected)
+    }
+  }
+
   test("zone-map skip census: disjoint zones skip, straddling zones scan") {
     import spark.implicits._
     import java.sql.Timestamp

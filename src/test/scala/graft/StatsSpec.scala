@@ -594,6 +594,30 @@ class StatsSpec extends SparkSpec {
     assert(rows(0L)._2 == math.floor(exp0 * 1e9 + 0.5) / 1e9)
   }
 
+  test("perm test: constant series is never beaten, a hard shift is rarely matched") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(day: Int, v: Double) =
+      (Timestamp.valueOf(f"2024-01-$day%02d 09:00:00"), v)
+    // constant revenue: every relabeling ties the observed 0 gap -> p = 1
+    val const = (1 to 10).map(d => ev(d, 5.0)).toDF("ts", "value")
+    val rc = Stats.permTest(const).collect().head
+    assert(rc.getAs[Long]("n_days") == 10L)
+    assert(rc.getAs[Double]("obs_diff") == 0.0)
+    assert(rc.getAs[Double]("p_value") == 1.0)
+    // hard level shift: first half 1.00, second half 100.00
+    val shift = (1 to 10).map(d => ev(d, if (d <= 5) 1.0 else 100.0))
+      .toDF("ts", "value")
+    val rs = Stats.permTest(shift).collect().head
+    // labeled g=1 is the FIRST half (day*2 <= dmin+dmax), so the
+    // observed gap is mean(first) - mean(second) = 100 - 10000 cents
+    assert(rs.getAs[Double]("obs_diff") == -9900.0)
+    val nValid = rs.getAs[Long]("n_valid")
+    assert(nValid >= 60L && nValid <= 64L)
+    assert(rs.getAs[Double]("p_value") < 0.5,
+      "a maximal shift should beat most random relabelings")
+  }
+
   test("theil index: zero at equality, hand micro-nat value when concentrated") {
     import spark.implicits._
     import java.sql.Timestamp
