@@ -443,6 +443,23 @@ object Plans {
         "one partially-aggregated row per zone (min/max/count/matched), " +
         "then a 1-row global rollup — the scan never re-visits rows and " +
         "the predicate constants fold into exact epoch-day literals."),
+    "q47_next_purchase" ->
+      ("Sequential pattern mining: the customer-order rank window runs " +
+        "over the ORDERS dim (one o_custkey exchange, never the " +
+        "facts), the basket-sequence frame materializes once and " +
+        "self-joins on (custkey, rnk) EQUALITY — no inequality or " +
+        "cross join — and the top-20 is TakeOrderedAndProject."),
+    "x57_perm_test" ->
+      ("Randomization test: facts reduce to the calendar-bounded day " +
+        "table BEFORE the 64-way permutation explode, per-permutation " +
+        "sums partial-aggregate on the 64-key p column, and the " +
+        "observed row and permutation tail arrive via 1-row " +
+        "BroadcastExchanges."),
+    "p10_hll_calibration" ->
+      ("Sketch calibration: ONE stack unpivot (4x rows in flight, " +
+        "map-side combined) feeds the register build; register tables " +
+        "are 64x|cols| rows forever, so every downstream exchange is " +
+        "constant-size regardless of corpus scale."),
   )
 
   def main(args: Array[String]): Unit = {

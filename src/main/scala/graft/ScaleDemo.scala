@@ -41,7 +41,8 @@ object ScaleDemo {
   def replicateEvents(events: DataFrame, factor: Int): DataFrame =
     events.withColumn("replica", explode(expr(s"sequence(0, ${factor - 1})")))
       .select((col("event_id") * factor + col("replica")).as("event_id"),
-        col("ts"), col("user_id"), col("event_type"), col("value"))
+        col("ts"), col("user_id"), col("event_type"), col("value"),
+        col("props"))
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(20)
@@ -174,7 +175,10 @@ object ScaleDemo {
       // replication leaves pivots under the cap — fan-out grows with the
       // genuine clique density, and the top-k is TakeOrdered
       "link_predict" -> (d => operators.Graph.resourceAllocTop(
-        operators.Dedup.minhashCandidates(d, 4), 15).count()))
+        operators.Dedup.minhashCandidates(d, 4), 15).count()),
+      // the agreement histogram reduces the same bucket join g2 pays;
+      // the ladder is a 4-row window — F× docs only widen the join
+      "band_agreement" -> (d => operators.Dedup.bandAgreementCurve(d).count()))
     val vecOps: Seq[(String, DataFrame => Long)] = Seq(
       "lsh_buckets" -> (v => operators.Similarity.lshBuckets(v, 4).count()),
       "ivf_assign" -> (v => operators.Similarity.ivfAssign(v, 16).count()),
@@ -198,7 +202,10 @@ object ScaleDemo {
       "pca_step" -> (v => operators.Similarity.pcaPowerStep(v).count()),
       // one scan to 64 accumulator rows; the weight literal rides in the
       // plan, so F× vectors must scale linearly with zero extra shuffles
-      "svm_step" -> (v => operators.Similarity.svmStep(v).count()))
+      "svm_step" -> (v => operators.Similarity.svmStep(v).count()),
+      // the s8 assignment plus one m-row rollup — broadcast codebook,
+      // so F× vectors only widen the piece explode
+      "pq_distortion" -> (v => operators.Similarity.pqDistortion(v).count()))
     val eventOps: Seq[(String, DataFrame => Long)] = Seq(
       "event_transitions" -> (e => operators.Funnel.eventTransitions(e).count()),
       "funnel" -> (e => operators.Funnel.funnelConversion(e).count()),
@@ -232,7 +239,13 @@ object ScaleDemo {
       "benford" -> (e => operators.Stats.benfordDigits(e).count()),
       // RFM: one user_id reduction, then quartile maps over |distinct
       // value| tables only — F× events must not widen any window input
-      "rfm" -> (e => operators.Funnel.rfmSegments(e).count()))
+      "rfm" -> (e => operators.Funnel.rfmSegments(e).count()),
+      // the x64 permutation explode happens on the DAY table, never the
+      // facts — F× events widen only the first day reduction
+      "perm_test" -> (e => operators.Stats.permTest(e).count()),
+      // one stack unpivot (4x rows in flight, combinable) into the
+      // 64-register sketch — register tables stay 64x|cols| forever
+      "hll_calibration" -> (e => operators.Profiling.hllCalibration(e).count()))
 
     def sweep(name: String, base: DataFrame, big: DataFrame,
               fns: Seq[(String, DataFrame => Long)]): Seq[String] =
@@ -244,7 +257,7 @@ object ScaleDemo {
       }
 
     val ev1 = Tables.events(spark, sfDir)
-      .select("event_id", "ts", "user_id", "event_type", "value")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .localCheckpoint()
     val evF = replicateEvents(ev1, factor).localCheckpoint()
 

@@ -585,4 +585,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(bucket"),
       "zone reduction must shuffle one row per bucket\n" + p.take(1000))
   }
+
+  test("q47: consecutive-order join is equality-keyed; top-k is TakeOrdered") {
+    val p = plan("q47_next_purchase")
+    assert(!p.contains("CartesianProduct"),
+      "transition pairs must come from the (custkey, rnk) equi-join\n" + p.take(1000))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("x57: permutations explode the day table, not the facts") {
+    val p = plan("x57_perm_test")
+    // the Generate (explode) must sit above the day HashAggregate —
+    // i.e. an aggregate appears below it in the plan text
+    val genIdx = p.indexOf("Generate")
+    assert(genIdx >= 0 && p.substring(genIdx).contains("HashAggregate"),
+      "the x64 explode must consume the reduced day table\n" + p.take(1200))
+    assert(p.contains("hashpartitioning(p"),
+      "per-permutation sums must reduce on the 64-key p column")
+  }
 }
