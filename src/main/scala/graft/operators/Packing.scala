@@ -214,6 +214,42 @@ object Packing {
           col("n_tokens").cast("double"), 9).as("loss_share"))
       .orderBy("context_len")
   }
+
+  /** y13: token-budget mixing plan — given a target token budget (half
+    * the corpus), which sources fill it if you take quality-best-first?
+    * The data-mixing decision every curation run makes (x18 samples BY
+    * temperature; this PLANS an exact greedy allocation): sources rank
+    * by mean document quality, the cumulative token ladder marks each
+    * source fully-taken / boundary / excluded, and the boundary source
+    * gets a partial take_frac — the downsampling rate to hand x1's
+    * deterministic sampler.
+    *
+    * Scale shape: one tokenize pass reduces docs to per-source (tokens,
+    * exact-decimal mean quality); everything after runs on the
+    * |sources| table — the greedy "loop" is a cumulative window over
+    * ~tens of rows, never a driver loop. */
+  def budgetMix(docs: DataFrame): DataFrame = {
+    val perSrc = TextAnalysis.qualityScore(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(sum("n_tokens").as("tokens"),
+        graft.functions.Parity.exactAvg(col("quality")).as("mq"))
+      .select(col("source"), col("tokens"), pround(col("mq"), 6).as("mean_quality"))
+    val tot = perSrc.agg(sum("tokens").as("t"))
+      .select(expr("t div 2").as("budget"))
+    val w = Window.orderBy(col("mean_quality").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("cum_before", coalesce(sum("tokens").over(w), lit(0L)))
+      .select(col("source"), col("mean_quality"), col("tokens"),
+        col("cum_before"), col("budget"),
+        expr("case when cum_before >= budget then 0L " +
+          "when cum_before + tokens <= budget then tokens " +
+          "else budget - cum_before end").as("take_tokens"))
+      .withColumn("take_frac",
+        pround(col("take_tokens").cast("double") / col("tokens").cast("double"), 6))
+      .orderBy(col("mean_quality").desc, col("source"))
+  }
 }
 
 object PackingQueries {
@@ -399,5 +435,38 @@ object PackingQueries {
       doc = "truncation-loss ladder (the y10 fill-rate trade priced): " +
         "one tokenize pass to per-doc counts, all conditional sums in a " +
         "single combinable aggregate, stack unpivot to |limits| rows"),
+
+    Q("y13_budget_mix",
+      (s, d) => budgetMix(docs(s, d)),
+      Some(s"""WITH ${TextAnalysisQueries.statsSqlCte},
+              |q AS (SELECT doc_id, n_tokens,
+              |             ${TextAnalysisQueries.qualitySqlExpr} AS quality
+              |      FROM st),
+              |ds AS (SELECT q.doc_id, q.n_tokens, q.quality, d.source
+              |       FROM q JOIN documents d ON d.doc_id = q.doc_id),
+              |ps AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tokens,
+              |              floor((${graft.functions.Parity.exactAvgSql("quality")})
+              |                    * 1000000.0 + 0.5) / 1000000.0 AS mean_quality
+              |       FROM ds GROUP BY 1),
+              |tt AS (SELECT CAST(sum(tokens) AS BIGINT) // 2 AS budget FROM ps),
+              |cb AS (SELECT source, mean_quality, tokens, budget,
+              |              CAST(coalesce(sum(tokens) OVER (
+              |                ORDER BY mean_quality DESC, source
+              |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |                AS BIGINT) AS cum_before
+              |       FROM ps CROSS JOIN tt),
+              |tk AS (SELECT source, mean_quality, tokens, cum_before, budget,
+              |              CAST(CASE WHEN cum_before >= budget THEN 0
+              |                   WHEN cum_before + tokens <= budget THEN tokens
+              |                   ELSE budget - cum_before END AS BIGINT) AS take_tokens
+              |       FROM cb)
+              |SELECT source, mean_quality, tokens, cum_before, budget, take_tokens,
+              |       floor(CAST(take_tokens AS DOUBLE) / CAST(tokens AS DOUBLE)
+              |             * 1000000.0 + 0.5) / 1000000.0 AS take_frac
+              |FROM tk ORDER BY mean_quality DESC, source""".stripMargin),
+      doc = "greedy token-budget mixing plan (quality-best-first fill of " +
+        "a half-corpus budget): one tokenize pass to per-source exact " +
+        "stats, cumulative ladder over the |sources| table, boundary " +
+        "source gets the partial take_frac for x1's sampler"),
   )
 }

@@ -2030,5 +2030,70 @@ object RelationalQueries {
         "over the orders dim, consecutive-order equality join on " +
         "(custkey, rnk), shared capped-basket kernel, top-20 " +
         "TakeOrderedAndProject"),
+
+    Q("q48_segment_migration",
+      (s, d) => {
+        // Customer lifecycle matrix: spend-quartile segment in the
+        // first half of the calendar vs the second — who upgraded,
+        // who churned (segment 0 = absent that half), who arrived. The
+        // f11/rfm quartile discipline: per-period cut points come from
+        // cumulative windows over |distinct spend value| tables (never
+        // a |customers|-row global window), customers join their two
+        // segments full-outer on custkey, and the matrix is a <=5x5
+        // rollup.
+        val o = Tables.orders(s, d).select(col("o_custkey"),
+          expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+          expr("cast(floor(o_totalprice * 100.0 + 0.5) as bigint)").as("c"))
+        val mm = o.agg(min("day").as("dmin"), max("day").as("dmax"))
+        val pc = o.crossJoin(broadcast(mm))
+          .select((col("day") * 2 <= col("dmin") + col("dmax"))
+            .cast("long").as("g"), col("o_custkey"), col("c"))
+          .groupBy("g", "o_custkey").agg(sum("c").as("spend"))
+        val cw = Window.partitionBy("g").orderBy("spend")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cm = pc.groupBy("g", "spend").agg(count(lit(1)).as("cnt"))
+          .select(col("g"), col("spend"), sum("cnt").over(cw).as("cum"),
+            sum("cnt").over(Window.partitionBy("g")).as("n"))
+        val sg = pc.join(cm, Seq("g", "spend"))
+          .select(col("g"), col("o_custkey"),
+            expr("(4 * cum + n - 1) div n").as("q"))
+        val a = sg.where(col("g") === 1)
+          .select(col("o_custkey"), col("q").as("qa"))
+        val b = sg.where(col("g") === 0)
+          .select(col("o_custkey"), col("q").as("qb"))
+        a.join(b, Seq("o_custkey"), "full_outer")
+          .groupBy(coalesce(col("qa"), lit(0L)).as("seg_a"),
+            coalesce(col("qb"), lit(0L)).as("seg_b"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("seg_a", "seg_b")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey,
+             |         CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+             |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+             |  FROM orders),
+             |mm AS (SELECT min(day) AS dmin, max(day) AS dmax FROM o),
+             |pc AS (SELECT CASE WHEN day * 2 <= dmin + dmax THEN 1 ELSE 0 END AS g,
+             |              o_custkey, CAST(sum(c) AS BIGINT) AS spend
+             |       FROM o CROSS JOIN mm GROUP BY 1, 2),
+             |vm AS (SELECT g, spend, CAST(count(*) AS BIGINT) AS cnt
+             |       FROM pc GROUP BY 1, 2),
+             |cm AS (SELECT g, spend,
+             |              sum(cnt) OVER (PARTITION BY g ORDER BY spend) AS cum,
+             |              sum(cnt) OVER (PARTITION BY g) AS n
+             |       FROM vm),
+             |sg AS (SELECT pc.g, pc.o_custkey, (4 * cum + n - 1) // n AS q
+             |       FROM pc JOIN cm ON pc.g = cm.g AND pc.spend = cm.spend),
+             |a AS (SELECT o_custkey, q FROM sg WHERE g = 1),
+             |b AS (SELECT o_custkey, q FROM sg WHERE g = 0)
+             |SELECT CAST(coalesce(a.q, 0) AS BIGINT) AS seg_a,
+             |       CAST(coalesce(b.q, 0) AS BIGINT) AS seg_b,
+             |       CAST(count(*) AS BIGINT) AS n_customers
+             |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "spend-quartile segment migration between calendar halves " +
+        "(0 = absent): f11's value-table quartile discipline per " +
+        "period, full-outer custkey join, <=5x5 matrix rollup — the " +
+        "churn/upgrade lifecycle read"),
   )
 }

@@ -711,6 +711,38 @@ object Stats {
       .orderBy("lag")
   }
 
+  /** x58: capture–recapture (Chapman) population estimate — treat the
+    * two stream halves as two independent "captures" of the user base
+    * and estimate the TRUE population from the overlap:
+    * N̂ = (n1+1)(n2+1)/(m+1) − 1. On complete logs the exact total is
+    * known, so the census reports the estimator's relative error too —
+    * the calibration read for the real use case (dedup across two
+    * partial crawls / logs with loss, where the truth is NOT known).
+    * One user_id reduction to per-user half flags (the same shuffle
+    * x31 pays), one 1-row rollup, fixed IEEE tail. */
+  def captureRecapture(events: DataFrame): DataFrame = {
+    val daily = events.select(col("user_id"),
+      expr("unix_timestamp(ts) div 86400").as("day"))
+    val mm = daily.agg(min("day").as("dmin"), max("day").as("dmax"))
+    val per = daily.crossJoin(broadcast(mm))
+      .select(col("user_id"),
+        (col("day") * 2 <= col("dmin") + col("dmax")).cast("long").as("h1"))
+      .groupBy("user_id")
+      .agg(max("h1").as("s1"), max(lit(1L) - col("h1")).as("s2"))
+    per.agg(sum("s1").as("n1"), sum("s2").as("n2"),
+        sum(col("s1") * col("s2")).as("m"), count(lit(1)).as("n_total"))
+      .select(col("n1"), col("n2"), col("m").as("n_both"), col("n_total"),
+        pround(expr(chapmanExpr), 6).as("chapman_est"),
+        pround(expr(s"(($chapmanExpr) - cast(n_total as double)) " +
+          "/ cast(n_total as double)"), 6).as("rel_err"))
+  }
+
+  // Chapman's bias-corrected Lincoln-Petersen tree, shared verbatim
+  // with the oracle; the +1s make it finite even at zero overlap.
+  private[operators] val chapmanExpr =
+    "(cast(n1 + 1 as double) * cast(n2 + 1 as double) " +
+      "/ cast(m + 1 as double) - 1.0)"
+
   /** x57: randomization (permutation) test for the first-half vs
     * second-half daily-revenue mean shift — distribution-free
     * significance with NO normality assumption (x24's Welch needs one;
@@ -2788,5 +2820,36 @@ object StatsQueries {
         "64 deterministic md5 relabelings of the DAY table (never the " +
         "facts), exact long sums per permutation, fixed IEEE mean-gap " +
         "trees, one-sided-empty permutations dropped"),
+
+    Q("x58_capture_recapture",
+      (s, d) => captureRecapture(Tables.events(s, d)),
+      Some(s"""WITH dd AS (
+              |  SELECT user_id,
+              |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+              |  FROM events),
+              |mm AS (SELECT min(day) AS dmin, max(day) AS dmax FROM dd),
+              |per AS (
+              |  SELECT user_id,
+              |         CAST(max(CASE WHEN day * 2 <= dmin + dmax
+              |                  THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+              |         CAST(max(CASE WHEN day * 2 <= dmin + dmax
+              |                  THEN 0 ELSE 1 END) AS BIGINT) AS s2
+              |  FROM dd CROSS JOIN mm GROUP BY 1),
+              |ag AS (SELECT CAST(sum(s1) AS BIGINT) AS n1,
+              |              CAST(sum(s2) AS BIGINT) AS n2,
+              |              CAST(sum(s1 * s2) AS BIGINT) AS m,
+              |              CAST(count(*) AS BIGINT) AS n_total
+              |       FROM per)
+              |SELECT n1, n2, m AS n_both, n_total,
+              |       floor(($chapmanExpr) * 1000000.0 + 0.5)
+              |         / 1000000.0 AS chapman_est,
+              |       floor(((($chapmanExpr) - cast(n_total as double))
+              |              / cast(n_total as double))
+              |             * 1000000.0 + 0.5) / 1000000.0 AS rel_err
+              |FROM ag""".stripMargin),
+      doc = "Chapman capture-recapture population estimate from the two " +
+        "stream halves + its relative error vs the known total — the " +
+        "calibration read for dedup across partial crawls; one user_id " +
+        "reduction, 1-row rollup, shared IEEE tree"),
   )
 }

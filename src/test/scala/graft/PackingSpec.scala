@@ -170,4 +170,27 @@ class PackingSpec extends SparkSpec {
     assert(m == Map(128L -> (2L, 544L), 512L -> (1L, 88L),
       2048L -> (0L, 0L)))
   }
+
+  test("budget mix: quality-best source fills first, boundary take is partial") {
+    import spark.implicits._
+    // source A: 6 docs x 10 tokens, half stopwords -> quality 0.3
+    // source B: 4 docs x 10 tokens, no stopwords  -> quality 0.05
+    // budget = (60+40)/2 = 50 -> A takes 50/60 partially, B takes 0
+    val aText = "the the the the the cat dog fox hen owl"
+    val bText = "cat dog fox hen owl bat cow pig ram ewe"
+    val docs = ((1 to 6).map(i => (i.toLong, aText, "A")) ++
+      (7 to 10).map(i => (i.toLong, bText, "B")))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "source", "'en' as lang",
+        "length(text) as n_chars")
+    val rows = Packing.budgetMix(docs).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("A", "B"), "quality order")
+    val byS = rows.map(r => r.getString(0) -> r).toMap
+    assert(byS("A").getAs[Double]("mean_quality") == 0.3)
+    assert(byS("A").getAs[Long]("tokens") == 60L)
+    assert(byS("A").getAs[Long]("take_tokens") == 50L)
+    assert(byS("A").getAs[Double]("take_frac") == 0.833333)
+    assert(byS("B").getAs[Long]("take_tokens") == 0L)
+    assert(byS("B").getAs[Double]("take_frac") == 0.0)
+  }
 }

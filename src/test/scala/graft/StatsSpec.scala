@@ -594,6 +594,22 @@ class StatsSpec extends SparkSpec {
     assert(rows(0L)._2 == math.floor(exp0 * 1e9 + 0.5) / 1e9)
   }
 
+  test("capture-recapture: hand-counted overlap gives the Chapman estimate") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // days 1..4 -> first half = days 1,2. Users 1-6 in H1, 4-10 in H2:
+    // n1=6, n2=7, overlap m=3, true total 10
+    val ev = ((1L to 6L).map(u => (Timestamp.valueOf("2024-01-01 10:00:00"), u)) ++
+      (4L to 10L).map(u => (Timestamp.valueOf("2024-01-04 10:00:00"), u)))
+      .toDF("ts", "user_id")
+    val r = Stats.captureRecapture(ev).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((6L, 7L, 3L, 10L)))
+    // chapman = 7*8/4 - 1 = 13; rel_err = (13-10)/10 = 0.3
+    assert(r.getAs[Double]("chapman_est") == 13.0)
+    assert(r.getAs[Double]("rel_err") == 0.3)
+  }
+
   test("perm test: constant series is never beaten, a hard shift is rarely matched") {
     import spark.implicits._
     import java.sql.Timestamp
