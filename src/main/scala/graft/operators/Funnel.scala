@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.{Q, Tables}
 import graft.functions.Parity.pround
@@ -319,6 +320,45 @@ object Funnel {
     * Ties share a quartile by construction, which also makes the result
     * engine-order-independent. The three value→quartile maps are
     * distinct-value-sized and broadcast back onto the per-user table. */
+  /** f14: inter-event gap census per event type — the traffic-shape
+    * read behind retry/backoff and capacity planning (a low CV means
+    * metronome traffic; CV ≈ 1 is Poisson; CV >> 1 is bursty sessions).
+    * Gaps are consecutive same-user deltas in whole seconds (one
+    * user_id window, the same shuffle every session operator pays),
+    * attributed to the LATER event's type, then reduced to exact
+    * (n, Σg, Σg²) moments per type — DECIMAL sums so 100 TB gap
+    * squares cannot overflow — with the CV read off one fixed IEEE
+    * tree: cv = √(n·Σg² − (Σg)²)/Σg. */
+  def eventGapCensus(events: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    // order by the TRUNCATED second (+ id tiebreak), not the raw ts —
+    // sub-second ordering would diverge from the oracle's epoch-second
+    // window when two events share a second
+    val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_timestamp(ts)").as("sec"))
+      .withColumn("prev", lag("sec", 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("event_type"), (col("sec") - col("prev")).as("g"))
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("g").cast(dec)).as("sg"),
+        sum(col("g").cast(dec) * col("g").cast(dec)).as("sgg"))
+      .select(col("event_type"), col("n_gaps"),
+        pround(expr("cast(sg as double) / cast(n_gaps as double)"), 6)
+          .as("mean_gap_s"),
+        pround(expr(gapCvExpr), 6).as("cv"))
+      .orderBy("event_type")
+  }
+
+  // CV tree over the exact decimal moments, shared with the oracle; a
+  // zero-sum gap series (all gaps 0) has no defined CV -> null.
+  private[operators] val gapCvExpr =
+    "(case when sg = 0 then cast(null as double) " +
+      "else sqrt(cast(cast(n_gaps as decimal(38,0)) * sgg - sg * sg as double)) " +
+      "/ cast(sg as double) end)"
+
   def rfmSegments(events: DataFrame): DataFrame = {
     val per = events
       .select(col("user_id"),
@@ -762,5 +802,35 @@ object FunnelQueries {
       doc = "A/B-split sequential funnel (f2 x x31's hash variant): same " +
         "windowed conditional-min chain, one user_id shuffle, 2-row " +
         "variant rollup with conversion shares"),
+
+    Q("f14_event_gaps",
+      (s, d) => eventGapCensus(Tables.events(s, d)),
+      Some(s"""WITH g0 AS (
+              |  SELECT event_type,
+              |         CAST(floor(epoch(ts)) AS BIGINT)
+              |           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+              |             OVER (PARTITION BY user_id
+              |                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+              |                            event_id) AS g
+              |  FROM events),
+              |gg AS (SELECT event_type, g FROM g0 WHERE g IS NOT NULL),
+              |mo AS (SELECT event_type,
+              |              CAST(count(*) AS BIGINT) AS n_gaps,
+              |              CAST(sum(CAST(g AS HUGEINT)) AS HUGEINT) AS sg,
+              |              CAST(sum(CAST(g AS HUGEINT) * g) AS HUGEINT) AS sgg
+              |       FROM gg GROUP BY 1)
+              |SELECT event_type, n_gaps,
+              |       floor(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+              |             * 1000000.0 + 0.5) / 1000000.0 AS mean_gap_s,
+              |       floor((CASE WHEN sg = 0 THEN NULL
+              |               ELSE sqrt(CAST(CAST(n_gaps AS HUGEINT) * sgg - sg * sg
+              |                              AS DOUBLE))
+              |                    / CAST(sg AS DOUBLE) END)
+              |             * 1000000.0 + 0.5) / 1000000.0 AS cv
+              |FROM mo ORDER BY event_type""".stripMargin),
+      doc = "inter-event gap census per type (traffic shape: CV << 1 " +
+        "metronome, ~1 Poisson, >> 1 bursty): one user_id lag window, " +
+        "exact decimal (n, sum, sum-of-squares) moments, shared CV tree, " +
+        "|types| rows"),
   )
 }

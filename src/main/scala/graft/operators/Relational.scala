@@ -64,6 +64,13 @@ object Relational {
       "else (cast(rev_cents as double) - cast(prev_cents as double)) / " +
       "cast(prev_cents as double) end)"
 
+  // Grouped-OLS slope tree over exact integer moments, shared verbatim
+  // with the oracle; a constant-discount segment has no slope -> null.
+  private[operators] val groupSlopeExpr =
+    "(case when n * sxx - sx * sx = 0 then cast(null as double) " +
+      "else cast(n * sxy - sx * sy as double) " +
+      "/ cast(n * sxx - sx * sx as double) end)"
+
   /** Distinct items per order under the deterministic 64-item basket
     * cap — the ONE kernel q44 (support ranking) and q45 (lift ranking)
     * both expand, so the two basket views cannot drift. The cap bounds
@@ -2095,5 +2102,49 @@ object RelationalQueries {
         "(0 = absent): f11's value-table quartile discipline per " +
         "period, full-outer custkey join, <=5x5 matrix rollup — the " +
         "churn/upgrade lifecycle read"),
+
+    Q("q49_group_ols",
+      (s, d) => {
+        // Per-segment discount sensitivity: within each return-flag
+        // segment, the OLS slope of quantity on discount — x29's global
+        // regression grouped (does the discount effect differ across
+        // outcome segments?). Discounts quantize to exact basis points
+        // and quantities to integers, so the five moments reduce as
+        // exact longs with map-side combine; the slope tree is one IEEE
+        // division per group over |flags| rows. At 100 TB the squared
+        // moments flip to DECIMAL(38,0) — same shape.
+        val li = Tables.lineitem(s, d).select(
+          col("l_returnflag").as("flag"),
+          expr("cast(floor(l_discount * 10000.0 + 0.5) as bigint)").as("x"),
+          expr("cast(floor(l_quantity + 0.5) as bigint)").as("y"))
+        li.groupBy("flag")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"))
+          .select(col("flag"), col("n").as("n_rows"),
+            pround(expr("cast(sx as double) / cast(n as double)"), 6)
+              .as("mean_disc_bp"),
+            pround(expr(Relational.groupSlopeExpr), 9).as("slope_per_bp"))
+          .orderBy("flag")
+      },
+      Some(s"""WITH m AS (
+              |  SELECT l_returnflag AS flag,
+              |         CAST(count(*) AS BIGINT) AS n,
+              |         CAST(sum(CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+              |         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+              |         CAST(sum(CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT)
+              |                  * CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sxx,
+              |         CAST(sum(CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT)
+              |                  * CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sxy
+              |  FROM lineitem GROUP BY 1)
+              |SELECT flag, n AS n_rows,
+              |       floor(cast(sx as double) / cast(n as double)
+              |             * 1000000.0 + 0.5) / 1000000.0 AS mean_disc_bp,
+              |       floor((${Relational.groupSlopeExpr}) * 1000000000.0 + 0.5)
+              |         / 1000000000.0 AS slope_per_bp
+              |FROM m ORDER BY flag""".stripMargin),
+      doc = "grouped OLS (x29 per return-flag segment): exact basis-" +
+        "point/integer moments with map-side combine, one IEEE slope " +
+        "division per group, constant-variance guard null, |flags| rows"),
   )
 }

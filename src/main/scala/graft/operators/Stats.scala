@@ -711,6 +711,36 @@ object Stats {
       .orderBy("lag")
   }
 
+  /** x59: overdispersion census — per event type, the dispersion index
+    * D = Var/Mean of the DAILY count series (D ≈ 1 Poisson, D >> 1
+    * clumped/bursty arrivals, D < 1 metronome). The count-model
+    * pre-flight for alerting: a Poisson threshold on overdispersed
+    * traffic false-fires constantly (this is what x38/StreamAnomaly
+    * thresholds should be checked against). One (type, day) reduction,
+    * then |types| exact moment rows; D = (n·Σc² − (Σc)²)/(n·Σc) on one
+    * shared IEEE tree. At 100 TB the c² sums flip to DECIMAL(38,0) —
+    * same shape. */
+  def dispersionCensus(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("c").as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+      .select(col("event_type"), col("n_days"), col("sc").as("n_events"),
+        pround(expr("cast(sc as double) / cast(n_days as double)"), 6)
+          .as("mean_daily"),
+        pround(expr(dispersionExpr), 6).as("dispersion"))
+      .orderBy("event_type")
+  }
+
+  // Dispersion tree over exact integer moments, shared with the oracle;
+  // an empty series has no defined index -> null.
+  private[operators] val dispersionExpr =
+    "(case when sc = 0 then cast(null as double) " +
+      "else cast(n_days * scc - sc * sc as double) " +
+      "/ (cast(n_days as double) * cast(sc as double)) end)"
+
   /** x58: capture–recapture (Chapman) population estimate — treat the
     * two stream halves as two independent "captures" of the user base
     * and estimate the TRUE population from the overlap:
@@ -2851,5 +2881,28 @@ object StatsQueries {
         "stream halves + its relative error vs the known total — the " +
         "calibration read for dedup across partial crawls; one user_id " +
         "reduction, 1-row rollup, shared IEEE tree"),
+
+    Q("x59_dispersion",
+      (s, d) => dispersionCensus(Tables.events(s, d)),
+      Some(s"""WITH daily AS (
+              |  SELECT event_type,
+              |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+              |         CAST(count(*) AS BIGINT) AS c
+              |  FROM events GROUP BY 1, 2),
+              |mo AS (SELECT event_type,
+              |              CAST(count(*) AS BIGINT) AS n_days,
+              |              CAST(sum(c) AS BIGINT) AS sc,
+              |              CAST(sum(c * c) AS BIGINT) AS scc
+              |       FROM daily GROUP BY 1)
+              |SELECT event_type, n_days, sc AS n_events,
+              |       floor(cast(sc as double) / cast(n_days as double)
+              |             * 1000000.0 + 0.5) / 1000000.0 AS mean_daily,
+              |       floor(($dispersionExpr) * 1000000.0 + 0.5)
+              |         / 1000000.0 AS dispersion
+              |FROM mo ORDER BY event_type""".stripMargin),
+      doc = "overdispersion census (daily-count Var/Mean per type; ~1 " +
+        "Poisson, >>1 bursty): one (type, day) reduction, |types| exact " +
+        "moment rows, shared dispersion tree — the count-model " +
+        "pre-flight for alert thresholds"),
   )
 }

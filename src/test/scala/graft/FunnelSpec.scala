@@ -215,4 +215,23 @@ class FunnelSpec extends SparkSpec {
     // purchasing sessions hold 200 and 400 cents -> lower median 200
     assert(r.getAs[Long]("p50_rev_cents") == 200L)
   }
+
+  test("event gap census: metronome CV is zero, irregular gaps raise it") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(id: Long, u: Long, sec: Int, t: String) =
+      (id, u, Timestamp.valueOf(f"2024-01-01 00:${sec / 60}%02d:${sec % 60}%02d"), t)
+    val events = Seq(
+      ev(1, 1, 0, "a"), ev(2, 1, 10, "b"), ev(3, 1, 20, "b"), // gaps 10, 10
+      ev(4, 2, 0, "a"), ev(5, 2, 5, "c"), ev(6, 2, 20, "c"))  // gaps 5, 15
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val m = operators.Funnel.eventGapCensus(events).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // first events per user have no gap -> type a absent
+    assert(!m.contains("a"))
+    assert(m("b") == ((2L, 10.0, 0.0)), "constant gaps -> CV 0")
+    // type c: gaps 5,15 -> mean 10, sqrt(2*250-400)/20 = 0.5
+    assert(m("c") == ((2L, 10.0, 0.5)))
+  }
 }

@@ -594,6 +594,22 @@ class StatsSpec extends SparkSpec {
     assert(rows(0L)._2 == math.floor(exp0 * 1e9 + 0.5) / 1e9)
   }
 
+  test("dispersion census: constant days are 0, clumped days hand-compute") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(day: Int, t: String, k: Int) = (1 to k).map(_ =>
+      (Timestamp.valueOf(f"2024-01-$day%02d 01:00:00"), t))
+    // "m": 2 events on each of 3 days -> variance 0 -> D = 0
+    // "b": 1 then 3 events -> D = (2*10 - 16) / (2*4) = 0.5
+    val events = (ev(1, "m", 2) ++ ev(2, "m", 2) ++ ev(3, "m", 2) ++
+      ev(1, "b", 1) ++ ev(2, "b", 3)).toDF("ts", "event_type")
+    val m = Stats.dispersionCensus(events).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(m("m") == ((3L, 6L, 2.0, 0.0)))
+    assert(m("b") == ((2L, 4L, 2.0, 0.5)))
+  }
+
   test("capture-recapture: hand-counted overlap gives the Chapman estimate") {
     import spark.implicits._
     import java.sql.Timestamp
