@@ -357,5 +357,111 @@ object PipelineQueries {
         "near-dup drops (g2c/g13 rule) vs t2's quality — same kernels " +
         "as the standalone queries, doc_id-keyed join, 2-row rollup " +
         "with DECIMAL-exact means"),
+
+    Q("e5_yield_funnel",
+      (s, d) => {
+        // The curation yield funnel: docs and token mass surviving each
+        // cumulative stage raw -> exact dedup (g1 rule) -> full-band
+        // near-dup (g2c/g13 rule) -> Gopher quality (t19 rules). THE
+        // capacity-planning artifact of a data pipeline ("how much
+        // corpus survives to pretraining?"), composed from the SAME
+        // kernels as the standalone queries so the funnel can't drift
+        // from them. Per-doc stage flags land in one doc_id-keyed
+        // frame; the funnel is ONE combinable aggregate + a
+        // zero-shuffle stack unpivot to 4 rows.
+        val docs = Tables.documents(s, d)
+        val flags = TextAnalysis.gopherFlags(docs)
+          .select(col("doc_id"), col("n_tokens"),
+            (col("p_len") && col("p_wlen") && col("p_stop") &&
+              col("p_alpha")).as("pq"))
+        val exactKept = Dedup.exactDedup(docs)
+          .select(col("doc_id")).withColumn("ke", lit(1L))
+        val nearDropped = Dedup.minhashNearDups(docs, 4, 4)
+          .select(col("doc_b").as("doc_id")).distinct()
+          .withColumn("nd", lit(1L))
+        flags.join(exactKept, Seq("doc_id"), "left")
+          .join(nearDropped, Seq("doc_id"), "left")
+          .select(col("n_tokens"),
+            col("ke").isNotNull.as("s2"),
+            (col("ke").isNotNull && col("nd").isNull).as("s3"),
+            (col("ke").isNotNull && col("nd").isNull && col("pq")).as("s4"))
+          .agg(count(lit(1)).as("d1"), sum("n_tokens").as("t1"),
+            sum(when(col("s2"), 1L).otherwise(0L)).as("d2"),
+            sum(when(col("s2"), col("n_tokens")).otherwise(0L)).as("t2"),
+            sum(when(col("s3"), 1L).otherwise(0L)).as("d3"),
+            sum(when(col("s3"), col("n_tokens")).otherwise(0L)).as("t3"),
+            sum(when(col("s4"), 1L).otherwise(0L)).as("d4"),
+            sum(when(col("s4"), col("n_tokens")).otherwise(0L)).as("t4"))
+          .select(expr("stack(4, '1_raw', d1, t1, '2_exact', d2, t2, " +
+            "'3_neardup', d3, t3, '4_quality', d4, t4) " +
+            "as (stage, n_docs, n_tokens)"))
+          .orderBy("stage")
+      },
+      Some {
+        val stopSql = TextAnalysis.Stopwords
+          .map(w => s"'$w'").mkString("(", ", ", ")")
+        s"""WITH ${DedupQueries.shinglesSqlCte},
+           |hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT AS h FROM sh),
+           |bb AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh),
+           |sig AS (
+           |  SELECT doc_id, band,
+           |         min(${Dedup.affinePermSqlDuck("band", "h")}) AS minh
+           |  FROM bb GROUP BY doc_id, band),
+           |nd AS (
+           |  SELECT DISTINCT b.doc_id
+           |  FROM sig a JOIN sig b
+           |    ON a.band = b.band AND a.minh = b.minh AND a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 4),
+           |ke AS (
+           |  SELECT min(doc_id) AS doc_id
+           |  FROM (SELECT doc_id,
+           |               lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))) AS norm
+           |        FROM documents)
+           |  GROUP BY norm),
+           |fl0 AS (SELECT doc_id,
+           |               list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+           |                           x -> x <> '') AS toks
+           |        FROM documents),
+           |fl AS (SELECT doc_id,
+           |              CAST(len(toks) AS BIGINT) AS n_tokens,
+           |              CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_wlen,
+           |              CAST(len(list_filter(toks, x -> x IN $stopSql)) AS BIGINT) AS n_stop,
+           |              CAST(len(list_filter(toks, x -> regexp_matches(x, '^[a-zA-Z]+$$'))) AS BIGINT) AS n_alpha
+           |       FROM fl0),
+           |per AS (
+           |  SELECT fl.n_tokens,
+           |         (ke.doc_id IS NOT NULL) AS s2,
+           |         (ke.doc_id IS NOT NULL AND nd.doc_id IS NULL) AS s3,
+           |         (ke.doc_id IS NOT NULL AND nd.doc_id IS NULL
+           |          AND fl.n_tokens >= 50 AND fl.n_tokens <= 100000
+           |          AND CAST(sum_wlen AS DOUBLE) / CAST(fl.n_tokens AS DOUBLE) >= 3.0
+           |          AND CAST(sum_wlen AS DOUBLE) / CAST(fl.n_tokens AS DOUBLE) <= 10.0
+           |          AND CAST(n_stop AS DOUBLE) / CAST(fl.n_tokens AS DOUBLE) >= 0.06
+           |          AND CAST(n_alpha AS DOUBLE) / CAST(fl.n_tokens AS DOUBLE) >= 0.8) AS s4
+           |  FROM fl
+           |  LEFT JOIN ke ON ke.doc_id = fl.doc_id
+           |  LEFT JOIN nd ON nd.doc_id = fl.doc_id),
+           |ag AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS d1,
+           |         CAST(sum(n_tokens) AS BIGINT) AS t1,
+           |         CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+           |         CAST(sum(CASE WHEN s2 THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
+           |         CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+           |         CAST(sum(CASE WHEN s3 THEN n_tokens ELSE 0 END) AS BIGINT) AS t3,
+           |         CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+           |         CAST(sum(CASE WHEN s4 THEN n_tokens ELSE 0 END) AS BIGINT) AS t4
+           |  FROM per)
+           |SELECT stage, n_docs, n_tokens FROM (
+           |  SELECT '1_raw' AS stage, d1 AS n_docs, t1 AS n_tokens FROM ag
+           |  UNION ALL SELECT '2_exact', d2, t2 FROM ag
+           |  UNION ALL SELECT '3_neardup', d3, t3 FROM ag
+           |  UNION ALL SELECT '4_quality', d4, t4 FROM ag)
+           |ORDER BY stage""".stripMargin
+      },
+      doc = "curation yield funnel raw -> exact dedup -> full-band " +
+        "near-dup -> Gopher quality: per-doc stage flags from the SAME " +
+        "g1/g2c/t19 kernels, one combinable aggregate, stack unpivot " +
+        "to 4 cumulative rows — the 'how much survives to pretraining' " +
+        "capacity artifact"),
   )
 }

@@ -711,6 +711,54 @@ object Stats {
       .orderBy("lag")
   }
 
+  /** x60: Wald–Wolfowitz runs test on daily revenue — is the sequence
+    * of above/below-median days random, or does it trend/cycle (too
+    * few runs) or oscillate (too many)? The sequence-randomness
+    * companion to x49's monotone-trend test. Median-equal days drop
+    * (standard practice); the median is the x36 lower median off the
+    * distinct-value cumulative table; runs count via one day-ordered
+    * lag window over the calendar-bounded day table; the z-score is
+    * one shared IEEE tree over the three exact integers (R, n1, n2).
+    * Degenerate splits (one-sided, or n1 = n2 = 1) guard to null. */
+  def runsTest(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(expr("unix_timestamp(ts) div 86400").as("day"),
+        expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("c"))
+      .groupBy("day").agg(sum("c").as("rev"))
+    val n = daily.agg(count(lit(1)).as("n"))
+    val cumW = Window.orderBy("rev")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = daily.groupBy("rev").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(cumW))
+      .crossJoin(broadcast(n))
+      .where(col("cum") >= expr("(n + 1) div 2"))
+      .agg(min("rev").as("med"))
+    val signs = daily.crossJoin(broadcast(med))
+      .where(col("rev") =!= col("med"))
+      .select(col("day"), (col("rev") > col("med")).cast("long").as("s"))
+    val w = Window.orderBy("day")
+    signs.withColumn("prev", lag("s", 1).over(w))
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("prev").isNull || col("prev") =!= col("s"), 1L)
+          .otherwise(0L)).as("n_runs"))
+      .select(col("n1"), (col("m") - col("n1")).as("n2"), col("n_runs"))
+      .select(col("n1"), col("n2"), col("n_runs"),
+        pround(expr(runsZExpr), 6).as("z"))
+  }
+
+  // Runs-test z tree over exact integers, shared with the oracle. The
+  // n2 column is derived (m - n1) BEFORE this expression applies.
+  private[operators] val runsZExpr =
+    "(case when n1 = 0 or n2 = 0 or 2 * n1 * n2 - n1 - n2 <= 0 " +
+      "then cast(null as double) else " +
+      "(cast(n_runs as double) - (2.0 * cast(n1 as double) * cast(n2 as double) " +
+      "/ cast(n1 + n2 as double) + 1.0)) / " +
+      "sqrt(2.0 * cast(n1 as double) * cast(n2 as double) " +
+      "* (2.0 * cast(n1 as double) * cast(n2 as double) - cast(n1 + n2 as double)) " +
+      "/ (cast(n1 + n2 as double) * cast(n1 + n2 as double) " +
+      "* cast(n1 + n2 - 1 as double))) end)"
+
   /** x59: overdispersion census — per event type, the dispersion index
     * D = Var/Mean of the DAILY count series (D ≈ 1 Poisson, D >> 1
     * clumped/bursty arrivals, D < 1 metronome). The count-model
@@ -2904,5 +2952,36 @@ object StatsQueries {
         "Poisson, >>1 bursty): one (type, day) reduction, |types| exact " +
         "moment rows, shared dispersion tree — the count-model " +
         "pre-flight for alert thresholds"),
+
+    Q("x60_runs_test",
+      (s, d) => runsTest(Tables.events(s, d)),
+      Some(s"""WITH daily AS (
+              |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+              |         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+              |  FROM events GROUP BY 1),
+              |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+              |cm AS (SELECT rev, sum(cnt) OVER (ORDER BY rev) AS cum
+              |       FROM (SELECT rev, CAST(count(*) AS BIGINT) AS cnt
+              |             FROM daily GROUP BY 1) x),
+              |md AS (SELECT min(rev) AS med
+              |       FROM cm CROSS JOIN nn WHERE cum >= (n + 1) // 2),
+              |sg AS (SELECT day,
+              |              CASE WHEN rev > med THEN 1 ELSE 0 END AS s
+              |       FROM daily CROSS JOIN md WHERE rev <> med),
+              |rr AS (SELECT s, lag(s) OVER (ORDER BY day) AS prev FROM sg),
+              |ag AS (SELECT CAST(count(*) AS BIGINT) AS m,
+              |              CAST(sum(s) AS BIGINT) AS n1,
+              |              CAST(sum(CASE WHEN prev IS NULL OR prev <> s
+              |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+              |       FROM rr),
+              |fin AS (SELECT n1, m - n1 AS n2, n_runs FROM ag)
+              |SELECT n1, CAST(n2 AS BIGINT) AS n2, n_runs,
+              |       floor(($runsZExpr) * 1000000.0 + 0.5)
+              |         / 1000000.0 AS z
+              |FROM fin""".stripMargin),
+      doc = "Wald-Wolfowitz runs test on above/below-median days " +
+        "(sequence randomness, x49's companion): x36 lower median off " +
+        "the value table, one day-ordered lag window, exact integer " +
+        "(R, n1, n2), shared z tree with degenerate-split null"),
   )
 }

@@ -633,8 +633,8 @@ object TextAnalysis {
   private[operators] def gopherFlags(docs: DataFrame): DataFrame = {
     val stopArr = Stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
     val perDoc = docs
-      .select(col("source"), expr(tokensExpr).as("toks"))
-      .select(col("source"),
+      .select(col("doc_id"), col("source"), expr(tokensExpr).as("toks"))
+      .select(col("doc_id"), col("source"),
         expr("size(toks)").cast("long").as("n_tokens"),
         expr("aggregate(toks, 0L, (s, x) -> s + length(x))").as("sum_wlen"),
         expr(s"size(filter(toks, x -> array_contains($stopArr, x)))")
@@ -645,7 +645,7 @@ object TextAnalysis {
     val stopF = col("n_stop").cast("double") / col("n_tokens").cast("double")
     val alphaF = col("n_alpha").cast("double") / col("n_tokens").cast("double")
     perDoc
-      .select(col("source"),
+      .select(col("doc_id"), col("source"), col("n_tokens"),
         (col("n_tokens") >= 50L && col("n_tokens") <= 100000L).as("p_len"),
         (meanW >= 3.0 && meanW <= 10.0).as("p_wlen"),
         (stopF >= 0.06).as("p_stop"),

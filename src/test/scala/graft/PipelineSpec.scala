@@ -107,4 +107,16 @@ class PipelineSpec extends SparkSpec {
     assert(dropped == Set(1L), "the ws-variant later copy must drop")
     assert(run.oracle.nonEmpty)
   }
+
+  test("e5 yield funnel: stages are cumulative — docs and tokens only shrink") {
+    val run = Registry.all.find(_.name == "e5_yield_funnel").get
+    val rows = run.run(spark, sf("sf0.001")).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_raw", "2_exact", "3_neardup", "4_quality"))
+    val docs = rows.map(_.getLong(1))
+    val toks = rows.map(_.getLong(2))
+    docs.sliding(2).foreach(p => assert(p(0) >= p(1), docs.mkString(",")))
+    toks.sliding(2).foreach(p => assert(p(0) >= p(1), toks.mkString(",")))
+    assert(docs.head > 0 && docs.last >= 0)
+  }
 }

@@ -594,6 +594,25 @@ class StatsSpec extends SparkSpec {
     assert(rows(0L)._2 == math.floor(exp0 * 1e9 + 0.5) / 1e9)
   }
 
+  test("runs test: oscillation maximizes runs, monotone trend minimizes them") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def series(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      (Timestamp.valueOf(f"2024-01-${i + 1}%02d 06:00:00"), v) }
+      .toDF("ts", "value")
+    // median day (value 4) drops; remaining signs alternate -> 6 runs
+    val osc = Stats.runsTest(series(Seq(1, 9, 2, 8, 3, 7, 4).map(_.toDouble)))
+      .collect().head
+    assert((osc.getLong(0), osc.getLong(1), osc.getLong(2)) == ((3L, 3L, 6L)))
+    val expZ = (6.0 - (2.0 * 3 * 3 / 6.0 + 1.0)) /
+      math.sqrt(2.0 * 3 * 3 * (2.0 * 3 * 3 - 6.0) / (6.0 * 6.0 * 5.0))
+    assert(osc.getAs[Double]("z") == math.floor(expZ * 1e6 + 0.5) / 1e6)
+    // strictly increasing: lows then highs -> exactly 2 runs, z < 0
+    val mono = Stats.runsTest(series((1 to 7).map(_.toDouble)))
+      .collect().head
+    assert(mono.getLong(2) == 2L && mono.getAs[Double]("z") < 0.0)
+  }
+
   test("dispersion census: constant days are 0, clumped days hand-compute") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -465,10 +465,10 @@ class TextAnalysisSpec extends SparkSpec {
     import spark.implicits._
     val good = Array.fill(10)("the cats sat on the mats").mkString(" ") // 60 toks
     val docs = Seq(
-      ("s", good),                       // passes all four rules
-      ("s", "the cats sat on the mats"), // 6 tokens: fails ONLY length
-      ("s", "1234 5678 9012"))           // fails length + stopword + alpha
-      .toDF("source", "text")
+      (1L, "s", good),                       // passes all four rules
+      (2L, "s", "the cats sat on the mats"), // 6 tokens: fails ONLY length
+      (3L, "s", "1234 5678 9012"))           // fails length + stopword + alpha
+      .toDF("doc_id", "source", "text")
     val r = operators.TextAnalysis.filterAblation(docs).collect().head
     assert(r.getAs[Long]("n_docs") == 3L)
     assert(r.getAs[Long]("n_pass") == 1L)
