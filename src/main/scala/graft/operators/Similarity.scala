@@ -1014,6 +1014,46 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** s28: filtered-search census — the vector-DB "filtered ANN" gotcha,
+    * measured: PRE-filter search restricts the corpus to the predicate
+    * and then ranks (always returns k); POST-filter ranks the full
+    * corpus and then filters the top-k (cheap, but silently starves —
+    * returns ≤ k and, under selective predicates, far fewer). The
+    * predicate is label parity (≈50% selectivity). Because a
+    * predicate-passing row's filtered rank is never worse than its
+    * global rank, the post-filter survivors are a SUBSET of the
+    * pre-filter top-k, so n_post/n_pre IS the post-filter recall.
+    * One broadcast query join scores the corpus once; both ranks are
+    * windows over the same scored frame. */
+  def filteredTopK(vecs: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val base = withFixed(vecs)
+    val queries = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("f").as("fa"), col("nrm").as("na"))
+    val corpus = base.select(col("vec_id").as("neighbor_id"),
+      (col("label") % 2 === 0).as("keep"), col("f").as("fb"), col("nrm").as("nb"))
+    val scored = broadcast(queries)
+      .join(corpus, col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"), col("keep"),
+        expr(cosExpr(vecs.sparkSession)).as("cos"))
+    val wAll = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val wKeep = Window.partitionBy("q_id", "keep")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rn_all", row_number().over(wAll))
+      .withColumn("rn_keep", row_number().over(wKeep))
+      .groupBy("q_id")
+      .agg(
+        sum(when(col("keep") && col("rn_keep") <= k, 1L).otherwise(0L))
+          .as("n_pre"),
+        sum(when(col("keep") && col("rn_all") <= k, 1L).otherwise(0L))
+          .as("n_post"))
+      .select(col("q_id"), col("n_pre"), col("n_post"),
+        pround(col("n_post").cast("double") / col("n_pre").cast("double"), 6)
+          .as("post_recall"))
+      .orderBy("q_id")
+  }
+
   /** s27: PQ codebook distortion census — per subspace, how much
     * squared error does quantizing to the codebook leave? The
     * "is this codebook good enough" pre-flight for s14's ADC scan
@@ -2059,5 +2099,33 @@ object SimilarityQueries {
         "ADC estimates): per-subspace mean/max exact quantization error " +
         "from the SHARED s8 assignment chain plus one combinable rollup " +
         "— the 'which subspace needs more codewords' pre-flight"),
+
+    Q("s28_filtered_topk",
+      (s, d) => filteredTopK(vecs(s, d)),
+      Some(s"""WITH $fixedSqlCte,
+              |sc AS (
+              |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+              |         (b.label % 2 = 0) AS keep,
+              |         ${pairCosSql("a", "b")} AS cos
+              |  FROM n a JOIN n b ON b.vec_id <> a.vec_id
+              |  WHERE a.vec_id < 5),
+              |r AS (
+              |  SELECT q_id, keep,
+              |         row_number() OVER (PARTITION BY q_id
+              |           ORDER BY cos DESC, neighbor_id) AS rn_all,
+              |         row_number() OVER (PARTITION BY q_id, keep
+              |           ORDER BY cos DESC, neighbor_id) AS rn_keep
+              |  FROM sc)
+              |SELECT q_id,
+              |       CAST(sum(CASE WHEN keep AND rn_keep <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+              |       CAST(sum(CASE WHEN keep AND rn_all <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_post,
+              |       floor(CAST(sum(CASE WHEN keep AND rn_all <= 5 THEN 1 ELSE 0 END) AS DOUBLE)
+              |             / CAST(sum(CASE WHEN keep AND rn_keep <= 5 THEN 1 ELSE 0 END) AS DOUBLE)
+              |             * 1000000.0 + 0.5) / 1000000.0 AS post_recall
+              |FROM r GROUP BY q_id ORDER BY q_id""".stripMargin),
+      doc = "filtered-ANN census (pre-filter vs post-filter search at " +
+        "~50% label-parity selectivity): one scored frame, two window " +
+        "ranks; post-filter survivors are provably a subset of the " +
+        "pre-filter top-k, so n_post/n_pre is the post-filter recall"),
   )
 }

@@ -332,6 +332,39 @@ object Stats {
         pround(expr(welchDofExpr), 4).as("dof"))
   }
 
+  /** x61: Cohen's d effect sizes for every source pair — x24's Welch t
+    * answers "is the difference real?"; d answers "is it BIG?"
+    * (t grows with √n, so at corpus scale everything is significant
+    * and only the standardized effect size ranks what matters). Same
+    * exact-moment kernel as x24: one groupBy to |groups| (n, Σx, Σx²)
+    * rows, pairwise join over the tiny group table, pooled-SD d on a
+    * shared IEEE tree with small-sample/zero-variance null guards. */
+  def cohensDPairwise(df: DataFrame, group: String, value: String): DataFrame = {
+    val mo = df.select(col(group).as("g"), col(value).cast("long").as("x"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    mo.as("a").join(mo.as("b"), col("a.g") < col("b.g"))
+      .select(col("a.g").as("group_a"), col("b.g").as("group_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        pround(expr(cohenDExpr), 6).as("cohens_d"))
+  }
+
+  private def sampVar(t: String) =
+    s"((cast($t.n as double) * cast($t.sxx as double) " +
+      s"- cast($t.sx as double) * cast($t.sx as double)) " +
+      s"/ (cast($t.n as double) * cast($t.n - 1 as double)))"
+  private val pooledVar =
+    s"((cast(a.n - 1 as double) * ${sampVar("a")} " +
+      s"+ cast(b.n - 1 as double) * ${sampVar("b")}) " +
+      "/ cast(a.n + b.n - 2 as double))"
+  private[operators] val cohenDExpr =
+    s"(case when a.n < 2 or b.n < 2 or ($pooledVar) <= 0.0 " +
+      "then cast(null as double) else " +
+      "(cast(a.sx as double) / cast(a.n as double) " +
+      "- cast(b.sx as double) / cast(b.n as double)) " +
+      s"/ sqrt($pooledVar) end)"
+
   // The t / dof expression strings are shared verbatim with the DuckDB
   // oracle (lowercase cast() parses on both engines): IEEE double ops are
   // deterministic, so an identical expression TREE guarantees identical
@@ -2983,5 +3016,24 @@ object StatsQueries {
         "(sequence randomness, x49's companion): x36 lower median off " +
         "the value table, one day-ordered lag window, exact integer " +
         "(R, n1, n2), shared z tree with degenerate-split null"),
+
+    Q("x61_cohens_d",
+      (s, d) => cohensDPairwise(Tables.documents(s, d), "source", "n_chars")
+        .orderBy("group_a", "group_b"),
+      Some(s"""WITH mo AS (
+              |  SELECT source AS g, CAST(count(*) AS BIGINT) AS n,
+              |         CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sx,
+              |         CAST(sum(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS sxx
+              |  FROM documents GROUP BY 1)
+              |SELECT a.g AS group_a, b.g AS group_b,
+              |       a.n AS n_a, b.n AS n_b,
+              |       floor(($cohenDExpr) * 1000000.0 + 0.5)
+              |         / 1000000.0 AS cohens_d
+              |FROM mo a JOIN mo b ON a.g < b.g
+              |ORDER BY group_a, group_b""".stripMargin),
+      doc = "pairwise Cohen's d effect sizes (x24's 'is it BIG' " +
+        "companion — t grows with sqrt(n), d doesn't): same exact-" +
+        "moment kernel, pooled-SD standardization on a shared IEEE " +
+        "tree, small-sample/zero-variance null"),
   )
 }

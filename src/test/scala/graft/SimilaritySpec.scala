@@ -424,6 +424,21 @@ class SimilaritySpec extends SparkSpec {
     assert(m == Map(20L -> (1L, 1L), 0L -> (1L, 0L)))
   }
 
+  test("filtered top-k: post-filter starves when the head of the ranking fails") {
+    // query 0 = (1,0); global ranking: v1 (cos 1) F, v2 (~0.995) F,
+    // v3 (0.707) T, v4 (0) T. k=2: post-filter keeps 0 of the global
+    // top-2; pre-filter returns v3, v4 -> recall 0
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f), 1), (2L, Array(1.0f, 0.1f), 3),
+      (3L, Array(1.0f, 1.0f), 2), (4L, Array(0.0f, 1.0f), 4))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.filteredTopK(vecs, nQueries = 1, k = 2).collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getDouble(3)) ==
+      ((2L, 0L, 0.0)))
+  }
+
   test("pq distortion: a seeds-only corpus quantizes itself with zero error") {
     // the 4 codebook seeds ARE the corpus -> every subvector's nearest
     // codeword is itself, so distortion is exactly zero in all subspaces

@@ -594,6 +594,24 @@ class StatsSpec extends SparkSpec {
     assert(rows(0L)._2 == math.floor(exp0 * 1e9 + 0.5) / 1e9)
   }
 
+  test("cohens d: hand-computed pooled standardization, zero-variance null") {
+    import spark.implicits._
+    // a = {1, 3}, b = {5, 7}: both variances 2, pooled 2,
+    // d = (2 - 6)/sqrt(2)
+    val df = Seq(("a", 1L), ("a", 3L), ("b", 5L), ("b", 7L))
+      .toDF("g", "v")
+    val r = Stats.cohensDPairwise(df, "g", "v").collect().head
+    val va = (2.0 * 10.0 - 4.0 * 4.0) / (2.0 * 1.0)
+    val vb = (2.0 * 74.0 - 12.0 * 12.0) / (2.0 * 1.0)
+    val pooled = (1.0 * va + 1.0 * vb) / 2.0
+    val d = (4.0 / 2.0 - 12.0 / 2.0) / math.sqrt(pooled)
+    assert(r.getAs[Double]("cohens_d") == math.floor(d * 1e6 + 0.5) / 1e6)
+    // constant groups: pooled variance 0 -> null
+    val const = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L))
+      .toDF("g", "v")
+    assert(Stats.cohensDPairwise(const, "g", "v").collect().head.isNullAt(4))
+  }
+
   test("runs test: oscillation maximizes runs, monotone trend minimizes them") {
     import spark.implicits._
     import java.sql.Timestamp
