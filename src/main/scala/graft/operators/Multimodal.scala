@@ -53,6 +53,36 @@ object Multimodal {
           lit(1.0) - col("n_unique").cast("double") /
             col("n_media").cast("double"), 6).as("dup_rate"))
 
+  /** m10: normalized-text vs byte-level dedup cross census — the 2×2
+    * that justifies running BOTH ladders: byte-hash dedup (the media
+    * first pass, m7) misses whitespace/case variants that text
+    * normalization (g1) catches, and the off-diagonal cells price that
+    * miss. A doc is a norm-dup when it is not g1's canonical copy of
+    * its normalized text; a byte-dup when not the min-id of its exact
+    * md5(payload) group. Both rules reduce per-group (16-byte digest
+    * keys, payloads never shuffle), flags join on doc_id, and the
+    * census is a ≤4-row rollup. byte-dup ⊆ norm-dup by construction
+    * (byte-equal implies norm-equal, and min-id picks the same
+    * canonical), so the (norm=0, byte=1) cell is structurally zero —
+    * asserted by the spec, priced by the (1, 0) cell. */
+  def normVsByteDupCensus(docs: DataFrame): DataFrame = {
+    val normKeep = docs
+      .select(col("doc_id"), Dedup.normText(col("text")).as("k"))
+      .groupBy("k").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id")).withColumn("nk", lit(1L))
+    val byteKeep = docs
+      .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("k"))
+      .groupBy("k").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id")).withColumn("bk", lit(1L))
+    docs.select(col("doc_id"))
+      .join(normKeep, Seq("doc_id"), "left")
+      .join(byteKeep, Seq("doc_id"), "left")
+      .groupBy(when(col("nk").isNull, 1L).otherwise(0L).as("norm_dup"),
+        when(col("bk").isNull, 1L).otherwise(0L).as("byte_dup"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("norm_dup", "byte_dup")
+  }
+
   /** Deterministic fake "decode": width/height/n_frames derived from the
     * byte length. Declarative projection — stays in whole-stage codegen. */
   def decodeMeta(framed: DataFrame): DataFrame =
@@ -356,5 +386,29 @@ object MultimodalQueries {
         "the prune LOSSLESS for hamming<=3; the oracle is the naive " +
         "all-pairs join, proving it), verify on the deduped candidate " +
         "set, 72-byte shuffle width however large the media payload"),
+
+    Q("m10_norm_vs_byte_dup",
+      (s, d) => normVsByteDupCensus(Tables.documents(s, d)),
+      Some("""WITH nk AS (
+             |  SELECT min(doc_id) AS doc_id
+             |  FROM (SELECT doc_id,
+             |               lower(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))) AS k
+             |        FROM documents)
+             |  GROUP BY k),
+             |bk AS (
+             |  SELECT min(doc_id) AS doc_id
+             |  FROM (SELECT doc_id, md5(text) AS k FROM documents)
+             |  GROUP BY k)
+             |SELECT CASE WHEN nk.doc_id IS NULL THEN 1 ELSE 0 END AS norm_dup,
+             |       CASE WHEN bk.doc_id IS NULL THEN 1 ELSE 0 END AS byte_dup,
+             |       CAST(count(*) AS BIGINT) AS n_docs
+             |FROM documents d
+             |LEFT JOIN nk ON nk.doc_id = d.doc_id
+             |LEFT JOIN bk ON bk.doc_id = d.doc_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "normalized-text vs byte-hash dedup cross census (the 2x2 " +
+        "that prices what byte-level media dedup misses): both rules " +
+        "reduce on 16-byte digest keys, flags join on doc_id, <=4-row " +
+        "rollup; the (norm=0, byte=1) cell is structurally zero"),
   )
 }

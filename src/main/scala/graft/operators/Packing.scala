@@ -215,6 +215,33 @@ object Packing {
       .orderBy("context_len")
   }
 
+  /** y14: training-shard balance census — docs hash to `nShards`
+    * loader shards (the x1 md5 discipline — deterministic, uniform,
+    * engine-portable) and the census prices the straggler risk of a
+    * synchronous data loader: a shard with imbalance-factor-×  the
+    * mean token mass finishes that much later and stalls every step.
+    * One tokenize pass reduces to |shards| (docs, tokens) rows; the
+    * rollup is 1 row. The md5 shard key is also what makes the layout
+    * RESHUFFLE-FREE at 100 TB: workers claim shards by id, no central
+    * assignment. */
+  def shardBalance(docs: DataFrame, nShards: Int = 32): DataFrame = {
+    val per = docs
+      .select(
+        expr(s"${Dedup.md5Long56("cast(doc_id as string)")} % $nShards")
+          .as("shard"),
+        expr(s"size(${Dedup.tokensExpr})").cast("long").as("toks"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("docs"), sum("toks").as("toks"))
+    per.agg(count(lit(1)).as("n_shards"), sum("docs").as("n_docs"),
+        sum("toks").as("n_tokens"),
+        min("toks").as("min_shard_tokens"), max("toks").as("max_shard_tokens"))
+      .select(col("n_shards"), col("n_docs"), col("n_tokens"),
+        col("min_shard_tokens"), col("max_shard_tokens"),
+        pround(col("max_shard_tokens").cast("double")
+          * col("n_shards").cast("double")
+          / col("n_tokens").cast("double"), 6).as("imbalance"))
+  }
+
   /** y13: token-budget mixing plan — given a target token budget (half
     * the corpus), which sources fill it if you take quality-best-first?
     * The data-mixing decision every curation run makes (x18 samples BY
@@ -468,5 +495,26 @@ object PackingQueries {
         "a half-corpus budget): one tokenize pass to per-source exact " +
         "stats, cumulative ladder over the |sources| table, boundary " +
         "source gets the partial take_frac for x1's sampler"),
+
+    Q("y14_shard_balance",
+      (s, d) => shardBalance(docs(s, d)),
+      Some(s"""WITH per AS (
+              |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 32 AS shard,
+              |         CAST(sum(len($toksSql)) AS BIGINT) AS toks,
+              |         CAST(count(*) AS BIGINT) AS docs
+              |  FROM documents GROUP BY 1)
+              |SELECT CAST(count(*) AS BIGINT) AS n_shards,
+              |       CAST(sum(docs) AS BIGINT) AS n_docs,
+              |       CAST(sum(toks) AS BIGINT) AS n_tokens,
+              |       CAST(min(toks) AS BIGINT) AS min_shard_tokens,
+              |       CAST(max(toks) AS BIGINT) AS max_shard_tokens,
+              |       floor(CAST(max(toks) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+              |             / CAST(sum(toks) AS DOUBLE)
+              |             * 1000000.0 + 0.5) / 1000000.0 AS imbalance
+              |FROM per""".stripMargin),
+      doc = "training-shard balance census (straggler pre-flight for a " +
+        "synchronous loader): md5 doc->shard routing, one tokenize pass " +
+        "to |shards| rows, 1-row rollup with the max/mean imbalance " +
+        "factor; the hash key makes the layout reshuffle-free"),
   )
 }

@@ -155,4 +155,18 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_bytes") == 5.333333)
     assert(r.getAs[Long]("p95_bytes") == 10L)
   }
+
+  test("norm-vs-byte dup census: whitespace variants escape byte dedup") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b"),   // canonical of both ladders
+      (2L, "a  b"),  // norm-dup of 1, byte-UNIQUE: the priced miss
+      (3L, "a b"),   // byte-dup (and norm-dup) of 1
+      (4L, "zzz"))   // unique
+      .toDF("doc_id", "text")
+    val m = operators.Multimodal.normVsByteDupCensus(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m == Map((0L, 0L) -> 2L, (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+    assert(!m.contains((0L, 1L)), "byte-dup implies norm-dup")
+  }
 }

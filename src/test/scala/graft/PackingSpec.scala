@@ -171,6 +171,20 @@ class PackingSpec extends SparkSpec {
       2048L -> (0L, 0L)))
   }
 
+  test("shard balance: conservation and imbalance bounds on a uniform corpus") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, "w x y z")).toDF("doc_id", "text")
+    val r = Packing.shardBalance(docs).collect().head
+    assert(r.getAs[Long]("n_docs") == 40L)
+    assert(r.getAs[Long]("n_tokens") == 160L)
+    assert(r.getAs[Long]("n_shards") <= 32L)
+    assert(r.getAs[Long]("min_shard_tokens") <= r.getAs[Long]("max_shard_tokens"))
+    assert(r.getAs[Double]("imbalance") >= 1.0)
+    // determinism: the md5 routing gives identical censuses on re-run
+    val again = Packing.shardBalance(docs).collect().head
+    assert(r == again)
+  }
+
   test("budget mix: quality-best source fills first, boundary take is partial") {
     import spark.implicits._
     // source A: 6 docs x 10 tokens, half stopwords -> quality 0.3
