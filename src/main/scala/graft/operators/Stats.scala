@@ -332,6 +332,49 @@ object Stats {
         pround(expr(welchDofExpr), 4).as("dof"))
   }
 
+  /** x62: delta-method confidence interval for a RATIO metric —
+    * revenue per event, computed the way experiments must: the unit of
+    * randomization is the USER, and events cluster within users, so
+    * naive per-event variance understates the error. Linearization:
+    * R = Σx/Σy over per-user (x = revenue, y = events);
+    * Var(R) ≈ Σ(x_i − R·y_i)² · n / ((n−1)·(Σy)²) — the residual term
+    * expands to Σx² − 2RΣxy + R²Σy², all five moments exact longs
+    * from ONE user_id reduction; only the final 1-row tree is IEEE.
+    * 95% CI via ±1.959964·se. */
+  def ratioCi(events: DataFrame): DataFrame = {
+    val per = events.groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase",
+          expr("cast(floor(value * 100.0 + 0.5) as bigint)")).otherwise(0L))
+          .as("x"),
+        count(lit(1)).as("y"))
+    per.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_users"), col("sx").as("rev_cents"),
+        col("sy").as("n_events"),
+        pround(expr(ratioExpr), 9).as("ratio"),
+        pround(expr(ratioSeExpr), 9).as("se"),
+        pround(expr(s"($ratioExpr) - 1.959964 * ($ratioSeExpr)"), 9)
+          .as("ci_lo"),
+        pround(expr(s"($ratioExpr) + 1.959964 * ($ratioSeExpr)"), 9)
+          .as("ci_hi"))
+  }
+
+  // Ratio + delta-method SE trees over the five exact moments, shared
+  // verbatim with the oracle; degenerate designs (no events, a single
+  // user) guard to null.
+  private[operators] val ratioExpr =
+    "(case when sy = 0 then cast(null as double) " +
+      "else cast(sx as double) / cast(sy as double) end)"
+  private[operators] val ratioSeExpr =
+    s"(case when sy = 0 or n < 2 then cast(null as double) else " +
+      s"sqrt((cast(sxx as double) - 2.0 * ($ratioExpr) * cast(sxy as double) " +
+      s"+ ($ratioExpr) * ($ratioExpr) * cast(syy as double)) " +
+      "* cast(n as double) " +
+      "/ (cast(n - 1 as double) * cast(sy as double) * cast(sy as double))) " +
+      "end)"
+
   /** x61: Cohen's d effect sizes for every source pair — x24's Welch t
     * answers "is the difference real?"; d answers "is it BIG?"
     * (t grows with √n, so at corpus scale everything is significant
@@ -3035,5 +3078,36 @@ object StatsQueries {
         "companion — t grows with sqrt(n), d doesn't): same exact-" +
         "moment kernel, pooled-SD standardization on a shared IEEE " +
         "tree, small-sample/zero-variance null"),
+
+    Q("x62_ratio_ci",
+      (s, d) => ratioCi(Tables.events(s, d)),
+      Some(s"""WITH per AS (
+              |  SELECT user_id,
+              |         CAST(sum(CASE WHEN event_type = 'purchase'
+              |                  THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+              |                  ELSE 0 END) AS BIGINT) AS x,
+              |         CAST(count(*) AS BIGINT) AS y
+              |  FROM events GROUP BY 1),
+              |mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              |              CAST(sum(x) AS BIGINT) AS sx,
+              |              CAST(sum(y) AS BIGINT) AS sy,
+              |              CAST(sum(x * x) AS BIGINT) AS sxx,
+              |              CAST(sum(x * y) AS BIGINT) AS sxy,
+              |              CAST(sum(y * y) AS BIGINT) AS syy
+              |       FROM per)
+              |SELECT n AS n_users, sx AS rev_cents, sy AS n_events,
+              |       floor(($ratioExpr) * 1000000000.0 + 0.5)
+              |         / 1000000000.0 AS ratio,
+              |       floor(($ratioSeExpr) * 1000000000.0 + 0.5)
+              |         / 1000000000.0 AS se,
+              |       floor((($ratioExpr) - 1.959964 * ($ratioSeExpr))
+              |             * 1000000000.0 + 0.5) / 1000000000.0 AS ci_lo,
+              |       floor((($ratioExpr) + 1.959964 * ($ratioSeExpr))
+              |             * 1000000000.0 + 0.5) / 1000000000.0 AS ci_hi
+              |FROM mo""".stripMargin),
+      doc = "delta-method CI for the revenue-per-event RATIO metric with " +
+        "USER-level clustering (the naive per-event variance is wrong): " +
+        "five exact moments from one user_id reduction, shared " +
+        "linearization tree, 95% band; degenerate designs null"),
   )
 }

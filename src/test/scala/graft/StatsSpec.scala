@@ -594,6 +594,24 @@ class StatsSpec extends SparkSpec {
     assert(rows(0L)._2 == math.floor(exp0 * 1e9 + 0.5) / 1e9)
   }
 
+  test("ratio CI: hand delta-method on two users, single-user null") {
+    import spark.implicits._
+    // u1: 2 purchases of 1.00 (x=200, y=2); u2: 2 clicks (x=0, y=2)
+    // R = 200/4 = 50; sum d^2 = 40000 - 2*50*400 + 2500*8 = 20000
+    // var = 20000*2/(1*16) = 2500 -> se = 50
+    val ev = Seq((1L, "purchase", 1.0), (1L, "purchase", 1.0),
+      (2L, "click", 9.0), (2L, "click", 9.0))
+      .toDF("user_id", "event_type", "value")
+    val r = Stats.ratioCi(ev).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 200L, 4L)))
+    assert(r.getAs[Double]("ratio") == 50.0)
+    assert(r.getAs[Double]("se") == 50.0)
+    assert(r.getAs[Double]("ci_lo") ==
+      math.floor((50.0 - 1.959964 * 50.0) * 1e9 + 0.5) / 1e9)
+    val single = Seq((1L, "click", 1.0)).toDF("user_id", "event_type", "value")
+    assert(Stats.ratioCi(single).collect().head.isNullAt(4))
+  }
+
   test("cohens d: hand-computed pooled standardization, zero-variance null") {
     import spark.implicits._
     // a = {1, 3}, b = {5, 7}: both variances 2, pooled 2,
