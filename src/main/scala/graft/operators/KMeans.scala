@@ -38,15 +38,15 @@ object KMeans {
     * collapses them to one row BEFORE the exchange — one corpus-row
     * shuffle total, carrying the vector straight into the update, where a
     * window + join would shuffle the corpus twice more. */
-  def kmeansStep(vecs: DataFrame, k: Int): DataFrame = {
-    val fixed = Similarity.withFixed(vecs)
-    val cents = fixed.orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("centroid_id"), col("f").as("fb"),
-        col("nrm").as("nb"))
+  /** The assignment + per-(centroid, dim) partial-sum kernel k1 and
+    * s29 share: (n_members, sum_f) is a MERGEABLE partial state —
+    * partials from disjoint corpus slices add, which s29 proves
+    * through the oracle. */
+  private def assignPartials(fixed: DataFrame, cents: DataFrame): DataFrame =
     fixed.select(col("vec_id"), col("f").as("fa"), col("nrm").as("na"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("fa"), col("centroid_id"),
-        expr(Similarity.cosExpr(vecs.sparkSession)).as("cos"))
+        expr(Similarity.cosExpr(fixed.sparkSession)).as("cos"))
       .groupBy("vec_id")
       .agg(max_by(struct(col("centroid_id"), col("fa")),
         struct(col("cos"), (-col("centroid_id")).as("tie"))).as("pick"))
@@ -54,9 +54,41 @@ object KMeans {
         posexplode(col("pick.fa")).as(Seq("dim", "v")))
       .groupBy("centroid_id", "dim")
       .agg(count(lit(1)).as("n_members"), sum(col("v")).as("sum_f"))
+
+  private def seedCents(fixed: DataFrame, k: Int): DataFrame =
+    fixed.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("centroid_id"), col("f").as("fb"),
+        col("nrm").as("nb"))
+
+  def kmeansStep(vecs: DataFrame, k: Int): DataFrame = {
+    val fixed = Similarity.withFixed(vecs)
+    assignPartials(fixed, seedCents(fixed, k))
       .select(col("centroid_id"), col("dim"), col("n_members"),
         pround(col("sum_f").cast("double") / col("n_members").cast("double"), 4)
           .as("mean_fp"))
+  }
+
+  /** s29: mergeable-state proof for the Lloyd step — the corpus splits
+    * by vec_id parity, each half computes its (centroid, dim) partial
+    * (n, Σf) against the SAME global seed centroids, and the halves
+    * merge by adding partials. The ORACLE computes the step directly
+    * over the full corpus, so the driver compare proves
+    * merge(partials) == full recompute — q46's read, for the vector
+    * path (this is exactly how a multi-day / multi-cluster k-means
+    * accumulates without re-scanning history). */
+  def kmeansMergeProof(vecs: DataFrame, k: Int): DataFrame = {
+    val fixed = Similarity.withFixed(vecs)
+    val cents = seedCents(fixed, k)
+    assignPartials(fixed.where(col("vec_id") % 2 === 0), cents)
+      .unionByName(
+        assignPartials(fixed.where(col("vec_id") % 2 === 1), cents))
+      .groupBy("centroid_id", "dim")
+      .agg(sum("n_members").as("n_members"), sum("sum_f").as("sum_f"))
+      .select(col("centroid_id"), col("dim"), col("n_members"),
+        col("sum_f"),
+        pround(col("sum_f").cast("double") / col("n_members").cast("double"), 4)
+          .as("mean_fp"))
+      .orderBy("centroid_id", "dim")
   }
 
   /** k2: convergence census — how far did each centroid MOVE in the k1
@@ -315,5 +347,37 @@ object KMeansQueries {
         "stand-in): k-1 driver rounds, each a map-only pass vs the " +
         "broadcast seed set + combinable min-reduce + 1-row argmax; " +
         "exact integer distances, smaller-vec_id tiebreak"),
+
+    Q("s29_kmeans_merge",
+      (s, d) => kmeansMergeProof(Tables.embeddings(s, d), 6),
+      Some(s"""WITH ${SimilarityQueries.fixedSqlCte},
+              |cents AS (
+              |  SELECT vec_id AS centroid_id, f, nrm FROM n
+              |  ORDER BY vec_id LIMIT 6),
+              |p AS (
+              |  SELECT n.vec_id, n.f AS vf, c.centroid_id,
+              |         ${SimilarityQueries.pairCosSql("n", "c")} AS cos
+              |  FROM n, cents c),
+              |r AS (
+              |  SELECT vec_id, vf, centroid_id,
+              |         row_number() OVER (PARTITION BY vec_id
+              |           ORDER BY cos DESC, centroid_id) AS rn
+              |  FROM p),
+              |a AS (SELECT centroid_id, vf FROM r WHERE rn = 1),
+              |ex AS (
+              |  SELECT centroid_id, i AS dim, vf[i + 1] AS v
+              |  FROM a, (SELECT unnest(range(0, 64)) AS i)
+              |  WHERE i < len(vf))
+              |SELECT centroid_id, dim, count(*) AS n_members,
+              |       CAST(sum(v) AS BIGINT) AS sum_f,
+              |       floor(CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)
+              |             / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS mean_fp
+              |FROM ex GROUP BY centroid_id, dim
+              |ORDER BY centroid_id, dim""".stripMargin),
+      doc = "Lloyd-step mergeable-state proof (q46's read for the " +
+        "vector path): parity halves each compute (n, sum) partials " +
+        "against the SAME global seeds and merge by adding; the oracle " +
+        "recomputes directly over the full corpus, so the compare IS " +
+        "the merge-equals-recompute proof"),
   )
 }

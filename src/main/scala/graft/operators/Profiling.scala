@@ -110,6 +110,27 @@ object Profiling {
       .reduce(_ unionByName _)
       .orderBy("relationship")
 
+  /** p11: primary-key uniqueness census across the whole schema — the
+    * other half of p7's referential gate: duplicate keys silently FAN
+    * OUT joins (each dup multiplies matching rows), so a warehouse
+    * asserts key-distinct == rows before promoting any snapshot. One
+    * combinable (count, distinct) aggregate per table, |tables| rows;
+    * the 100 TB swap is p6's: approx_count_distinct as the cheap
+    * screen, exact only on failures. */
+  def pkCensus(s: SparkSession, d: String): DataFrame =
+    Seq("customer" -> "c_custkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey", "orders" -> "o_orderkey",
+      "events" -> "event_id", "documents" -> "doc_id",
+      "embeddings" -> "vec_id")
+      .map { case (t, k) =>
+        Tables.table(s, d, t).agg(count(lit(1)).as("n_rows"),
+          countDistinct(col(k)).as("n_distinct"))
+          .select(lit(t).as("table_name"), col("n_rows"), col("n_distinct"),
+            (col("n_rows") - col("n_distinct")).as("n_dup_keys"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy("table_name")
+
   /** p6: whole-table column profile — one row per column with its null
     * count and exact distinct cardinality, the "describe" every ingest
     * pipeline runs first (keys should be distinct ≈ rows, enums should
@@ -510,5 +531,30 @@ object ProfilingQueries {
         "stack unpivot pass into the shared x4/x10 register kernel, " +
         "doubles unpivot through exact cents (float formatting is not " +
         "engine-portable)"),
+
+    Q("p11_pk_census",
+      (s, d) => Profiling.pkCensus(s, d),
+      Some("""SELECT table_name, n_rows, n_distinct,
+             |       CAST(n_rows - n_distinct AS BIGINT) AS n_dup_keys
+             |FROM (
+             |  SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+             |         CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct FROM customer
+             |  UNION ALL SELECT 'supplier', CAST(count(*) AS BIGINT),
+             |         CAST(count(DISTINCT s_suppkey) AS BIGINT) FROM supplier
+             |  UNION ALL SELECT 'part', CAST(count(*) AS BIGINT),
+             |         CAST(count(DISTINCT p_partkey) AS BIGINT) FROM part
+             |  UNION ALL SELECT 'orders', CAST(count(*) AS BIGINT),
+             |         CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+             |  UNION ALL SELECT 'events', CAST(count(*) AS BIGINT),
+             |         CAST(count(DISTINCT event_id) AS BIGINT) FROM events
+             |  UNION ALL SELECT 'documents', CAST(count(*) AS BIGINT),
+             |         CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents
+             |  UNION ALL SELECT 'embeddings', CAST(count(*) AS BIGINT),
+             |         CAST(count(DISTINCT vec_id) AS BIGINT) FROM embeddings)
+             |ORDER BY table_name""".stripMargin),
+      doc = "primary-key uniqueness census across the schema (p7's " +
+        "fan-out counterpart — dup keys multiply join rows): one " +
+        "combinable (count, distinct) aggregate per table, |tables| " +
+        "rows; approx_count_distinct is the 100 TB screen"),
   )
 }

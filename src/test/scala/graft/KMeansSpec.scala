@@ -100,4 +100,15 @@ class KMeansSpec extends SparkSpec {
       .map(r => r.getAs[Long]("vec_id")).toList
     assert(got == List(0L, 1L, 2L, 3L))
   }
+
+  test("merge proof: parity-half partials reassemble the full Lloyd step") {
+    val vecs = Tables.embeddings(spark, sf("sf0.001"))
+    val full = KMeans.kmeansStep(vecs, 6)
+      .select("centroid_id", "dim", "n_members", "mean_fp")
+    val merged = KMeans.kmeansMergeProof(vecs, 6)
+      .select("centroid_id", "dim", "n_members", "mean_fp")
+    assert(full.count() == merged.count())
+    assert(merged.except(full).count() == 0L)
+    assert(full.except(merged).count() == 0L)
+  }
 }
