@@ -460,6 +460,27 @@ object Plans {
         "map-side combined) feeds the register build; register tables " +
         "are 64x|cols| rows forever, so every downstream exchange is " +
         "constant-size regardless of corpus scale."),
+    "e5_yield_funnel" ->
+      ("Curation funnel composition: the three stage rules (g1 exact " +
+        "canonical, g2c full-band near-dup, t19 quality flags) land in " +
+        "ONE doc_id-keyed left-join tree over per-doc frames, the " +
+        "funnel is a single combinable aggregate, and the 4-row stack " +
+        "unpivot is zero-shuffle — no stage re-scans the corpus."),
+    "s29_kmeans_merge" ->
+      ("Mergeable Lloyd state: two parity-filtered assignment passes " +
+        "share the broadcast seed table, partial (n, sum) rows merge " +
+        "in a (centroid, dim)-keyed aggregate — k*d rows however big " +
+        "the corpus; this is the multi-batch accumulation plan."),
+    "s28_filtered_topk" ->
+      ("Filtered ANN: the corpus is scored ONCE against the broadcast " +
+        "query set; pre- and post-filter ranks are two Window passes " +
+        "over the same scored frame (q_id partitions are k-bounded per " +
+        "query), so measuring both plans costs one scan."),
+    "x62_ratio_ci" ->
+      ("Ratio-metric CI: one user_id exchange reduces events to " +
+        "per-user (x, y); the five moments partial-aggregate to a " +
+        "single row and every delta-method term is a literal tree — " +
+        "no second pass, no per-event variance fallacy."),
   )
 
   def main(args: Array[String]): Unit = {

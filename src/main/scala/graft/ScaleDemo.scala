@@ -178,7 +178,29 @@ object ScaleDemo {
         operators.Dedup.minhashCandidates(d, 4), 15).count()),
       // the agreement histogram reduces the same bucket join g2 pays;
       // the ladder is a 4-row window — F× docs only widen the join
-      "band_agreement" -> (d => operators.Dedup.bandAgreementCurve(d).count()))
+      "band_agreement" -> (d => operators.Dedup.bandAgreementCurve(d).count()),
+      // both dedup rules reduce on 16-byte digest keys; F× replication
+      // makes every doc a byte-dup clique — flags stay per-doc bounded
+      "norm_vs_byte_dup" -> (d =>
+        operators.Multimodal.normVsByteDupCensus(d).count()),
+      // one tokenize pass to |shards| rows — the census is constant-size
+      "shard_balance" -> (d => operators.Packing.shardBalance(d).count()),
+      // the full curation funnel: g1 + g2c(F-clique dense) + t19 flags
+      // in one doc_id-keyed join tree; output is 4 rows at any scale
+      "yield_funnel" -> (d => {
+        val flags = operators.TextAnalysis.gopherFlags(d)
+          .select(col("doc_id"), col("n_tokens"),
+            (col("p_len") && col("p_wlen") && col("p_stop") &&
+              col("p_alpha")).as("pq"))
+        val ek = operators.Dedup.exactDedup(d)
+          .select(col("doc_id")).withColumn("ke", lit(1L))
+        val nd = operators.Dedup.minhashNearDups(d, 4, 4)
+          .select(col("doc_b").as("doc_id")).distinct()
+          .withColumn("nd", lit(1L))
+        flags.join(ek, Seq("doc_id"), "left").join(nd, Seq("doc_id"), "left")
+          .agg(sum(when(col("ke").isNotNull && col("nd").isNull &&
+            col("pq"), 1L).otherwise(0L))).count()
+      }))
     val vecOps: Seq[(String, DataFrame => Long)] = Seq(
       "lsh_buckets" -> (v => operators.Similarity.lshBuckets(v, 4).count()),
       "ivf_assign" -> (v => operators.Similarity.ivfAssign(v, 16).count()),
@@ -205,7 +227,12 @@ object ScaleDemo {
       "svm_step" -> (v => operators.Similarity.svmStep(v).count()),
       // the s8 assignment plus one m-row rollup — broadcast codebook,
       // so F× vectors only widen the piece explode
-      "pq_distortion" -> (v => operators.Similarity.pqDistortion(v).count()))
+      "pq_distortion" -> (v => operators.Similarity.pqDistortion(v).count()),
+      // one scored frame + two window ranks per (tiny) query partition
+      "filtered_topk" -> (v => operators.Similarity.filteredTopK(v).count()),
+      // two half-corpus assignment passes + a k*d-row merge — the
+      // partial-state path a multi-batch k-means accumulates through
+      "kmeans_merge" -> (v => operators.KMeans.kmeansMergeProof(v, 6).count()))
     val eventOps: Seq[(String, DataFrame => Long)] = Seq(
       "event_transitions" -> (e => operators.Funnel.eventTransitions(e).count()),
       "funnel" -> (e => operators.Funnel.funnelConversion(e).count()),
@@ -245,7 +272,15 @@ object ScaleDemo {
       "perm_test" -> (e => operators.Stats.permTest(e).count()),
       // one stack unpivot (4x rows in flight, combinable) into the
       // 64-register sketch — register tables stay 64x|cols| forever
-      "hll_calibration" -> (e => operators.Profiling.hllCalibration(e).count()))
+      "hll_calibration" -> (e => operators.Profiling.hllCalibration(e).count()),
+      // one user_id lag window (same shuffle the session ops pay) to
+      // |types| exact moment rows
+      "event_gaps" -> (e => operators.Funnel.eventGapCensus(e).count()),
+      // five exact moments off one user_id reduction; 1-row IEEE tail
+      "ratio_ci" -> (e => operators.Stats.ratioCi(e).count()),
+      // day-table median + one day-ordered lag window; facts reduce
+      // before any ordering
+      "runs_test" -> (e => operators.Stats.runsTest(e).count()))
 
     def sweep(name: String, base: DataFrame, big: DataFrame,
               fns: Seq[(String, DataFrame => Long)]): Seq[String] =

@@ -630,7 +630,7 @@ object TextAnalysis {
   /** The per-doc Gopher predicate flags — the ONE definition t19's
     * per-source report and t36's ablation census both aggregate, so the
     * two views of the same rules cannot drift. */
-  private[operators] def gopherFlags(docs: DataFrame): DataFrame = {
+  private[graft] def gopherFlags(docs: DataFrame): DataFrame = {
     val stopArr = Stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
     val perDoc = docs
       .select(col("doc_id"), col("source"), expr(tokensExpr).as("toks"))
