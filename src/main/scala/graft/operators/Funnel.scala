@@ -359,6 +359,29 @@ object Funnel {
       "else sqrt(cast(cast(n_gaps as decimal(38,0)) * sgg - sg * sg as double)) " +
       "/ cast(sg as double) end)"
 
+  /** f15: top behavioral 3-paths — the most common consecutive
+    * event-type trigrams across user streams ("view > click >
+    * purchase" vs "view > click > view"), the raw material of
+    * path-to-conversion analysis and the empirical transition check on
+    * f6's first-order Markov assumption (a heavy trigram whose
+    * probability ≠ product of its f6 edges is memory the chain
+    * misses). One user_id window (two lags share it), path strings
+    * reduce with map-side combine, top-10 by TakeOrderedAndProject. */
+  def topPaths(events: DataFrame, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_timestamp(ts)").as("sec"))
+      .withColumn("p1", lag("event_type", 1).over(w))
+      .withColumn("p2", lag("event_type", 2).over(w))
+      .where(col("p2").isNotNull)
+      .select(concat_ws(">", col("p2"), col("p1"), col("event_type"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
   def rfmSegments(events: DataFrame): DataFrame = {
     val per = events
       .select(col("user_id"),
@@ -832,5 +855,26 @@ object FunnelQueries {
         "metronome, ~1 Poisson, >> 1 bursty): one user_id lag window, " +
         "exact decimal (n, sum, sum-of-squares) moments, shared CV tree, " +
         "|types| rows"),
+
+    Q("f15_top_paths",
+      (s, d) => topPaths(Tables.events(s, d)),
+      Some("""WITH o AS (
+             |  SELECT user_id, event_id, event_type,
+             |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+             |  FROM events),
+             |lg AS (
+             |  SELECT event_type,
+             |         lag(event_type, 1) OVER (PARTITION BY user_id
+             |           ORDER BY sec, event_id) AS p1,
+             |         lag(event_type, 2) OVER (PARTITION BY user_id
+             |           ORDER BY sec, event_id) AS p2
+             |  FROM o)
+             |SELECT p2 || '>' || p1 || '>' || event_type AS path,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM lg WHERE p2 IS NOT NULL
+             |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin),
+      doc = "top behavioral 3-paths (the memory check on f6's Markov " +
+        "assumption): one user_id window shared by both lags, " +
+        "map-side-combined path counts, top-10 TakeOrderedAndProject"),
   )
 }

@@ -652,6 +652,66 @@ object TextAnalysis {
         (alphaF >= 0.8).as("p_alpha"))
   }
 
+  /** t40: Burrows' Delta between sources — the classic stylometric
+    * distance (Burrows 2002): over the K globally most-frequent words,
+    * z-score each source's relative frequency against the cross-source
+    * distribution and take the mean absolute z gap per pair. Low Δ =
+    * same "authorial fingerprint" (a crawl that duplicated one site
+    * into two source labels shows up here before any content dedup).
+    *
+    * Determinism: frequencies are exact integer micro-frequencies
+    * F = (c·1e9) div n_s (bigint division — no float ratios), the
+    * per-word mean/sd trees consume exact decimal sums of F over the
+    * |sources| profile, z is a fixed IEEE tree, and the pairwise Δ sum
+    * quantizes each |z_a − z_b| to 12 dp and sums as DECIMAL — the g9
+    * discipline, so pair order can't change the result.
+    *
+    * Scale shape: the (source, word) count is the one corpus-scale
+    * pass (shared scan, 3 consumers); everything after lives on the
+    * K×|sources| grid (completed with zeros so a word a source never
+    * uses still pulls its z down) and the |sources|² pair join. */
+  def burrowsDelta(docs: DataFrame, topK: Int = 30): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val sw0 = docs.select(col("source"), explode(expr(tokensExpr)).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    Dedup.viaSharedScan(sw0) { sw =>
+      val ns = sw.groupBy("source").agg(sum("c").as("n_s"))
+      val top = sw.groupBy("w").agg(sum("c").as("cw"))
+        .orderBy(col("cw").desc, col("w")).limit(topK)
+        .select(col("w"))
+      val freq = ns.crossJoin(broadcast(top))
+        .join(sw, Seq("source", "w"), "left")
+        .select(col("source"), col("w"),
+          expr("coalesce(c, 0L) * 1000000000L div n_s").as("f"))
+      val stats = freq.groupBy("w")
+        .agg(sum(col("f").cast(dec0)).as("sf"),
+          sum(col("f").cast(dec0) * col("f").cast(dec0)).as("sff"),
+          count(lit(1)).as("sc"))
+      val z = freq.join(broadcast(stats), Seq("w"))
+        .select(col("source"), col("w"), expr(burrowsZExpr).as("z"))
+      z.select(col("source").as("source_a"), col("w"), col("z").as("za"))
+        .join(z.select(col("source").as("source_b"), col("w"),
+          col("z").as("zb")), Seq("w"))
+        .where(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(sum(expr("cast(floor(abs(za - zb) * 1000000000000.0 + 0.5) " +
+          "/ 1000000000000.0 as decimal(38,12))")).as("sd12"))
+        .select(col("source_a"), col("source_b"),
+          pround(col("sd12").cast("double") / topK.toDouble, 6).as("delta"))
+        .orderBy("source_a", "source_b")
+    }
+  }
+
+  // z tree over the exact micro-frequency moments, shared with the
+  // oracle; a word with zero cross-source variance contributes z = 0.
+  private[operators] val burrowsZExpr =
+    "(case when (cast(sc as double) * cast(sff as double) " +
+      "- cast(sf as double) * cast(sf as double)) <= 0.0 then 0.0 else " +
+      "(cast(f as double) - cast(sf as double) / cast(sc as double)) " +
+      "/ sqrt((cast(sc as double) * cast(sff as double) " +
+      "- cast(sf as double) * cast(sf as double)) " +
+      "/ (cast(sc as double) * cast(sc as double))) end)"
+
   def gopherRules(docs: DataFrame): DataFrame =
     gopherFlags(docs)
       .groupBy("source")
@@ -2035,5 +2095,41 @@ object TextAnalysisQueries {
         "ONLY each rule (what relaxing it alone recovers) vs multi-rule " +
         "kills (redundancy), one combinable pass over the shared flag " +
         "kernel to a 1-row census"),
+
+    Q("t40_burrows_delta",
+      (s, d) => burrowsDelta(docs(s, d)),
+      Some(s"""WITH sw AS (
+              |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+              |  FROM (SELECT source, unnest($toksSql) AS w FROM documents)
+              |  GROUP BY 1, 2),
+              |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+              |       FROM sw GROUP BY 1),
+              |top AS (SELECT w FROM (
+              |          SELECT w, CAST(sum(c) AS BIGINT) AS cw
+              |          FROM sw GROUP BY 1)
+              |        ORDER BY cw DESC, w LIMIT 30),
+              |fr AS (
+              |  SELECT ns.source, top.w,
+              |         CAST(coalesce(sw.c, 0) * 1000000000 // ns.n_s AS BIGINT) AS f
+              |  FROM ns CROSS JOIN top
+              |  LEFT JOIN sw ON sw.source = ns.source AND sw.w = top.w),
+              |st AS (SELECT w, CAST(sum(CAST(f AS HUGEINT)) AS HUGEINT) AS sf,
+              |              CAST(sum(CAST(f AS HUGEINT) * f) AS HUGEINT) AS sff,
+              |              CAST(count(*) AS BIGINT) AS sc
+              |       FROM fr GROUP BY 1),
+              |z AS (SELECT fr.source, fr.w, $burrowsZExpr AS z
+              |      FROM fr JOIN st ON st.w = fr.w)
+              |SELECT a.source AS source_a, b.source AS source_b,
+              |       floor(CAST(sum(CAST(floor(abs(a.z - b.z) * 1000000000000.0 + 0.5)
+              |                          / 1000000000000.0 AS DECIMAL(38,12)))
+              |                  AS DOUBLE)
+              |             / 30.0 * 1000000.0 + 0.5) / 1000000.0 AS delta
+              |FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "Burrows' Delta stylometry between sources (same-fingerprint " +
+        "detection before any content dedup): exact integer micro-" +
+        "frequencies over the zero-completed topK x sources grid, " +
+        "decimal-exact moment sums, shared z tree, 12-dp quantized " +
+        "pair sums — corpus-scale work is ONE shared (source, word) pass"),
   )
 }

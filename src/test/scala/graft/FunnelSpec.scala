@@ -216,6 +216,20 @@ class FunnelSpec extends SparkSpec {
     assert(r.getAs[Long]("p50_rev_cents") == 200L)
   }
 
+  test("top paths: trigram counts across users, tie-broken lexically") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(id: Long, u: Long, m: Int, t: String) =
+      (id, u, Timestamp.valueOf(f"2024-01-01 00:$m%02d:00"), t)
+    val events = Seq(
+      ev(1, 1, 1, "a"), ev(2, 1, 2, "b"), ev(3, 1, 3, "c"), ev(4, 1, 4, "d"),
+      ev(5, 2, 1, "a"), ev(6, 2, 2, "b"), ev(7, 2, 3, "c"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val rows = operators.Funnel.topPaths(events).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(rows == Seq("a>b>c" -> 2L, "b>c>d" -> 1L))
+  }
+
   test("event gap census: metronome CV is zero, irregular gaps raise it") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -461,6 +461,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("symbol_density") > 0.0)
   }
 
+  test("burrows delta: identical sources are distance 0, a deviant source is not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x y", "A"), (2L, "x x y", "B"),  // identical style profiles
+      (3L, "z z z w", "C"))                     // different vocabulary
+      .toDF("doc_id", "text", "source")
+    val m = operators.TextAnalysis.burrowsDelta(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m(("A", "B")) == 0.0, "same micro-frequencies -> identical z profiles")
+    assert(m(("A", "C")) > 0.0 && m(("B", "C")) > 0.0)
+    assert(m(("A", "C")) == m(("B", "C")), "symmetric deviation from C")
+  }
+
   test("filter ablation: exclusive vs multi-rule failures partition the drops") {
     import spark.implicits._
     val good = Array.fill(10)("the cats sat on the mats").mkString(" ") // 60 toks
