@@ -242,6 +242,47 @@ object Packing {
           / col("n_tokens").cast("double"), 6).as("imbalance"))
   }
 
+  /** y15: shuffle-quality census — does the deterministic md5 epoch
+    * order actually MIX sources? Within each loader shard (the unit a
+    * worker reads sequentially — y14's routing), count adjacent
+    * same-source pairs in md5 rank order and compare with the exact
+    * no-replacement expectation Σ c_s(c_s−1)/(n(n−1)) of a perfect
+    * shuffle. mix_ratio ≈ 1 = well mixed; >> 1 = clumped reading order
+    * (the curriculum-contamination failure mode). The rank windows
+    * partition by shard — bounded per worker — never globally; the
+    * expectation comes from the |sources| count table. */
+  def shuffleQuality(docs: DataFrame, nShards: Int = 32): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("source"),
+        expr(Dedup.md5Long56("cast(doc_id as string)")).as("h"))
+      .select(col("doc_id"), col("source"),
+        (col("h") % nShards).as("shard"), expr(s"h div $nShards").as("r"))
+    val w = Window.partitionBy("shard").orderBy(col("r"), col("doc_id"))
+    val adj = keyed.withColumn("prev", lag("source", 1).over(w))
+      .where(col("prev").isNotNull)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("prev") === col("source"), 1L).otherwise(0L))
+          .as("n_same"))
+    val exp = docs.groupBy("source").agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1)")).as("num"), sum("c").as("n"))
+    adj.crossJoin(broadcast(exp))
+      .select(col("n_pairs"), col("n_same"),
+        pround(expr("cast(n_same as double) / cast(n_pairs as double)"), 6)
+          .as("same_rate"),
+        pround(expr(expectedAdjExpr), 6).as("expected_rate"),
+        pround(expr(s"(case when ($expectedAdjExpr) is null " +
+          s"or ($expectedAdjExpr) = 0.0 then cast(null as double) " +
+          "else (cast(n_same as double) / cast(n_pairs as double)) " +
+          s"/ ($expectedAdjExpr) end)"), 6).as("mix_ratio"))
+  }
+
+  // Exact no-replacement adjacency expectation, shared with the oracle;
+  // degenerate corpora (n < 2, or all-distinct sources => 0) guard the
+  // downstream ratio to null.
+  private[operators] val expectedAdjExpr =
+    "(case when n < 2 then cast(null as double) " +
+      "else cast(num as double) " +
+      "/ (cast(n as double) * cast(n - 1 as double)) end)"
+
   /** y13: token-budget mixing plan — given a target token budget (half
     * the corpus), which sources fill it if you take quality-best-first?
     * The data-mixing decision every curation run makes (x18 samples BY
@@ -516,5 +557,41 @@ object PackingQueries {
         "synchronous loader): md5 doc->shard routing, one tokenize pass " +
         "to |shards| rows, 1-row rollup with the max/mean imbalance " +
         "factor; the hash key makes the layout reshuffle-free"),
+
+    Q("y15_shuffle_quality",
+      (s, d) => shuffleQuality(docs(s, d)),
+      Some(s"""WITH k AS (
+              |  SELECT doc_id, source,
+              |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS h
+              |  FROM documents),
+              |kk AS (SELECT doc_id, source, h % 32 AS shard, h // 32 AS r
+              |       FROM k),
+              |lg AS (SELECT source,
+              |              lag(source) OVER (PARTITION BY shard
+              |                ORDER BY r, doc_id) AS prev
+              |       FROM kk),
+              |adj AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+              |               CAST(sum(CASE WHEN prev = source THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+              |        FROM lg WHERE prev IS NOT NULL),
+              |ex AS (SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS num,
+              |              CAST(sum(c) AS BIGINT) AS n
+              |       FROM (SELECT CAST(count(*) AS BIGINT) AS c
+              |             FROM documents GROUP BY source) x)
+              |SELECT n_pairs, n_same,
+              |       floor(cast(n_same as double) / cast(n_pairs as double)
+              |             * 1000000.0 + 0.5) / 1000000.0 AS same_rate,
+              |       floor(($expectedAdjExpr) * 1000000.0 + 0.5)
+              |         / 1000000.0 AS expected_rate,
+              |       floor((case when ($expectedAdjExpr) is null
+              |               or ($expectedAdjExpr) = 0.0 then cast(null as double)
+              |              else (cast(n_same as double) / cast(n_pairs as double))
+              |                   / ($expectedAdjExpr) end)
+              |             * 1000000.0 + 0.5) / 1000000.0 AS mix_ratio
+              |FROM adj CROSS JOIN ex""".stripMargin),
+      doc = "shuffle-quality census for the md5 epoch order: adjacent " +
+        "same-source rate within loader shards vs the exact " +
+        "no-replacement expectation — mix_ratio ~1 well mixed, >>1 " +
+        "clumped (curriculum contamination); shard-bounded windows, " +
+        "|sources| expectation table"),
   )
 }

@@ -1014,6 +1014,26 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** s30: PQ code-population balance — per subspace, how evenly the
+    * corpus spreads over the codewords (a dead or overloaded codeword
+    * wastes quantization bits exactly like a hot IVF cell wastes probe
+    * budget — this is s25's read for the PQ codebook, and with s27 it
+    * completes the codebook health panel: distortion says codewords
+    * sit in the wrong PLACE, imbalance says they split mass in the
+    * wrong PROPORTION). One m·k-row rollup of the shared s8
+    * assignment; imbalance = max/(n/k). */
+  def pqBalance(vecs: DataFrame, m: Int = 4, k: Int = 4): DataFrame =
+    pqAssign(vecs, m, k)
+      .groupBy("sub", "code").agg(count(lit(1)).as("c"))
+      .groupBy("sub")
+      .agg(count(lit(1)).as("n_live_codes"), sum("c").as("n_vecs"),
+        min("c").as("min_code"), max("c").as("max_code"))
+      .select(col("sub"), col("n_live_codes"), col("n_vecs"),
+        col("min_code"), col("max_code"),
+        pround(col("max_code").cast("double") * lit(k.toDouble)
+          / col("n_vecs").cast("double"), 6).as("imbalance"))
+      .orderBy("sub")
+
   /** s28: filtered-search census — the vector-DB "filtered ANN" gotcha,
     * measured: PRE-filter search restricts the corpus to the predicate
     * and then ranks (always returns k); POST-filter ranks the full
@@ -2127,5 +2147,24 @@ object SimilarityQueries {
         "~50% label-parity selectivity): one scored frame, two window " +
         "ranks; post-filter survivors are provably a subset of the " +
         "pre-filter top-k, so n_post/n_pre is the post-filter recall"),
+
+    Q("s30_pq_balance",
+      (s, d) => pqBalance(vecs(s, d), 4, 4),
+      Some(s"""WITH $fixedSqlCte,
+              |$pqAssignSqlCtes,
+              |a AS (SELECT sub, code FROM r WHERE rn = 1),
+              |pc AS (SELECT sub, code, CAST(count(*) AS BIGINT) AS c
+              |       FROM a GROUP BY 1, 2)
+              |SELECT sub, CAST(count(*) AS BIGINT) AS n_live_codes,
+              |       CAST(sum(c) AS BIGINT) AS n_vecs,
+              |       CAST(min(c) AS BIGINT) AS min_code,
+              |       CAST(max(c) AS BIGINT) AS max_code,
+              |       floor(CAST(max(c) AS DOUBLE) * 4.0
+              |             / CAST(sum(c) AS DOUBLE)
+              |             * 1000000.0 + 0.5) / 1000000.0 AS imbalance
+              |FROM pc GROUP BY sub ORDER BY sub""".stripMargin),
+      doc = "PQ code-population balance (s27's proportion companion — " +
+        "together the codebook health panel): m*k-row rollup of the " +
+        "shared s8 assignment, max/(n/k) imbalance per subspace"),
   )
 }

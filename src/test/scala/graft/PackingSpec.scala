@@ -171,6 +171,21 @@ class PackingSpec extends SparkSpec {
       2048L -> (0L, 0L)))
   }
 
+  test("shuffle quality: exact expectation and bounded same-rate") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, "t", if (i % 2 == 0) "A" else "B")).toDF("doc_id", "text", "source")
+    val r = Packing.shuffleQuality(docs).collect().head
+    // 20+20 docs: expectation = (20*19 + 20*19) / (40*39)
+    val exp = (20.0 * 19 + 20.0 * 19) / (40.0 * 39)
+    assert(r.getAs[Double]("expected_rate") == math.floor(exp * 1e6 + 0.5) / 1e6)
+    val same = r.getAs[Double]("same_rate")
+    assert(same >= 0.0 && same <= 1.0)
+    assert(r.getAs[Long]("n_pairs") <= 39L, "pairs only within shards")
+    // determinism of the md5 order
+    assert(Packing.shuffleQuality(docs).collect().head == r)
+  }
+
   test("shard balance: conservation and imbalance bounds on a uniform corpus") {
     import spark.implicits._
     val docs = (1L to 40L).map(i => (i, "w x y z")).toDF("doc_id", "text")

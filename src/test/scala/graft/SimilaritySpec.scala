@@ -439,6 +439,23 @@ class SimilaritySpec extends SparkSpec {
       ((2L, 0L, 0.0)))
   }
 
+  test("pq balance: seeds-only corpus is perfectly balanced") {
+    val vecs = (0L until 4L).map(i =>
+      (i, Array.tabulate(64)(j => (i * 7 + j % 5).toFloat), i.toInt))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.pqBalance(vecs, 4, 4).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == 4L)
+      assert(r.getAs[Long]("n_live_codes") >= 1L)
+      assert(r.getAs[Double]("imbalance") >= 1.0)
+    }
+    // each seed is its own nearest codeword -> 4 live codes of 1 each
+    val sub0 = rows.head
+    assert(sub0.getAs[Long]("n_live_codes") == 4L)
+    assert(sub0.getAs[Double]("imbalance") == 1.0)
+  }
+
   test("pq distortion: a seeds-only corpus quantizes itself with zero error") {
     // the 4 codebook seeds ARE the corpus -> every subvector's nearest
     // codeword is itself, so distortion is exactly zero in all subspaces
