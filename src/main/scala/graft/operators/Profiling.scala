@@ -131,6 +131,30 @@ object Profiling {
       .reduce(_ unionByName _)
       .orderBy("table_name")
 
+  /** p12: surrogate-id continuity census — for each dense-keyed table,
+    * span(max − min + 1) vs row count: a nonzero hole count on a
+    * generator-dense key is the signature of a silently dropped ingest
+    * partition (rows vanish but nothing errors — the failure p7/p11
+    * cannot see because the surviving rows are internally consistent).
+    * Pure min/max/count aggregates — NO sort, no window, no lag over
+    * row-scale data — so the census costs one combinable pass per
+    * table. */
+  def idContinuity(s: SparkSession, d: String): DataFrame =
+    Seq("customer" -> "c_custkey", "part" -> "p_partkey",
+      "orders" -> "o_orderkey", "events" -> "event_id",
+      "documents" -> "doc_id", "embeddings" -> "vec_id")
+      .map { case (t, k) =>
+        Tables.table(s, d, t).agg(count(lit(1)).as("n_rows"),
+          min(col(k)).cast("long").as("min_id"),
+          max(col(k)).cast("long").as("max_id"))
+          .select(lit(t).as("table_name"), col("n_rows"), col("min_id"),
+            col("max_id"),
+            (col("max_id") - col("min_id") + 1L - col("n_rows"))
+              .as("n_holes"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy("table_name")
+
   /** p6: whole-table column profile — one row per column with its null
     * count and exact distinct cardinality, the "describe" every ingest
     * pipeline runs first (keys should be distinct ≈ rows, enums should
@@ -556,5 +580,28 @@ object ProfilingQueries {
         "fan-out counterpart — dup keys multiply join rows): one " +
         "combinable (count, distinct) aggregate per table, |tables| " +
         "rows; approx_count_distinct is the 100 TB screen"),
+
+    Q("p12_id_continuity",
+      (s, d) => Profiling.idContinuity(s, d),
+      Some("""SELECT table_name, n_rows, min_id, max_id,
+             |       CAST(max_id - min_id + 1 - n_rows AS BIGINT) AS n_holes
+             |FROM (
+             |  SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+             |         CAST(min(c_custkey) AS BIGINT) AS min_id,
+             |         CAST(max(c_custkey) AS BIGINT) AS max_id FROM customer
+             |  UNION ALL SELECT 'part', CAST(count(*) AS BIGINT),
+             |         CAST(min(p_partkey) AS BIGINT), CAST(max(p_partkey) AS BIGINT) FROM part
+             |  UNION ALL SELECT 'orders', CAST(count(*) AS BIGINT),
+             |         CAST(min(o_orderkey) AS BIGINT), CAST(max(o_orderkey) AS BIGINT) FROM orders
+             |  UNION ALL SELECT 'events', CAST(count(*) AS BIGINT),
+             |         CAST(min(event_id) AS BIGINT), CAST(max(event_id) AS BIGINT) FROM events
+             |  UNION ALL SELECT 'documents', CAST(count(*) AS BIGINT),
+             |         CAST(min(doc_id) AS BIGINT), CAST(max(doc_id) AS BIGINT) FROM documents
+             |  UNION ALL SELECT 'embeddings', CAST(count(*) AS BIGINT),
+             |         CAST(min(vec_id) AS BIGINT), CAST(max(vec_id) AS BIGINT) FROM embeddings)
+             |ORDER BY table_name""".stripMargin),
+      doc = "surrogate-id continuity census (dropped-ingest-partition " +
+        "detector p7/p11 can't see): span vs count per dense-keyed " +
+        "table — pure min/max/count aggregates, no sort, no window"),
   )
 }
