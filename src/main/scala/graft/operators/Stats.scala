@@ -1020,6 +1020,40 @@ object Stats {
       .orderBy("lag")
   }
 
+  /** x63: effective sample size of the daily-revenue series — n days
+    * of autocorrelated data carry the information of only
+    * ESS = n/(1 + 2Σρ_k) independent days (Kish), so every
+    * daily-series test upstream (x24/x57/x60) is implicitly
+    * overconfident by n/ESS. Composes x47's ladder: the ρ_k are the
+    * SAME 9-dp acf values x47 publishes (recovered to exact
+    * nano-units, summed as longs — the composition cannot drift from
+    * the standalone query), the day count is the same reduction, and
+    * the ESS is one guarded 1-row tree. */
+  def essDays(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val sAcf = acfLadder(events, maxLag)
+      .agg(coalesce(sum(expr(
+        "cast(floor(coalesce(acf, 0.0) * 1000000000.0 + 0.5) as bigint)")),
+        lit(0L)).as("snano"))
+    val nd = events
+      .select(expr("unix_timestamp(ts) div 86400").as("day"))
+      .distinct().agg(count(lit(1)).as("n_days"))
+    nd.crossJoin(broadcast(sAcf))
+      .select(col("n_days"),
+        pround(expr("cast(snano as double) / 1000000000.0"), 9)
+          .as("sum_acf"),
+        pround(expr(essExpr), 6).as("ess_days"),
+        pround(expr(s"cast(n_days as double) / ($essExpr)"), 6)
+          .as("overconfidence"))
+  }
+
+  // Kish ESS tree, shared with the oracle; a pathologically negative
+  // autocorrelation sum (denominator <= 0) has no defined ESS -> null.
+  private[operators] val essExpr =
+    "(case when 1.0 + 2.0 * cast(snano as double) / 1000000000.0 <= 0.0 " +
+      "then cast(null as double) " +
+      "else cast(n_days as double) " +
+      "/ (1.0 + 2.0 * cast(snano as double) / 1000000000.0) end)"
+
   /** x31: two-proportion z-test on conversion (did the user ever
     * purchase?) between hash-split variants — THE A/B-test statistic
     * for binary outcomes, complementing Welch (means, x24), CUPED
@@ -3109,5 +3143,49 @@ object StatsQueries {
         "USER-level clustering (the naive per-event variance is wrong): " +
         "five exact moments from one user_id reduction, shared " +
         "linearization tree, 95% band; degenerate designs null"),
+
+    Q("x63_ess_days",
+      (s, d) => essDays(Tables.events(s, d)),
+      Some(s"""WITH daily AS (
+              |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+              |         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+              |  FROM events GROUP BY 1),
+              |pairs AS (
+              |  SELECT o AS lag, t.rev AS x, u.rev AS y
+              |  FROM daily t
+              |  CROSS JOIN (SELECT unnest(range(1, 8)) AS o) oo
+              |  JOIN daily u ON u.day = t.day + o),
+              |mo AS (
+              |  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+              |         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+              |         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+              |         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+              |         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+              |         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+              |  FROM pairs GROUP BY lag),
+              |ac AS (
+              |  SELECT floor((CASE WHEN (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) = 0.0
+              |                 OR (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) IS NULL
+              |               THEN NULL
+              |               ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              |                    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+              |               END) * 1000000000.0 + 0.5) / 1000000000.0 AS acf
+              |  FROM mo),
+              |sa AS (SELECT CAST(coalesce(sum(CAST(floor(coalesce(acf, 0.0)
+              |                 * 1000000000.0 + 0.5) AS BIGINT)), 0) AS BIGINT) AS snano
+              |       FROM ac),
+              |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+              |SELECT n_days,
+              |       floor(cast(snano as double) / 1000000000.0
+              |             * 1000000000.0 + 0.5) / 1000000000.0 AS sum_acf,
+              |       floor(($essExpr) * 1000000.0 + 0.5) / 1000000.0 AS ess_days,
+              |       floor((cast(n_days as double) / ($essExpr))
+              |             * 1000000.0 + 0.5) / 1000000.0 AS overconfidence
+              |FROM nd CROSS JOIN sa""".stripMargin),
+      doc = "Kish effective sample size of the daily series (n days of " +
+        "autocorrelated data = ESS independent ones): composes x47's " +
+        "exact 9-dp acf ladder (recovered to nano-units, summed as " +
+        "longs — cannot drift from the standalone query), one guarded " +
+        "1-row tree with the n/ESS overconfidence factor"),
   )
 }

@@ -594,6 +594,21 @@ class StatsSpec extends SparkSpec {
     assert(rows(0L)._2 == math.floor(exp0 * 1e9 + 0.5) / 1e9)
   }
 
+  test("ess composes exactly the published acf ladder") {
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val acfs = Stats.acfLadder(ev).collect()
+      .map(r => if (r.isNullAt(2)) 0.0 else r.getDouble(2))
+    val snano = acfs.map(a => math.floor(a * 1e9 + 0.5).toLong).sum
+    val r = Stats.essDays(ev).collect().head
+    assert(r.getAs[Double]("sum_acf") ==
+      math.floor(snano.toDouble / 1e9 * 1e9 + 0.5) / 1e9)
+    val den = 1.0 + (2.0 * snano.toDouble) / 1e9
+    val expEss = r.getAs[Long]("n_days").toDouble / den
+    assert(r.getAs[Double]("ess_days") ==
+      math.floor(expEss * 1e6 + 0.5) / 1e6)
+    assert(r.getAs[Double]("overconfidence") > 0.0)
+  }
+
   test("ratio CI: hand delta-method on two users, single-user null") {
     import spark.implicits._
     // u1: 2 purchases of 1.00 (x=200, y=2); u2: 2 clicks (x=0, y=2)
