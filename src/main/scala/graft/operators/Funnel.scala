@@ -132,6 +132,29 @@ object Funnel {
       .orderBy("touch_type")
   }
 
+  /** f16: first-touch attribution — revenue credited to the user's
+    * FIRST-ever non-purchase touch (the acquisition channel), f8's
+    * symmetric counterpart: last-touch rewards closers, first-touch
+    * rewards acquirers, and the gap between the two tables is the
+    * classic attribution dispute made queryable. Scale shape beats
+    * f8's: no window at all — the first touch is ONE combinable min_by
+    * per user (deterministic (sec, event_id) order), purchases join it
+    * on user_id, |channels| rows out. */
+  def firstTouchAttribution(events: DataFrame): DataFrame = {
+    val base = events.select(col("user_id"), col("event_id"),
+      col("event_type"), expr("unix_timestamp(ts)").as("sec"),
+      expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("c"))
+    val first = base.where(col("event_type") =!= "purchase")
+      .groupBy("user_id")
+      .agg(min_by(col("event_type"), struct(col("sec"), col("event_id")))
+        .as("touch_type"))
+    base.where(col("event_type") === "purchase")
+      .join(first, Seq("user_id"), "left")
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_purchases"), sum("c").as("revenue_cents"))
+      .orderBy("touch_type")
+  }
+
   /** f10: per-session revenue census — how much does a session monetize?
     * The commerce join of f3's sessionization: per (user, session) the
     * purchase cents collapse in the SAME rollup that counts events (one
@@ -876,5 +899,30 @@ object FunnelQueries {
       doc = "top behavioral 3-paths (the memory check on f6's Markov " +
         "assumption): one user_id window shared by both lags, " +
         "map-side-combined path counts, top-10 TakeOrderedAndProject"),
+
+    Q("f16_first_touch",
+      (s, d) => firstTouchAttribution(Tables.events(s, d)),
+      Some("""WITH b AS (
+             |  SELECT user_id, event_id, event_type,
+             |         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+             |  FROM events),
+             |ft AS (
+             |  SELECT user_id, event_type AS touch_type FROM (
+             |    SELECT user_id, event_type,
+             |           row_number() OVER (PARTITION BY user_id
+             |             ORDER BY sec, event_id) AS rn
+             |    FROM b WHERE event_type <> 'purchase') x
+             |  WHERE rn = 1)
+             |SELECT ft.touch_type,
+             |       CAST(count(*) AS BIGINT) AS n_purchases,
+             |       CAST(sum(c) AS BIGINT) AS revenue_cents
+             |FROM b LEFT JOIN ft ON ft.user_id = b.user_id
+             |WHERE b.event_type = 'purchase'
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "first-touch attribution (f8's acquisition-side " +
+        "counterpart — the attribution dispute made queryable): NO " +
+        "window, one combinable deterministic min_by per user, " +
+        "user_id join, |channels| rows"),
   )
 }

@@ -216,6 +216,27 @@ class FunnelSpec extends SparkSpec {
     assert(r.getAs[Long]("p50_rev_cents") == 200L)
   }
 
+  test("first touch credits the acquisition channel, not the closer") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(id: Long, u: Long, m: Int, t: String, v: Double) =
+      (id, u, Timestamp.valueOf(f"2024-01-01 00:$m%02d:00"), t, v)
+    // user 1: view -> click -> purchase(3.00): first touch = view
+    //         (last touch would say click)
+    // user 2: purchase with NO prior touch -> null channel
+    val events = Seq(
+      ev(1, 1, 1, "view", 0.0), ev(2, 1, 2, "click", 0.0),
+      ev(3, 1, 3, "purchase", 3.0),
+      ev(4, 2, 1, "purchase", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val rows = operators.Funnel.firstTouchAttribution(events).collect()
+      .map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(Some("view")) == ((1L, 300L)))
+    assert(rows(None) == ((1L, 100L)), "touchless purchases keep a null row")
+    assert(!rows.contains(Some("click")))
+  }
+
   test("top paths: trigram counts across users, tie-broken lexically") {
     import spark.implicits._
     import java.sql.Timestamp
