@@ -4,18 +4,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: JIT + codegen + parquet footer/file-index caches,
-    // so the first measured query isn't charged for JVM start-up.
-    spark.range(1000000L).selectExpr("sum(id)").collect()
-    Seq("documents", "events", "lineitem", "embeddings")
-      .foreach(t => Tables.table(spark, sfDir, t).count())
+    def freshSession(): SparkSession = {
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      // Untimed warmup: JIT + codegen + parquet footer/file-index caches,
+      // so the first measured query isn't charged for start-up.
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      Seq("documents", "events", "lineitem", "embeddings")
+        .foreach(t => Tables.table(spark, sfDir, t).count())
+      spark
+    }
     var failed = List.empty[String]
     // Host load varies wildly between runs of identical code (observed
     // 34s vs 85s an hour apart), so each query is timed in TWO passes
@@ -31,6 +34,16 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = Array.fill(passes)(Map.empty[String, (Boolean, Double)])
     for (p <- 0 until passes) {
+      // Each pass gets a FRESH SparkSession (r11's 8 phantom drift flags
+      // all hit tail queries of the one long 294-query JVM — accumulated
+      // block-manager/broadcast/codegen-cache state the per-query GC
+      // can't fully drain). A new session per pass resets Spark state
+      // while JIT stays warm, so pass 2 approximates a solo context and
+      // min-of-passes stops charging tail queries for sweep history.
+      // Side effect: session-keyed shared builds (DedupQueries.shared*)
+      // are re-paid once per pass by the family's first query — the
+      // honest accounting (exactly one query per pass carries the build).
+      val spark = freshSession()
       times(p) = names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
@@ -46,6 +59,7 @@ object Bench {
         System.gc()
         name -> (ok, sec)
       }.toMap
+      if (p < passes - 1) spark.stop()
     }
     val results = names.map { case (name, _) =>
       val runs = (0 until passes).map(p => times(p)(name))
@@ -78,6 +92,6 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] full-artifact write skipped: ${e.getMessage}")
     }
-    spark.stop()
+    SparkSession.getActiveSession.foreach(_.stop())
   }
 }

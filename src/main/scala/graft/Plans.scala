@@ -34,9 +34,11 @@ object Plans {
       "Small dimensions (region, nation) arrive via BroadcastHashJoin.",
     "g2_minhash_pairs" ->
       ("Banded LSH near-dup: ONE pass builds the signature table " +
-        "(min-aggregates per band, unpivoted with stack), the candidate " +
-        "join is equality on (band, minh) — no all-pairs comparison " +
-        "anywhere in the plan."),
+        "(min-aggregates per band, unpivoted with stack), buckets with " +
+        "df > cap are excluded (combinable bucket-df groupBy joined " +
+        "back — the g4 discipline, bounding any bucket's emission at " +
+        "cap²/2), and the candidate join is equality on (band, minh) — " +
+        "no all-pairs comparison anywhere in the plan."),
     "s1_cosine_topk" ->
       ("Brute-force cosine only against a broadcast handful of query " +
         "vectors (BroadcastHashJoin/NestedLoop over 5 rows is fine); " +
@@ -481,6 +483,56 @@ object Plans {
         "per-user (x, y); the five moments partial-aggregate to a " +
         "single row and every delta-method term is a literal tree — " +
         "no second pass, no per-event variance fallacy."),
+    "g15_containment" ->
+      ("Broder containment over the df-capped shingle index: candidate " +
+        "pairs come from the equality self-join on the shingle key " +
+        "(cap²/2-bounded), per-doc set sizes join back on doc ids, and " +
+        "the top-20 lands on TakeOrderedAndProject — no all-pairs " +
+        "comparison, no global sort."),
+    "g16_source_overlap" ->
+      ("Cross-source overlap matrix: y4's threshold pairs (prefix-" +
+        "filtered, equality-joined) roll up per ordered source pair — " +
+        "the output is |sources|² rows, so everything after the pair " +
+        "join is a combinable aggregate."),
+    "q44_also_bought" ->
+      ("Basket pair mining: ONE l_orderkey exchange feeds both the " +
+        "64-item cap window and the in-order self-join (exchange " +
+        "reuse); pair fan-out is cap-bounded per order and top-20 is " +
+        "TakeOrderedAndProject."),
+    "q45_basket_lift" ->
+      ("Lift re-ranking: the capped basket table materializes once for " +
+        "its three consumers (pair expansion, item frequencies, order " +
+        "count); the frequency joins are broadcast (item-bounded) and " +
+        "lift divides exact integer products only in the final " +
+        "projection."),
+    "q46_incremental_agg" ->
+      ("Incremental-maintenance proof: state and delta branches are " +
+        "partial-sum aggregates over ONE scan each; the merge is a " +
+        "sum over union — no join, and each branch's partial " +
+        "aggregation combines map-side."),
+    "q48_segment_migration" ->
+      ("Segment migration: per-period quartile cut points come from " +
+        "cumulative windows over the |distinct spend| table, never a " +
+        "|customers|-row global window; the two period segments meet " +
+        "in a full-outer join on custkey and the matrix is a ≤5×5 " +
+        "rollup."),
+    "q49_group_ols" ->
+      ("Grouped OLS: the five regression moments reduce in one " +
+        "map-side-combinable pass (squared moments in DECIMAL(38,0)); " +
+        "the slope is one IEEE division per group over |flags| rows — " +
+        "the regression never sees row-level data twice."),
+    "s25_ivf_balance" ->
+      ("IVF cell balance: centroids arrive broadcast, assignment is " +
+        "map-only argmin inside codegen, and the census is a k-row " +
+        "rollup — the corpus never shuffles."),
+    "s27_pq_distortion" ->
+      ("PQ distortion census: the shared s8 assignment chain (broadcast " +
+        "codebook, map-only nearest-codeword) plus one combinable " +
+        "per-subspace rollup — m rows out, corpus never shuffles."),
+    "s30_pq_balance" ->
+      ("PQ code-population balance: same shared assignment, m·k-row " +
+        "rollup, imbalance = max/(n/k) per subspace computed on the " +
+        "reduced table only."),
   )
 
   def main(args: Array[String]): Unit = {

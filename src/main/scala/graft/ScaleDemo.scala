@@ -80,6 +80,13 @@ object ScaleDemo {
       "exact_dedup" -> (d => operators.Dedup.exactDedup(d).count()),
       "minhash_sig" -> (d => operators.Dedup.minhashSignature(d, 4).count()),
       "minhash_pairs" -> (d => operators.Dedup.minhashCandidates(d, 4).count()),
+      // the bucket join under a cap BELOW the replication factor: every
+      // F-clique bucket is now "hot" and excluded, so the candidate
+      // count collapses — the direct demonstration (mirroring
+      // ngram_candidates_cap16) that the bucket-df cap, not luck,
+      // bounds per-bucket emission at cap²/2 at any corpus size
+      "minhash_pairs_cap16" -> (d =>
+        operators.Dedup.minhashCandidates(d, 4, bucketCap = 16).count()),
       "dedup_clusters" -> (d =>
         operators.Dedup.dedupClusters(operators.Dedup.minhashCandidates(d, 4))
           .count()),
@@ -267,7 +274,7 @@ object ScaleDemo {
       // RFM: one user_id reduction, then quartile maps over |distinct
       // value| tables only — F× events must not widen any window input
       "rfm" -> (e => operators.Funnel.rfmSegments(e).count()),
-      // the x64 permutation explode happens on the DAY table, never the
+      // the 64-way permutation explode (x57) happens on the DAY table, never the
       // facts — F× events widen only the first day reduction
       "perm_test" -> (e => operators.Stats.permTest(e).count()),
       // one stack unpivot (4x rows in flight, combinable) into the

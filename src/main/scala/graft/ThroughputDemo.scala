@@ -13,11 +13,20 @@ import org.apache.spark.sql.functions._
   * then times the full W1-W8 pipeline: recursive text scan → tokenize →
   * count → TSV sink.
   *
-  * Usage: runMain graft.ThroughputDemo [targetMB]
+  * Usage: runMain graft.ThroughputDemo [targetMB] [targetVocab]
+  *
+  * `targetVocab` (optional) grows the synthetic vocabulary to ~that
+  * many distinct words so the aggregation STATE matches a real corpus
+  * at the same byte scale — the reference's 5 GB run carries 22.2 M
+  * distinct words (/root/reference/MapReduceLog/_5G_slowstart_0.5/
+  * job_output.log), an order more than the default suffix scheme
+  * produces; word-count state size is what stresses the shuffle and
+  * the final aggregate, so matching it is part of "same data scale".
   */
 object ThroughputDemo {
   def main(args: Array[String]): Unit = {
     val targetMB = args.headOption.map(_.toInt).getOrElse(100)
+    val targetVocab = args.lift(1).map(_.toLong).getOrElse(0L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,11 +40,22 @@ object ThroughputDemo {
     val replicas = math.max(1, (targetMB * 1024L * 1024L / baseBytes).toInt)
     val corpusDir = s"/tmp/graft_corpus_${targetMB}mb"
     // per-replica token suffix grows the vocabulary with corpus size
-    // (a pure repeat would keep the aggregation state unrealistically tiny)
+    // (a pure repeat would keep the aggregation state unrealistically
+    // tiny); with targetVocab set, each (doc, replica) carries enough
+    // unique synthetic tokens to land the distinct-word count near it
+    val nDocs = base.count()
+    val vocabPerRow =
+      if (targetVocab <= 0) 0
+      else math.max(1, (targetVocab / (replicas.toLong * nDocs)).toInt)
+    val suffix =
+      if (vocabPerRow == 0)
+        expr("concat(' tok', replica, '_', doc_id % 997)")
+      else
+        expr(s"concat(' ', concat_ws(' ', transform(sequence(1, $vocabPerRow), " +
+          "j -> concat('tok', replica, '_', doc_id, '_', j))))")
     base.select(col("doc_id"), col("text"))
       .withColumn("replica", explode(expr(s"sequence(1, $replicas)")))
-      .select(concat(col("text"), lit(" tok"), col("replica"),
-        lit("_"), col("doc_id") % 997).as("value"))
+      .select(concat(col("text"), suffix).as("value"))
       .write.mode("overwrite").text(corpusDir)
 
     val corpus = spark.read.option("recursiveFileLookup", "true")

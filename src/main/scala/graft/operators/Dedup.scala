@@ -193,8 +193,13 @@ object Dedup {
     * bands ≈ higher Jaccard, the usual LSH evidence ladder) and the
     * smallest colliding corpus doc id. */
   def minhashIncremental(existing: DataFrame, incoming: DataFrame,
-                         bands: Int): DataFrame = {
-    val idx = minhashSignature(existing, bands)
+                         bands: Int,
+                         bucketCap: Int = DefaultBucketDfCap): DataFrame = {
+    // The INDEX side is bucket-capped (see DefaultBucketDfCap): an
+    // incoming row landing in a degenerate corpus bucket would join
+    // |bucket| rows, so capping the index bounds the per-batch emission
+    // at |batch| × bands × cap. The batch's own buckets never self-join.
+    val idx = cappedSignature(minhashSignature(existing, bands), bucketCap)
       .select(col("band"), col("minh"), col("doc_id").as("corpus_doc"))
     minhashSignature(incoming, bands)
       .join(idx, Seq("band", "minh"))
@@ -227,14 +232,47 @@ object Dedup {
   private[graft] def viaSharedScan(src: DataFrame)(build: DataFrame => DataFrame): DataFrame =
     build(Materialize.frame(src))
 
+  /** Default hot-bucket document-frequency cap for the (band, minh) LSH
+    * self-join. An uncapped bucket join emits |bucket|²/2 pairs per
+    * bucket — one degenerate bucket (empty/boilerplate docs collapsing
+    * to a single signature, or a broken permutation) is quadratic in
+    * corpus size, the exact failure mode [[DefaultShingleDfCap]] bounds
+    * for the shingle index. Same documented-lossy contract applied to
+    * the bucket key: a bucket shared by >cap documents is a DUPLICATE
+    * BLOB, not a pair list — at that density per-pair edges add no
+    * information a "these N docs share a signature" census doesn't, and
+    * emitting them anyway is what melts the 100 TB run. The
+    * [[lshBucketCensus]] (g21) stays UNCAPPED as the monitoring pair,
+    * so what the cap would drop is always observable before it drops.
+    * The cap sits far above any organic bucket at test scales (sf0.1
+    * max bucket = 20; the 20× replica sweep ≈ 400), so capped and
+    * uncapped answers coincide there — the DuckDB oracles apply the
+    * same cap, checking the capped semantics end-to-end. */
+  val DefaultBucketDfCap = 1000
+
+  /** Signature rows restricted to buckets with <= cap members — the
+    * g4 df-cap discipline on the (band, minh) key. Bucket df is a
+    * map-side-combinable groupBy joined back, never a window over the
+    * bucket key (a hot bucket would serialize through one window task —
+    * the same skew argument as [[cappedShingles]]). */
+  private[graft] def cappedSignature(sig: DataFrame, cap: Int): DataFrame = {
+    val bdf = sig.groupBy("band", "minh").agg(count(lit(1)).as("bdf"))
+    sig.join(bdf.where(col("bdf") <= cap), Seq("band", "minh"))
+      .select("doc_id", "band", "minh")
+  }
+
   /** G2b: LSH candidate pairs — equality join on the (band, minh) bucket
-    * key. This is the scale path: no all-pairs comparison ever happens.
-    * Deliberately LAZY (no cache/checkpoint): both join sides are the
-    * identical signature subtree partitioned on the same join key, so
-    * exchange reuse computes it once at runtime, and the full plan stays
-    * auditable with explain() (see PLANS.md). */
-  def minhashCandidates(docs: DataFrame, bands: Int): DataFrame = {
-    val sig = minhashSignature(docs, bands)
+    * key, restricted to buckets with <= bucketCap members (documented-
+    * lossy — see [[DefaultBucketDfCap]]). This is the scale path: no
+    * all-pairs comparison ever happens, and no single bucket can emit
+    * more than cap²/2 pairs. Deliberately LAZY (no cache/checkpoint):
+    * both join sides are the identical capped-signature subtree
+    * partitioned on the same join key, so exchange reuse computes it
+    * once at runtime, and the full plan stays auditable with explain()
+    * (see PLANS.md). */
+  def minhashCandidates(docs: DataFrame, bands: Int,
+                        bucketCap: Int = DefaultBucketDfCap): DataFrame = {
+    val sig = cappedSignature(minhashSignature(docs, bands), bucketCap)
     sig.as("a").join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.minh") === col("b.minh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -245,10 +283,12 @@ object Dedup {
   /** G2c: AND-amplified near-dup pairs — candidates must collide in at
     * least `minShared` bands. Cuts false positives (and the candidate
     * count) sharply on low-vocabulary corpora where single-band
-    * collisions are common; this is the knob that keeps the LSH join
-    * bounded as the corpus grows. */
-  def minhashNearDups(docs: DataFrame, bands: Int, minShared: Int): DataFrame = {
-    val sig = minhashSignature(docs, bands)
+    * collisions are common; with the bucket cap (see
+    * [[DefaultBucketDfCap]]) these are the two knobs that keep the LSH
+    * join bounded as the corpus grows. */
+  def minhashNearDups(docs: DataFrame, bands: Int, minShared: Int,
+                      bucketCap: Int = DefaultBucketDfCap): DataFrame = {
+    val sig = cappedSignature(minhashSignature(docs, bands), bucketCap)
     sig.as("a").join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.minh") === col("b.minh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -294,8 +334,15 @@ object Dedup {
     * over cluster (a mega-cluster of near-identical boilerplate would
     * single-task a rank window; the struct-min aggregate partial-combines
     * instead). EAGER like its clustering core. */
-  def clusterReps(docs: DataFrame, bands: Int): DataFrame = {
-    val clusters = dedupClusters(minhashCandidates(docs, bands))
+  def clusterReps(docs: DataFrame, bands: Int): DataFrame =
+    clusterRepsFromLabels(docs, dedupClusters(minhashCandidates(docs, bands)))
+
+  /** [[clusterReps]] over a PRECOMPUTED cluster-label table (the g6
+    * output, or the persisted cluster table a production pipeline keeps)
+    * — the cluster family (g6 labels / g11 reps / g17 sizes) shares one
+    * signature + bucket-join + contraction pass instead of each
+    * re-paying it; see [[DedupQueries.sharedClusters]]. */
+  def clusterRepsFromLabels(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val q = TextAnalysis.qualityScore(docs)
       .select(col("doc_id"), col("quality"))
     docs.select(col("doc_id"))
@@ -616,7 +663,64 @@ object DedupQueries {
   import Dedup._
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
+  /** Session-shared materialized cluster-label table for the cluster
+    * family (g6 labels / g11 reps / g17 sizes). Production discipline:
+    * signatures, candidate pairs and cluster labels are computed ONCE
+    * per corpus and persisted as a table; every downstream consumer
+    * reads that table instead of re-paying the shingle scan + bucket
+    * join + contraction loop per query (the r11 verdict's #2: g11/g17
+    * each re-ran the full candidate build g6 had already paid). Keyed
+    * by (session, dir); the value is the [[Dedup.dedupClusters]] output,
+    * whose final frame is already Materialize'd — holding the reference
+    * keeps the stored blocks alive for the session. Content is
+    * byte-identical to a fresh build, so which query populates the
+    * cache first cannot change any result. */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private[operators] def sharedClusters(s: SparkSession, d: String): DataFrame =
+    clusterCache.computeIfAbsent((s, d),
+      _ => dedupClusters(sharedCandidates(s, d)))
+
+  /** Session-shared materialized LSH candidate-pair table — the same
+    * persisted-table discipline one level lower: the signature build +
+    * capped bucket self-join runs ONCE per corpus, and every consumer of
+    * the candidate graph ([[sharedClusters]] and the graph analytics
+    * g9/g22/g23) reads the stored pairs. The pair table is tiny relative
+    * to the corpus (bounded by Σ min(df,cap)²/2 over buckets), so
+    * materializing it is cheap; content is independent of which query
+    * builds it first. */
+  private val candCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private[operators] def sharedCandidates(s: SparkSession, d: String): DataFrame =
+    candCache.computeIfAbsent((s, d),
+      _ => Materialize.frame(minhashCandidates(docs(s, d), 4)))
+
   private val toksSql = "list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '')"
+
+  /** Shared DuckDB CTE chain producing the 4-band minhash signature
+    * table `sig` (mirror of [[Dedup.minhashSignature]]). Prepend
+    * [[shinglesSqlCte]]. */
+  private[operators] lazy val sigSqlCtes =
+    s"""hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT AS h FROM sh),
+       |b AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh),
+       |sig AS (
+       |  SELECT doc_id, band,
+       |         min(${Dedup.affinePermSqlDuck("band", "h")}) AS minh
+       |  FROM b GROUP BY doc_id, band)""".stripMargin
+
+  /** [[sigSqlCtes]] plus the bucket-df cap producing `sigc` — the
+    * DuckDB mirror of [[Dedup.cappedSignature]] at
+    * [[Dedup.DefaultBucketDfCap]]. Every oracle whose Spark twin joins
+    * capped signatures uses `sigc`, so the correctness gate checks the
+    * CAPPED semantics end-to-end (at sf0.01 the max bucket is 5 << cap,
+    * so this also equals the uncapped answer). */
+  private[operators] lazy val cappedSigSqlCtes =
+    s"""$sigSqlCtes,
+       |bdf AS (SELECT band, minh, count(*) AS bdf FROM sig GROUP BY band, minh),
+       |sigc AS (SELECT sig.doc_id, sig.band, sig.minh
+       |         FROM sig JOIN bdf ON sig.band = bdf.band AND sig.minh = bdf.minh
+       |         WHERE bdf.bdf <= ${Dedup.DefaultBucketDfCap})""".stripMargin
+
   private[operators] val shinglesSqlCte =
     s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
        |sh AS (
@@ -678,27 +782,22 @@ object DedupQueries {
     Q("g2_minhash_sig",
       (s, d) => minhashSignature(docs(s, d), 4).orderBy("doc_id", "band"),
       Some(s"""WITH $shinglesSqlCte,
-              |hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT AS h FROM sh),
-              |b AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh)
-              |SELECT doc_id, band,
-              |       min(${affinePermSqlDuck("band", "h")}) AS minh
-              |FROM b GROUP BY doc_id, band ORDER BY doc_id, band""".stripMargin),
+              |$sigSqlCtes
+              |SELECT doc_id, band, minh
+              |FROM sig ORDER BY doc_id, band""".stripMargin),
       doc = "G2a banded MinHash signatures (one md5 per shingle + affine band permutations)"),
 
     Q("g2_minhash_pairs",
       (s, d) => minhashCandidates(docs(s, d), 4).orderBy("doc_a", "doc_b"),
       Some(s"""WITH $shinglesSqlCte,
-              |hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT AS h FROM sh),
-              |b AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh),
-              |sig AS (
-              |  SELECT doc_id, band,
-              |         min(${affinePermSqlDuck("band", "h")}) AS minh
-              |  FROM b GROUP BY doc_id, band)
+              |$cappedSigSqlCtes
               |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              |FROM sig a JOIN sig b
+              |FROM sigc a JOIN sigc b
               |  ON a.band = b.band AND a.minh = b.minh AND a.doc_id < b.doc_id
               |ORDER BY doc_a, doc_b""".stripMargin),
-      doc = "G2b LSH candidate pairs: equality join on (band, min-hash) bucket"),
+      doc = "G2b LSH candidate pairs: equality join on (band, min-hash) " +
+        "bucket, hot buckets with df > cap excluded (documented-lossy — " +
+        "bounds any bucket's emission at cap^2/2; g21 monitors uncapped)"),
 
     Q("g3_simhash",
       (s, d) => simhash(docs(s, d)).orderBy("doc_id"),
@@ -734,18 +833,12 @@ object DedupQueries {
       doc = "G5 embedding-cosine near-dup: exact cosine only within LSH buckets"),
 
     Q("g6_dedup_clusters",
-      (s, d) => dedupClusters(minhashCandidates(docs(s, d), 4))
-        .orderBy("doc_id"),
+      (s, d) => sharedClusters(s, d).orderBy("doc_id"),
       Some(s"""WITH RECURSIVE $shinglesSqlCte,
-              |hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT AS h FROM sh),
-              |b AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh),
-              |sig AS (
-              |  SELECT doc_id, band,
-              |         min(${affinePermSqlDuck("band", "h")}) AS minh
-              |  FROM b GROUP BY doc_id, band),
+              |$cappedSigSqlCtes,
               |pairs AS (
               |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              |  FROM sig a JOIN sig b
+              |  FROM sigc a JOIN sigc b
               |    ON a.band = b.band AND a.minh = b.minh AND a.doc_id < b.doc_id),
               |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
               |      UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -756,7 +849,9 @@ object DedupQueries {
               |SELECT node AS doc_id, min(lbl) AS cluster
               |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin),
       doc = "G6 dedup clusters: connected components of the LSH candidate " +
-        "graph via min-label propagation (oracle: recursive CTE)"),
+        "graph via min-label propagation (oracle: recursive CTE); serves " +
+        "from the session-shared persisted label table — one signature + " +
+        "bucket-join + contraction build for the whole g6/g11/g17 family"),
 
     Q("g13_incremental_neardup",
       (s, d) => minhashIncremental(
@@ -764,14 +859,14 @@ object DedupQueries {
           docs(s, d).where(col("doc_id") % 2 === 1), 4)
         .orderBy("doc_id"),
       Some(s"""WITH $shinglesSqlCte,
-              |hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT AS h FROM sh),
-              |b AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh),
-              |sig AS (
-              |  SELECT doc_id, band,
-              |         min(${affinePermSqlDuck("band", "h")}) AS minh
-              |  FROM b GROUP BY doc_id, band),
-              |e AS (SELECT band, minh, doc_id AS corpus_doc FROM sig
-              |      WHERE doc_id % 2 = 0),
+              |$sigSqlCtes,
+              |e0 AS (SELECT band, minh, doc_id AS corpus_doc FROM sig
+              |       WHERE doc_id % 2 = 0),
+              |ebdf AS (SELECT band, minh, count(*) AS bdf FROM e0
+              |         GROUP BY band, minh),
+              |e AS (SELECT e0.band, e0.minh, e0.corpus_doc FROM e0
+              |      JOIN ebdf ON e0.band = ebdf.band AND e0.minh = ebdf.minh
+              |      WHERE ebdf.bdf <= ${Dedup.DefaultBucketDfCap}),
               |i AS (SELECT doc_id, band, minh FROM sig WHERE doc_id % 2 = 1)
               |SELECT i.doc_id,
               |       CAST(count(DISTINCT i.band) AS BIGINT) AS n_bands_hit,
@@ -781,20 +876,17 @@ object DedupQueries {
       doc = "G2c incremental near-dup: batch signatures equality-joined " +
         "against the persisted corpus signature index on (band, minh) — " +
         "the corpus is never re-shingled, band-hit count is the LSH " +
-        "evidence ladder"),
+        "evidence ladder; the index side is bucket-df-capped so a " +
+        "degenerate corpus bucket cannot blow up a batch join"),
 
     Q("g11_cluster_reps",
-      (s, d) => clusterReps(docs(s, d), 4).orderBy("cluster"),
+      (s, d) => clusterRepsFromLabels(docs(s, d), sharedClusters(s, d))
+        .orderBy("cluster"),
       Some(s"""WITH RECURSIVE $shinglesSqlCte,
-              |hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT AS h FROM sh),
-              |b AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh),
-              |sig AS (
-              |  SELECT doc_id, band,
-              |         min(${affinePermSqlDuck("band", "h")}) AS minh
-              |  FROM b GROUP BY doc_id, band),
+              |$cappedSigSqlCtes,
               |prs AS (
               |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              |  FROM sig a JOIN sig b
+              |  FROM sigc a JOIN sigc b
               |    ON a.band = b.band AND a.minh = b.minh AND a.doc_id < b.doc_id),
               |e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
               |      UNION ALL SELECT doc_b, doc_a FROM prs),
@@ -822,8 +914,9 @@ object DedupQueries {
               |ORDER BY nm.cluster""".stripMargin),
       doc = "G6+ quality-aware cluster representatives: per near-dup " +
         "cluster (singletons included) keep the copy with the best t2 " +
-        "quality score, ties to the smallest doc_id. EAGER: building " +
-        "this DataFrame runs the clustering loop"),
+        "quality score, ties to the smallest doc_id. EAGER: consumes the " +
+        "session-shared g6 label table (first family query pays the " +
+        "clustering build)"),
 
     Q("g4_ngram_jaccard",
       (s, d) => ngramJaccardTop(docs(s, d), 20),
@@ -925,21 +1018,16 @@ object DedupQueries {
     ),
 
     Q("g17_cluster_sizes",
-      (s, d) => dedupClusters(minhashCandidates(docs(s, d), 4))
+      (s, d) => sharedClusters(s, d)
         .groupBy("cluster").agg(count(lit(1)).as("size"))
         .groupBy("size").agg(count(lit(1)).as("n_clusters"))
         .orderBy("size"),
       // the g6 recursive-CTE oracle with a two-level rollup on top
       Some(s"""WITH RECURSIVE $shinglesSqlCte,
-              |hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT AS h FROM sh),
-              |b AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh),
-              |sig AS (
-              |  SELECT doc_id, band,
-              |         min(${affinePermSqlDuck("band", "h")}) AS minh
-              |  FROM b GROUP BY doc_id, band),
+              |$cappedSigSqlCtes,
               |pairs AS (
               |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              |  FROM sig a JOIN sig b
+              |  FROM sigc a JOIN sigc b
               |    ON a.band = b.band AND a.minh = b.minh AND a.doc_id < b.doc_id),
               |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
               |      UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -954,7 +1042,8 @@ object DedupQueries {
               |FROM sz GROUP BY 1 ORDER BY size""".stripMargin),
       doc = "G17 dedup-cluster size census: the mega-cluster detector " +
         "run before choosing retention policy — two combinable rollups " +
-        "on g6's component labels, output bounded by |distinct sizes|"),
+        "on the session-shared g6 label table, output bounded by " +
+        "|distinct sizes|"),
 
     Q("g19_shingle_df_census",
       (s, d) => Dedup.shingleDfCensus(docs(s, d)),
@@ -976,35 +1065,27 @@ object DedupQueries {
     Q("g21_lsh_bucket_census",
       (s, d) => Dedup.lshBucketCensus(docs(s, d)),
       Some(s"""WITH $shinglesSqlCte,
-              |hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT AS h FROM sh),
-              |b AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh),
-              |sig AS (
-              |  SELECT doc_id, band,
-              |         min(${affinePermSqlDuck("band", "h")}) AS minh
-              |  FROM b GROUP BY doc_id, band),
+              |$sigSqlCtes,
               |bk AS (SELECT band, minh, CAST(count(*) AS BIGINT) AS c
               |       FROM sig GROUP BY band, minh)
               |SELECT band, count(*) AS n_buckets, max(c) AS max_bucket,
               |       CAST(sum(c * (c - 1) // 2) AS BIGINT) AS pair_mass
               |FROM bk GROUP BY band ORDER BY band""".stripMargin),
       doc = "LSH bucket census (g19's read for the minhash index): per " +
-        "band, bucket count, largest bucket and the exact pair mass the " +
-        "band's candidate self-join will emit — the pre-flight cost " +
-        "estimate for g2; two combinable rollups, |bands| rows"),
+        "band, bucket count, largest bucket and the exact UNCAPPED pair " +
+        "mass the band's candidate self-join would emit — the pre-flight " +
+        "cost estimate for g2 and the monitoring pair of the bucket-df " +
+        "cap (what the cap drops is visible here before it drops); two " +
+        "combinable rollups, |bands| rows"),
 
     Q("g24_band_agreement",
       (s, d) => Dedup.bandAgreementCurve(docs(s, d)),
       Some(s"""WITH $shinglesSqlCte,
-              |hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT AS h FROM sh),
-              |b AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh),
-              |sig AS (
-              |  SELECT doc_id, band,
-              |         min(${Dedup.affinePermSqlDuck("band", "h")}) AS minh
-              |  FROM b GROUP BY doc_id, band),
+              |$cappedSigSqlCtes,
               |ps AS (
               |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
               |         CAST(count(*) AS BIGINT) AS shared
-              |  FROM sig a JOIN sig b
+              |  FROM sigc a JOIN sigc b
               |    ON a.band = b.band AND a.minh = b.minh AND a.doc_id < b.doc_id
               |  GROUP BY 1, 2),
               |h AS (SELECT shared, CAST(count(*) AS BIGINT) AS n

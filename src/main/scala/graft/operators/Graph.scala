@@ -168,25 +168,21 @@ object GraphQueries {
        |  GROUP BY e.dst)""".stripMargin
 
   /** The LSH candidate-pair CTE chain (shingles -> 4-band minhash ->
-    * canonical doc_a < doc_b pairs) — the SAME graph g9 and g22 run on,
-    * factored so the two oracles can't drift. */
+    * bucket-df cap -> canonical doc_a < doc_b pairs) — the SAME graph
+    * g9/g22/g23 run on (capped, see [[Dedup.DefaultBucketDfCap]]),
+    * factored so the oracles can't drift from each other or from the
+    * Spark default. */
   private[operators] val candPairsSqlCtes =
     s"""${DedupQueries.shinglesSqlCte},
-       |hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT AS h FROM sh),
-       |b AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh),
-       |sig AS (
-       |  SELECT doc_id, band,
-       |         min(${Dedup.affinePermSqlDuck("band", "h")}) AS minh
-       |  FROM b GROUP BY doc_id, band),
+       |${DedupQueries.cappedSigSqlCtes},
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM sig a JOIN sig b
+       |  FROM sigc a JOIN sigc b
        |    ON a.band = b.band AND a.minh = b.minh AND a.doc_id < b.doc_id)""".stripMargin
 
   val qs: Seq[Q] = Seq(
     Q("g9_pagerank",
-      (s, d) => pagerank(
-        Dedup.minhashCandidates(Tables.documents(s, d), 4), 3)
+      (s, d) => pagerank(DedupQueries.sharedCandidates(s, d), 3)
         .orderBy("doc_id"),
       Some(s"""WITH $candPairsSqlCtes,
               |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -204,8 +200,7 @@ object GraphQueries {
         "partitioning-independent"),
 
     Q("g22_triangles",
-      (s, d) => triangleCensus(
-        Dedup.minhashCandidates(Tables.documents(s, d), 4)),
+      (s, d) => triangleCensus(DedupQueries.sharedCandidates(s, d)),
       Some(s"""WITH $candPairsSqlCtes,
               |e AS (SELECT doc_a AS node FROM pairs
               |      UNION ALL SELECT doc_b FROM pairs),
@@ -235,8 +230,7 @@ object GraphQueries {
         "coefficient; the oracle counts canonical a<b<c triples naively"),
 
     Q("g23_link_predict",
-      (s, d) => resourceAllocTop(
-        Dedup.minhashCandidates(Tables.documents(s, d), 4), 15),
+      (s, d) => resourceAllocTop(DedupQueries.sharedCandidates(s, d), 15),
       Some(s"""WITH $candPairsSqlCtes,
               |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
               |      UNION ALL SELECT doc_b, doc_a FROM pairs),

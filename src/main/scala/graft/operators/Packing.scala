@@ -224,7 +224,13 @@ object Packing {
     * rollup is 1 row. The md5 shard key is also what makes the layout
     * RESHUFFLE-FREE at 100 TB: workers claim shards by id, no central
     * assignment. */
-  def shardBalance(docs: DataFrame, nShards: Int = 32): DataFrame = {
+  /** Default loader-shard count for [[shardBalance]]/[[shuffleQuality]].
+    * Interpolated into BOTH the Scala defaults and the y14/y15 oracle
+    * SQL (the g23 degCap discipline) so one edit updates both — a
+    * hardcoded oracle twin would silently desync if the default moved. */
+  val DefaultShards = 32
+
+  def shardBalance(docs: DataFrame, nShards: Int = DefaultShards): DataFrame = {
     val per = docs
       .select(
         expr(s"${Dedup.md5Long56("cast(doc_id as string)")} % $nShards")
@@ -251,7 +257,7 @@ object Packing {
     * (the curriculum-contamination failure mode). The rank windows
     * partition by shard — bounded per worker — never globally; the
     * expectation comes from the |sources| count table. */
-  def shuffleQuality(docs: DataFrame, nShards: Int = 32): DataFrame = {
+  def shuffleQuality(docs: DataFrame, nShards: Int = DefaultShards): DataFrame = {
     val keyed = docs.select(col("doc_id"), col("source"),
         expr(Dedup.md5Long56("cast(doc_id as string)")).as("h"))
       .select(col("doc_id"), col("source"),
@@ -540,7 +546,7 @@ object PackingQueries {
     Q("y14_shard_balance",
       (s, d) => shardBalance(docs(s, d)),
       Some(s"""WITH per AS (
-              |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 32 AS shard,
+              |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % $DefaultShards AS shard,
               |         CAST(sum(len($toksSql)) AS BIGINT) AS toks,
               |         CAST(count(*) AS BIGINT) AS docs
               |  FROM documents GROUP BY 1)
@@ -564,7 +570,7 @@ object PackingQueries {
               |  SELECT doc_id, source,
               |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS h
               |  FROM documents),
-              |kk AS (SELECT doc_id, source, h % 32 AS shard, h // 32 AS r
+              |kk AS (SELECT doc_id, source, h % $DefaultShards AS shard, h // $DefaultShards AS r
               |       FROM k),
               |lg AS (SELECT source,
               |              lag(source) OVER (PARTITION BY shard

@@ -2109,18 +2109,20 @@ object RelationalQueries {
         // segment, the OLS slope of quantity on discount — x29's global
         // regression grouped (does the discount effect differ across
         // outcome segments?). Discounts quantize to exact basis points
-        // and quantities to integers, so the five moments reduce as
-        // exact longs with map-side combine; the slope tree is one IEEE
-        // division per group over |flags| rows. At 100 TB the squared
-        // moments flip to DECIMAL(38,0) — same shape.
+        // and quantities to integers, so the moments reduce exactly with
+        // map-side combine — the squared moments in DECIMAL(38,0) (a
+        // BIGINT sum would wrap silently at warehouse row counts while
+        // the oracle raises); the slope tree is one IEEE division per
+        // group over |flags| rows.
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
         val li = Tables.lineitem(s, d).select(
           col("l_returnflag").as("flag"),
           expr("cast(floor(l_discount * 10000.0 + 0.5) as bigint)").as("x"),
           expr("cast(floor(l_quantity + 0.5) as bigint)").as("y"))
         li.groupBy("flag")
           .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-            sum(col("x") * col("x")).as("sxx"),
-            sum(col("x") * col("y")).as("sxy"))
+            sum((col("x") * col("x")).cast(dec)).as("sxx"),
+            sum((col("x") * col("y")).cast(dec)).as("sxy"))
           .select(col("flag"), col("n").as("n_rows"),
             pround(expr("cast(sx as double) / cast(n as double)"), 6)
               .as("mean_disc_bp"),

@@ -1069,7 +1069,13 @@ object Similarity {
         sum(when(col("keep") && col("rn_all") <= k, 1L).otherwise(0L))
           .as("n_post"))
       .select(col("q_id"), col("n_pre"), col("n_post"),
-        pround(col("n_post").cast("double") / col("n_pre").cast("double"), 6)
+        // degenerate guard: a query with ZERO predicate-passing
+        // neighbors must yield null, not Spark's silent non-ANSI
+        // divide-by-zero null vs DuckDB's NaN — the repo's standard
+        // case-when convention, mirrored in the oracle
+        when(col("n_pre") === 0, lit(null).cast("double"))
+          .otherwise(pround(col("n_post").cast("double")
+            / col("n_pre").cast("double"), 6))
           .as("post_recall"))
       .orderBy("q_id")
   }
@@ -2139,9 +2145,11 @@ object SimilarityQueries {
               |SELECT q_id,
               |       CAST(sum(CASE WHEN keep AND rn_keep <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
               |       CAST(sum(CASE WHEN keep AND rn_all <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_post,
-              |       floor(CAST(sum(CASE WHEN keep AND rn_all <= 5 THEN 1 ELSE 0 END) AS DOUBLE)
-              |             / CAST(sum(CASE WHEN keep AND rn_keep <= 5 THEN 1 ELSE 0 END) AS DOUBLE)
-              |             * 1000000.0 + 0.5) / 1000000.0 AS post_recall
+              |       CASE WHEN sum(CASE WHEN keep AND rn_keep <= 5 THEN 1 ELSE 0 END) = 0
+              |            THEN NULL ELSE
+              |         floor(CAST(sum(CASE WHEN keep AND rn_all <= 5 THEN 1 ELSE 0 END) AS DOUBLE)
+              |               / CAST(sum(CASE WHEN keep AND rn_keep <= 5 THEN 1 ELSE 0 END) AS DOUBLE)
+              |               * 1000000.0 + 0.5) / 1000000.0 END AS post_recall
               |FROM r GROUP BY q_id ORDER BY q_id""".stripMargin),
       doc = "filtered-ANN census (pre-filter vs post-filter search at " +
         "~50% label-parity selectivity): one scored frame, two window " +

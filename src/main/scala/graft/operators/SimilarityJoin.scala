@@ -168,15 +168,10 @@ object SimilarityJoinQueries {
       // exact join — both oracles reused verbatim so the quality census
       // is measured against the SAME definitions the paired queries pin
       Some(s"""WITH ${DedupQueries.shinglesSqlCte},
-              |hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 14))::BIGINT AS h FROM sh),
-              |b AS (SELECT doc_id, h, unnest(range(0, 4)) AS band FROM hh),
-              |sig AS (
-              |  SELECT doc_id, band,
-              |         min(${Dedup.affinePermSqlDuck("band", "h")}) AS minh
-              |  FROM b GROUP BY doc_id, band),
+              |${DedupQueries.cappedSigSqlCtes},
               |cand AS (
               |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              |  FROM sig a JOIN sig b
+              |  FROM sigc a JOIN sigc b
               |    ON a.band = b.band AND a.minh = b.minh AND a.doc_id < b.doc_id),
               |ss AS (SELECT DISTINCT doc_id,
               |         ('0x' || substr(md5(sh), 1, 14))::BIGINT AS sh_h FROM sh),

@@ -317,14 +317,17 @@ object Stats {
     * expression tree over the exact moments, mirrored textually in the
     * oracle SQL.
     *
-    * Domain bound: Σx² must stay under 2^63 — holds to ~9e18/max(x)²
-    * rows per group (1e12 rows of values up to 3000); beyond that cast
-    * the moments to DECIMAL(38,0), as [[groupMoments]] does. */
+    * Domain bound: the squared moment Σx² accumulates in DECIMAL(38,0)
+    * (the [[groupMoments]] discipline — a BIGINT sum would WRAP silently
+    * in Spark at warehouse row counts while the DuckDB oracle raises);
+    * the per-row product stays long (values are bounded, the risk is
+    * the sum). */
   def welchTPairwise(df: DataFrame, group: String, value: String): DataFrame = {
+    val dec = DecimalType(38, 0)
     val mo = df.select(col(group).as("g"), col(value).cast("long").as("x"))
       .groupBy("g")
       .agg(count(lit(1)).as("n"), sum("x").as("sx"),
-        sum(col("x") * col("x")).as("sxx"))
+        sum((col("x") * col("x")).cast(dec)).as("sxx"))
     mo.as("a").join(mo.as("b"), col("a.g") < col("b.g"))
       .select(col("a.g").as("group_a"), col("b.g").as("group_b"),
         col("a.n").as("n_a"), col("b.n").as("n_b"),
@@ -338,19 +341,24 @@ object Stats {
     * naive per-event variance understates the error. Linearization:
     * R = Σx/Σy over per-user (x = revenue, y = events);
     * Var(R) ≈ Σ(x_i − R·y_i)² · n / ((n−1)·(Σy)²) — the residual term
-    * expands to Σx² − 2RΣxy + R²Σy², all five moments exact longs
-    * from ONE user_id reduction; only the final 1-row tree is IEEE.
+    * expands to Σx² − 2RΣxy + R²Σy², all five moments exact integers
+    * (squared moments in DECIMAL(38,0) — see below) from ONE user_id
+    * reduction; only the final 1-row tree is IEEE.
     * 95% CI via ±1.959964·se. */
   def ratioCi(events: DataFrame): DataFrame = {
+    // squared moments accumulate in DECIMAL(38,0) — per-user cent/count
+    // products fit a long, but their corpus-wide SUM would silently wrap
+    // Spark's BIGINT at warehouse scale (the ccfLadder discipline)
+    val dec = DecimalType(38, 0)
     val per = events.groupBy("user_id")
       .agg(sum(when(col("event_type") === "purchase",
           expr("cast(floor(value * 100.0 + 0.5) as bigint)")).otherwise(0L))
           .as("x"),
         count(lit(1)).as("y"))
     per.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("y") * col("y")).as("syy"))
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"))
       .select(col("n").as("n_users"), col("sx").as("rev_cents"),
         col("sy").as("n_events"),
         pround(expr(ratioExpr), 9).as("ratio"),
@@ -383,10 +391,11 @@ object Stats {
     * rows, pairwise join over the tiny group table, pooled-SD d on a
     * shared IEEE tree with small-sample/zero-variance null guards. */
   def cohensDPairwise(df: DataFrame, group: String, value: String): DataFrame = {
+    val dec = DecimalType(38, 0) // Σx² in decimal — see welchTPairwise
     val mo = df.select(col(group).as("g"), col(value).cast("long").as("x"))
       .groupBy("g")
       .agg(count(lit(1)).as("n"), sum("x").as("sx"),
-        sum(col("x") * col("x")).as("sxx"))
+        sum((col("x") * col("x")).cast(dec)).as("sxx"))
     mo.as("a").join(mo.as("b"), col("a.g") < col("b.g"))
       .select(col("a.g").as("group_a"), col("b.g").as("group_b"),
         col("a.n").as("n_a"), col("b.n").as("n_b"),
@@ -913,7 +922,11 @@ object Stats {
     * sums are exact longs and the 64 mean-gap trees are fixed IEEE.
     * Permutations that land every day on one side have no statistic
     * and drop from the denominator. */
-  def permTest(events: DataFrame, nPerms: Int = 64): DataFrame = {
+  /** Default permutation count for [[permTest]] — interpolated into both
+    * the Scala default and the x57 oracle SQL so one edit updates both. */
+  val DefaultPerms = 64
+
+  def permTest(events: DataFrame, nPerms: Int = DefaultPerms): DataFrame = {
     val daily = events
       .select(expr("unix_timestamp(ts) div 86400").as("day"),
         expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("c"))
@@ -2982,7 +2995,7 @@ object StatsQueries {
               |pr AS (SELECT p, rev,
               |              ('0x' || substr(md5(CAST(day AS VARCHAR) || ':'
               |                || CAST(p AS VARCHAR)), 1, 14))::BIGINT % 2 AS pg
-              |       FROM lab CROSS JOIN (SELECT unnest(range(0, 64)) AS p) pp),
+              |       FROM lab CROSS JOIN (SELECT unnest(range(0, ${Stats.DefaultPerms})) AS p) pp),
               |ps AS (SELECT p,
               |              sum(CASE WHEN pg = 1 THEN rev END) AS s1,
               |              coalesce(sum(CASE WHEN pg = 1 THEN 1 END), 0) AS n1,
@@ -2998,7 +3011,7 @@ object StatsQueries {
               |       FROM pd CROSS JOIN obd)
               |SELECT n_days,
               |       floor(obs_diff * 1000000.0 + 0.5) / 1000000.0 AS obs_diff,
-              |       CAST(64 AS BIGINT) AS n_perms, n_valid, n_ge,
+              |       CAST(${Stats.DefaultPerms} AS BIGINT) AS n_perms, n_valid, n_ge,
               |       CASE WHEN n_valid > 0
               |            THEN floor(CAST(n_ge AS DOUBLE) / CAST(n_valid AS DOUBLE)
               |                       * 1000000.0 + 0.5) / 1000000.0 END AS p_value

@@ -670,7 +670,12 @@ object TextAnalysis {
     * pass (shared scan, 3 consumers); everything after lives on the
     * K×|sources| grid (completed with zeros so a word a source never
     * uses still pulls its z down) and the |sources|² pair join. */
-  def burrowsDelta(docs: DataFrame, topK: Int = 30): DataFrame = {
+  /** Default marker-word count for [[burrowsDelta]] — interpolated into
+    * both the Scala default and the t40 oracle SQL so one edit updates
+    * both. */
+  val DefaultDeltaTopK = 30
+
+  def burrowsDelta(docs: DataFrame, topK: Int = DefaultDeltaTopK): DataFrame = {
     val dec0 = DecimalType(38, 0)
     val sw0 = docs.select(col("source"), explode(expr(tokensExpr)).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("c"))
@@ -2107,7 +2112,7 @@ object TextAnalysisQueries {
               |top AS (SELECT w FROM (
               |          SELECT w, CAST(sum(c) AS BIGINT) AS cw
               |          FROM sw GROUP BY 1)
-              |        ORDER BY cw DESC, w LIMIT 30),
+              |        ORDER BY cw DESC, w LIMIT ${TextAnalysis.DefaultDeltaTopK}),
               |fr AS (
               |  SELECT ns.source, top.w,
               |         CAST(coalesce(sw.c, 0) * 1000000000 // ns.n_s AS BIGINT) AS f
@@ -2123,7 +2128,7 @@ object TextAnalysisQueries {
               |       floor(CAST(sum(CAST(floor(abs(a.z - b.z) * 1000000000000.0 + 0.5)
               |                          / 1000000000000.0 AS DECIMAL(38,12)))
               |                  AS DOUBLE)
-              |             / 30.0 * 1000000.0 + 0.5) / 1000000.0 AS delta
+              |             / ${TextAnalysis.DefaultDeltaTopK}.0 * 1000000.0 + 0.5) / 1000000.0 AS delta
               |FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       doc = "Burrows' Delta stylometry between sources (same-fingerprint " +

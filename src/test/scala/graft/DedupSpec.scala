@@ -115,6 +115,37 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains(11L), "unrelated content must not be flagged")
   }
 
+  test("G2b: bucket-df cap drops degenerate buckets; ample cap is a no-op") {
+    // 6 identical docs collapse to ONE signature per band -> every band
+    // has a single bucket of df 6. With bucketCap=5 those buckets are
+    // excluded, so the clique emits NO candidate pairs — the cap bounds
+    // any bucket's emission at cap^2/2, the 100 TB boilerplate guard.
+    val clique = (0L until 6L).map(i => (i, "a b c d e f g")).toDF("doc_id", "text")
+    assert(Dedup.minhashCandidates(clique, 4, bucketCap = 5).count() === 0L)
+    assert(Dedup.minhashNearDups(clique, 4, 1, bucketCap = 5).count() === 0L)
+    // a cap >= the max bucket df is a no-op: identical to the default
+    val capped = Dedup.minhashCandidates(clique, 4, bucketCap = 6)
+      .as[(Long, Long)].collect().toSet
+    val default = Dedup.minhashCandidates(clique, 4).as[(Long, Long)].collect().toSet
+    assert(capped === default)
+    assert(default.size === 15) // C(6,2) — under the cap the clique is intact
+    // the uncapped census still SEES the degenerate buckets the cap drops
+    val census = Dedup.lshBucketCensus(clique).collect()
+    census.foreach(r => assert(r.getAs[Long]("max_bucket") === 6L))
+  }
+
+  test("G2c: incremental index-side bucket cap shields a batch from hot corpus buckets") {
+    // corpus: 4 identical docs (one hot bucket per band, df 4); batch:
+    // one more copy. With cap=3 the index rows vanish -> no flag; with
+    // the default cap the batch doc collides in all 4 bands.
+    val corpus = (0L until 4L).map(i => (i, "a b c d e f g")).toDF("doc_id", "text")
+    val batch = Seq((10L, "a b c d e f g")).toDF("doc_id", "text")
+    assert(Dedup.minhashIncremental(corpus, batch, 4, bucketCap = 3).count() === 0L)
+    val got = Dedup.minhashIncremental(corpus, batch, 4)
+      .as[(Long, Long, Long)].collect().toList
+    assert(got === List((10L, 4L, 0L)))
+  }
+
   test("g18: dup groups split by language composition; singletons dropped") {
     val df = Seq(
       (0L, "same  text", "en"), (1L, "same text", "de"),  // cross-lang pair

@@ -599,8 +599,77 @@ class PlanAuditSpec extends SparkSpec {
     // i.e. an aggregate appears below it in the plan text
     val genIdx = p.indexOf("Generate")
     assert(genIdx >= 0 && p.substring(genIdx).contains("HashAggregate"),
-      "the x64 explode must consume the reduced day table\n" + p.take(1200))
+      "the 64-way permutation explode (x57) must consume the reduced day table\n" + p.take(1200))
     assert(p.contains("hashpartitioning(p"),
       "per-permutation sums must reduce on the 64-key p column")
+  }
+
+  test("g15: containment candidates are equality-joined; top-20 is TakeOrdered") {
+    val p = plan("g15_containment")
+    assert(!p.contains("CartesianProduct"),
+      "candidates must come from the shingle-key equi-join\n" + p.take(1000))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must not be a global sort\n" + p.take(1000))
+  }
+
+  test("g16: overlap matrix never plans a cartesian pair comparison") {
+    val p = plan("g16_source_overlap")
+    assert(!p.contains("CartesianProduct"), p.take(1000))
+  }
+
+  test("q44: basket self-join shares the l_orderkey exchange; top-k is TakeOrdered") {
+    val p = plan("q44_also_bought")
+    assert(p.contains("hashpartitioning(l_orderkey"),
+      "cap window and pair join must key on l_orderkey\n" + p.take(1000))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q45: lift joins the materialized basket; frequency joins are broadcast") {
+    val p = plan("q45_basket_lift")
+    assert(p.contains("BroadcastExchange"),
+      "item-frequency joins must broadcast the item-bounded side\n" + p.take(1000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q46: incremental merge is union + aggregate — no join operator") {
+    val p = plan("q46_incremental_agg")
+    assert(!p.contains("Join"), p.take(1000))
+    assert(p.contains("Union"))
+  }
+
+  test("q48: quartile cut points window the distinct-spend table, matrix has no cartesian") {
+    val p = plan("q48_segment_migration")
+    assert(p.contains("Window"))
+    assert(!p.contains("CartesianProduct"), p.take(1000))
+    // the cumulative window consumes the (g, spend) aggregate, never raw orders
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && p.substring(winIdx).contains("HashAggregate"),
+      "cut points must come from the reduced spend table\n" + p.take(1200))
+  }
+
+  test("q49: regression moments reduce on one flag exchange with partial combine") {
+    val p = plan("q49_group_ols")
+    assert(p.contains("partial_"),
+      "moments must partial-aggregate map-side\n" + p.take(1000))
+    assert(p.contains("hashpartitioning(flag"),
+      "one exchange on the group key\n" + p.take(1000))
+    assert(!p.contains("Join"))
+  }
+
+  test("s25: IVF balance is broadcast-centroid map-only assignment, no sort-merge") {
+    val p = plan("s25_ivf_balance")
+    assert(p.contains("BroadcastExchange") || !p.contains("SortMergeJoin"),
+      "centroids must arrive broadcast\n" + p.take(1000))
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must never shuffle for a join\n" + p.take(1000))
+  }
+
+  test("s27/s30: PQ censuses never sort-merge the corpus") {
+    Seq("s27_pq_distortion", "s30_pq_balance").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("SortMergeJoin"), s"$n\n" + p.take(1000))
+      assert(!p.contains("CartesianProduct"), s"$n\n" + p.take(1000))
+    }
   }
 }

@@ -69,6 +69,33 @@ class StreamDedupSpec extends SparkSpec {
       "only first occurrences of each 3-token window may survive")
   }
 
+  test("stream dedup equals the sequential batch replay (first occurrence per norm)") {
+    // one event per micro-batch with arrival order == event-time order
+    // == doc_id order, so the batch min-doc_id-per-norm answer IS the
+    // sequential replay's survivor set — the StreamAnomaly replay
+    // discipline applied to dedup: micro-batch boundaries and state
+    // store round-trips must not change which copy survives
+    implicit val sq = spark.sqlContext
+    val evs = Seq(
+      Doc(ts(1), 1, "alpha beta"), Doc(ts(2), 2, "gamma"),
+      Doc(ts(3), 3, " ALPHA   beta "), Doc(ts(4), 4, "delta"),
+      Doc(ts(5), 5, "gamma"), Doc(ts(6), 6, "alpha beta"))
+    val in = MemoryStream[Doc]
+    val q = StreamDedup.dedupStream(in.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("sdedup_replay")
+      .outputMode(OutputMode.Append()).start()
+    evs.foreach { e => in.addData(e); q.processAllAvailable() }
+    val streamed = spark.sql("SELECT doc_id FROM sdedup_replay")
+      .as[Long].collect().toSet
+    q.stop()
+    val batch = operators.Dedup.exactDedup(
+        evs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed === batch,
+      s"stream survivors $streamed != batch replay $batch")
+    assert(batch === Set(1L, 2L, 4L))
+  }
+
   test("streaming chunk dedup: state expires with the watermark (documented contract)") {
     // duplicates separated by MORE than the watermark delay are KEPT —
     // the bounded-memory trade-off every streaming deduper documents

@@ -54,4 +54,35 @@ class StreamFunnelSpec extends SparkSpec {
     assert(b.getAs[Long]("n_click_after_view") == 2L)   // u1, u2 (stage>=2)
     assert(b.getAs[Long]("n_purchase_funnel") == 1L)    // u1 only (stage 3)
   }
+
+  test("stream stages equal the sequential batch replay of the shared state machine") {
+    // the StreamAnomaly replay discipline: one event per micro-batch in
+    // event-time order, final per-user stage must equal ONE sequential
+    // fold of the shared FunnelState.advance — micro-batch boundaries
+    // and state-store round-trips must not change where a user lands
+    implicit val sq = spark.sqlContext
+    val evs = Seq(
+      FunnelEvent(ts(1), 1, "view"), FunnelEvent(ts(2), 2, "view"),
+      FunnelEvent(ts(3), 1, "click"), FunnelEvent(ts(4), 3, "click"),
+      FunnelEvent(ts(5), 2, "click"), FunnelEvent(ts(6), 1, "purchase"),
+      FunnelEvent(ts(7), 3, "view"), FunnelEvent(ts(8), 2, "purchase"),
+      FunnelEvent(ts(9), 3, "click"), FunnelEvent(ts(10), 4, "purchase"))
+    val in = MemoryStream[FunnelEvent]
+    val q = StreamFunnel.liveStages(in.toDS())
+      .toDF("user_id", "stage")
+      .writeStream.format("memory").queryName("funnel_replay")
+      .outputMode(OutputMode.Update()).start()
+    evs.foreach { e => in.addData(e); q.processAllAvailable() }
+    val streamed = spark.sql(
+      "SELECT user_id, max(stage) FROM funnel_replay GROUP BY user_id")
+      .as[(Long, Int)].collect().toMap
+    q.stop()
+    val replay = evs.groupBy(_.user_id).map { case (u, es) =>
+      u -> es.sortBy(_.ts.getTime)
+        .foldLeft(StreamFunnel.FunnelState(None, None, None))(_.advance(_))
+        .stage
+    }
+    assert(streamed === replay, s"stream $streamed != replay $replay")
+    assert(replay(1L) == 3 && replay(2L) == 3 && replay(3L) == 2 && replay(4L) == 0)
+  }
 }

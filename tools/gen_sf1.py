@@ -1,0 +1,153 @@
+#!/usr/bin/env python3
+"""Generate sf1 testdata (10x sf0.1) for memory-pressure/spill benching.
+
+Usage: python3 tools/gen_sf1.py [src_dir] [out_dir] [factor]
+       defaults: /root/testdata/sf0.1  /tmp/sf1  10
+
+The driver's testdata stops at sf0.1; the 20x ScaleDemo replicates rows
+in-memory, which stresses candidate DENSITY but not CARDINALITY growth
+(vocab, LSH buckets, distinct users/keys) — the dimension that creates
+memory pressure and shuffle spill at a real 10x. This generator scales
+sf0.1 by `factor` with ORGANIC growth, fully deterministic (md5-keyed
+jitter, no RNG state, no seed dependence on execution order):
+
+- region/nation: fixed dims, copied verbatim (TPC-H convention).
+- customer/supplier/part: `factor` copies with key-space offsets
+  (copy i's keys live at key + i*ceil), names rewritten to the new key,
+  acctbal/price jittered by a deterministic sub-unit hash delta.
+- orders/lineitem: copies reference copy-LOCAL dimension keys, so join
+  fan-out per key stays constant while key cardinality grows 10x;
+  dates shift i days (calendar stays ~fixed — the documented design
+  point: day-bounded ops stay |days|^2, not row^2).
+- events: 10x users over the same calendar (user_id offset, ts +i
+  minutes, value jittered in cents) — per-user history length is
+  preserved, user cardinality grows.
+- documents: 10x docs; copy i>0 mutates ~10% of tokens (md5-chosen per
+  (token, copy)) by appending a copy suffix -> vocab, shingle and LSH
+  bucket cardinality grow organically; cross-copy docs remain near-dups
+  (Jaccard ~0.8) so the dedup family sees organic clique growth too.
+  n_chars is recomputed from the mutated text.
+- embeddings: 10x vectors; each component nudged by a deterministic
+  per-(vec,copy,dim) epsilon < 1e-3 -> neighborhoods preserved, vector
+  cardinality grows.
+
+Output is one parquet per table, same schemas as the driver's testdata.
+"""
+import sys, os
+import duckdb
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+F = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+os.makedirs(OUT, exist_ok=True)
+con = duckdb.connect()
+
+def src(t):
+    return f"read_parquet('{SRC}/{t}.parquet')"
+
+def sink(t, sql):
+    con.sql(f"COPY ({sql}) TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
+    n = con.sql(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
+    print(f"[gen_sf1] {t}: {n} rows")
+
+# deterministic jitter in [0, 1): md5 of a salted key
+def h01(*exprs):
+    key = " || ':' || ".join(f"CAST({e} AS VARCHAR)" for e in exprs)
+    return f"(('0x' || substr(md5({key}), 1, 8))::BIGINT % 1000000) / 1000000.0"
+
+copies = f"(SELECT unnest(range(0, {F})) AS i) cp"
+
+# fixed dims
+for t in ("region", "nation"):
+    sink(t, f"SELECT * FROM {src(t)}")
+
+# key ceilings (offset step per copy)
+KC = con.sql(f"SELECT max(c_custkey) + 1 FROM {src('customer')}").fetchone()[0]
+KS = con.sql(f"SELECT max(s_suppkey) + 1 FROM {src('supplier')}").fetchone()[0]
+KP = con.sql(f"SELECT max(p_partkey) + 1 FROM {src('part')}").fetchone()[0]
+KO = con.sql(f"SELECT max(o_orderkey) + 1 FROM {src('orders')}").fetchone()[0]
+KE = con.sql(f"SELECT max(event_id) + 1 FROM {src('events')}").fetchone()[0]
+KU = con.sql(f"SELECT max(user_id) + 1 FROM {src('events')}").fetchone()[0]
+KD = con.sql(f"SELECT max(doc_id) + 1 FROM {src('documents')}").fetchone()[0]
+KV = con.sql(f"SELECT max(vec_id) + 1 FROM {src('embeddings')}").fetchone()[0]
+
+sink("customer", f"""
+  SELECT c_custkey + i * {KC} AS c_custkey,
+         'Customer#' || lpad(CAST(c_custkey + i * {KC} AS VARCHAR), 9, '0') AS c_name,
+         c_nationkey,
+         round(c_acctbal + {h01('c_custkey', 'i', "'cb'")} - 0.5, 2) AS c_acctbal,
+         c_mktsegment
+  FROM {src('customer')} CROSS JOIN {copies}""")
+
+sink("supplier", f"""
+  SELECT s_suppkey + i * {KS} AS s_suppkey,
+         'Supplier#' || lpad(CAST(s_suppkey + i * {KS} AS VARCHAR), 9, '0') AS s_name,
+         s_nationkey,
+         round(s_acctbal + {h01('s_suppkey', 'i', "'sb'")} - 0.5, 2) AS s_acctbal
+  FROM {src('supplier')} CROSS JOIN {copies}""")
+
+sink("part", f"""
+  SELECT p_partkey + i * {KP} AS p_partkey,
+         p_name, p_brand, p_type, p_size,
+         round(p_retailprice + {h01('p_partkey', 'i', "'pp'")} - 0.5, 2) AS p_retailprice
+  FROM {src('part')} CROSS JOIN {copies}""")
+
+sink("orders", f"""
+  SELECT o_orderkey + i * {KO} AS o_orderkey,
+         o_custkey + i * {KC} AS o_custkey,
+         o_orderstatus,
+         round(o_totalprice + {h01('o_orderkey', 'i', "'ot'")} - 0.5, 2) AS o_totalprice,
+         o_orderdate + to_days(CAST(i AS INTEGER)) AS o_orderdate,
+         o_orderpriority
+  FROM {src('orders')} CROSS JOIN {copies}""")
+
+sink("lineitem", f"""
+  SELECT l_orderkey + i * {KO} AS l_orderkey,
+         l_partkey + i * {KP} AS l_partkey,
+         l_suppkey + i * {KS} AS l_suppkey,
+         l_linenumber, l_quantity,
+         round(l_extendedprice + {h01('l_orderkey', 'l_linenumber', 'i', "'lp'")} - 0.5, 2) AS l_extendedprice,
+         l_discount, l_tax, l_returnflag, l_linestatus,
+         l_shipdate + to_days(CAST(i AS INTEGER)) AS l_shipdate
+  FROM {src('lineitem')} CROSS JOIN {copies}""")
+
+sink("events", f"""
+  SELECT event_id + i * {KE} AS event_id,
+         ts + to_minutes(CAST(i AS INTEGER)) AS ts,
+         user_id + i * {KU} AS user_id,
+         event_type,
+         round(value + {h01('event_id', 'i', "'ev'")} - 0.5, 2) AS value,
+         props
+  FROM {src('events')} CROSS JOIN {copies}""")
+
+# documents: copy i>0 mutates ~10% of tokens (chosen by md5(token, i))
+# by appending '_<i>' — vocab and shingle space grow, near-dup structure
+# across copies is preserved (~0.8 Jaccard to the original).
+sink("documents", f"""
+  WITH toks AS (
+    SELECT doc_id, i,
+           list_transform(
+             string_split_regex(text, '[ \t\n\r\f]+'),
+             t -> CASE WHEN i > 0 AND t <> ''
+                        AND ('0x' || substr(md5(t || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+                  THEN t || '_' || CAST(i AS VARCHAR) ELSE t END) AS tl,
+           lang, source
+    FROM {src('documents')} CROSS JOIN {copies})
+  SELECT doc_id + i * {KD} AS doc_id,
+         list_aggregate(tl, 'string_agg', ' ') AS text,
+         lang, source,
+         CAST(length(list_aggregate(tl, 'string_agg', ' ')) AS BIGINT) AS n_chars
+  FROM toks""")
+
+sink("embeddings", f"""
+  SELECT vec_id + i * {KV} AS vec_id,
+         CAST(list_transform(
+           list_zip(embedding, range(1, len(embedding) + 1)),
+           z -> z[1] + CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' ||
+                  CAST(i AS VARCHAR) || ':' || CAST(z[2] AS VARCHAR)), 1, 6))::BIGINT
+                  % 1000 AS FLOAT) / 1000000.0 - 0.0005) AS FLOAT[]) AS embedding,
+         label
+  FROM {src('embeddings')} CROSS JOIN {copies}""")
+
+print(f"[gen_sf1] done -> {OUT} (factor {F} from {SRC})")
