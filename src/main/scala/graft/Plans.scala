@@ -533,6 +533,20 @@ object Plans {
       ("PQ code-population balance: same shared assignment, m·k-row " +
         "rollup, imbalance = max/(n/k) per subspace computed on the " +
         "reduced table only."),
+    "t41_lexicon_screen" ->
+      ("Lexicon screen: the membership predicate runs per token inside " +
+        "codegen (production swaps in a broadcast semi-join), one " +
+        "doc_id-keyed combinable reduction, |sources|-row rollup — " +
+        "no shuffle carries row-scale data twice."),
+    "x64_perm_fdr" ->
+      ("Grouped permutation FDR: facts reduce to the (type, day) table " +
+        "before the ×64 explode (the x57 discipline, now per type); the " +
+        "BH ranking windows ride the |types|-row result — the documented " +
+        "bounded-table exception."),
+    "y16_pack_fill_ladder" ->
+      ("Fill-rate ladder: ONE tokenize pass to per-doc lengths; the ×4 " +
+        "budget explode runs on that reduced table, running sums " +
+        "partition by (budget, shard), output is |ladder| rows."),
   )
 
   def main(args: Array[String]): Unit = {

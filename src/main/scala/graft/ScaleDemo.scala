@@ -100,6 +100,11 @@ object ScaleDemo {
         operators.Sampling.weightedSample(d, "n_chars", 50).count()),
       "chunk_dedup" -> (d => operators.Packing.chunkDedup(d, 3, 3).count()),
       "zipf_fit" -> (d => operators.TextAnalysis.zipfFit(d).count()),
+      // per-token codegen predicate + one doc_id reduction: linear
+      "lexicon_screen" -> (d => operators.TextAnalysis.lexiconScreen(d).count()),
+      // the x4-budget ladder explodes the per-doc LENGTH table, never
+      // the text — F x docs widen the tokenize pass and the running sums
+      "pack_fill_ladder" -> (d => operators.Packing.packFillLadder(d).count()),
       "cluster_reps" -> (d => operators.Dedup.clusterReps(d, 4).count()),
       "incr_neardup" -> (d => operators.Dedup.minhashIncremental(
         d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1), 4).count()),
@@ -277,6 +282,9 @@ object ScaleDemo {
       // the 64-way permutation explode (x57) happens on the DAY table, never the
       // facts — F× events widen only the first day reduction
       "perm_test" -> (e => operators.Stats.permTest(e).count()),
+      // per-type perm tests + BH: the explode still rides the (type,
+      // day) table; ranking windows on |types| rows only
+      "perm_fdr" -> (e => operators.Stats.permFdr(e).count()),
       // one stack unpivot (4x rows in flight, combinable) into the
       // 64-register sketch — register tables stay 64x|cols| forever
       "hll_calibration" -> (e => operators.Profiling.hllCalibration(e).count()),

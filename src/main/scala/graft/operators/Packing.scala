@@ -62,6 +62,46 @@ object Packing {
           (col("n_batches") * budget).cast("double"), 9).as("fill_rate"))
       .orderBy(col(shard))
 
+  /** Context-length ladder for [[packFillLadder]] — interpolated into
+    * both the Scala default and the y16 oracle SQL. */
+  val DefaultBudgetLadder: Seq[Int] = Seq(512, 1024, 2048, 4096)
+
+  /** y16: packing-efficiency ladder — y10's fill-rate census swept over
+    * the context-length ladder {512,1k,2k,4k}: the budget-sizing curve a
+    * training-infra team reads before fixing sequence length (longer
+    * contexts pack tighter only until the document-length tail overflows
+    * them; the overfull count is the tail report).
+    *
+    * Scale shape: the corpus tokenizes ONCE to a per-doc length table;
+    * the ×|ladder| explode runs on that (doc_id, n_toks) table, never
+    * the text (the x57 reduced-table-explode discipline); the running
+    * sums partition by (budget, shard) — bounded per shard — and the
+    * output is |ladder| rows. */
+  def packFillLadder(docs: DataFrame, shard: String = "lang",
+      budgets: Seq[Int] = DefaultBudgetLadder): DataFrame = {
+    val toks = docs.select(col(shard).as("shard"), col("doc_id"),
+      expr(s"cast(size(${Dedup.tokensExpr}) as bigint)").as("n_toks"))
+    val lad = toks.select(col("shard"), col("doc_id"), col("n_toks"),
+      explode(expr(s"array(${budgets.mkString(", ")})")).as("budget"))
+    val w = Window.partitionBy("budget", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lad.withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("batch", expr("(cum - n_toks) div budget"))
+      .groupBy("budget", "shard", "batch")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("tok_sum"))
+      .groupBy("budget")
+      .agg(count(lit(1)).as("n_batches"),
+        sum("tok_sum").as("total_tokens"),
+        sum(when(col("tok_sum") > col("budget"), 1L).otherwise(0L))
+          .as("n_overfull"))
+      .select(col("budget").cast("long").as("budget"), col("n_batches"),
+        col("total_tokens"), col("n_overfull"),
+        pround(col("total_tokens").cast("double")
+          / (col("n_batches") * col("budget")).cast("double"), 9)
+          .as("fill_rate"))
+      .orderBy("budget")
+  }
+
   /** Overlapping context windows of `size` tokens at `stride` over each
     * doc; the final window is truncated, empty docs yield no chunks.
     * chunk_id i starts at token i·stride (0-based). */
@@ -599,5 +639,35 @@ object PackingQueries {
         "no-replacement expectation — mix_ratio ~1 well mixed, >>1 " +
         "clumped (curriculum contamination); shard-bounded windows, " +
         "|sources| expectation table"),
+
+    Q("y16_pack_fill_ladder",
+      (s, d) => packFillLadder(docs(s, d)),
+      Some(s"""WITH t AS (
+              |  SELECT lang AS shard, doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+              |  FROM documents),
+              |lad AS (
+              |  SELECT shard, doc_id, n_toks, budget
+              |  FROM t CROSS JOIN (SELECT unnest([${Packing.DefaultBudgetLadder.mkString(", ")}]) AS budget) b),
+              |c AS (
+              |  SELECT budget, shard, n_toks,
+              |         sum(n_toks) OVER (PARTITION BY budget, shard ORDER BY doc_id
+              |           ROWS UNBOUNDED PRECEDING) AS cum
+              |  FROM lad),
+              |bt AS (
+              |  SELECT budget, shard, (cum - n_toks) // budget AS batch,
+              |         CAST(sum(n_toks) AS BIGINT) AS tok_sum
+              |  FROM c GROUP BY 1, 2, 3)
+              |SELECT CAST(budget AS BIGINT) AS budget,
+              |       CAST(count(*) AS BIGINT) AS n_batches,
+              |       CAST(sum(tok_sum) AS BIGINT) AS total_tokens,
+              |       CAST(sum(CASE WHEN tok_sum > budget THEN 1 ELSE 0 END) AS BIGINT) AS n_overfull,
+              |       floor(CAST(sum(tok_sum) AS DOUBLE)
+              |             / CAST(count(*) * budget AS DOUBLE)
+              |             * 1000000000.0 + 0.5) / 1000000000.0 AS fill_rate
+              |FROM bt GROUP BY bt.budget ORDER BY 1""".stripMargin),
+      doc = "y16 packing-efficiency ladder: y10's fill-rate census swept " +
+        "over context lengths {512,1k,2k,4k} — the budget-sizing curve " +
+        "(fill vs document-length-tail overflow); ONE tokenize pass, the " +
+        "ladder explodes the per-doc length table only, |ladder| rows out"),
   )
 }

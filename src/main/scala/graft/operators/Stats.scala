@@ -973,6 +973,90 @@ object Stats {
     "(cast(s1 as double) / cast(n1 as double) " +
       "- cast(s0 as double) / cast(n0 as double))"
 
+  /** Default BH false-discovery-rate level for [[permFdr]], in percent —
+    * interpolated into both the Scala tree and the x64 oracle SQL. */
+  val DefaultFdrAlphaPct = 10
+
+  /** x64: grouped permutation tests + Benjamini-Hochberg FDR — the
+    * multiple-testing operator an experimentation platform needs the
+    * moment it runs [[permTest]] per segment: one calendar-half mean-gap
+    * permutation test PER event_type, then BH at level α selects which
+    * segments stay significant after correction (reject the k smallest
+    * p-values where p_(i) ≤ i·α/m, k = the largest passing rank).
+    *
+    * Fully engine-portable multiple testing: permutation p-values are
+    * exact integer ratios (n_ge/n_valid — no normal CDF, no erf, no
+    * transcendental anywhere), and the BH comparison cross-multiplies to
+    * integers (100·m·n_ge ≤ rank·αpct·n_valid), so the reject set is
+    * bit-identical across engines. The day-keyed md5 relabeling is
+    * SHARED across types (same sign flip per (day, perm) — the paired
+    * design), so segment tests see the same permutation draw.
+    *
+    * Scale shape: facts reduce to the (type, day) table ONCE (one
+    * combinable shuffle); the ×nPerms explode runs on that calendar-
+    * bounded table (the x57 discipline); ranking/BH windows ride the
+    * |types|-row result only — the documented bounded-table exception
+    * to the no-global-window rule. */
+  def permFdr(events: DataFrame, nPerms: Int = DefaultPerms,
+      alphaPct: Int = DefaultFdrAlphaPct): DataFrame = {
+    val daily = events
+      .select(col("event_type").as("et"),
+        expr("unix_timestamp(ts) div 86400").as("day"),
+        expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("c"))
+      .groupBy("et", "day").agg(sum("c").as("rev"))
+    val mm = daily.groupBy("et").agg(min("day").as("dmin"), max("day").as("dmax"))
+    val labeled = daily.join(mm, "et")
+      .select(col("et"), col("day"), col("rev"),
+        (col("day") * 2 <= col("dmin") + col("dmax")).cast("long").as("g"))
+    val obs = labeled.groupBy("et")
+      .agg(sum(when(col("g") === 1, col("rev"))).as("s1"),
+        coalesce(sum(when(col("g") === 1, 1L)), lit(0L)).as("n1"),
+        sum(when(col("g") === 0, col("rev"))).as("s0"),
+        coalesce(sum(when(col("g") === 0, 1L)), lit(0L)).as("n0"))
+      .where(col("n1") > 0 && col("n0") > 0)
+      .select(col("et"), expr(permDiffExpr).as("obs_diff"))
+    val perms = labeled
+      .select(col("et"), col("day"), col("rev"),
+        explode(expr(s"sequence(0, ${nPerms - 1})")).as("p"))
+      .select(col("et"), col("p"), col("rev"),
+        (expr(Dedup.md5Long56("concat(cast(day as string), ':', cast(p as string))")) % 2)
+          .as("pg"))
+      .groupBy("et", "p")
+      .agg(sum(when(col("pg") === 1, col("rev"))).as("s1"),
+        coalesce(sum(when(col("pg") === 1, 1L)), lit(0L)).as("n1"),
+        sum(when(col("pg") === 0, col("rev"))).as("s0"),
+        coalesce(sum(when(col("pg") === 0, 1L)), lit(0L)).as("n0"))
+      .where(col("n1") > 0 && col("n0") > 0)
+      .select(col("et"), expr(permDiffExpr).as("pd"))
+    val tails = perms.join(obs, "et")
+      .groupBy("et")
+      .agg(count(lit(1)).as("n_valid"),
+        sum(when(abs(col("pd")) >= abs(col("obs_diff")), 1L).otherwise(0L))
+          .as("n_ge"))
+    // everything below rides the |types|-row table
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rkw = Window.orderBy(
+      (col("n_ge").cast("double") / col("n_valid").cast("double")).asc,
+      col("et").asc)
+    obs.join(tails, "et")
+      .withColumn("m", count(lit(1)).over(all))
+      .withColumn("p_rank", row_number().over(rkw))
+      .withColumn("pass",
+        (lit(100L) * col("m") * col("n_ge")
+          <= col("p_rank") * lit(alphaPct.toLong) * col("n_valid")).cast("long"))
+      .withColumn("k_max",
+        max(when(col("pass") === 1, col("p_rank"))).over(all))
+      .select(col("et").as("event_type"),
+        pround(col("obs_diff"), 6).as("obs_diff"),
+        col("n_ge"), col("n_valid"),
+        pround(col("n_ge").cast("double") / col("n_valid").cast("double"), 6)
+          .as("p_value"),
+        col("p_rank").cast("long").as("p_rank"), col("m").as("n_tests"),
+        (col("p_rank") <= coalesce(col("k_max"), lit(0L))).cast("long")
+          .as("bh_rejected"))
+      .orderBy("p_rank")
+  }
+
   /** x56: Theil T inequality index of order revenue — the
     * decomposable member of the inequality family (x25 Gini, x40
     * Lorenz): T = Σ (x/S)·ln(x/μ), 0 for perfect equality, ln(n) at
@@ -3200,5 +3284,74 @@ object StatsQueries {
         "exact 9-dp acf ladder (recovered to nano-units, summed as " +
         "longs — cannot drift from the standalone query), one guarded " +
         "1-row tree with the n/ESS overconfidence factor"),
+
+    Q("x64_perm_fdr",
+      (s, d) => permFdr(Tables.events(s, d)),
+      Some(s"""WITH daily AS (
+              |  SELECT event_type AS et,
+              |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+              |         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+              |  FROM events GROUP BY 1, 2),
+              |mm AS (SELECT et, min(day) AS dmin, max(day) AS dmax
+              |       FROM daily GROUP BY 1),
+              |lab AS (SELECT daily.et, day, rev,
+              |               CASE WHEN day * 2 <= dmin + dmax THEN 1 ELSE 0 END AS g
+              |        FROM daily JOIN mm ON mm.et = daily.et),
+              |ob AS (SELECT et,
+              |              sum(CASE WHEN g = 1 THEN rev END) AS s1,
+              |              coalesce(sum(CASE WHEN g = 1 THEN 1 END), 0) AS n1,
+              |              sum(CASE WHEN g = 0 THEN rev END) AS s0,
+              |              coalesce(sum(CASE WHEN g = 0 THEN 1 END), 0) AS n0
+              |       FROM lab GROUP BY 1),
+              |obd AS (SELECT et,
+              |               (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              |                - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS obs_diff
+              |        FROM ob WHERE n1 > 0 AND n0 > 0),
+              |pr AS (SELECT et, p, rev,
+              |              ('0x' || substr(md5(CAST(day AS VARCHAR) || ':'
+              |                || CAST(p AS VARCHAR)), 1, 14))::BIGINT % 2 AS pg
+              |       FROM lab CROSS JOIN (SELECT unnest(range(0, ${Stats.DefaultPerms})) AS p) pp),
+              |ps AS (SELECT et, p,
+              |              sum(CASE WHEN pg = 1 THEN rev END) AS s1,
+              |              coalesce(sum(CASE WHEN pg = 1 THEN 1 END), 0) AS n1,
+              |              sum(CASE WHEN pg = 0 THEN rev END) AS s0,
+              |              coalesce(sum(CASE WHEN pg = 0 THEN 1 END), 0) AS n0
+              |       FROM pr GROUP BY 1, 2),
+              |pd AS (SELECT et, (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              |               - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS pd
+              |       FROM ps WHERE n1 > 0 AND n0 > 0),
+              |tl AS (SELECT pd.et, CAST(count(*) AS BIGINT) AS n_valid,
+              |              CAST(sum(CASE WHEN abs(pd) >= abs(obs_diff)
+              |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+              |       FROM pd JOIN obd ON obd.et = pd.et GROUP BY 1),
+              |rk AS (SELECT obd.et, obs_diff, n_ge, n_valid,
+              |              CAST(count(*) OVER () AS BIGINT) AS m,
+              |              CAST(row_number() OVER (
+              |                ORDER BY CAST(n_ge AS DOUBLE) / CAST(n_valid AS DOUBLE),
+              |                         obd.et) AS BIGINT) AS p_rank
+              |       FROM obd JOIN tl ON tl.et = obd.et),
+              |pz AS (SELECT *,
+              |              CASE WHEN 100 * m * n_ge
+              |                        <= p_rank * ${Stats.DefaultFdrAlphaPct} * n_valid
+              |                   THEN 1 ELSE 0 END AS pass
+              |       FROM rk),
+              |km AS (SELECT *, max(CASE WHEN pass = 1 THEN p_rank END) OVER () AS k_max
+              |       FROM pz)
+              |SELECT et AS event_type,
+              |       floor(obs_diff * 1000000.0 + 0.5) / 1000000.0 AS obs_diff,
+              |       n_ge, n_valid,
+              |       floor(CAST(n_ge AS DOUBLE) / CAST(n_valid AS DOUBLE)
+              |             * 1000000.0 + 0.5) / 1000000.0 AS p_value,
+              |       p_rank, m AS n_tests,
+              |       CASE WHEN p_rank <= coalesce(k_max, 0) THEN 1 ELSE 0 END AS bh_rejected
+              |FROM km ORDER BY p_rank""".stripMargin),
+      doc = "x64 grouped permutation tests + Benjamini-Hochberg FDR: one " +
+        "calendar-half mean-gap permutation test per event_type (shared " +
+        "day-keyed md5 relabeling = paired draws), exact integer " +
+        "p-values, BH reject set via integer cross-multiplication " +
+        "(100*m*n_ge <= rank*alpha_pct*n_valid) — no transcendental, " +
+        "bit-identical multiple testing; ranking windows ride the " +
+        "|types|-row table only"),
+
   )
 }

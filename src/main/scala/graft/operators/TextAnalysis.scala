@@ -1227,6 +1227,63 @@ object TextAnalysis {
         pround(expr(readFlesch), 4).as("flesch_score"))
       .orderBy("source")
 
+  /** Default per-doc lexicon-hit-rate flag threshold for
+    * [[lexiconScreen]] — interpolated into both the Scala tree and the
+    * t41 oracle SQL (the g23 degCap discipline). Rate is hits/tokens;
+    * above the threshold the doc is flagged for exclusion/review. */
+  val DefaultLexiconFlagPct = 25
+
+  /** t41: lexicon-screen quality gate — the blocklist pass every
+    * curation pipeline runs (toxicity/spam/adult word lists): per doc,
+    * the fraction of tokens matching the lexicon; per source, how many
+    * docs trip the flag threshold and the mean hit rate. Here lexicon
+    * membership is a deterministic md5 surrogate (word-hash % 5 == 0 —
+    * a stand-in "20% of the vocabulary is listed" predicate) so the
+    * oracle can reproduce it; a production run swaps the predicate for
+    * a broadcast semi-join against the real list (|lexicon| « corpus, so
+    * the list always broadcasts — the x7 Bloom shape without the fp).
+    *
+    * Determinism: per-doc rate is exact integer hits/toks quantized to
+    * micro-units BEFORE the mean (integer sum, order-free — the g16
+    * micro-quantized-mean discipline); flags compare integers
+    * (100·hits > pct·toks), never floats.
+    *
+    * Scale shape: one tokenize/explode pass, per-token predicate inside
+    * codegen, ONE doc_id-keyed partial-combinable reduction, then a
+    * |sources|-row rollup. Docs with zero tokens count as unflagged
+    * with null rate (guarded). */
+  def lexiconScreen(docs: DataFrame,
+      flagPct: Int = DefaultLexiconFlagPct): DataFrame = {
+    val per = docs
+      .select(col("doc_id"), col("source"), explode(expr(tokensExpr)).as("w"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("toks"),
+        sum(when(expr(s"${Dedup.md5Long56("w")} % 5") === 0, 1L)
+          .otherwise(0L)).as("hits"))
+    docs.select(col("doc_id"), col("source"))
+      .join(per, Seq("doc_id", "source"), "left_outer")
+      .select(col("source"),
+        coalesce(col("toks"), lit(0L)).as("toks"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .select(col("source"), col("toks"), col("hits"),
+        (col("toks") > 0 && col("hits") * 100 > col("toks") * flagPct)
+          .cast("long").as("flagged"),
+        when(col("toks") > 0,
+          expr("cast(floor(cast(hits as double) / cast(toks as double) " +
+            "* 1000000.0 + 0.5) as bigint)")).as("micro_rate"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("flagged").as("n_flagged"),
+        sum("hits").as("lexicon_hits"),
+        sum("toks").as("total_tokens"),
+        // null-guarded: a source of only empty docs has no defined rate
+        when(count(col("micro_rate")) > 0,
+          pround(sum("micro_rate").cast("double")
+            / (count(col("micro_rate")) * lit(1000000.0)).cast("double"), 9))
+          .as("mean_hit_rate"))
+      .orderBy("source")
+  }
+
   // Shared IEEE trees (mirrored textually in the oracle); a source with
   // zero words has no defined density/score -> guarded null.
   private[operators] val readWps =
@@ -2136,5 +2193,42 @@ object TextAnalysisQueries {
         "frequencies over the zero-completed topK x sources grid, " +
         "decimal-exact moment sums, shared z tree, 12-dp quantized " +
         "pair sums — corpus-scale work is ONE shared (source, word) pass"),
+
+    Q("t41_lexicon_screen",
+      (s, d) => lexiconScreen(docs(s, d)),
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, source, unnest($toksSql) AS w FROM documents),
+              |per AS (
+              |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS toks,
+              |         CAST(sum(CASE WHEN ('0x' || substr(md5(w), 1, 14))::BIGINT % 5 = 0
+              |                       THEN 1 ELSE 0 END) AS BIGINT) AS hits
+              |  FROM tok GROUP BY 1, 2),
+              |fl AS (
+              |  SELECT d.source, coalesce(p.toks, 0) AS toks,
+              |         coalesce(p.hits, 0) AS hits
+              |  FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id),
+              |r AS (
+              |  SELECT source, toks, hits,
+              |         CASE WHEN toks > 0 AND hits * 100 > toks * ${TextAnalysis.DefaultLexiconFlagPct}
+              |              THEN 1 ELSE 0 END AS flagged,
+              |         CASE WHEN toks > 0 THEN CAST(floor(CAST(hits AS DOUBLE)
+              |                / CAST(toks AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+              |         END AS micro_rate
+              |  FROM fl)
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |       CAST(sum(flagged) AS BIGINT) AS n_flagged,
+              |       CAST(sum(hits) AS BIGINT) AS lexicon_hits,
+              |       CAST(sum(toks) AS BIGINT) AS total_tokens,
+              |       CASE WHEN count(micro_rate) > 0 THEN
+              |         floor(CAST(sum(micro_rate) AS DOUBLE)
+              |               / (count(micro_rate) * 1000000.0)
+              |               * 1000000000.0 + 0.5) / 1000000000.0
+              |       END AS mean_hit_rate
+              |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "t41 lexicon-screen quality gate (blocklist pass): per-source " +
+        "census of docs whose lexicon-hit rate trips the flag threshold " +
+        "(deterministic md5 surrogate for the external list, which ships " +
+        "broadcast in production); micro-quantized order-free mean rate, " +
+        "integer flag compares, one tokenize pass + |sources|-row rollup"),
   )
 }

@@ -222,4 +222,24 @@ class PackingSpec extends SparkSpec {
     assert(byS("B").getAs[Long]("take_tokens") == 0L)
     assert(byS("B").getAs[Double]("take_frac") == 0.0)
   }
+
+  test("y16 fill ladder: per-budget batches/overfull by hand; token totals invariant") {
+    // one shard, docs of 3,3,3 tokens; ladder {4, 8}:
+    //  budget 4: batches (cum-n)//4 -> 0,0,1; sums b0=6 (overfull), b1=3
+    //  budget 8: all in batch 0 -> one batch of 9 (overfull)
+    val docs = Seq(
+      (0L, "t t t", "a"), (1L, "t t t", "a"), (2L, "t t t", "a"))
+      .toDF("doc_id", "text", "lang")
+    val rows = Packing.packFillLadder(docs, "lang", Seq(4, 8)).collect()
+      .map(r => r.getAs[Long]("budget") -> r).toMap
+    val b4 = rows(4L); val b8 = rows(8L)
+    assert(b4.getAs[Long]("n_batches") == 2L)
+    assert(b4.getAs[Long]("n_overfull") == 1L)
+    assert(b4.getAs[Double]("fill_rate") == 1.125) // 9 / (2*4)
+    assert(b8.getAs[Long]("n_batches") == 1L)
+    assert(b8.getAs[Long]("n_overfull") == 1L)
+    assert(b8.getAs[Double]("fill_rate") == 1.125) // 9 / 8
+    // every ladder rung packs the same corpus: token totals invariant
+    assert(rows.values.map(_.getAs[Long]("total_tokens")).toSet == Set(9L))
+  }
 }

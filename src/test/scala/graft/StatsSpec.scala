@@ -783,4 +783,36 @@ class StatsSpec extends SparkSpec {
     val got = Stats.skylineParts(parts).collect().map(_.getLong(0)).toSet
     assert(got == Set(2L, 3L, 4L, 6L))
   }
+
+  test("x64 perm FDR: strong effect rejects, null effect ranks last at p=1") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // type "trend": revenue doubles in the second half -> huge half-gap.
+    // type "flat": identical revenue every day -> obs_diff = 0, so EVERY
+    // permutation diff (whatever it is) satisfies |pd| >= 0 -> p = 1.
+    val rows = (1 to 20).flatMap { d =>
+      Seq((ts(d), 100L + d.toLong, "trend",
+             if (d <= 10) 1.00 else 1000.00),
+          (ts(d), 200L + d.toLong, "flat", 5.00))
+    }.zipWithIndex.map { case ((t, u, e, v), i) => (i.toLong, t, u, e, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Stats.permFdr(rows).collect()
+    assert(r.length == 2)
+    val byType = r.map(x => x.getAs[String]("event_type") -> x).toMap
+    val trend = byType("trend"); val flat = byType("flat")
+    assert(flat.getAs[Double]("p_value") == 1.0,
+      "a zero observed gap can never beat its permutations")
+    assert(trend.getAs[Double]("p_value") < flat.getAs[Double]("p_value"))
+    assert(trend.getAs[Long]("p_rank") == 1L && flat.getAs[Long]("p_rank") == 2L)
+    assert(trend.getAs[Long]("n_tests") == 2L)
+    // BH at 10%: rank-1 needs p <= 0.05 -> the strong effect passes,
+    // p = 1 never does; rejections must be a prefix of the rank order
+    assert(trend.getAs[Long]("bh_rejected") == 1L)
+    assert(flat.getAs[Long]("bh_rejected") == 0L)
+    r.foreach { x =>
+      assert(x.getAs[Long]("n_ge") <= x.getAs[Long]("n_valid"))
+      assert(x.getAs[Long]("n_valid") <= Stats.DefaultPerms.toLong)
+    }
+  }
 }

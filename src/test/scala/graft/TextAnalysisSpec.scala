@@ -495,4 +495,26 @@ class TextAnalysisSpec extends SparkSpec {
       r.getAs[Long]("only_wlen") + r.getAs[Long]("only_stop") +
       r.getAs[Long]("only_alpha") + r.getAs[Long]("multi_fail") == 3L)
   }
+
+  test("t41 lexicon screen: hand census with flag boundary and empty doc") {
+    import spark.implicits._
+    // md5-surrogate lexicon membership (hash % 5 == 0), precomputed:
+    // IN: alpha, spam, bar; OUT: beta, gamma, delta, foo
+    val docs = Seq(
+      (1L, "alpha spam beta gamma", "a"),  // 2/4 = 0.50 > 0.25 -> flagged
+      (2L, "beta gamma delta foo", "a"),   // 0/4 -> clean
+      (3L, "alpha beta gamma delta", "b"), // 1/4 = 0.25, NOT > 0.25 -> unflagged
+      (4L, "", "b"))                       // empty: no tokens, null rate
+      .toDF("doc_id", "text", "source")
+    val m = TextAnalysis.lexiconScreen(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = m("a"); val b = m("b")
+    assert(a.getAs[Long]("n_docs") == 2L && a.getAs[Long]("n_flagged") == 1L)
+    assert(a.getAs[Long]("lexicon_hits") == 2L && a.getAs[Long]("total_tokens") == 8L)
+    assert(a.getAs[Double]("mean_hit_rate") == 0.25) // (0.5 + 0.0) / 2
+    assert(b.getAs[Long]("n_docs") == 2L && b.getAs[Long]("n_flagged") == 0L,
+      "exactly-at-threshold and empty docs must not flag")
+    assert(b.getAs[Long]("lexicon_hits") == 1L && b.getAs[Long]("total_tokens") == 4L)
+    assert(b.getAs[Double]("mean_hit_rate") == 0.25) // empty doc excluded from the mean
+  }
 }
