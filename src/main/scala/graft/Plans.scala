@@ -547,6 +547,52 @@ object Plans {
       ("Fill-rate ladder: ONE tokenize pass to per-doc lengths; the ×4 " +
         "budget explode runs on that reduced table, running sums " +
         "partition by (budget, shard), output is |ladder| rows."),
+    "x43_theil_sen" ->
+      ("Exact Theil–Sen: the all-pairs slope join runs over the DAY " +
+        "table (calendar-bounded |days|², never row²); facts reduce " +
+        "once, the median machinery rides slope bins."),
+    "g11_cluster_reps" ->
+      ("Cluster representatives: serves from the session-shared " +
+        "materialized label table (first family query pays the one " +
+        "signature + capped-bucket-join + contraction build); the " +
+        "quality argmax is a struct-min AGGREGATE per cluster — no " +
+        "per-cluster rank window to single-task a mega-cluster."),
+    "g14_minhash_quality" ->
+      ("LSH quality census: the exact-Jaccard truth set it grades " +
+        "against is df-capped (documented-lossy) and the LSH side " +
+        "reuses the capped signature join — a measurement query, " +
+        "deliberately exact-verify heavy, bounded by the same caps as " +
+        "the production path."),
+    "y4_jaccard_threshold" ->
+      ("All-Pairs prefix filtering: candidates only meet on rare-shingle " +
+        "prefix keys (equality join), the verify counts shared shingles " +
+        "per candidate — never an all-pairs comparison."),
+    "g4_ngram_jaccard" ->
+      ("Shingle-index near-dup: df-capped inverted index bounds any " +
+        "shingle's emission at cap²/2; intersection counts reduce on " +
+        "the pair key; top-k is TakeOrderedAndProject."),
+    "k4_maximin_seeds" ->
+      ("Farthest-point seeding: k−1 bounded driver rounds, each a " +
+        "map-only pass against the ≤k broadcast seed set + combinable " +
+        "min-reduce + 1-row argmax — exact integer distances, no " +
+        "window, no collect of corpus data."),
+    "k5_silhouette" ->
+      ("Simplified silhouette: one map-only pass vs broadcast " +
+        "centroids, the only corpus exchange is a vec_id window with " +
+        "k-bounded partitions, census is a |clusters|-row rollup."),
+    "e1_pipeline" ->
+      ("End-to-end curation as ONE lazy Catalyst plan: normalize → " +
+        "dedup → quality/repetition/OOV bars → split → census; the " +
+        "survivor branch re-derives per consumer by design (persist " +
+        "via materialize at warehouse scale — documented trade)."),
+    "e4_dedup_quality" ->
+      ("Dedup-quality joint census: g1 survivors × t2 quality flags " +
+        "meet on doc_id (the key both sides already reduced on); " +
+        "output is a flag-combination grid."),
+    "y8_dup_ngram_rate" ->
+      ("Duplicate-ngram rate via the shingle-df join — a doc's dup " +
+        "mass comes from joining its shingles to the df table, never " +
+        "from pairwise doc comparison."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -217,6 +217,8 @@ object ScaleDemo {
       "lsh_buckets" -> (v => operators.Similarity.lshBuckets(v, 4).count()),
       "ivf_assign" -> (v => operators.Similarity.ivfAssign(v, 16).count()),
       "kmeans_step" -> (v => operators.KMeans.kmeansStep(v, 6).count()),
+      // broadcast centroids, k-bounded vec_id window, |clusters| rows
+      "silhouette" -> (v => operators.KMeans.simplifiedSilhouette(v, 6).count()),
       "semdedup" -> (v => operators.Similarity.semDedup(v, 16, 0.40).count()),
       "pq_assign" -> (v => operators.Similarity.pqAssign(v, 4, 4).count()),
       "dim_stats" -> (v => operators.Similarity.dimStats(v).count()),

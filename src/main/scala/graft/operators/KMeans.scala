@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -154,6 +155,70 @@ object KMeans {
         pround(col("ss").cast("double") / 10000000000.0, 6).as("inertia"))
       .orderBy("centroid_id")
   }
+
+  /** k5: simplified silhouette per cluster (Hruschka et al.'s centroid
+    * variant of Rousseeuw's silhouette) — the clustering-quality census
+    * the full silhouette can't give you at scale: the exact version
+    * needs all-pairs distances (quadratic, dead at 100 TB), the
+    * simplified one scores each vector against the ≤k CENTROIDS only:
+    * a = ‖x − c_own‖, b = min over other centroids ‖x − c_j‖,
+    * s = (b − a)/max(a, b) ∈ [−1, 1]. Assignment is the repo's k1/
+    * ivfAssign convention (max cosine, ties to the smaller centroid id)
+    * and the silhouette is measured in EUCLIDEAN distance — so s < 0
+    * precisely marks vectors whose cosine assignment disagrees with
+    * euclidean proximity (norm outliers), the cluster-health signal
+    * next to k3's inertia.
+    *
+    * Determinism: d² is exact fixed-point BIGINT (x·x + c·c − 2x·c),
+    * sqrt is IEEE-correctly-rounded in both engines, and the per-vector
+    * s quantizes to micro-units BEFORE the mean (integer sums — the g16
+    * order-free-mean discipline). A vector equidistant to its two
+    * nearest centroids at distance 0 (duplicate centroids) guards to
+    * s = 0 via the max(a,b) = 0 case.
+    *
+    * Scale shape: one map-only pass against the broadcast ≤k centroids;
+    * the only corpus exchange is the vec_id window whose partitions are
+    * k-bounded (the audited a2/a4 class); the census is a combinable
+    * |clusters|-row rollup. */
+  def simplifiedSilhouette(vecs: DataFrame, k: Int): DataFrame = {
+    val s = vecs.sparkSession
+    val fixed = Similarity.withFixed(vecs)
+    val cents = fixed.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("centroid_id"), col("f").as("fb"),
+        col("nrm").as("nb"))
+    val scored = fixed.select(col("vec_id"), col("f").as("fa"), col("nrm").as("na"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        expr(Similarity.cosExpr(s)).as("cos"),
+        (col("na") + col("nb") -
+          lit(2L) * expr(Similarity.dotExpr(s, "fa", "fb"))).as("d2"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("centroid_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .groupBy("vec_id")
+      .agg(min(when(col("rn") === 1, col("centroid_id"))).as("cluster"),
+        min(when(col("rn") === 1, col("d2"))).as("a2"),
+        min(when(col("rn") =!= 1, col("d2"))).as("b2"))
+      .select(col("cluster"),
+        expr("cast(floor((" + silhouetteExpr + ") * 1000000.0 + 0.5) as bigint)")
+          .as("micro_s"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        pround(sum("micro_s").cast("double") / (count(lit(1)) * lit(1000000.0))
+          .cast("double"), 6).as("mean_silhouette"),
+        pround(min("micro_s").cast("double") / 1000000.0, 6).as("min_silhouette"),
+        sum(when(col("micro_s") < 0, 1L).otherwise(0L)).as("n_negative"))
+      .orderBy("cluster")
+  }
+
+  // Simplified-silhouette tree over the two exact squared distances,
+  // shared verbatim with the k5 oracle: s = (b − a)/max(a, b) on IEEE
+  // sqrt of exact integers; coincident nearest centroids (max = 0) -> 0.
+  private[operators] val silhouetteExpr =
+    "(case when greatest(sqrt(cast(a2 as double)), sqrt(cast(b2 as double))) = 0.0 " +
+      "then 0.0 else " +
+      "(sqrt(cast(b2 as double)) - sqrt(cast(a2 as double))) " +
+      "/ greatest(sqrt(cast(a2 as double)), sqrt(cast(b2 as double))) end)"
 
   /** k4: maximin (farthest-point-first) seeding — the deterministic
     * k-means++ stand-in: seed 1 is vec 0, each next seed is the vector
@@ -379,5 +444,48 @@ object KMeansQueries {
         "against the SAME global seeds and merge by adding; the oracle " +
         "recomputes directly over the full corpus, so the compare IS " +
         "the merge-equals-recompute proof"),
+
+    Q("k5_silhouette",
+      (s, d) => simplifiedSilhouette(Tables.embeddings(s, d), 6),
+      Some(s"""WITH ${SimilarityQueries.fixedSqlCte},
+              |cents AS (
+              |  SELECT vec_id AS centroid_id, f, nrm FROM n
+              |  ORDER BY vec_id LIMIT 6),
+              |p AS (
+              |  SELECT n.vec_id, c.centroid_id,
+              |         ${SimilarityQueries.pairCosSql("n", "c")} AS cos,
+              |         n.nrm + c.nrm
+              |           - 2 * CAST(list_sum(list_transform(range(1, len(n.f) + 1),
+              |                 i -> n.f[i] * c.f[i])) AS BIGINT) AS d2
+              |  FROM n, cents c),
+              |r AS (
+              |  SELECT vec_id, centroid_id, d2,
+              |         row_number() OVER (PARTITION BY vec_id
+              |           ORDER BY cos DESC, centroid_id) AS rn
+              |  FROM p),
+              |ab AS (
+              |  SELECT vec_id,
+              |         min(CASE WHEN rn = 1 THEN centroid_id END) AS cluster,
+              |         min(CASE WHEN rn = 1 THEN d2 END) AS a2,
+              |         min(CASE WHEN rn <> 1 THEN d2 END) AS b2
+              |  FROM r GROUP BY 1),
+              |sv AS (SELECT cluster,
+              |              CAST(floor(($silhouetteExpr) * 1000000.0 + 0.5) AS BIGINT) AS micro_s
+              |       FROM ab)
+              |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+              |       floor(CAST(sum(micro_s) AS DOUBLE) / (count(*) * 1000000.0)
+              |             * 1000000.0 + 0.5) / 1000000.0 AS mean_silhouette,
+              |       floor(CAST(min(micro_s) AS DOUBLE) / 1000000.0
+              |             * 1000000.0 + 0.5) / 1000000.0 AS min_silhouette,
+              |       CAST(sum(CASE WHEN micro_s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+              |FROM sv GROUP BY 1 ORDER BY cluster""".stripMargin),
+      doc = "k5 simplified silhouette per cluster (centroid variant — the " +
+        "all-pairs exact silhouette is quadratic and dead at scale): " +
+        "s = (b-a)/max(a,b) on IEEE sqrt of exact integer d^2 against " +
+        "the <=k broadcast centroids, k1's max-cosine assignment, " +
+        "micro-quantized order-free means; n_negative counts vectors " +
+        "whose cosine assignment disagrees with euclidean proximity; " +
+        "one map-only pass + one k-bounded vec_id window + " +
+        "|clusters|-row rollup"),
   )
 }

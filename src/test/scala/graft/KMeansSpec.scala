@@ -111,4 +111,32 @@ class KMeansSpec extends SparkSpec {
     assert(merged.except(full).count() == 0L)
     assert(full.except(merged).count() == 0L)
   }
+
+  test("k5 silhouette: cosine-vs-euclid disagreement surfaces as a negative score") {
+    import spark.implicits._
+    // centroids (k=2): c0 = v0 = (1,0), c1 = v1 = (10,10).
+    // v2 = (3,3): cosine picks c1 (same direction) but v2 sits euclidean-
+    // closer to c0 -> a > b -> s < 0, the norm-outlier flag.
+    // v3 = (0.9,0): cosine picks c0 and is euclidean-closest to it -> s ~ 1.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(10.0f, 10.0f), 0),
+      (2L, Array(3.0f, 3.0f), 0),
+      (3L, Array(0.9f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val rows = KMeans.simplifiedSilhouette(vecs, 2).collect()
+      .map(r => r.getAs[Long]("cluster") -> r).toMap
+    assert(rows.keySet == Set(0L, 1L))
+    val c0 = rows(0L); val c1 = rows(1L)
+    assert(c0.getAs[Long]("n_members") == 2L && c1.getAs[Long]("n_members") == 2L)
+    assert(c0.getAs[Long]("n_negative") == 0L)
+    assert(c0.getAs[Double]("mean_silhouette") > 0.9,
+      s"tight cluster must score high: $c0")
+    assert(c1.getAs[Long]("n_negative") == 1L,
+      "v2's cosine assignment disagrees with euclidean proximity")
+    assert(c1.getAs[Double]("min_silhouette") < 0.0)
+    // seeds themselves always score s = 1 (a = 0): mean stays bounded
+    rows.values.foreach(r =>
+      assert(math.abs(r.getAs[Double]("mean_silhouette")) <= 1.0))
+  }
 }
