@@ -672,4 +672,26 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$n\n" + p.take(1000))
     }
   }
+
+  test("g11/g17/g9: the cluster/graph family serves from the shared materialized tables") {
+    // the r12 persisted-table discipline: after any family query runs,
+    // every other member's plan reads the stored label/pair table
+    // (a checkpoint scan) instead of re-deriving the signature build
+    plan("g6_dedup_clusters") // populates the session-shared caches
+    Seq("g11_cluster_reps", "g17_cluster_sizes", "g9_pagerank").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+        s"$n must serve from the materialized shared table\n" + p.take(800))
+      assert(!p.contains("stack("),
+        s"$n must not re-derive the banded signature unpivot\n" + p.take(800))
+    }
+  }
+
+  test("k5: silhouette is broadcast-centroid map-only + one vec_id window") {
+    val p = plan("k5_silhouette")
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must never shuffle for a join\n" + p.take(800))
+    assert(p.contains("Window"))
+  }
 }
