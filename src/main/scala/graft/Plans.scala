@@ -593,6 +593,11 @@ object Plans {
       ("Duplicate-ngram rate via the shingle-df join — a doc's dup " +
         "mass comes from joining its shingles to the df table, never " +
         "from pairwise doc comparison."),
+    "x66_jackknife_ratio" ->
+      ("Block jackknife: facts reduce ONCE to the day table; totals " +
+        "ride back broadcast; the leave-one-out pseudo-values and the " +
+        "exact centered squared sum are |days| rows of arithmetic — " +
+        "no second fact pass."),
   )
 
   def main(args: Array[String]): Unit = {

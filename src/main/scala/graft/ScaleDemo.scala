@@ -287,6 +287,8 @@ object ScaleDemo {
       // per-type perm tests + BH: the explode still rides the (type,
       // day) table; ranking windows on |types| rows only
       "perm_fdr" -> (e => operators.Stats.permFdr(e).count()),
+      // |days| pseudo-values off one day reduction; exact centered sum
+      "jackknife_ratio" -> (e => operators.Stats.jackknifeRatio(e).count()),
       // one stack unpivot (4x rows in flight, combinable) into the
       // 64-register sketch — register tables stay 64x|cols| forever
       "hll_calibration" -> (e => operators.Profiling.hllCalibration(e).count()),

@@ -369,6 +369,69 @@ object Stats {
           .as("ci_hi"))
   }
 
+  /** x66: delete-one-DAY (block) jackknife SE for the revenue-per-event
+    * ratio — the resampling counterpart of x62's analytic delta-method
+    * CI: instead of linearizing, recompute the ratio n times with one
+    * day's block deleted and read the spread. Days (not users) are the
+    * blocks, so the SE absorbs within-day correlation the user-level
+    * delta method can't see — the x63/x55 autocorrelation story applied
+    * to uncertainty. When x62 and x66 disagree, trust the wider one.
+    *
+    * Determinism: each leave-one-out ratio R_(d) = (Sx−x_d)/(Sy−y_d) is
+    * one IEEE division of exact integers, pico-quantized (12 dp) to a
+    * BIGINT pseudo-value; Σr and Σr² accumulate as DECIMAL(38,0) —
+    * order-free — and the SE is one shared IEEE tree over those exact
+    * moments. A day holding ALL events (Sy − y_d = 0) has no defined
+    * pseudo-value and drops from n_valid (guarded).
+    *
+    * Scale shape: facts reduce ONCE to the calendar-bounded day table;
+    * totals ride back broadcast; the jackknife is |days| arithmetic
+    * rows — no second fact pass, no explode. */
+  def jackknifeRatio(events: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = events
+      .select(expr("unix_timestamp(ts) div 86400").as("day"),
+        expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("c"))
+      .groupBy("day").agg(sum("c").as("x"), count(lit(1)).as("y"))
+    val tot = daily.agg(sum("x").as("sx"), sum("y").as("sy"),
+      count(lit(1)).as("nd"))
+    val ps = daily.crossJoin(broadcast(tot))
+      .select(col("nd"), col("sx"), col("sy"),
+        when(col("sy") - col("y") > 0,
+          expr("cast(floor(cast(sx - x as double) / cast(sy - y as double) " +
+            "* 1000000000000.0) as bigint)")).as("r12"))
+    val mo = ps.agg(max("nd").as("n_days"), count(col("r12")).as("n_valid"),
+      max("sx").as("sx"), max("sy").as("sy"),
+      coalesce(sum(col("r12").cast(dec)), lit(0L).cast(dec)).as("sr"))
+    // centered squared sum Σ(n·r_d − Σr)² as EXACT decimals — the naive
+    // Σr² − (Σr)²/n form cancels catastrophically in doubles at these
+    // magnitudes (a constant series must give EXACTLY zero)
+    ps.where(col("r12").isNotNull)
+      .crossJoin(broadcast(mo))
+      .agg(coalesce(sum(
+          (col("r12").cast(dec) * col("n_valid") - col("sr")) *
+            (col("r12").cast(dec) * col("n_valid") - col("sr"))),
+        lit(0L).cast(dec)).as("css"))
+      .crossJoin(broadcast(mo))
+      .select(col("n_days"), col("n_valid"),
+        pround(expr(ratioExpr), 9).as("ratio"),
+        pround(expr(jackSeExpr), 9).as("se_jack"),
+        pround(expr(s"($ratioExpr) - 1.959964 * ($jackSeExpr)"), 9).as("ci_lo"),
+        pround(expr(s"($ratioExpr) + 1.959964 * ($jackSeExpr)"), 9).as("ci_hi"))
+  }
+
+  // Block-jackknife SE tree over the exact centered pseudo-value sum,
+  // shared verbatim with the x66 oracle:
+  // se² = (n−1)/n · Σ(R_(d) − R̄)² = (n−1)/n · css/(n²·1e24), with
+  // css = Σ(n·r_d − Σr)² accumulated as EXACT decimals (one small
+  // double at the end — no large-magnitude cancellation); fewer than 2
+  // valid pseudo-values → null.
+  private[operators] val jackSeExpr =
+    "(case when n_valid < 2 then cast(null as double) else " +
+      "sqrt(cast(n_valid - 1 as double) / cast(n_valid as double) " +
+      "* (cast(css as double) " +
+      "/ (cast(n_valid as double) * cast(n_valid as double) * 1e24))) end)"
+
   // Ratio + delta-method SE trees over the five exact moments, shared
   // verbatim with the oracle; degenerate designs (no events, a single
   // user) guard to null.
@@ -3353,5 +3416,47 @@ object StatsQueries {
         "bit-identical multiple testing; ranking windows ride the " +
         "|types|-row table only"),
 
+    Q("x66_jackknife_ratio",
+      (s, d) => jackknifeRatio(Tables.events(s, d)),
+      Some(s"""WITH daily AS (
+              |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+              |         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS x,
+              |         CAST(count(*) AS BIGINT) AS y
+              |  FROM events GROUP BY 1),
+              |tot AS (SELECT CAST(sum(x) AS BIGINT) AS sx,
+              |               CAST(sum(y) AS BIGINT) AS sy,
+              |               CAST(count(*) AS BIGINT) AS nd
+              |        FROM daily),
+              |ps AS (SELECT nd, sx, sy,
+              |              CASE WHEN sy - y > 0 THEN
+              |                CAST(floor(CAST(sx - x AS DOUBLE) / CAST(sy - y AS DOUBLE)
+              |                     * 1000000000000.0) AS BIGINT)
+              |              END AS r12
+              |       FROM daily CROSS JOIN tot),
+              |mo AS (SELECT max(nd) AS n_days,
+              |              CAST(count(r12) AS BIGINT) AS n_valid,
+              |              max(sx) AS sx, max(sy) AS sy,
+              |              coalesce(sum(CAST(r12 AS HUGEINT)), 0) AS sr
+              |       FROM ps),
+              |cs AS (SELECT coalesce(sum(
+              |                (CAST(r12 AS HUGEINT) * n_valid - sr)
+              |                * (CAST(r12 AS HUGEINT) * n_valid - sr)), 0) AS css
+              |       FROM ps CROSS JOIN mo WHERE r12 IS NOT NULL)
+              |SELECT n_days, n_valid,
+              |       floor(($ratioExpr) * 1000000000.0 + 0.5)
+              |         / 1000000000.0 AS ratio,
+              |       floor(($jackSeExpr) * 1000000000.0 + 0.5)
+              |         / 1000000000.0 AS se_jack,
+              |       floor((($ratioExpr) - 1.959964 * ($jackSeExpr))
+              |             * 1000000000.0 + 0.5) / 1000000000.0 AS ci_lo,
+              |       floor((($ratioExpr) + 1.959964 * ($jackSeExpr))
+              |             * 1000000000.0 + 0.5) / 1000000000.0 AS ci_hi
+              |FROM mo CROSS JOIN cs""".stripMargin),
+      doc = "x66 delete-one-day block jackknife for the revenue-per-event " +
+        "ratio (x62's resampling counterpart — day blocks absorb " +
+        "within-day correlation the user-level delta method can't see): " +
+        "leave-one-out ratios pico-quantized to exact pseudo-values, " +
+        "decimal moment sums, shared guarded SE tree, 95% band; facts " +
+        "reduce once to the day table"),
   )
 }

@@ -815,4 +815,39 @@ class StatsSpec extends SparkSpec {
       assert(x.getAs[Long]("n_valid") <= Stats.DefaultPerms.toLong)
     }
   }
+
+  test("x66 jackknife: constant days give zero SE; a single day has no pseudo-values") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // 10 identical days (two 3.00 events each): every leave-one-out
+    // ratio equals the full ratio 300 cents/event -> SE exactly 0
+    val const = (1 to 10).flatMap(d =>
+      Seq((ts(d), 1L, 3.00), (ts(d), 2L, 3.00)))
+      .zipWithIndex.map { case ((t, u, v), i) => (i.toLong, t, u, "e", v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rc = Stats.jackknifeRatio(const).collect().head
+    assert(rc.getAs[Long]("n_days") == 10L && rc.getAs[Long]("n_valid") == 10L)
+    assert(rc.getAs[Double]("ratio") == 300.0)
+    assert(rc.getAs[Double]("se_jack") == 0.0,
+      s"identical blocks must have zero jackknife spread: $rc")
+    assert(rc.getAs[Double]("ci_lo") == 300.0 && rc.getAs[Double]("ci_hi") == 300.0)
+
+    // one heavy outlier day -> nonzero SE, CI brackets the ratio
+    val skew = ((1 to 9).flatMap(d => Seq((ts(d), 1L, 3.00))) ++
+        Seq((ts(10), 1L, 900.00)))
+      .zipWithIndex.map { case ((t, u, v), i) => (i.toLong, t, u, "e", v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rs = Stats.jackknifeRatio(skew).collect().head
+    assert(rs.getAs[Double]("se_jack") > 0.0)
+    assert(rs.getAs[Double]("ci_lo") < rs.getAs[Double]("ratio"))
+    assert(rs.getAs[Double]("ci_hi") > rs.getAs[Double]("ratio"))
+
+    // a single day: deleting it leaves nothing -> no pseudo-values, null SE
+    val one = Seq((0L, ts(1), 1L, "e", 3.00))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r1 = Stats.jackknifeRatio(one).collect().head
+    assert(r1.getAs[Long]("n_valid") == 0L)
+    assert(r1.isNullAt(r1.fieldIndex("se_jack")))
+  }
 }

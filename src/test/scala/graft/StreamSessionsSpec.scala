@@ -58,4 +58,34 @@ class StreamSessionsSpec extends SparkSpec {
     assert(sess.toSeq === Seq((ts(0, 0), ts(9, 0), 2L)),
       "cross-batch events within the gap must merge into one session")
   }
+  test("finalized sessions equal the batch session_window replay of the same expression") {
+    // replay discipline for the session-window shape: append-mode
+    // finalized rows must equal the SAME groupBy(session_window)
+    // expression run in batch over the same events
+    implicit val sq = spark.sqlContext
+    val evs = Seq(
+      Ev(ts(0, 0), 1L, 1.0), Ev(ts(2, 0), 1L, 2.5), Ev(ts(9, 0), 1L, 4.0),
+      Ev(ts(1, 0), 2L, 4.0), Ev(ts(8, 0), 2L, 1.0))
+    val in = MemoryStream[Ev]
+    val q = StreamSessions.userSessions(in.toDF(), "5 minutes", "10 seconds")
+      .writeStream.format("memory").queryName("sessions_replay")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(evs: _*)
+    q.processAllAvailable()
+    in.addData(Ev(ts(40, 0), 9L, 0.0)) // watermark past every open session
+    q.processAllAvailable()
+    val streamed = spark.sql(
+      "SELECT user_id, sess_start, sess_end, n_events, sum_value " +
+        "FROM sessions_replay WHERE user_id <> 9")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+    q.stop()
+    val batch = StreamSessions.userSessions(
+        evs.map(e => (e.ts, e.user_id, e.value)).toDF("ts", "user_id", "value"),
+        "5 minutes", "10 seconds")
+      .as[(Timestamp, Timestamp, Long, Long, Double)].collect()
+      .map(r => (r._3, r._1, r._2, r._4, r._5)).toSet
+    assert(streamed === batch, s"stream $streamed != batch replay $batch")
+    assert(batch.size === 4, "both users split at the 5-min gap (7-min holes)")
+  }
+
 }
