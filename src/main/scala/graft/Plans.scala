@@ -598,6 +598,11 @@ object Plans {
         "ride back broadcast; the leave-one-out pseudo-values and the " +
         "exact centered squared sum are |days| rows of arithmetic — " +
         "no second fact pass."),
+    "g25_dedup_recall" ->
+      ("End-to-end dedup recall gate: norm groups and cluster labels " +
+        "are both doc_id-keyed reductions; captured/total pair masses " +
+        "are Σ c(c−1)/2 combinable counts — the census never plans a " +
+        "pairwise join, and its cost is the cluster build it grades."),
   )
 
   def main(args: Array[String]): Unit = {

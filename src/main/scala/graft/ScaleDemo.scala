@@ -105,6 +105,10 @@ object ScaleDemo {
       // the x4-budget ladder explodes the per-doc LENGTH table, never
       // the text — F x docs widen the tokenize pass and the running sums
       "pack_fill_ladder" -> (d => operators.Packing.packFillLadder(d).count()),
+      // outcome-level cap monitor: norm groups x cluster labels, both
+      // doc_id reductions; pair masses are combinable counts
+      "dedup_recall" -> (d => operators.Dedup.dedupRecallCensus(d,
+        operators.Dedup.dedupClusters(operators.Dedup.minhashCandidates(d, 4))).count()),
       "cluster_reps" -> (d => operators.Dedup.clusterReps(d, 4).count()),
       "incr_neardup" -> (d => operators.Dedup.minhashIncremental(
         d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1), 4).count()),

@@ -250,6 +250,10 @@ object Dedup {
     * same cap, checking the capped semantics end-to-end. */
   val DefaultBucketDfCap = 1000
 
+  /** doc_id offset for g25's exact-copy probes — interpolated into both
+    * the Scala augmentation and the oracle SQL so they cannot desync. */
+  val RecallProbeOffset = 10000000L
+
   /** Signature rows restricted to buckets with <= cap members — the
     * g4 df-cap discipline on the (band, minh) key. Bucket df is a
     * map-side-combinable groupBy joined back, never a window over the
@@ -357,6 +361,47 @@ object Dedup {
       .select(col("cluster"), col("n_members"),
         col("best.id").as("rep_doc_id"),
         (-col("best.nq")).as("rep_quality"))
+  }
+
+  /** G25: end-to-end dedup recall census — the near-dup pipeline graded
+    * against the one truth set it must never miss: EXACT duplicates
+    * (identical normalized text) are near-dups by definition, so every
+    * exact-dup group should land inside one LSH cluster. Pair-level
+    * recall = captured exact-dup pairs / all exact-dup pairs, where a
+    * pair is captured when both copies carry the same cluster label.
+    * This is the OUTCOME-level monitoring pair of the bucket-df cap:
+    * a dup group larger than the cap loses its bucket, splits, and
+    * shows up here as lost pairs — g21 shows what the cap drops going
+    * in, g25 shows what that costs coming out (at organic bucket sizes
+    * the census reads 1.0).
+    *
+    * Scale shape: norm groups and cluster labels are both doc_id-keyed
+    * reductions; captured/total pair masses are Σ c(c−1)/2 per group —
+    * combinable counts, never a pairwise join; output is one row. */
+  def dedupRecallCensus(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val lbl = docs
+      .select(col("doc_id"),
+        expr(md5Long56("lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f]+', ' ')))"))
+          .as("g"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("g"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    val per = lbl.groupBy("g", "cluster").agg(count(lit(1)).as("c"))
+      .groupBy("g")
+      .agg(sum("c").as("n"),
+        sum(expr("c * (c - 1) div 2")).as("captured"),
+        max("c").as("maxc"))
+      .where(col("n") >= 2)
+    per.agg(
+        coalesce(count(lit(1)), lit(0L)).as("n_dup_groups"),
+        coalesce(sum((col("maxc") === col("n")).cast("long")), lit(0L))
+          .as("n_intact_groups"),
+        coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("exact_pairs"),
+        coalesce(sum("captured"), lit(0L)).as("captured_pairs"))
+      .select(col("n_dup_groups"), col("n_intact_groups"),
+        col("exact_pairs"), col("captured_pairs"),
+        when(col("exact_pairs") > 0,
+          pround(col("captured_pairs").cast("double")
+            / col("exact_pairs").cast("double"), 6)).as("pair_recall"))
   }
 
   private[graft] def dedupClustersWithRounds(
@@ -721,8 +766,10 @@ object DedupQueries {
        |         FROM sig JOIN bdf ON sig.band = bdf.band AND sig.minh = bdf.minh
        |         WHERE bdf.bdf <= ${Dedup.DefaultBucketDfCap})""".stripMargin
 
-  private[operators] val shinglesSqlCte =
-    s"""toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+  /** [[shinglesSqlCte]] over an arbitrary (doc_id, text) relation —
+    * g25 runs the chain over an AUGMENTED corpus CTE. */
+  private[operators] def shinglesSqlCteOn(table: String): String =
+    s"""toks AS (SELECT doc_id, $toksSql AS t FROM $table),
        |sh AS (
        |  SELECT doc_id,
        |         unnest(CASE WHEN len(t) >= 3
@@ -730,6 +777,8 @@ object DedupQueries {
        |                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
        |                ELSE CAST([] AS VARCHAR[]) END) AS sh
        |  FROM toks)""".stripMargin
+
+  private[operators] val shinglesSqlCte = shinglesSqlCteOn("documents")
 
   val qs: Seq[Q] = Seq(
     Q("g1_exact_dedup",
@@ -1101,5 +1150,68 @@ object DedupQueries {
         "each >= k shared-band threshold from ONE signature pass and " +
         "one bucket join — the precision/recall dial for g2c read off a " +
         "4-row ladder instead of re-running dedup per setting"),
+
+    Q("g25_dedup_recall", {
+      // graded over an AUGMENTED corpus (every 5th doc re-keyed as an
+      // exact copy) — the organic testdata has no exact dups, which
+      // would make the census vacuously zero; the augmentation gives
+      // the gate real pairs to capture AND demonstrates grading an
+      // incremental drop against the rebuilt cluster table
+      (s, d) => {
+        val aug = docs(s, d).select(col("doc_id"), col("text"))
+          .unionByName(docs(s, d).where(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + Dedup.RecallProbeOffset).as("doc_id"),
+              col("text")))
+        dedupRecallCensus(aug, dedupClusters(minhashCandidates(aug, 4)))
+      }},
+      Some(s"""WITH RECURSIVE
+              |aug AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + ${Dedup.RecallProbeOffset}, text
+              |  FROM documents WHERE doc_id % 5 = 0),
+              |${shinglesSqlCteOn("aug")},
+              |$cappedSigSqlCtes,
+              |prs AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM sigc a JOIN sigc b
+              |    ON a.band = b.band AND a.minh = b.minh AND a.doc_id < b.doc_id),
+              |e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+              |      UNION ALL SELECT doc_b, doc_a FROM prs),
+              |walk(node, lbl) AS (
+              |  SELECT src, src FROM e UNION
+              |  SELECT e.dst, walk.lbl FROM walk JOIN e ON e.src = walk.node
+              |  WHERE walk.lbl < e.dst),
+              |cl AS (SELECT node AS doc_id, min(lbl) AS cluster
+              |       FROM walk GROUP BY node),
+              |lb AS (
+              |  SELECT ('0x' || substr(md5(lower(trim(regexp_replace(d.text,
+              |           '[ \t\n\r\f]+', ' ', 'g')))), 1, 14))::BIGINT AS g,
+              |         coalesce(cl.cluster, d.doc_id) AS cluster
+              |  FROM aug d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+              |pc AS (SELECT g, cluster, CAST(count(*) AS BIGINT) AS c
+              |       FROM lb GROUP BY 1, 2),
+              |pg AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+              |              CAST(sum(c * (c - 1) // 2) AS BIGINT) AS captured,
+              |              CAST(max(c) AS BIGINT) AS maxc
+              |       FROM pc GROUP BY 1 HAVING sum(c) >= 2)
+              |SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
+              |       CAST(coalesce(sum(CASE WHEN maxc = n THEN 1 ELSE 0 END), 0)
+              |            AS BIGINT) AS n_intact_groups,
+              |       CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS exact_pairs,
+              |       CAST(coalesce(sum(captured), 0) AS BIGINT) AS captured_pairs,
+              |       CASE WHEN coalesce(sum(n * (n - 1) // 2), 0) > 0 THEN
+              |         floor(CAST(coalesce(sum(captured), 0) AS DOUBLE)
+              |               / CAST(sum(n * (n - 1) // 2) AS DOUBLE)
+              |               * 1000000.0 + 0.5) / 1000000.0
+              |       END AS pair_recall
+              |FROM pg""".stripMargin),
+      doc = "G25 end-to-end dedup recall: exact-dup groups (identical " +
+        "normalized text — near-dups by definition) graded against the " +
+        "LSH cluster labels; pair_recall = captured/total exact-dup " +
+        "pairs — the OUTCOME-level monitoring pair of the bucket-df cap " +
+        "(an over-cap dup group splits and surfaces here as lost " +
+        "pairs); combinable per-group counts, never a pairwise join, " +
+        "1-row output off the session-shared label table"),
   )
 }

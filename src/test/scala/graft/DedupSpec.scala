@@ -134,6 +134,30 @@ class DedupSpec extends SparkSpec {
     census.foreach(r => assert(r.getAs[Long]("max_bucket") === 6L))
   }
 
+  test("G25: dedup recall census — intact groups at ample cap, measured loss under it") {
+    // two exact-dup groups (sizes 4 and 2) + a unique doc
+    val docs = ((0L until 4L).map(i => (i, "a b c d e")) ++
+      Seq((10L, "x y z w q"), (11L, "x y z w q"), (20L, "solo doc here")))
+      .toDF("doc_id", "text")
+    // ample cap: every exact-dup pair is captured -> recall exactly 1
+    val full = Dedup.dedupRecallCensus(docs,
+      Dedup.dedupClusters(Dedup.minhashCandidates(docs, 4))).collect().head
+    assert(full.getAs[Long]("n_dup_groups") == 2L)
+    assert(full.getAs[Long]("n_intact_groups") == 2L)
+    assert(full.getAs[Long]("exact_pairs") == 7L)   // C(4,2) + C(2,2)
+    assert(full.getAs[Long]("captured_pairs") == 7L)
+    assert(full.getAs[Double]("pair_recall") == 1.0)
+    // cap BELOW the 4-clique's bucket df: its buckets drop, the group
+    // splits to singletons, and the census MEASURES the loss — the
+    // outcome-level read of the documented-lossy bucket cap
+    val capped = Dedup.dedupRecallCensus(docs,
+      Dedup.dedupClusters(Dedup.minhashCandidates(docs, 4, bucketCap = 3)))
+      .collect().head
+    assert(capped.getAs[Long]("n_intact_groups") == 1L)
+    assert(capped.getAs[Long]("captured_pairs") == 1L)
+    assert(capped.getAs[Double]("pair_recall") == 0.142857) // 1/7 at 6 dp
+  }
+
   test("G2c: incremental index-side bucket cap shields a batch from hot corpus buckets") {
     // corpus: 4 identical docs (one hot bucket per band, df 4); batch:
     // one more copy. With cap=3 the index rows vanish -> no flag; with
