@@ -694,4 +694,12 @@ class PlanAuditSpec extends SparkSpec {
       "the corpus must never shuffle for a join\n" + p.take(800))
     assert(p.contains("Window"))
   }
+
+  test("g25: the recall census itself never plans a pairwise comparison") {
+    val p = plan("g25_dedup_recall")
+    assert(!p.contains("CartesianProduct"), p.take(1000))
+    // pair masses are combinable c*(c-1)/2 counts off grouped labels,
+    // not a self-join of the corpus
+    assert(!p.contains("SortMergeJoin Inner (doc"), p.take(1000))
+  }
 }

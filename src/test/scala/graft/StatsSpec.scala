@@ -850,4 +850,64 @@ class StatsSpec extends SparkSpec {
     assert(r1.getAs[Long]("n_valid") == 0L)
     assert(r1.isNullAt(r1.fieldIndex("se_jack")))
   }
+
+  test("x66 jackknife matches a BigInt brute-force replay of the quantized formula") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // irregular day blocks: (cents, events) per day
+    val days = Seq((300L, 2L), (1250L, 3L), (90L, 1L), (4000L, 4L), (777L, 2L))
+    val rows = days.zipWithIndex.flatMap { case ((cents, n), d) =>
+      // n events summing to `cents`: n-1 events of 1 cent + remainder
+      (1L until n).map(_ => (ts(d + 1), 0.01)) :+ (ts(d + 1), (cents - (n - 1)) / 100.0)
+    }.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, 1L, "e", v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Stats.jackknifeRatio(rows).collect().head
+    // brute-force the same quantized pipeline with BigInt arithmetic
+    val sx = days.map(_._1).sum; val sy = days.map(_._2).sum
+    val r12 = days.map { case (x, y) =>
+      BigInt(math.floor((sx - x).toDouble / (sy - y).toDouble * 1e12).toLong)
+    }
+    val nv = r12.size
+    val sr = r12.sum
+    val css = r12.map(r => (r * nv - sr) * (r * nv - sr)).sum
+    val se = math.sqrt((nv - 1).toDouble / nv *
+      (css.toDouble / (nv.toDouble * nv.toDouble * 1e24)))
+    def q9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    assert(got.getAs[Long]("n_valid") == nv.toLong)
+    assert(got.getAs[Double]("ratio") == q9(sx.toDouble / sy.toDouble))
+    assert(got.getAs[Double]("se_jack") == q9(se),
+      s"engine ${got.getAs[Double]("se_jack")} != replay ${q9(se)}")
+  }
+
+  test("x64 BH reject set is internally consistent with its own ranks and p-values") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    // four types with different half-gap strengths
+    val rows = (1 to 16).flatMap { d =>
+      Seq(("a", if (d <= 8) 1.0 else 500.0), ("b", if (d <= 8) 5.0 else 5.5),
+          ("c", 7.0), ("d", if (d <= 8) 2.0 else 200.0))
+        .map { case (e, v) => (ts(d, 6), e, v) }
+    }.zipWithIndex.map { case ((t, e, v), i) => (i.toLong, t, 1L, e, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Stats.permFdr(rows).collect()
+    val m = r.length.toLong
+    // brute-force BH over the reported (rank, n_ge, n_valid) integers
+    val pass = r.map(x => x.getAs[Long]("p_rank") ->
+      (100L * m * x.getAs[Long]("n_ge") <=
+        x.getAs[Long]("p_rank") * Stats.DefaultFdrAlphaPct * x.getAs[Long]("n_valid")))
+      .toMap
+    val kMax = pass.collect { case (rk, true) => rk }.foldLeft(0L)(math.max)
+    r.foreach { x =>
+      val expect = if (x.getAs[Long]("p_rank") <= kMax) 1L else 0L
+      assert(x.getAs[Long]("bh_rejected") == expect,
+        s"BH mismatch at ${x.getAs[String]("event_type")}: $x (kMax=$kMax)")
+    }
+    // ranks are a permutation of 1..m ordered by p (ties by type)
+    assert(r.map(_.getAs[Long]("p_rank")).sorted.toSeq == (1L to m))
+    val byRank = r.sortBy(_.getAs[Long]("p_rank")).map(_.getAs[Double]("p_value"))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b },
+      "p-values must be nondecreasing in rank")
+  }
 }
