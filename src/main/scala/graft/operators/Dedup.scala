@@ -722,9 +722,31 @@ object DedupQueries {
     * cache first cannot change any result. */
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private[operators] def sharedClusters(s: SparkSession, d: String): DataFrame =
+  private[graft] def sharedClusters(s: SparkSession, d: String): DataFrame = {
+    evictStopped()
     clusterCache.computeIfAbsent((s, d),
       _ => dedupClusters(sharedCandidates(s, d)))
+  }
+
+  /** Eviction (ADVICE/VERDICT r12): entries key on the owning
+    * SparkSession, so a harness that cycles sessions (Bench runs each
+    * pass in a fresh one) would otherwise pin every stopped session and
+    * its checkpointed blocks for the JVM lifetime — and a stale hit
+    * would throw on a stopped context. Both accessors purge dead-session
+    * entries before touching the map; O(live sessions) per call. The
+    * `dead` predicate defaults to the real signal (the session's context
+    * is stopped) and is injectable ONLY so the spec can exercise the
+    * purge without killing the suite-shared context. */
+  private[graft] def evictStopped(
+      dead: SparkSession => Boolean = _.sparkContext.isStopped): Unit =
+    Seq(clusterCache, candCache).foreach { m =>
+      val it = m.keySet().iterator()
+      while (it.hasNext) if (dead(it.next()._1)) it.remove()
+    }
+
+  /** Test hook: current (cluster, candidate) cache entry counts. */
+  private[graft] def cacheSizes: (Int, Int) =
+    (clusterCache.size(), candCache.size())
 
   /** Session-shared materialized LSH candidate-pair table — the same
     * persisted-table discipline one level lower: the signature build +
@@ -736,9 +758,11 @@ object DedupQueries {
     * builds it first. */
   private val candCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private[operators] def sharedCandidates(s: SparkSession, d: String): DataFrame =
+  private[graft] def sharedCandidates(s: SparkSession, d: String): DataFrame = {
+    evictStopped()
     candCache.computeIfAbsent((s, d),
       _ => Materialize.frame(minhashCandidates(docs(s, d), 4)))
+  }
 
   private val toksSql = "list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '')"
 

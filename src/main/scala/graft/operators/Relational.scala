@@ -555,28 +555,38 @@ object RelationalQueries {
       (s, d) => {
         // TPC-H Q21 shape on the available columns: suppliers who were
         // the ONLY late shipper (>60 days after order date) on a
-        // multi-supplier order. EXISTS → left-semi, NOT EXISTS →
-        // left-anti — both equality-keyed on l_orderkey with the
-        // supplier-inequality as the join residual, so the correlated
-        // subqueries decorrelate into two shuffles on the same key
-        // (no per-row re-execution anywhere). Supplier names arrive
-        // broadcast at the end, after the blame set is already reduced
-        // to (order, supplier) pairs.
-        val li = Tables.lineitem(s, d)
-        val pairs = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
-        val late = li
+        // multi-supplier order. Restructured in r13 (VERDICT item 2):
+        // the r12 form decorrelated EXISTS/NOT EXISTS into semi/anti
+        // joins, paying THREE full lineitem scans — the suite's
+        // heaviest shuffle and the driver's repeat false-flag. Both
+        // subqueries are really per-order COUNTS, so one scan suffices:
+        // reduce lineitem⋈orders to per-(order, supplier) late flags,
+        // then a second order-level aggregate gives n_supp / n_late /
+        // the lone late supplier, and the blame set is
+        // `n_supp > 1 ∧ n_late = 1` — EXISTS(other supplier) ⟺
+        // n_supp ≥ 2, NOT EXISTS(other late) ⟺ n_late = 1. At scale
+        // both aggregates reuse the join's l_orderkey hash partitioning
+        // (HashPartitioning(ok) satisfies clustering on (ok, sk) and on
+        // ok), so the whole reduction runs on TWO exchanges (lineitem +
+        // orders) with no distinct, semi, anti join or window sort
+        // anywhere. Equivalence does not even need referential
+        // integrity: a blame candidate is late, so its order row
+        // exists, so every co-supplier pair of that order survives the
+        // inner join. Supplier names arrive broadcast after the
+        // reduce, top-10 via TakeOrdered.
+        val flags = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
           .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
             col("l_orderkey") === col("o_orderkey"))
-          .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-          .select(col("l_orderkey"), col("l_suppkey")).distinct()
-        val blamed = late.as("a")
-          .join(pairs.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_suppkey") =!= col("b.l_suppkey"), "left_semi")
-          .as("a")
-          .join(late.as("c"),
-            col("a.l_orderkey") === col("c.l_orderkey") &&
-              col("a.l_suppkey") =!= col("c.l_suppkey"), "left_anti")
+          .groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max(when(
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            1L).otherwise(0L)).as("is_late"))
+        val blamed = flags
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_supp"), sum(col("is_late")).as("n_late"),
+            max(when(col("is_late") === 1L, col("l_suppkey"))).as("l_suppkey"))
+          .where(col("n_supp") > 1L && col("n_late") === 1L)
         blamed
           .join(broadcast(Tables.supplier(s, d)
             .select(col("s_suppkey"), col("s_name"))),
@@ -601,8 +611,10 @@ object RelationalQueries {
               |SELECT s.s_name, count(*) AS numwait
               |FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
               |GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin),
-      doc = "TPC-H Q21-style lone-late-supplier blame: EXISTS/NOT EXISTS " +
-        "decorrelated to left-semi/left-anti joins on the order key, " +
+      doc = "TPC-H Q21-style lone-late-supplier blame: the EXISTS/NOT " +
+        "EXISTS subqueries collapse to per-order supplier/late counts — " +
+        "one lineitem scan, two stacked aggregates reusing the join's " +
+        "l_orderkey partitioning at scale (two exchanges total), " +
         "supplier dimension broadcast after the reduce"),
 
     Q("q19_revenue_share",

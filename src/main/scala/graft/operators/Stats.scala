@@ -405,13 +405,23 @@ object Stats {
       coalesce(sum(col("r12").cast(dec)), lit(0L).cast(dec)).as("sr"))
     // centered squared sum Σ(n·r_d − Σr)² as EXACT decimals — the naive
     // Σr² − (Σr)²/n form cancels catastrophically in doubles at these
-    // magnitudes (a constant series must give EXACTLY zero)
+    // magnitudes (a constant series must give EXACTLY zero). Overflow
+    // guard (ADVICE r12): the centered term n·r_d − Σr fits DECIMAL(38,0)
+    // comfortably (≤ ~1e22 at pico quantization) but its SQUARE can pass
+    // 38 digits on a heavy-tailed corpus (one whale day swinging the
+    // leave-one-out ratio by ~1e7/n_days). Under ANSI (Spark 4 default)
+    // the plain square would ABORT the query; with ANSI off it would
+    // silently null the row and sum() would understate css. try_multiply
+    // nulls the term deterministically in both modes, css_n counts the
+    // surviving terms, and the SE tree nulls itself when css_n ≠ n_valid
+    // or the try_sum itself overflowed — a null SE, never a wrong one
+    // (DuckDB's HUGEINT raises at the same magnitude: both engines
+    // refuse to emit an understated SE).
+    val dev = col("r12").cast(dec) * col("n_valid") - col("sr")
+    val devSq = try_multiply(dev, dev)
     ps.where(col("r12").isNotNull)
       .crossJoin(broadcast(mo))
-      .agg(coalesce(sum(
-          (col("r12").cast(dec) * col("n_valid") - col("sr")) *
-            (col("r12").cast(dec) * col("n_valid") - col("sr"))),
-        lit(0L).cast(dec)).as("css"))
+      .agg(try_sum(devSq).as("css"), count(devSq).as("css_n"))
       .crossJoin(broadcast(mo))
       .select(col("n_days"), col("n_valid"),
         pround(expr(ratioExpr), 9).as("ratio"),
@@ -425,9 +435,11 @@ object Stats {
   // se² = (n−1)/n · Σ(R_(d) − R̄)² = (n−1)/n · css/(n²·1e24), with
   // css = Σ(n·r_d − Σr)² accumulated as EXACT decimals (one small
   // double at the end — no large-magnitude cancellation); fewer than 2
-  // valid pseudo-values → null.
+  // valid pseudo-values → null, and a detected per-row decimal overflow
+  // (css_n ≠ n_valid — Spark nulls the row past 38 digits) → null
+  // rather than a silently understated SE.
   private[operators] val jackSeExpr =
-    "(case when n_valid < 2 then cast(null as double) else " +
+    "(case when n_valid < 2 or css_n <> n_valid then cast(null as double) else " +
       "sqrt(cast(n_valid - 1 as double) / cast(n_valid as double) " +
       "* (cast(css as double) " +
       "/ (cast(n_valid as double) * cast(n_valid as double) * 1e24))) end)"
@@ -3440,7 +3452,9 @@ object StatsQueries {
               |       FROM ps),
               |cs AS (SELECT coalesce(sum(
               |                (CAST(r12 AS HUGEINT) * n_valid - sr)
-              |                * (CAST(r12 AS HUGEINT) * n_valid - sr)), 0) AS css
+              |                * (CAST(r12 AS HUGEINT) * n_valid - sr)), 0) AS css,
+              |              CAST(count((CAST(r12 AS HUGEINT) * n_valid - sr)
+              |                * (CAST(r12 AS HUGEINT) * n_valid - sr)) AS BIGINT) AS css_n
               |       FROM ps CROSS JOIN mo WHERE r12 IS NOT NULL)
               |SELECT n_days, n_valid,
               |       floor(($ratioExpr) * 1000000000.0 + 0.5)

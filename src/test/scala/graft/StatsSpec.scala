@@ -880,6 +880,28 @@ class StatsSpec extends SparkSpec {
       s"engine ${got.getAs[Double]("se_jack")} != replay ${q9(se)}")
   }
 
+  test("x66 jackknife nulls the SE on decimal overflow instead of understating it") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // one whale day (120000.00 = 1.2e7 cents) against four penny days:
+    // removing the whale swings the leave-one-out ratio so far that its
+    // centered term (n·r_d − Σr)² ≈ 1.44e38 exceeds DECIMAL(38,0) and
+    // Spark silently nulls THAT ROW (allowPrecisionLoss) while the four
+    // surviving squares still sum to ≈3.6e37 — so sum() alone would
+    // return a plausible but understated css (ADVICE r12). The css_n
+    // guard must detect the dropped term and null the SE and CI.
+    val rows = Seq(120000.00, 0.01, 0.02, 0.03, 0.04).zipWithIndex
+      .map { case (v, d) => (d.toLong, ts(d + 1), 1L, "e", v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Stats.jackknifeRatio(rows).collect().head
+    assert(r.getAs[Long]("n_valid") == 5L)
+    assert(!r.isNullAt(r.fieldIndex("ratio")), "the ratio itself is exact and stays")
+    assert(r.isNullAt(r.fieldIndex("se_jack")),
+      s"overflow must null the SE, not understate it: $r")
+    assert(r.isNullAt(r.fieldIndex("ci_lo")) && r.isNullAt(r.fieldIndex("ci_hi")))
+  }
+
   test("x64 BH reject set is internally consistent with its own ranks and p-values") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -10,7 +10,7 @@ DuckDB view, runs the oracle SQL, loads the Spark parquet result, sorts
 columns by name (like the driver), then compares row/schema/values.
 
 Performance-drift mode:
-  python3 tools/check.py --drift <bench.json> [more_bench.json ...]
+  python3 tools/check.py --drift [--scale sf1] <bench.json> [more ...]
 
 Compares a bench result (the one-line JSON graft.Bench prints, or a
 driver-recorded BENCH_r{N}.json whose truncated "tail" it re-parses)
@@ -19,6 +19,15 @@ query flags when time > 1.5*steady + 0.3s — calibrated on BENCH_r07,
 where it flags exactly the one known anomaly (t6, adjudicated as
 harness noise; see BENCH_BASELINE.json notes). Exit 1 on any flag, so
 a silent perf regression fails the same gate a wrong answer does.
+
+`--scale sf1` gates against the `queries_sf1` baseline (two-pass
+steadies of the organic-10x sweep over /tmp/sf1, gen_sf1.py) instead
+of the default sf0.1 `queries`. The sf0.1 gate cannot see scale
+regressions — a plan that goes quadratic in cardinality looks flat at
+sf0.1 — so scale-sensitive changes must pass BOTH gates (VERDICT r12
+item 1). Same drift rule at both scales; sf1 additionally tolerates
+the documented output-bound super-linear families (the baseline values
+already embed their F^2/F^3 pair mass, so the 1.5x rule transfers).
 """
 import sys, os, json, glob
 import duckdb
@@ -88,9 +97,18 @@ def drift(bench_paths):
     files, a query flags only if it drifts in EVERY file — a real
     regression reproduces, noise lands somewhere else next run.
     """
+    key = "queries"
+    if bench_paths and bench_paths[0] == "--scale":
+        scale = bench_paths[1]
+        bench_paths = bench_paths[2:]
+        key = "queries" if scale in ("sf0.1", "default") else f"queries_{scale}"
     base = json.load(open(os.path.join(os.path.dirname(__file__), "..",
                                        "BENCH_BASELINE.json")))
-    steady = base["queries"]
+    steady = base.get(key)
+    if steady is None:
+        print(f"[FAIL] BENCH_BASELINE.json has no '{key}' baseline — "
+              f"record one (two separated passes, min) before gating")
+        sys.exit(2)
     # per-query multiplier overrides for queries with MEASURED same-code
     # variance beyond the default 1.5x (see BENCH_BASELINE.json notes —
     # each override must cite its evidence there)

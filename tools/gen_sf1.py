@@ -15,6 +15,10 @@ jitter, no RNG state, no seed dependence on execution order):
 - customer/supplier/part: `factor` copies with key-space offsets
   (copy i's keys live at key + i*ceil), names rewritten to the new key,
   acctbal/price jittered by a deterministic sub-unit hash delta.
+- copy i=0 is byte-identical to the source everywhere (every jitter —
+  values, dates, tokens, embedding epsilons — is guarded on i > 0), so
+  the output is a strict superset of the input and base-vs-scaled
+  row-level comparisons are valid (ADVICE r12).
 - orders/lineitem: copies reference copy-LOCAL dimension keys, so join
   fan-out per key stays constant while key cardinality grows 10x;
   dates shift i days (calendar stays ~fixed — the documented design
@@ -56,6 +60,13 @@ def h01(*exprs):
     key = " || ':' || ".join(f"CAST({e} AS VARCHAR)" for e in exprs)
     return f"(('0x' || substr(md5({key}), 1, 8))::BIGINT % 1000000) / 1000000.0"
 
+# centered jitter in (-0.5, 0.5), applied to copies i>0 ONLY: copy 0 stays
+# byte-identical to the source (like the documents token mutation), so sf1
+# is a strict superset of sf0.1 and base-vs-scaled row-level comparison
+# works (ADVICE r12)
+def jit(*exprs):
+    return f"(CASE WHEN i > 0 THEN {h01(*exprs)} - 0.5 ELSE 0 END)"
+
 copies = f"(SELECT unnest(range(0, {F})) AS i) cp"
 
 # fixed dims
@@ -76,7 +87,7 @@ sink("customer", f"""
   SELECT c_custkey + i * {KC} AS c_custkey,
          'Customer#' || lpad(CAST(c_custkey + i * {KC} AS VARCHAR), 9, '0') AS c_name,
          c_nationkey,
-         round(c_acctbal + {h01('c_custkey', 'i', "'cb'")} - 0.5, 2) AS c_acctbal,
+         round(c_acctbal + {jit('c_custkey', 'i', "'cb'")}, 2) AS c_acctbal,
          c_mktsegment
   FROM {src('customer')} CROSS JOIN {copies}""")
 
@@ -84,20 +95,20 @@ sink("supplier", f"""
   SELECT s_suppkey + i * {KS} AS s_suppkey,
          'Supplier#' || lpad(CAST(s_suppkey + i * {KS} AS VARCHAR), 9, '0') AS s_name,
          s_nationkey,
-         round(s_acctbal + {h01('s_suppkey', 'i', "'sb'")} - 0.5, 2) AS s_acctbal
+         round(s_acctbal + {jit('s_suppkey', 'i', "'sb'")}, 2) AS s_acctbal
   FROM {src('supplier')} CROSS JOIN {copies}""")
 
 sink("part", f"""
   SELECT p_partkey + i * {KP} AS p_partkey,
          p_name, p_brand, p_type, p_size,
-         round(p_retailprice + {h01('p_partkey', 'i', "'pp'")} - 0.5, 2) AS p_retailprice
+         round(p_retailprice + {jit('p_partkey', 'i', "'pp'")}, 2) AS p_retailprice
   FROM {src('part')} CROSS JOIN {copies}""")
 
 sink("orders", f"""
   SELECT o_orderkey + i * {KO} AS o_orderkey,
          o_custkey + i * {KC} AS o_custkey,
          o_orderstatus,
-         round(o_totalprice + {h01('o_orderkey', 'i', "'ot'")} - 0.5, 2) AS o_totalprice,
+         round(o_totalprice + {jit('o_orderkey', 'i', "'ot'")}, 2) AS o_totalprice,
          o_orderdate + to_days(CAST(i AS INTEGER)) AS o_orderdate,
          o_orderpriority
   FROM {src('orders')} CROSS JOIN {copies}""")
@@ -107,7 +118,7 @@ sink("lineitem", f"""
          l_partkey + i * {KP} AS l_partkey,
          l_suppkey + i * {KS} AS l_suppkey,
          l_linenumber, l_quantity,
-         round(l_extendedprice + {h01('l_orderkey', 'l_linenumber', 'i', "'lp'")} - 0.5, 2) AS l_extendedprice,
+         round(l_extendedprice + {jit('l_orderkey', 'l_linenumber', 'i', "'lp'")}, 2) AS l_extendedprice,
          l_discount, l_tax, l_returnflag, l_linestatus,
          l_shipdate + to_days(CAST(i AS INTEGER)) AS l_shipdate
   FROM {src('lineitem')} CROSS JOIN {copies}""")
@@ -117,7 +128,7 @@ sink("events", f"""
          ts + to_minutes(CAST(i AS INTEGER)) AS ts,
          user_id + i * {KU} AS user_id,
          event_type,
-         round(value + {h01('event_id', 'i', "'ev'")} - 0.5, 2) AS value,
+         round(value + {jit('event_id', 'i', "'ev'")}, 2) AS value,
          props
   FROM {src('events')} CROSS JOIN {copies}""")
 
@@ -144,9 +155,11 @@ sink("embeddings", f"""
   SELECT vec_id + i * {KV} AS vec_id,
          CAST(list_transform(
            list_zip(embedding, range(1, len(embedding) + 1)),
-           z -> z[1] + CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' ||
-                  CAST(i AS VARCHAR) || ':' || CAST(z[2] AS VARCHAR)), 1, 6))::BIGINT
-                  % 1000 AS FLOAT) / 1000000.0 - 0.0005) AS FLOAT[]) AS embedding,
+           z -> z[1] + CASE WHEN i > 0
+                  THEN CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' ||
+                       CAST(i AS VARCHAR) || ':' || CAST(z[2] AS VARCHAR)), 1, 6))::BIGINT
+                       % 1000 AS FLOAT) / 1000000.0 - 0.0005
+                  ELSE 0 END) AS FLOAT[]) AS embedding,
          label
   FROM {src('embeddings')} CROSS JOIN {copies}""")
 
