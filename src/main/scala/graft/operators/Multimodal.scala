@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -12,12 +12,14 @@ import graft.functions.Parity.pround
   * from JSON property blobs, and the Spark-side plumbing for opaque
   * binary media columns (schema, partitioning, batch decode shape).
   *
-  * The real decode step (image/audio codecs) is STUBBED with a
-  * deterministic fake — the codec libraries are not in this container —
-  * but everything around it is real and tested: the binary column flows
-  * through a typed schema, the decode runs per-partition (the shape a
-  * vectorized/Arrow UDF takes on a cluster), and downstream metadata
-  * aggregation is plain declarative Spark.
+  * Since r13 the decode path is REAL at the container level: payloads
+  * are valid minimal PNG/JPEG/WAV containers and [[parseContainerHeader]]
+  * extracts dimensions/audio params from the actual bytes (big-endian
+  * IHDR/SOF0, little-endian RIFF chunk walk) per partition — the shape
+  * a vectorized/Arrow decode takes on a cluster. Only PIXEL/SAMPLE
+  * decoding (zlib/DCT/PCM) stays out of scope: no codec libraries in
+  * this container, and no registered capability needs decoded samples
+  * ([[decodeBatches]] keeps that seam with a checksum stand-in).
   */
 object Multimodal {
 
@@ -83,8 +85,151 @@ object Multimodal {
       .orderBy("norm_dup", "byte_dup")
   }
 
+  // ---- real container headers (r13, VERDICT item 6) -------------------
+  //
+  // The decode path behind m3/m4/m5 is no longer an arithmetic fake: the
+  // payloads are REAL minimal containers (PNG signature+IHDR+IEND, JPEG
+  // SOI+APP0+SOF0+EOI, WAV RIFF/fmt/data) assembled byte-for-byte in
+  // codegen'd column expressions, and the decode side parses the actual
+  // bytes — big-endian IHDR/SOF0 dimensions, little-endian RIFF chunk
+  // walk — without ever seeing the generator's formulas. The oracle
+  // checks the parse against the construction parameters (m3/m5) and
+  // against a byte-identical hex rebuild of the payload (m4), so a
+  // parser that misreads any offset or endianness fails the gate.
+  // Chunk CRCs are zeroed (computing CRC32 in a column expression buys
+  // no header fidelity); the golden-fixture spec feeds the parser a
+  // REAL 1x1 PNG (correct CRCs, IDAT and all) to prove it handles
+  // fully valid files too.
+
+  /** n-byte big-endian hex of a non-negative integral column. */
+  private def beHex(c: Column, n: Int): Column = lpad(hex(c), 2 * n, "0")
+
+  /** n-byte little-endian hex of a non-negative integral column. */
+  private def leHex(c: Column, n: Int): Column =
+    concat((0 until n).map(i =>
+      lpad(hex(shiftright(c.cast("long"), 8 * i) % 256), 2, "0")): _*)
+
+  /** Synthetic media with REAL container headers: doc_id % 3 picks the
+    * container (0 png, 1 jpeg, 2 wav); every header field is a
+    * deterministic function of (doc_id, n_chars), so the oracle can
+    * predict what an honest parser must extract. Assembled as one hex
+    * string -> one unhex — all inside whole-stage codegen; at scale
+    * this column is simply the parquet BINARY column. */
+  def syntheticMedia(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val nc = col("n_chars")
+    val pngHex = concat(lit("89504E470D0A1A0A"), // signature
+      lit("0000000D"), lit("49484452"),          // IHDR length + type
+      beHex(nc % 640 + 1, 4), beHex(id % 480 + 1, 4),
+      lit("0802000000"),                         // depth 8, RGB, no interlace
+      lit("00000000"),                           // IHDR CRC (zeroed)
+      lit("0000000049454E44AE426082"))           // IEND (real CRC constant)
+    val jpegHex = concat(lit("FFD8"),            // SOI
+      lit("FFE000104A46494600010100000100010000"), // APP0/JFIF, len 16
+      lit("FFC0001108"),                         // SOF0, len 17, precision 8
+      beHex(nc % 1536 + 1, 2),                   // height (BE, first in SOF0)
+      beHex(id % 2048 + 1, 2),                   // width
+      lit("03011100021101031101"),               // 3 components
+      lit("FFD9"))                               // EOI
+    val ch = id % 2 + 1
+    val sr = when(id % 4 === 0, 8000L).when(id % 4 === 1, 16000L)
+      .when(id % 4 === 2, 22050L).otherwise(44100L)
+    val ba = ch * 2                              // 16-bit PCM
+    val ds = ba * (id % 50 + 10)                 // 10-59 audio frames
+    val wavHex = concat(lit("52494646"), leHex(ds + lit(36L), 4), // RIFF size
+      lit("57415645"),                           // WAVE
+      lit("666D7420"), lit("10000000"),          // fmt chunk, len 16
+      lit("0100"), leHex(ch, 2), leHex(sr, 4),   // PCM, channels, rate
+      leHex(sr * ba, 4), leHex(ba, 2), lit("1000"), // byte rate, align, bits
+      lit("64617461"), leHex(ds, 4),             // data chunk + size
+      expr("repeat(lpad(hex(doc_id % 256), 2, '0'), " +
+        "cast((doc_id % 2 + 1) * 2 * (doc_id % 50 + 10) as int))"))
+    docs.select(id, unhex(
+      when(id % 3 === 0, pngHex).when(id % 3 === 1, jpegHex)
+        .otherwise(wavHex)).as("media"),
+      col("source"))
+  }
+
+  /** Honest container-header parse over raw bytes — PNG IHDR (big-endian
+    * dims after the 8-byte signature), JPEG marker walk to SOF0-SOF3
+    * (skipping APP/other segments by their declared lengths), WAV RIFF
+    * chunk walk collecting fmt + data. Returns
+    * (format, width, height, nChannels, sampleRate, durationMs); fields
+    * that don't apply are None, anything unrecognized is "unknown". */
+  private[graft] def parseContainerHeader(b: Array[Byte])
+      : (String, Option[Long], Option[Long], Option[Long], Option[Long], Option[Long]) = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be16(i: Int): Long = ((u8(i) << 8) | u8(i + 1)).toLong
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    def le16(i: Int): Long = ((u8(i + 1) << 8) | u8(i)).toLong
+    def le32(i: Int): Long =
+      (u8(i + 3).toLong << 24) | (u8(i + 2).toLong << 16) | (u8(i + 1).toLong << 8) | u8(i).toLong
+    def ascii(i: Int, n: Int): String =
+      new String(b, i, n, java.nio.charset.StandardCharsets.US_ASCII)
+    val unknown = ("unknown", None, None, None, None, None)
+    if (b.length >= 24 && u8(0) == 0x89 && ascii(1, 3) == "PNG" &&
+        u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
+        ascii(12, 4) == "IHDR")
+      ("png", Some(be32(16)), Some(be32(20)), None, None, None)
+    else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      while (i + 4 <= b.length) {
+        if (u8(i) != 0xff) return unknown
+        val marker = u8(i + 1)
+        if (marker == 0xd9 || marker == 0xda) return unknown // EOI/SOS first
+        val len = be16(i + 2).toInt
+        if (marker >= 0xc0 && marker <= 0xc3 && i + 9 <= b.length)
+          return ("jpeg", Some(be16(i + 7)), Some(be16(i + 5)), None, None, None)
+        i += 2 + len
+      }
+      unknown
+    } else if (b.length >= 12 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE") {
+      var i = 12
+      var ch, sr, br, ds = -1L
+      while (i + 8 <= b.length) {
+        val id = ascii(i, 4); val sz = le32(i + 4)
+        if (id == "fmt " && i + 24 <= b.length) {
+          ch = le16(i + 10); sr = le32(i + 12); br = le32(i + 16)
+        } else if (id == "data") ds = sz
+        i += 8 + sz.toInt + (sz.toInt % 2) // RIFF chunks pad to even
+      }
+      if (ch < 0 || br <= 0 || ds < 0) unknown
+      else ("wav", None, None, Some(ch), Some(sr), Some(ds * 1000L / br))
+    } else unknown
+  }
+
+  /** The per-partition batch decode over real container bytes: the same
+    * mapPartitions seam as [[decodeBatches]] (no Exchange, 1:1 partition
+    * map, (doc_id, media) input pruning) with the codec stub replaced by
+    * [[parseContainerHeader]]. Output is the typed metadata row every
+    * downstream consumer joins on. */
+  def headerDecode(framed: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("format", StringType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("n_channels", LongType),
+      StructField("sample_rate", LongType),
+      StructField("duration_ms", LongType),
+      StructField("n_bytes", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    framed.select("doc_id", "media").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val (fmt, w, h, ch, sr, dur) = parseContainerHeader(bytes)
+        Row(id, fmt, w.orNull, h.orNull, ch.orNull, sr.orNull, dur.orNull,
+          bytes.length.toLong)
+      }
+    }(enc)
+  }
+
   /** Deterministic fake "decode": width/height/n_frames derived from the
-    * byte length. Declarative projection — stays in whole-stage codegen. */
+    * byte length. Superseded on the query surface by [[headerDecode]]
+    * (m3/m5 now parse real container bytes); kept as the minimal
+    * metadata shape for the decodeBatches seam spec. */
   def decodeMeta(framed: DataFrame): DataFrame =
     framed.select(col("doc_id"), octet_length(col("media")).as("n_bytes"))
       .select(col("doc_id"), col("n_bytes"),
@@ -176,14 +321,19 @@ object Multimodal {
     docs.select(col("doc_id") +: dims: _*)
   }
 
-  /** Frame-sampling analog: every stride-th frameBytes-sized "frame" —
-    * pure arithmetic on typed columns, no codec needed for offsets. */
-  def frameSample(docs: DataFrame, frameBytes: Int, stride: Int): DataFrame =
-    docs.select(col("doc_id"), col("text"),
-      explode(expr(s"sequence(0, greatest(cast(octet_length(encode(text, 'UTF-8')) div $frameBytes as int) - 1, 0), $stride)"))
+  /** Frame sampling over the real media BINARY: every stride-th
+    * frameBytes-sized frame of the payload, reading the frame's lead
+    * byte at its actual offset — pure arithmetic on the binary column,
+    * no codec needed for offsets, payload never shuffles. The oracle
+    * rebuilds the identical payload hex in SQL and indexes the same
+    * offsets, so any byte-level disagreement in the media construction
+    * OR the offset arithmetic fails the gate. */
+  def frameSample(framed: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    framed.select(col("doc_id"), col("media"),
+      explode(expr(s"sequence(0, greatest(cast(octet_length(media) div $frameBytes as int) - 1, 0), $stride)"))
         .as("frame_no"))
-      .select(col("doc_id"), col("frame_no"),
-        expr(s"ascii(substring(text, frame_no * $frameBytes + 1, 1))")
+      .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+        expr(s"cast(conv(hex(substring(media, frame_no * $frameBytes + 1, 1)), 16, 10) as bigint)")
           .as("frame_lead_byte"))
 
   /** m9: perceptual-hash NEAR-dup — the second rung of m7's ladder
@@ -234,6 +384,28 @@ object Multimodal {
 object MultimodalQueries {
   import Multimodal._
 
+  /** DuckDB n-byte big-endian hex of a non-negative integral SQL expr. */
+  private def beSql(e: String, n: Int): String =
+    s"upper(printf('%0${2 * n}x', $e))"
+
+  /** DuckDB n-byte little-endian hex (byte-reversed). */
+  private def leSql(e: String, n: Int): String =
+    (0 until n).map(i =>
+      s"upper(printf('%02x', ($e) // ${1L << (8 * i)} % 256))").mkString(" || ")
+
+  /** The container-parameter CTE shared by the m3/m4/m5 oracles — the
+    * same (doc_id, n_chars)-derived fields [[Multimodal.syntheticMedia]]
+    * writes into the real headers. */
+  private val paramCte =
+    """p AS (
+      |  SELECT doc_id, n_chars, doc_id % 3 AS kind,
+      |         doc_id % 2 + 1 AS ch,
+      |         CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |              WHEN 2 THEN 22050 ELSE 44100 END AS sr,
+      |         (doc_id % 2 + 1) * 2 AS ba,
+      |         (doc_id % 2 + 1) * 2 * (doc_id % 50 + 10) AS ds
+      |  FROM documents)""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("m1_props_extract",
       (s, d) => propsExtract(Tables.events(s, d)).orderBy("event_id"),
@@ -260,38 +432,79 @@ object MultimodalQueries {
       doc = "aggregate over JSON-extracted typed values (exact long sums)"),
 
     Q("m3_media_meta",
-      (s, d) => decodeMeta(mediaFrame(Tables.documents(s, d)))
+      (s, d) => headerDecode(syntheticMedia(Tables.documents(s, d)))
         .orderBy("doc_id"),
-      Some("""SELECT doc_id,
-             |       octet_length(encode(text)) AS n_bytes,
-             |       octet_length(encode(text)) % 640 + 1 AS width,
-             |       (octet_length(encode(text)) * 7) % 480 + 1 AS height,
-             |       octet_length(encode(text)) % 30 + 1 AS n_frames
-             |FROM documents ORDER BY doc_id""".stripMargin),
-      doc = "binary media column + deterministic metadata 'decode' (codec stubbed)"),
+      Some(s"""WITH $paramCte
+              |SELECT doc_id,
+              |       CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+              |            ELSE 'wav' END AS format,
+              |       CAST(CASE kind WHEN 0 THEN n_chars % 640 + 1
+              |            WHEN 1 THEN doc_id % 2048 + 1 END AS BIGINT) AS width,
+              |       CAST(CASE kind WHEN 0 THEN doc_id % 480 + 1
+              |            WHEN 1 THEN n_chars % 1536 + 1 END AS BIGINT) AS height,
+              |       CAST(CASE WHEN kind = 2 THEN ch END AS BIGINT) AS n_channels,
+              |       CAST(CASE WHEN kind = 2 THEN sr END AS BIGINT) AS sample_rate,
+              |       CAST(CASE WHEN kind = 2 THEN ds * 1000 // (sr * ba) END
+              |            AS BIGINT) AS duration_ms,
+              |       CAST(CASE kind WHEN 0 THEN 45 WHEN 1 THEN 41
+              |            ELSE 44 + ds END AS BIGINT) AS n_bytes
+              |FROM p ORDER BY doc_id""".stripMargin),
+      doc = "REAL container-header decode (r13): payloads are valid " +
+        "minimal PNG/JPEG/WAV containers built in codegen'd expressions; " +
+        "an honest byte parser (BE IHDR/SOF0 dims, LE RIFF chunk walk) " +
+        "extracts the metadata per partition, and the oracle checks the " +
+        "parse against the construction parameters"),
 
     Q("m4_frame_sample",
-      (s, d) => frameSample(Tables.documents(s, d), 64, 2)
-        .select("doc_id", "frame_no", "frame_lead_byte")
+      (s, d) => frameSample(syntheticMedia(Tables.documents(s, d)), 16, 2)
         .orderBy("doc_id", "frame_no"),
-      Some("""WITH f AS (
-             |  SELECT doc_id, text,
-             |         unnest(range(0, greatest(octet_length(encode(text)) // 64, 1), 2)) AS frame_no
-             |  FROM documents)
-             |SELECT doc_id, frame_no,
-             |       ascii(substr(text, frame_no * 64 + 1, 1)) AS frame_lead_byte
-             |FROM f ORDER BY doc_id, frame_no""".stripMargin),
-      doc = "frame sampling over binary media: every 2nd 64-byte frame"),
+      Some(s"""WITH $paramCte,
+              |pay AS (
+              |  SELECT doc_id, CASE kind
+              |    WHEN 0 THEN '89504E470D0A1A0A' || '0000000D49484452'
+              |      || ${beSql("n_chars % 640 + 1", 4)}
+              |      || ${beSql("doc_id % 480 + 1", 4)}
+              |      || '0802000000' || '00000000'
+              |      || '0000000049454E44AE426082'
+              |    WHEN 1 THEN 'FFD8' || 'FFE000104A46494600010100000100010000'
+              |      || 'FFC0001108'
+              |      || ${beSql("n_chars % 1536 + 1", 2)}
+              |      || ${beSql("doc_id % 2048 + 1", 2)}
+              |      || '03011100021101031101' || 'FFD9'
+              |    ELSE '52494646' || ${leSql("ds + 36", 4)} || '57415645'
+              |      || '666D7420' || '10000000' || '0100'
+              |      || ${leSql("ch", 2)} || ${leSql("sr", 4)}
+              |      || ${leSql("sr * ba", 4)} || ${leSql("ba", 2)} || '1000'
+              |      || '64617461' || ${leSql("ds", 4)}
+              |      || repeat(upper(printf('%02x', doc_id % 256)), CAST(ds AS INT))
+              |  END AS hx FROM p),
+              |f AS (SELECT doc_id, hx,
+              |             unnest(range(0, greatest(length(hx) // 32, 1), 2)) AS frame_no
+              |      FROM pay)
+              |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+              |       ('0x' || substr(hx, CAST(frame_no * 32 + 1 AS INT), 2))::BIGINT
+              |         AS frame_lead_byte
+              |FROM f ORDER BY doc_id, frame_no""".stripMargin),
+      doc = "frame sampling over the REAL media binary: every 2nd " +
+        "16-byte frame's lead byte read at its actual payload offset; " +
+        "the oracle rebuilds the identical container bytes in SQL and " +
+        "indexes the same offsets — a byte-level end-to-end check of " +
+        "the media construction and offset arithmetic"),
 
     Q("m5_resize",
-      (s, d) => resizeMeta(decodeMeta(mediaFrame(Tables.documents(s, d))),
+      (s, d) => resizeMeta(
+          headerDecode(syntheticMedia(Tables.documents(s, d)))
+            .where(col("format") =!= "wav")
+            .select(col("doc_id"), col("width"), col("height")),
           320, 240)
         .orderBy("doc_id"),
       Some("""WITH meta AS (
              |  SELECT doc_id,
-             |         octet_length(encode(text)) % 640 + 1 AS width,
-             |         (octet_length(encode(text)) * 7) % 480 + 1 AS height
-             |  FROM documents),
+             |         CAST(CASE doc_id % 3 WHEN 0 THEN n_chars % 640 + 1
+             |              ELSE doc_id % 2048 + 1 END AS BIGINT) AS width,
+             |         CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 480 + 1
+             |              ELSE n_chars % 1536 + 1 END AS BIGINT) AS height
+             |  FROM documents WHERE doc_id % 3 < 2),
              |k AS (
              |  SELECT doc_id, width, height,
              |         greatest((width + 319) // 320, (height + 239) // 240, 1) AS k
@@ -301,8 +514,8 @@ object MultimodalQueries {
              |       greatest(height // k, 1) AS out_h,
              |       greatest(width // k, 1) * greatest(height // k, 1) * 3 AS out_bytes
              |FROM k ORDER BY doc_id""".stripMargin),
-      doc = "aspect-preserving integer resize of decoded media metadata " +
-        "into a 320x240 box (codec-free deterministic fake)"),
+      doc = "aspect-preserving integer resize of PARSED image dimensions " +
+        "(the png/jpeg rows of the m3 header decode) into a 320x240 box"),
 
     Q("m6_features",
       (s, d) => extractFeatures(Tables.documents(s, d)).orderBy("doc_id"),
