@@ -40,16 +40,15 @@ object Pipeline {
     *
     * `materialize` (default true): persist the tokenized survivor frame
     * while the metric branches consume it (the y4 viaSharedScan
-    * discipline). The frame feeds FOUR consumers — the top-bigram
-    * branch, the vocabulary build, the OOV join, and the final metric
+    * discipline). The frame feeds THREE consumers since the r13 rewire —
+    * the unigram Generate, the bigram Generate, and the final metric
     * join — and Spark's exchange reuse does not dedup a post-aggregation
     * projection across that fan-out, so the lazy plan re-tokenizes every
-    * survivor per consumer (measured round 8: 0.34 s → 1.78 s at sf0.1;
-    * at warehouse scale the survivor table is a persisted intermediate
-    * anyway). EAGER when true: constructing the DataFrame runs the
-    * normalize/dedup/tokenize job and the upstream plan collapses to a
-    * stored-rows scan — pass materialize = false for plan audits/dumps
-    * of the full lazy core.
+    * survivor per consumer (at warehouse scale the survivor table is a
+    * persisted intermediate anyway). EAGER when true: constructing the
+    * DataFrame runs the normalize/dedup/tokenize job and the upstream
+    * plan collapses to a stored-rows scan — pass materialize = false
+    * for plan audits/dumps of the full lazy core.
     *
     * Why the bars are explode+aggregate branches and NOT per-doc array
     * arithmetic (`aggregate`/`filter` lambdas over toks): measured in
@@ -60,11 +59,12 @@ object Pipeline {
     * fold twice. The explode branches stay inside whole-stage codegen
     * and their exchanges are reused across consumers.
     *
-    * Measured at sf0.1 (round 10): lazy ~1.3 s, materialized ~1.1 s via
-    * the row-format block store (a columnar persist() of the same frame
-    * measured ~2.3 s — the array/string cache encoding costs more than
-    * the recompute it saves). The materialized path is also the one
-    * whose cost stays flat as consumers are added — the 100 TB contract. */
+    * Measured at sf0.1 (r13, union-shape metrics): lazy ~1.2 s,
+    * materialized ~1.1 s via the row-format block store (a columnar
+    * persist() of the same frame measured ~2.3 s in r10 — the
+    * array/string cache encoding costs more than the recompute it
+    * saves). The materialized path is also the one whose cost stays
+    * flat as consumers are added — the 100 TB contract. */
   def curateSurvivors(docs: DataFrame, minTokens: Int, vocabK: Int = 25,
                       maxOov: Double = 0.2, minTtr: Double = 0.2,
                       maxTopBigram: Double = 0.18,
@@ -98,29 +98,40 @@ object Pipeline {
   private def survivorMetrics(base: DataFrame, minTokens: Int, vocabK: Int,
                               maxOov: Double, minTtr: Double,
                               maxTopBigram: Double): DataFrame = {
-    // top-bigram mode: explode + two-level map-side-combinable aggregate
+    // r13 rewire: unigrams and bigrams ride ONE combined
+    // (doc_id, kind, key) stream — two codegen Generates unioned
+    // (building the pairs with struct lambdas inside one transform
+    // leaves whole-stage codegen; measured slower), ONE count shuffle
+    // instead of the two per-branch exchanges, and ONE metrics join
+    // back instead of two. Measured at sf0.1: 1.4-1.9 s → ~1.1 s
+    // steady; same shuffle volume at scale, one fewer exchange + join.
     val bigramsFromToks =
       """CASE WHEN size(toks) >= 2
         | THEN transform(sequence(1, size(toks) - 1),
         |        i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))
         | ELSE array() END""".stripMargin
-    val topBg = base
-      .select(col("doc_id"), explode(expr(bigramsFromToks)).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
-      .groupBy("doc_id").agg(max(col("n")).as("max_bg"))
-    // OOV: ONE Generate over toks feeds both the vocabulary reduction
-    // and the per-doc coverage join (broadcast vocab — top-k via
-    // TakeOrderedAndProject, never a global sort)
-    val tokStream = base.select(col("doc_id"), explode(col("toks")).as("w"))
-    val vocab = tokStream.groupBy("w").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("w")).limit(vocabK)
-      .select(col("w"), lit(1L).as("iv"))
-    val oov = tokStream.join(broadcast(vocab), Seq("w"), "left")
+    val uni = base.select(col("doc_id"), lit(0L).as("kind"),
+      explode(col("toks")).as("key"))
+    val big = base.select(col("doc_id"), lit(1L).as("kind"),
+      explode(expr(bigramsFromToks)).as("key"))
+    val cnt = uni.unionAll(big)
+      .groupBy("doc_id", "kind", "key").agg(count(lit(1)).as("n"))
+    // vocab: top-k total token count via TakeOrderedAndProject (never a
+    // global sort), now built from the per-doc counts — an extra level
+    // of partial reduction for free
+    val vocab = cnt.where(col("kind") === 0L)
+      .groupBy("key").agg(sum("n").as("n"))
+      .orderBy(col("n").desc, col("key")).limit(vocabK)
+      .select(col("key"), lit(1L).as("iv"))
+    // one pass over cnt ⋈ broadcast(vocab) yields BOTH per-doc metrics:
+    // the bigram mode and the OOV instance count
+    val metrics = cnt.join(broadcast(vocab), Seq("key"), "left")
       .groupBy("doc_id")
-      .agg(sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .agg(max(when(col("kind") === 1L, col("n"))).as("max_bg"),
+        sum(when(col("kind") === 0L && col("iv").isNull, col("n"))
+          .otherwise(0L)).as("n_oov"))
     base
-      .join(topBg, Seq("doc_id"), "left")
-      .join(oov, Seq("doc_id"), "left")
+      .join(metrics, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"), col("n_copies"), col("n_toks"),
         pround(when(col("n_toks") > 0,
           col("n_distinct").cast("double") / col("n_toks").cast("double"))
@@ -252,9 +263,10 @@ object PipelineQueries {
       doc = "end-to-end curation pipeline: normalize -> dedup survivors " +
         "-> quality bar AND Gopher repetition bar (t8) AND OOV bar (t9) " +
         "-> hash split -> per-split census. EAGER: the tokenized " +
-        "survivor frame is persisted while its four metric consumers " +
-        "run (viaSharedScan) — pass materialize = false for the lazy " +
-        "auditable core"),
+        "survivor frame is persisted while its consumers run " +
+        "(viaSharedScan); unigram+bigram metrics ride one combined " +
+        "(doc_id, kind, key) count since r13 — pass materialize = " +
+        "false for the lazy auditable core"),
 
     Q("e3_joint_curation",
       (s, d) => MultiModalPipeline.jointCurate(
