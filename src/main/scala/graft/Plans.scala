@@ -603,6 +603,63 @@ object Plans {
         "are both doc_id-keyed reductions; captured/total pair masses " +
         "are Σ c(c−1)/2 combinable counts — the census never plans a " +
         "pairwise join, and its cost is the cluster build it grades."),
+    // r13: the previously-unpinned >1s-steady set (VERDICT r12 item 5)
+    "m9_phash_neardup" ->
+      ("Perceptual-hash near-dup: band explode then an EQUI-join on the " +
+        "(band, value) bucket — pigeonhole makes the prune lossless for " +
+        "hamming≤3; never an all-pairs product, 72-byte shuffle width."),
+    "m3_media_meta" ->
+      ("Real container-header decode: payload assembly is one codegen'd " +
+        "projection feeding the mapPartitions parse seam — no Exchange " +
+        "between the scan and the decode, payloads never shuffle."),
+    "y7_cdc_chunks" ->
+      ("Content-defined chunking: one Generate + one per-doc window over " +
+        "a single doc_id exchange; no join anywhere."),
+    "x33_winsorized_mean" ->
+      ("Winsorized mean: every exchange is on the group key; the " +
+        "per-group quantile cut points arrive as bounded broadcasts — " +
+        "group-bounded however large the fact table."),
+    "x34_daily_percentiles" ->
+      ("Daily percentiles via the bin discipline: windows run over " +
+        "(day, value-bin) counts, never records; exchanges only on the " +
+        "calendar key."),
+    "x35_benford" ->
+      ("Benford screen: leading-digit counts reduce per digit; the one " +
+        "nested-loop cross is against the constant 9-row digit domain."),
+    "x36_mad" ->
+      ("Median absolute deviation: two median passes, both over the " +
+        "group-keyed bin reduction; broadcasts are the per-group " +
+        "medians (≤|groups| rows)."),
+    "x37_spearman" ->
+      ("Spearman correlation: rank windows consume the REDUCED " +
+        "distinct-value tables (domain-bounded), then one moment " +
+        "aggregate — raw rows are never globally sorted."),
+    "x52_decile_shift" ->
+      ("Decile shift matrix: cut points window the reduced spend table, " +
+        "the only cross is the 10-row decile Range, and the matrix " +
+        "joins period deciles by equality."),
+    "q45_basket_lift" ->
+      ("Basket lift: co-occurrence pairs reduce per (part_a, part_b) " +
+        "with part supports broadcast after their own reductions; the " +
+        "single cross carries the 1-row basket total; top-k via " +
+        "TakeOrdered."),
+    "q47_next_purchase" ->
+      ("Next-purchase transitions: one equality self-join on " +
+        "o_custkey (sort-merge at scale), transition counts reduce per " +
+        "(from, to) pair, TakeOrdered top-k."),
+    "t21_dsir_weights" ->
+      ("DSIR importance weights: per-doc and per-bucket reductions join " +
+        "by id; the corpus-total denominator is the one 1-row cross."),
+    "t22_ngram_novelty" ->
+      ("N-gram novelty: shingle df reduces per gram (vocab-bounded), " +
+        "per-doc novelty joins the broadcast df table by id."),
+    "t23_burstiness" ->
+      ("Token burstiness: two stacked vocab-keyed aggregates (doc " +
+        "frequency vs occurrence mass), no join, top-k."),
+    "e5_yield_funnel" ->
+      ("Curation yield funnel: per-doc stage flags join by doc_id from " +
+        "the g1/g2c/t19 kernels, ONE combinable aggregate, and a " +
+        "zero-shuffle stack unpivot to the 4 funnel rows."),
   )
 
   def main(args: Array[String]): Unit = {

@@ -711,4 +711,109 @@ class PlanAuditSpec extends SparkSpec {
     // not a self-join of the corpus
     assert(!p.contains("SortMergeJoin Inner (doc"), p.take(1000))
   }
+
+  // ---- r13: pins for the remaining >1s-steady queries (VERDICT item 5)
+
+  /** Group-key names of every hash exchange in the plan (the token
+    * before the first `#` of each `Exchange hashpartitioning(...)`). */
+  private def exchangeKeys(p: String): Seq[String] =
+    "Exchange hashpartitioning\\((\\w+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+
+  test("m9: phash candidates via band-bucket equi-join, never all-pairs") {
+    val p = plan("m9_phash_neardup")
+    assert(p.contains("Generate"), "band explode\n" + p.take(600))
+    assert(p.contains("Join [bi"), "candidates equi-join on the (band, value) bucket\n" + p.take(1000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("y7: CDC chunking is one per-doc window over one doc_id exchange, no join") {
+    val p = plan("y7_cdc_chunks")
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"), p.take(800))
+    assert(exchangeKeys(p).forall(_ == "doc_id"),
+      "only the per-doc exchange\n" + p.take(800))
+  }
+
+  test("x33/x36: robust-stats family shuffles only on the group key, bounded broadcasts") {
+    Seq("x33_winsorized_mean", "x36_mad").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n\n" + p.take(800))
+      assert(exchangeKeys(p).toSet.subsetOf(Set("g")),
+        s"$n: every exchange must be on the group key, got ${exchangeKeys(p)}\n" + p.take(800))
+    }
+  }
+
+  test("x34: daily percentiles exchange only on the calendar key") {
+    val p = plan("x34_daily_percentiles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(exchangeKeys(p).toSet.subsetOf(Set("day")), exchangeKeys(p).toString)
+  }
+
+  test("x35: Benford cross is the bounded 9-digit domain, counts reduce per digit") {
+    val p = plan("x35_benford")
+    // the one nested-loop join crosses against the constant digit table
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 == 1, p.take(800))
+    assert(p.contains("LocalTableScan"), "digit domain is a literal table\n" + p.take(800))
+    assert(exchangeKeys(p).toSet.subsetOf(Set("digit")), exchangeKeys(p).toString)
+  }
+
+  test("x37: Spearman ranks window the REDUCED distinct-value tables") {
+    val p = plan("x37_spearman")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // each rank window consumes an aggregate (distinct bins), never raw rows
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && p.substring(winIdx).contains("HashAggregate"),
+      "ranks must come from the reduced bin table\n" + p.take(1200))
+  }
+
+  test("x52: decile shift crosses only the 10-row decile Range, joins on the decile") {
+    val p = plan("x52_decile_shift")
+    assert(p.contains("Range"), "decile domain from Range\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"))
+    assert(exchangeKeys(p).toSet.subsetOf(Set("g", "decile")), exchangeKeys(p).toString)
+  }
+
+  test("q45: basket lift reduces pairs per part, one bounded totals cross, top-k") {
+    val p = plan("q45_basket_lift")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 1, p.take(800))
+    assert(!p.contains("CartesianProduct"))
+    assert(exchangeKeys(p).toSet.subsetOf(Set("part_a", "l_partkey", "l_orderkey")),
+      exchangeKeys(p).toString)
+  }
+
+  test("q47: next purchase is one equality self-join on the customer key + top-k") {
+    val p = plan("q47_next_purchase")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(exchangeKeys(p).toSet.subsetOf(Set("o_custkey", "part_from")),
+      exchangeKeys(p).toString)
+  }
+
+  test("t21: DSIR weights cross only the 1-row corpus total") {
+    val p = plan("t21_dsir_weights")
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 1, p.take(800))
+    assert(!p.contains("CartesianProduct"))
+    assert(exchangeKeys(p).toSet.subsetOf(Set("doc_id", "b")), exchangeKeys(p).toString)
+  }
+
+  test("t22/t23: n-gram novelty and burstiness reduce on vocab-bounded keys") {
+    val t22 = plan("t22_ngram_novelty")
+    assert(!t22.contains("CartesianProduct") && !t22.contains("BroadcastNestedLoopJoin"))
+    assert(exchangeKeys(t22).toSet.subsetOf(Set("doc_id", "g")), exchangeKeys(t22).toString)
+    val t23 = plan("t23_burstiness")
+    assert(t23.contains("TakeOrderedAndProject") || t23.contains("Sort"))
+    assert(!t23.contains("Join"), t23.take(600))
+    assert(exchangeKeys(t23).toSet.subsetOf(Set("w")), exchangeKeys(t23).toString)
+  }
+
+  test("e5: yield funnel joins per-doc flags by id — no pairwise, one stack unpivot") {
+    val p = plan("e5_yield_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Generate"), "stack unpivot to 4 rows\n" + p.take(600))
+    assert(exchangeKeys(p).toSet.subsetOf(Set("doc_id", "norm", "band")),
+      exchangeKeys(p).toString)
+  }
 }
