@@ -109,6 +109,22 @@ object ScaleDemo {
       // doc_id reductions; pair masses are combinable counts
       "dedup_recall" -> (d => operators.Dedup.dedupRecallCensus(d,
         operators.Dedup.dedupClusters(operators.Dedup.minhashCandidates(d, 4))).count()),
+      // cap-bite probe (r13, VERDICT item 8): plant one dup group LARGER
+      // than the DEFAULT cap on top of the replicated corpus. The capped
+      // join must drop it wholesale (never a pairwise comparison), and
+      // the recorded value is the census's LOST pair mass — exactly
+      // C(1050, 2) = 550725 at EVERY factor while organic 20x buckets
+      // (df ≈ 400) stay under the cap and capture fully. A drifting
+      // value here means the cap stopped biting or began leaking.
+      "dedup_recall_capbite" -> { d =>
+        val aug = operators.Dedup.plantBoilerplate(
+          d, operators.Dedup.DefaultBucketDfCap + 50)
+        operators.Dedup.dedupRecallCensus(aug,
+            operators.Dedup.dedupClusters(
+              operators.Dedup.minhashCandidates(aug, 4)))
+          .select(expr("exact_pairs - captured_pairs"))
+          .head.getLong(0)
+      },
       "cluster_reps" -> (d => operators.Dedup.clusterReps(d, 4).count()),
       "incr_neardup" -> (d => operators.Dedup.minhashIncremental(
         d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1), 4).count()),

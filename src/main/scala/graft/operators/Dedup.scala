@@ -545,6 +545,26 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
   }
 
+  /** Cap-stress probe (VERDICT r12 item 8): append `n` exact copies of
+    * one distinct-vocabulary boilerplate doc. An exact-dup group larger
+    * than [[DefaultBucketDfCap]] saturates ALL of its (band, minh)
+    * buckets past the cap, so [[cappedSignature]] drops the whole group
+    * and [[dedupRecallCensus]] must report exactly C(n, 2) lost pairs —
+    * the documented-lossy path firing at its real threshold, quantified
+    * by the monitoring pair (g21 shows the df-n bucket going in, g25
+    * prices the loss coming out). The probe vocabulary is disjoint from
+    * any organic corpus token, so planted buckets cannot intersect
+    * organic ones and the prediction is exact. */
+  def plantBoilerplate(docs: DataFrame, n: Int,
+                       offset: Long = 900000000L): DataFrame = {
+    val text = (1 to 12).map(i => s"boilerplate_probe_token_$i").mkString(" ")
+    val planted = docs.sparkSession.range(n.toLong)
+      .select((col("id") + offset).as("doc_id"), lit(text).as("text"),
+        lit("xx").as("lang"), lit("probe").as("source"),
+        lit(text.length.toLong).as("n_chars"))
+    docs.unionByName(planted)
+  }
+
   /** g21: LSH index-health census — g19's read for the OTHER index:
     * the bucket-size profile of g2's banded minhash table, predicting
     * the candidate join's exact cost BEFORE running it (per band, the

@@ -158,6 +158,38 @@ class DedupSpec extends SparkSpec {
     assert(capped.getAs[Double]("pair_recall") == 0.142857) // 1/7 at 6 dp
   }
 
+  test("DEFAULT cap bites on a >cap boilerplate group: g21 predicts it, g25 prices C(n,2)") {
+    // r13 (VERDICT item 8): every dataset sits far below
+    // DefaultBucketDfCap=1000, so until now the LOSSY path only fired at
+    // toy caps. Plant a dup group ABOVE the real cap on a real corpus:
+    // the capped join must drop the whole group — no pairwise work — and
+    // the monitoring pair must quantify exactly the predicted loss.
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    def census(d: org.apache.spark.sql.DataFrame) =
+      Dedup.dedupRecallCensus(d,
+        Dedup.dedupClusters(Dedup.minhashCandidates(d, 4))).collect().head
+    val base = census(docs)
+    val n = Dedup.DefaultBucketDfCap + 50
+    val aug = Dedup.plantBoilerplate(docs, n)
+    // prediction side (g21, uncapped): the planted group is a df-n
+    // bucket in EVERY band — visible before the cap drops it
+    Dedup.lshBucketCensus(aug).collect().foreach { r =>
+      assert(r.getAs[Long]("max_bucket") >= n.toLong, r.toString)
+    }
+    // outcome side (g25): exactly C(n,2) pairs lost, nothing else moves
+    val got = census(aug)
+    val lost = n.toLong * (n - 1) / 2
+    assert(got.getAs[Long]("n_dup_groups") ===
+      base.getAs[Long]("n_dup_groups") + 1)
+    assert(got.getAs[Long]("exact_pairs") ===
+      base.getAs[Long]("exact_pairs") + lost)
+    assert(got.getAs[Long]("captured_pairs") ===
+      base.getAs[Long]("captured_pairs"),
+      "the organic capture must be untouched by the planted group")
+    assert(got.getAs[Long]("n_intact_groups") ===
+      base.getAs[Long]("n_intact_groups"))
+  }
+
   test("G2c: incremental index-side bucket cap shields a batch from hot corpus buckets") {
     // corpus: 4 identical docs (one hot bucket per band, df 4); batch:
     // one more copy. With cap=3 the index rows vanish -> no flag; with

@@ -1,8 +1,16 @@
 #!/usr/bin/env python3
 """Generate sf1 testdata (10x sf0.1) for memory-pressure/spill benching.
 
-Usage: python3 tools/gen_sf1.py [src_dir] [out_dir] [factor]
-       defaults: /root/testdata/sf0.1  /tmp/sf1  10
+Usage: python3 tools/gen_sf1.py [src_dir] [out_dir] [factor] [boiler_n]
+       defaults: /root/testdata/sf0.1  /tmp/sf1  10  0
+
+boiler_n > 0 additionally plants that many EXACT copies of one
+distinct-vocabulary boilerplate document (doc_ids from 900000000) —
+the bucket-df cap-stress variant (VERDICT r12 item 8): a dup group
+larger than DefaultBucketDfCap=1000 saturates all of its LSH buckets,
+the capped join drops it wholesale, and the g25 recall census must
+report exactly C(boiler_n, 2) lost pairs. The baseline sf1 sweep uses
+boiler_n = 0; mirror of Dedup.plantBoilerplate.
 
 The driver's testdata stops at sf0.1; the 20x ScaleDemo replicates rows
 in-memory, which stresses candidate DENSITY but not CARDINALITY growth
@@ -43,6 +51,7 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
 F = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+BOILER_N = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
@@ -135,6 +144,17 @@ sink("events", f"""
 # documents: copy i>0 mutates ~10% of tokens (chosen by md5(token, i))
 # by appending '_<i>' — vocab and shingle space grow, near-dup structure
 # across copies is preserved (~0.8 Jaccard to the original).
+# boilerplate: exact copies of one disjoint-vocab doc (cap-stress)
+boiler_sql = ""
+if BOILER_N > 0:
+    btext = " ".join(f"boilerplate_probe_token_{i}" for i in range(1, 13))
+    boiler_sql = f"""
+  UNION ALL
+  SELECT 900000000 + u.i AS doc_id, '{btext}' AS text,
+         'xx' AS lang, 'probe' AS source,
+         CAST({len(btext)} AS BIGINT) AS n_chars
+  FROM (SELECT unnest(range(0, {BOILER_N})) AS i) u"""
+
 sink("documents", f"""
   WITH toks AS (
     SELECT doc_id, i,
@@ -149,7 +169,7 @@ sink("documents", f"""
          list_aggregate(tl, 'string_agg', ' ') AS text,
          lang, source,
          CAST(length(list_aggregate(tl, 'string_agg', ' ')) AS BIGINT) AS n_chars
-  FROM toks""")
+  FROM toks{boiler_sql}""")
 
 sink("embeddings", f"""
   SELECT vec_id + i * {KV} AS vec_id,
