@@ -31,10 +31,18 @@ object Contamination {
 
   /** Per-eval-doc contamination: distinct-shingle count, how many of
     * them occur anywhere in the train split, and the overlap ratio. */
-  def contaminationReport(docs: DataFrame, evalPct: Int): DataFrame = {
-    val evalSh = shingleHashRows(docs.where(expr(pctExpr) >= 100 - evalPct))
-      .distinct()
-    val trainSh = shingleHashRows(docs.where(expr(pctExpr) < 100 - evalPct))
+  def contaminationReport(docs: DataFrame, evalPct: Int): DataFrame =
+    contaminationFromShingles(shingleHashRows(docs).distinct(), evalPct)
+
+  /** [[contaminationReport]] over an existing DISTINCT (doc_id, sh_h)
+    * table. The eval/train split keys on doc_id alone, so filtering the
+    * shared shingle table is identical to shingling each filtered doc
+    * subset — the registered y3 reads the session-shared shingle build
+    * instead of re-shingling the corpus twice. */
+  private[graft] def contaminationFromShingles(shingles: DataFrame,
+      evalPct: Int): DataFrame = {
+    val evalSh = shingles.where(expr(pctExpr) >= 100 - evalPct)
+    val trainSh = shingles.where(expr(pctExpr) < 100 - evalPct)
       .select("sh_h").distinct()
     val perDoc = evalSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val hit = evalSh.join(trainSh, Seq("sh_h"), "left_semi")
@@ -58,8 +66,12 @@ object Contamination {
     * groupBy on the 56-bit hash joined back to the index — never a window
     * over sh_h (the y4 hot-shingle argument, SimilarityJoin.scala:53-61)
     * and never pairwise. Two key-reduced shuffles total. */
-  def dupNgramRate(docs: DataFrame): DataFrame = {
-    val sh = shingleHashRows(docs).distinct()
+  def dupNgramRate(docs: DataFrame): DataFrame =
+    dupNgramRateFromShingles(shingleHashRows(docs).distinct())
+
+  /** [[dupNgramRate]] over an existing DISTINCT (doc_id, sh_h) table
+    * (the registered y8 reads the session-shared shingle build). */
+  private[graft] def dupNgramRateFromShingles(sh: DataFrame): DataFrame = {
     val docFreq = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
     sh.join(docFreq, "sh_h")
       .groupBy("doc_id")
@@ -93,7 +105,8 @@ object ContaminationQueries {
 
   val qs: Seq[Q] = Seq(
     Q("y3_contamination",
-      (s, d) => contaminationReport(Tables.documents(s, d), 10)
+      (s, d) => contaminationFromShingles(
+          DedupQueries.sharedShingles(s, d), 10)
         .orderBy("doc_id"),
       Some(s"""WITH ${shingleCte("ev", s"$pctSql >= 90")},
               |${shingleCte("tr", s"$pctSql < 90")},
@@ -113,7 +126,8 @@ object ContaminationQueries {
         "shingle overlap per held-out doc, never pairwise"),
 
     Q("y8_dup_ngram_rate",
-      (s, d) => dupNgramRate(Tables.documents(s, d)).orderBy("doc_id"),
+      (s, d) => dupNgramRateFromShingles(DedupQueries.sharedShingles(s, d))
+        .orderBy("doc_id"),
       Some(s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
               |s AS (
               |  SELECT DISTINCT doc_id,

@@ -170,11 +170,21 @@ object Dedup {
     * aggregate: the `bands` mins are computed in ONE groupBy(doc_id) pass
     * and unpivoted with `stack` afterwards (rows out = docs × bands, same
     * schema as before). */
-  def minhashSignature(docs: DataFrame, bands: Int): DataFrame = {
+  def minhashSignature(docs: DataFrame, bands: Int): DataFrame =
+    signatureFromShingles(shingleHashRows(docs), bands)
+
+  /** [[minhashSignature]]'s aggregate over an existing (doc_id, sh_h)
+    * shingle table — the from-parts entry the session-shared builds use
+    * ([[DedupQueries.sharedSignatures]] feeds from the materialized
+    * shingle table instead of re-shingling the corpus). min() over the
+    * shingle MULTISET equals min() over the distinct set, so feeding the
+    * distinct shared table is value-identical to the docs path. */
+  private[graft] def signatureFromShingles(shingles: DataFrame,
+      bands: Int): DataFrame = {
     val mins = (0 until bands).map(b =>
       min(expr(affinePerm(b, "sh_h"))).as(s"m$b"))
     val stackArgs = (0 until bands).map(b => s"$b, m$b").mkString(", ")
-    shingleHashRows(docs)
+    shingles
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
@@ -194,14 +204,24 @@ object Dedup {
     * smallest colliding corpus doc id. */
   def minhashIncremental(existing: DataFrame, incoming: DataFrame,
                          bands: Int,
-                         bucketCap: Int = DefaultBucketDfCap): DataFrame = {
+                         bucketCap: Int = DefaultBucketDfCap): DataFrame =
+    incrementalFromSig(minhashSignature(existing, bands),
+      minhashSignature(incoming, bands), bucketCap)
+
+  /** [[minhashIncremental]] over existing signature tables — signatures
+    * are PER-DOC, so a doc-subset's signature table is exactly the full
+    * table filtered by doc_id, and the registered split query can serve
+    * both sides from one shared signature build. */
+  private[graft] def incrementalFromSig(existingSig: DataFrame,
+      incomingSig: DataFrame,
+      bucketCap: Int = DefaultBucketDfCap): DataFrame = {
     // The INDEX side is bucket-capped (see DefaultBucketDfCap): an
     // incoming row landing in a degenerate corpus bucket would join
     // |bucket| rows, so capping the index bounds the per-batch emission
     // at |batch| × bands × cap. The batch's own buckets never self-join.
-    val idx = cappedSignature(minhashSignature(existing, bands), bucketCap)
+    val idx = cappedSignature(existingSig, bucketCap)
       .select(col("band"), col("minh"), col("doc_id").as("corpus_doc"))
-    minhashSignature(incoming, bands)
+    incomingSig
       .join(idx, Seq("band", "minh"))
       .groupBy("doc_id")
       .agg(countDistinct(col("band")).as("n_bands_hit"),
@@ -275,8 +295,16 @@ object Dedup {
     * once at runtime, and the full plan stays auditable with explain()
     * (see PLANS.md). */
   def minhashCandidates(docs: DataFrame, bands: Int,
-                        bucketCap: Int = DefaultBucketDfCap): DataFrame = {
-    val sig = cappedSignature(minhashSignature(docs, bands), bucketCap)
+                        bucketCap: Int = DefaultBucketDfCap): DataFrame =
+    candidatesFromSig(minhashSignature(docs, bands), bucketCap)
+
+  /** The capped bucket self-join over an existing signature table —
+    * [[DedupQueries.sharedCandidates]] feeds this from the materialized
+    * shared signature table so the corpus is shingled and min-hashed
+    * once per session, not once per candidate consumer. */
+  private[graft] def candidatesFromSig(rawSig: DataFrame,
+      bucketCap: Int = DefaultBucketDfCap): DataFrame = {
+    val sig = cappedSignature(rawSig, bucketCap)
     sig.as("a").join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.minh") === col("b.minh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -291,8 +319,15 @@ object Dedup {
     * [[DefaultBucketDfCap]]) these are the two knobs that keep the LSH
     * join bounded as the corpus grows. */
   def minhashNearDups(docs: DataFrame, bands: Int, minShared: Int,
-                      bucketCap: Int = DefaultBucketDfCap): DataFrame = {
-    val sig = cappedSignature(minhashSignature(docs, bands), bucketCap)
+                      bucketCap: Int = DefaultBucketDfCap): DataFrame =
+    nearDupsFromSig(minhashSignature(docs, bands), minShared, bucketCap)
+
+  /** The AND-amplified bucket self-join over an existing signature
+    * table — the registered e4/e5 audits feed this from the shared
+    * signature build instead of re-shingling per query. */
+  private[graft] def nearDupsFromSig(rawSig: DataFrame, minShared: Int,
+      bucketCap: Int = DefaultBucketDfCap): DataFrame = {
+    val sig = cappedSignature(rawSig, bucketCap)
     sig.as("a").join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.minh") === col("b.minh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -573,7 +608,12 @@ object Dedup {
     * boilerplate-dominated corpus — the two failure modes the banded
     * join inherits. Two combinable rollups; |bands| output rows. */
   def lshBucketCensus(docs: DataFrame, bands: Int = 4): DataFrame =
-    minhashSignature(docs, bands)
+    lshBucketCensusFromSig(minhashSignature(docs, bands))
+
+  /** [[lshBucketCensus]] over an existing signature table (the
+    * registered g21 reads the shared session signature build). */
+  private[graft] def lshBucketCensusFromSig(sig: DataFrame): DataFrame =
+    sig
       .groupBy("band", "minh").agg(count(lit(1)).as("c"))
       .groupBy("band")
       .agg(count(lit(1)).as("n_buckets"), max("c").as("max_bucket"),
@@ -591,10 +631,16 @@ object Dedup {
     * (the same join every candidate generator pays), reduced to a
     * shared-band histogram; the ladder is a cumulative window over the
     * |bands|-row spine — nothing per-pair survives the first groupBy. */
-  def bandAgreementCurve(docs: DataFrame, bands: Int = 4): DataFrame = {
-    val hist = minhashNearDups(docs, bands, 1)
+  def bandAgreementCurve(docs: DataFrame, bands: Int = 4): DataFrame =
+    bandAgreementFromSig(minhashSignature(docs, bands), bands)
+
+  /** [[bandAgreementCurve]] over an existing signature table (the
+    * registered g24 reads the shared session signature build). */
+  private[graft] def bandAgreementFromSig(sig: DataFrame,
+      bands: Int = 4): DataFrame = {
+    val hist = nearDupsFromSig(sig, 1)
       .groupBy("shared_bands").agg(count(lit(1)).as("n"))
-    val spine = docs.sparkSession.range(1, bands + 1)
+    val spine = sig.sparkSession.range(1, bands + 1)
       .select(col("id").as("min_bands"))
     val cw = Window.orderBy(col("min_bands").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -616,7 +662,12 @@ object Dedup {
     * blow-up made visible as a number). Both rollups are combinable;
     * output is ≤ ~10 rows at any corpus size. */
   def shingleDfCensus(docs: DataFrame): DataFrame =
-    shingleHashRows(docs).distinct()
+    dfCensusFromShingles(shingleHashRows(docs).distinct())
+
+  /** [[shingleDfCensus]] over an existing DISTINCT (doc_id, sh_h) table
+    * (the registered g19 reads the shared session shingle build). */
+  private[graft] def dfCensusFromShingles(shingles: DataFrame): DataFrame =
+    shingles
       .groupBy("sh_h").agg(count(lit(1)).as("df"))
       .select(expr("cast(length(cast(df as string)) as bigint)")
         .as("df_digits"), col("df"))
@@ -704,8 +755,15 @@ object Dedup {
     * is at most |sources|² rows out of a map-side-combinable groupBy.
     * Mean Jaccard sums micro-quantized integers, so aggregation order
     * cannot shift it. */
-  def sourceOverlap(docs: DataFrame, t: Double): DataFrame = {
-    val pairs = SimilarityJoin.jaccardThresholdJoin(docs, t)
+  def sourceOverlap(docs: DataFrame, t: Double): DataFrame =
+    sourceOverlapFromPairs(docs, SimilarityJoin.jaccardThresholdJoin(docs, t))
+
+  /** [[sourceOverlap]]'s rollup over an existing (doc_a, doc_b, jaccard)
+    * pair table — the registered g16 reads the shared session
+    * threshold-join build instead of re-running the exact join. */
+  private[graft] def sourceOverlapFromPairs(docs: DataFrame,
+      jacPairs: DataFrame): DataFrame = {
+    val pairs = jacPairs
       .select(col("doc_a"), col("doc_b"),
         expr("cast(floor(jaccard * 1000000.0 + 0.5) as bigint)").as("mj"))
     val src = docs.select(col("doc_id"), col("source"))
@@ -759,14 +817,20 @@ object DedupQueries {
     * purge without killing the suite-shared context. */
   private[graft] def evictStopped(
       dead: SparkSession => Boolean = _.sparkContext.isStopped): Unit =
-    Seq(clusterCache, candCache).foreach { m =>
-      val it = m.keySet().iterator()
-      while (it.hasNext) if (dead(it.next()._1)) it.remove()
-    }
+    Seq(clusterCache, candCache, shingleCache, sigCache, jacCache,
+        winnowCache)
+      .foreach { m =>
+        val it = m.keySet().iterator()
+        while (it.hasNext) if (dead(it.next()._1)) it.remove()
+      }
 
-  /** Test hook: current (cluster, candidate) cache entry counts. */
-  private[graft] def cacheSizes: (Int, Int) =
-    (clusterCache.size(), candCache.size())
+  /** Test hook: entry counts across ALL session-shared caches
+    * (clusters, candidates, shingles, signatures, jaccard pairs,
+    * winnow fingerprints). */
+  private[graft] def cacheSizes: Seq[Int] =
+    Seq(clusterCache, candCache, shingleCache, sigCache, jacCache,
+        winnowCache)
+      .map(_.size())
 
   /** Session-shared materialized LSH candidate-pair table — the same
     * persisted-table discipline one level lower: the signature build +
@@ -781,7 +845,70 @@ object DedupQueries {
   private[graft] def sharedCandidates(s: SparkSession, d: String): DataFrame = {
     evictStopped()
     candCache.computeIfAbsent((s, d),
-      _ => Materialize.frame(minhashCandidates(docs(s, d), 4)))
+      _ => Materialize.frame(candidatesFromSig(sharedSignatures(s, d))))
+  }
+
+  /** Session-shared materialized DISTINCT (doc_id, sh_h) shingle table —
+    * the bottom of the shared-build ladder (shingles → signatures →
+    * candidates → clusters, plus the exact threshold join). Every
+    * shingle consumer (signature build, inverted-index joins g4/g15,
+    * df census g19, contamination y3, dup-exposure y8, the prefix-
+    * filtered exact join) reads this one stored table; at warehouse
+    * scale it is THE persisted shingle index a pipeline maintains,
+    * computed at ingest and read by every dedup/similarity job. Content
+    * is a pure function of the corpus, so populate order cannot change
+    * any result. */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private[graft] def sharedShingles(s: SparkSession, d: String): DataFrame = {
+    evictStopped()
+    shingleCache.computeIfAbsent((s, d),
+      _ => Materialize.frame(shingleHashRows(docs(s, d)).distinct()))
+  }
+
+  /** Session-shared materialized 4-band minhash signature table, built
+    * from [[sharedShingles]] (min over the distinct shingle set equals
+    * min over the multiset, so this is value-identical to signing the
+    * raw shingle stream). Consumers: the candidate build, the uncapped
+    * bucket census g21, the band-agreement curve g24, the split
+    * incremental g13 (signatures are per-doc, so a doc-subset's table
+    * is a doc_id filter of this one), and the e4/e5 near-dup audits. */
+  private val sigCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private[graft] def sharedSignatures(s: SparkSession, d: String): DataFrame = {
+    evictStopped()
+    sigCache.computeIfAbsent((s, d),
+      _ => Materialize.frame(signatureFromShingles(sharedShingles(s, d), 4)))
+  }
+
+  /** Session-shared materialized exact threshold-Jaccard pair table
+    * (prefix-filtered All-Pairs join at t = 0.5 over [[sharedShingles]])
+    * — the truth-set side of the dedup-quality family. y4 returns it,
+    * g16 rolls it up by source, g14 grades the LSH candidates against
+    * it; before this table existed each of the three re-ran the full
+    * exact join. */
+  private val jacCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private[graft] def sharedJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    evictStopped()
+    jacCache.computeIfAbsent((s, d),
+      _ => Materialize.frame(
+        SimilarityJoin.prefixJoin(sharedShingles(s, d), 0.5)))
+  }
+
+  /** Session-shared materialized winnow-fingerprint table (t15's
+    * (doc_id, fp_pos, fp) selection over the positional shingle
+    * sequence). The winnowed index is the ~2/(w+1)-density sibling of
+    * [[sharedShingles]] — the table a MOSS-style pipeline persists —
+    * and positions don't survive the distinct shingle set, so it is its
+    * own build, not derivable from the shingle table. t15 returns it;
+    * y9's candidate join reads it instead of re-winnowing the corpus. */
+  private val winnowCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private[graft] def sharedWinnowFps(s: SparkSession, d: String): DataFrame = {
+    evictStopped()
+    winnowCache.computeIfAbsent((s, d),
+      _ => Materialize.frame(TextAnalysis.winnowFingerprints(docs(s, d))))
   }
 
   private val toksSql = "list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '')"
@@ -873,7 +1000,7 @@ object DedupQueries {
         "existing corpus's norm index, then deduped within itself"),
 
     Q("g2_minhash_sig",
-      (s, d) => minhashSignature(docs(s, d), 4).orderBy("doc_id", "band"),
+      (s, d) => sharedSignatures(s, d).orderBy("doc_id", "band"),
       Some(s"""WITH $shinglesSqlCte,
               |$sigSqlCtes
               |SELECT doc_id, band, minh
@@ -881,7 +1008,7 @@ object DedupQueries {
       doc = "G2a banded MinHash signatures (one md5 per shingle + affine band permutations)"),
 
     Q("g2_minhash_pairs",
-      (s, d) => minhashCandidates(docs(s, d), 4).orderBy("doc_a", "doc_b"),
+      (s, d) => sharedCandidates(s, d).orderBy("doc_a", "doc_b"),
       Some(s"""WITH $shinglesSqlCte,
               |$cappedSigSqlCtes
               |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -947,9 +1074,9 @@ object DedupQueries {
         "bucket-join + contraction build for the whole g6/g11/g17 family"),
 
     Q("g13_incremental_neardup",
-      (s, d) => minhashIncremental(
-          docs(s, d).where(col("doc_id") % 2 === 0),
-          docs(s, d).where(col("doc_id") % 2 === 1), 4)
+      (s, d) => incrementalFromSig(
+          sharedSignatures(s, d).where(col("doc_id") % 2 === 0),
+          sharedSignatures(s, d).where(col("doc_id") % 2 === 1))
         .orderBy("doc_id"),
       Some(s"""WITH $shinglesSqlCte,
               |$sigSqlCtes,
@@ -1012,7 +1139,7 @@ object DedupQueries {
         "clustering build)"),
 
     Q("g4_ngram_jaccard",
-      (s, d) => ngramJaccardTop(docs(s, d), 20),
+      (s, d) => ngramJaccardJoin(sharedShingles(s, d), 20),
       // the oracle applies the SAME df cap, so the gate checks the capped
       // semantics end-to-end (at sf0.01 the cap is never hit — every
       // shingle's df <= corpus size << cap — so this also equals the
@@ -1044,7 +1171,7 @@ object DedupQueries {
         "plan-dump paths"),
 
     Q("g15_containment",
-      (s, d) => containmentTop(docs(s, d), 20),
+      (s, d) => containmentJoin(sharedShingles(s, d), 20),
       // same capped CTE chain as g4; the score is Broder containment
       // inter/min(|A|,|B|) instead of Jaccard
       Some(s"""WITH $shinglesSqlCte,
@@ -1073,7 +1200,7 @@ object DedupQueries {
         "misses. EAGER (viaSharedScan)"),
 
     Q("g16_source_overlap",
-      (s, d) => sourceOverlap(docs(s, d), 0.5),
+      (s, d) => sourceOverlapFromPairs(docs(s, d), sharedJaccardPairs(s, d)),
       // the pair table is y4's NAIVE oracle (pruning proven lossless
       // there), rolled up to the ordered source-pair matrix
       Some(s"""WITH $shinglesSqlCte,
@@ -1107,7 +1234,9 @@ object DedupQueries {
               |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       doc = "G16 cross-source near-dup overlap matrix: y4's threshold " +
         "pairs rolled up per ordered source pair with micro-quantized " +
-        "mean Jaccard — the feed-redundancy census. EAGER (via y4)",
+        "mean Jaccard — the feed-redundancy census. EAGER: reads the " +
+        "session-shared threshold-pair table (one exact join serves " +
+        "y4/g14/g16)",
     ),
 
     Q("g17_cluster_sizes",
@@ -1139,7 +1268,7 @@ object DedupQueries {
         "|distinct sizes|"),
 
     Q("g19_shingle_df_census",
-      (s, d) => Dedup.shingleDfCensus(docs(s, d)),
+      (s, d) => Dedup.dfCensusFromShingles(sharedShingles(s, d)),
       Some(s"""WITH $shinglesSqlCte,
               |ss AS (SELECT DISTINCT doc_id,
               |        ('0x' || substr(md5(sh), 1, 14))::BIGINT AS sh_h FROM sh),
@@ -1156,7 +1285,7 @@ object DedupQueries {
         "any corpus size"),
 
     Q("g21_lsh_bucket_census",
-      (s, d) => Dedup.lshBucketCensus(docs(s, d)),
+      (s, d) => Dedup.lshBucketCensusFromSig(sharedSignatures(s, d)),
       Some(s"""WITH $shinglesSqlCte,
               |$sigSqlCtes,
               |bk AS (SELECT band, minh, CAST(count(*) AS BIGINT) AS c
@@ -1172,7 +1301,7 @@ object DedupQueries {
         "combinable rollups, |bands| rows"),
 
     Q("g24_band_agreement",
-      (s, d) => Dedup.bandAgreementCurve(docs(s, d)),
+      (s, d) => Dedup.bandAgreementFromSig(sharedSignatures(s, d), 4),
       Some(s"""WITH $shinglesSqlCte,
               |$cappedSigSqlCtes,
               |ps AS (

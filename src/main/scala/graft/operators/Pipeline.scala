@@ -324,7 +324,8 @@ object PipelineQueries {
         import graft.functions.Parity
         val q = TextAnalysis.qualityScore(Tables.documents(s, d))
           .select(col("doc_id"), col("quality"), col("n_tokens"))
-        val dropped = Dedup.minhashNearDups(Tables.documents(s, d), 4, 4)
+        val dropped = Dedup.nearDupsFromSig(
+            DedupQueries.sharedSignatures(s, d), 4)
           .select(col("doc_b").as("doc_id")).distinct()
           .withColumn("dr", lit(1L))
         q.join(dropped, Seq("doc_id"), "left")
@@ -388,7 +389,8 @@ object PipelineQueries {
               col("p_alpha")).as("pq"))
         val exactKept = Dedup.exactDedup(docs)
           .select(col("doc_id")).withColumn("ke", lit(1L))
-        val nearDropped = Dedup.minhashNearDups(docs, 4, 4)
+        val nearDropped = Dedup.nearDupsFromSig(
+            DedupQueries.sharedSignatures(s, d), 4)
           .select(col("doc_b").as("doc_id")).distinct()
           .withColumn("nd", lit(1L))
         flags.join(exactKept, Seq("doc_id"), "left")

@@ -117,9 +117,17 @@ object SimilarityJoin {
     * left-semi join on the pair key and the three counts are 1-row
     * aggregates crossed together — nothing here scales with the corpus,
     * only with the pair counts the two generators already bound. */
-  def minhashQuality(docs: DataFrame, bands: Int, t: Double): DataFrame = {
-    val cand = Dedup.minhashCandidates(docs, bands)
-    val truth = jaccardThresholdJoin(docs, t).select("doc_a", "doc_b")
+  def minhashQuality(docs: DataFrame, bands: Int, t: Double): DataFrame =
+    minhashQualityFromParts(Dedup.minhashCandidates(docs, bands),
+      jaccardThresholdJoin(docs, t))
+
+  /** [[minhashQuality]] over existing candidate and exact-pair tables —
+    * the registered g14 grades the SHARED session candidate build
+    * against the SHARED threshold-join table (the same stored pairs y4
+    * returns and g16 rolls up), instead of re-running both builds. */
+  private[graft] def minhashQualityFromParts(cand: DataFrame,
+      truthPairs: DataFrame): DataFrame = {
+    val truth = truthPairs.select("doc_a", "doc_b")
     val tp = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
     val ratio = (num: Column, den: Column) =>
       when(den > 0, pround(num.cast("double") / den.cast("double"), 6))
@@ -137,7 +145,7 @@ object SimilarityJoinQueries {
 
   val qs: Seq[Q] = Seq(
     Q("y4_jaccard_threshold",
-      (s, d) => jaccardThresholdJoin(Tables.documents(s, d), 0.5)
+      (s, d) => DedupQueries.sharedJaccardPairs(s, d)
         .orderBy("doc_a", "doc_b"),
       // the oracle is deliberately the NAIVE full inverted-index join —
       // matching it proves the prefix filter loses no qualifying pair
@@ -160,10 +168,12 @@ object SimilarityJoinQueries {
               |FROM j WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
       doc = "exact threshold similarity join (J >= 0.5) with All-Pairs " +
         "prefix filtering — oracle is the naive full join, proving the " +
-        "pruning lossless. EAGER (viaSharedScan)"),
+        "pruning lossless. EAGER: returns the session-shared " +
+        "materialized pair table (built once, also read by g14/g16)"),
 
     Q("g14_minhash_quality",
-      (s, d) => minhashQuality(Tables.documents(s, d), 4, 0.5),
+      (s, d) => minhashQualityFromParts(DedupQueries.sharedCandidates(s, d),
+        DedupQueries.sharedJaccardPairs(s, d)),
       // candidates = the g2 banded-LSH pipeline; truth = the y4 naive
       // exact join — both oracles reused verbatim so the quality census
       // is measured against the SAME definitions the paired queries pin
@@ -201,6 +211,7 @@ object SimilarityJoinQueries {
       doc = "LSH quality census: precision/recall of banded MinHash " +
         "candidates vs the exact Jaccard>=0.5 truth set - measured " +
         "generator quality in-result (the s6 discipline applied to " +
-        "dedup), both sides already-reduced pair tables"),
+        "dedup); both sides read the session-shared candidate and " +
+        "threshold-pair tables (the same stored frames g2/y4 return)"),
   )
 }

@@ -578,8 +578,16 @@ object TextAnalysis {
     * is the winnowed ~2/(w+1) subset instead of every shingle — the
     * practical near-dup path when full shingle indexing is too big. */
   def winnowCandidates(docs: DataFrame, w: Int = 4,
+      dfCap: Int = Dedup.DefaultShingleDfCap): DataFrame =
+    candidatesFromFps(winnowFingerprints(docs, w), dfCap)
+
+  /** [[winnowCandidates]]' inverted-index join over an existing
+    * fingerprint table — the registered y9 reads the session-shared
+    * winnow build ([[DedupQueries.sharedWinnowFps]]) instead of
+    * re-winnowing the corpus. */
+  private[graft] def candidatesFromFps(fps: DataFrame,
       dfCap: Int = Dedup.DefaultShingleDfCap): DataFrame = {
-    val fp = winnowFingerprints(docs, w).select(col("doc_id"), col("fp"))
+    val fp = fps.select(col("doc_id"), col("fp"))
       .distinct()
     val docFreq = fp.groupBy("fp").agg(count(lit(1)).as("df"))
     val bounded = fp.join(docFreq.where(col("df") <= dfCap), "fp")
@@ -1655,7 +1663,7 @@ object TextAnalysisQueries {
         "raw zone"),
 
     Q("t15_winnow",
-      (s, d) => winnowFingerprints(docs(s, d)).orderBy("doc_id", "fp_pos"),
+      (s, d) => DedupQueries.sharedWinnowFps(s, d).orderBy("doc_id", "fp_pos"),
       Some(s"""WITH $winnowSqlCte
               |SELECT doc_id, fp_pos, fp FROM wfp
               |ORDER BY doc_id, fp_pos""".stripMargin),
@@ -1663,10 +1671,12 @@ object TextAnalysisQueries {
         "rightmost-minimal shingle hash per sliding window of 4, as one " +
         "struct-min window aggregate - per-doc sequence op, one doc_id " +
         "shuffle, ~2/(w+1) of the full shingle index feeds downstream " +
-        "candidate joins"),
+        "candidate joins. EAGER: returns the session-shared materialized " +
+        "fingerprint table (also read by y9)"),
 
     Q("y9_winnow_candidates",
-      (s, d) => winnowCandidates(docs(s, d)).orderBy("doc_a", "doc_b"),
+      (s, d) => candidatesFromFps(DedupQueries.sharedWinnowFps(s, d))
+        .orderBy("doc_a", "doc_b"),
       Some(s"""WITH $winnowSqlCte,
               |f AS (SELECT DISTINCT doc_id, fp FROM wfp),
               |dfq AS (SELECT fp, count(*) AS df FROM f GROUP BY fp),
@@ -1679,7 +1689,8 @@ object TextAnalysisQueries {
       doc = "winnow-fingerprint candidate pairs (the MOSS shape): " +
         "df-capped inverted-index join over the SELECTED fingerprints " +
         "only - the same candidate discipline as g4 at ~2/(w+1) the " +
-        "index size, with shared-fingerprint evidence counts in-result"),
+        "index size, with shared-fingerprint evidence counts in-result. " +
+        "EAGER: reads the session-shared winnow table t15 returns"),
 
     Q("t18_source_kl",
       (s, d) => sourceUnigramKl(docs(s, d)).orderBy("source"),

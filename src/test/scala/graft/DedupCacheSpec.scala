@@ -2,31 +2,37 @@ package graft
 
 import graft.operators.DedupQueries
 
-/** The session-shared candidate/cluster caches must not grow across
-  * cycled sessions (VERDICT/ADVICE r12): every accessor purges entries
-  * whose owning session is dead before touching the map. A real
-  * `spark.stop()` would kill the suite-shared context (SparkSpec
-  * contract), so the purge is exercised through the injectable `dead`
-  * predicate; the default predicate (`sparkContext.isStopped`) is
-  * asserted live on the shared session.
+/** The session-shared build caches (clusters, candidates, shingles,
+  * signatures, jaccard pairs) must not grow across cycled sessions
+  * (VERDICT/ADVICE r12): every accessor purges entries whose owning
+  * session is dead before touching the map. A real `spark.stop()` would
+  * kill the suite-shared context (SparkSpec contract), so the purge is
+  * exercised through the injectable `dead` predicate; the default
+  * predicate (`sparkContext.isStopped`) is asserted live on the shared
+  * session.
   */
 class DedupCacheSpec extends SparkSpec {
 
+  private def total: Int = DedupQueries.cacheSizes.sum
+
   test("cycled sessions do not accumulate cache entries; live sessions are kept") {
     val dir = sf("sf0.001")
+    val before = total
     val s1 = spark.newSession()
     DedupQueries.sharedCandidates(s1, dir).count()
-    val base = DedupQueries.cacheSizes._2
-    assert(base >= 1)
+    val perSession = total - before
+    // the layered build populates the whole ladder below candidates
+    // (shingles, signatures, candidates at minimum)
+    assert(perSession >= 3, DedupQueries.cacheSizes.toString)
 
-    // a second session gets its own entry (keyed by (session, dir))
+    // a second session gets its own entries (keyed by (session, dir))
     val s2 = spark.newSession()
     DedupQueries.sharedCandidates(s2, dir).count()
-    assert(DedupQueries.cacheSizes._2 == base + 1)
+    assert(total == before + 2 * perSession)
 
     // s1 "ends": the next purge drops exactly its entries, keeps s2's
     DedupQueries.evictStopped(s => s eq s1)
-    assert(DedupQueries.cacheSizes._2 == base)
+    assert(total == before + perSession)
 
     // N sequential create-use-end cycles leave the count flat — the
     // Bench fresh-session-per-pass pattern cannot leak
@@ -34,13 +40,13 @@ class DedupCacheSpec extends SparkSpec {
       val sn = spark.newSession()
       DedupQueries.sharedCandidates(sn, dir)
       DedupQueries.evictStopped(s => s eq sn)
-      assert(DedupQueries.cacheSizes._2 == base)
+      assert(total == before + perSession)
     }
 
     // the default predicate is the real signal: a normal access on a
     // live session purges nothing (shared context is not stopped)
     assert(!spark.sparkContext.isStopped)
     DedupQueries.sharedCandidates(s2, dir)
-    assert(DedupQueries.cacheSizes._2 == base)
+    assert(total == before + perSession)
   }
 }

