@@ -112,7 +112,12 @@ def drift(bench_paths):
     # per-query multiplier overrides for queries with MEASURED same-code
     # variance beyond the default 1.5x (see BENCH_BASELINE.json notes —
     # each override must cite its evidence there)
-    tol = base.get("tolerance_overrides", {})
+    # Scale-specific overrides first (e.g. tolerance_overrides_sf1 for
+    # the clique-pair queries whose sf1 times swing >1.5x same-code
+    # under TaskMemoryManager spill pressure), then the shared map.
+    tol = dict(base.get("tolerance_overrides", {}))
+    if key != "queries":
+        tol.update(base.get(f"tolerance_overrides_{key[len('queries_'):]}", {}))
     runs = [_bench_times(p) for p in bench_paths]
     common = set(runs[0])
     for r in runs[1:]:
