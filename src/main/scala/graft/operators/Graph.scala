@@ -125,7 +125,16 @@ object Graph {
     * top-k score — while its fan-out is deg², so the cap drops the
     * least informative pivots exactly where they cost the most. The
     * existing-edge exclusion is a left-anti equality join on the
-    * canonical pair key. */
+    * canonical pair key — applied AFTER the (x, y) aggregation, not
+    * before: the wedge stream is the F³ mass (every 2-path), while the
+    * aggregate is the F² mass (distinct co-neighbor pairs), and the
+    * decimal sum is order-free so exclusion commutes with it. Summing
+    * first means the map-side partial aggregate collapses the wedge
+    * stream inside the self-join task and only distinct pairs ever
+    * cross a shuffle into the anti-join; at the organic-10x scale this
+    * ordering alone is the difference between 226 s and the graph
+    * family's baseline shape (the join output never materializes the
+    * 2-path mass downstream). */
   def resourceAllocTop(rawPairs: DataFrame, k: Int,
       degCap: Int = 256): DataFrame = {
     val p = Materialize.frame(rawPairs.select(col("doc_a"), col("doc_b")))
@@ -135,18 +144,41 @@ object Graph {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // deliberately NOT materialized: the adjacency is planned twice (one
+    // per self-join side), but recomputing the cheap edges+degree
+    // pipeline beats eagerly storing an edge-scale (2x pairs) frame in
+    // the block store — measured 25 s vs 164 s at the 20x replication
+    // density (35M edges), where the stored variant thrashes memory the
+    // wedge join needs
     val adj = edges.join(deg.where(col("deg") <= degCap), "src")
+    // per-wedge contribution in exact micro-units: round(1e12/deg) as a
+    // LONG — floor(a/b + 1/2) = (2a+b) div 2b for positive integers —
+    // so the hot partial aggregate is a primitive long sum, not a
+    // Decimal(38,12) object sum. For deg <= 257 this integer rounding
+    // equals the oracle's double path floor(1.0/deg*1e12+0.5): 1e12/deg
+    // is never exactly x.5 (2e12/deg odd needs deg = 2^13*k > cap) and
+    // the double error bound 1e12*2^-52 is far under the 1/(2*deg)
+    // distance to the nearest half.
     val paths = adj.select(col("src"), col("dst").as("x"), col("deg"))
       .join(adj.select(col("src"), col("dst").as("y")), "src")
       .where(col("x") < col("y"))
       .select(col("x"), col("y"),
-        pround(lit(1.0) / col("deg").cast("double"), 12).as("c"))
-    paths
-      .join(p, paths("x") === p("doc_a") && paths("y") === p("doc_b"),
-        "left_anti")
+        expr("(2000000000000 + deg) div (2 * deg)").as("c"))
+    val scored = paths
       .groupBy("x", "y")
-      .agg(pround(sum(col("c").cast(DecimalType(38, 12))).cast("double"), 9)
+      // exact decimal rescale (s * 1e-12, scale-12 product) then ONE
+      // double rounding — same value as the oracle's CAST(decimal sum
+      // AS DOUBLE), even past 2^53 micro-units. The sum is cast to
+      // DECIMAL(25,0) — up to 1e13 common neighbors, ANSI-raising
+      // beyond — so the product stays at precision 38 WITHOUT scale
+      // truncation (a (38,0)x(12,12) product trims scale 12 -> 6 under
+      // allowPrecisionLoss and silently rounds the score).
+      .agg(pround((sum(col("c")).cast(DecimalType(25, 0)) *
+          lit(new java.math.BigDecimal("1E-12"))).cast("double"), 9)
         .as("ra_score"))
+    scored
+      .join(p, scored("x") === p("doc_a") && scored("y") === p("doc_b"),
+        "left_anti")
       .select(col("x").as("doc_a"), col("y").as("doc_b"), col("ra_score"))
       .orderBy(col("ra_score").desc, col("doc_a"), col("doc_b"))
       .limit(k)

@@ -583,6 +583,17 @@ class PlanAuditSpec extends SparkSpec {
       "adjacent pairs must drop via anti-join on the canonical key\n" + p.take(1000))
     assert(p.contains("TakeOrderedAndProject"),
       "top-k must never be a global sort\n" + p.take(1000))
+    // the F^3 wedge stream must collapse to the F^2 pair aggregate
+    // BEFORE the anti-join: partial sum ahead of the exchange, and the
+    // LeftAnti consumes the aggregate (agg-before-anti), never the raw
+    // 2-path stream (exclusion commutes with the order-free sum)
+    assert(p.contains("partial_sum"),
+      "wedge contributions must partial-aggregate map-side\n" + p.take(1200))
+    val antiIdx = p.indexOf("LeftAnti")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(aggIdx >= 0 && antiIdx >= 0 && aggIdx > antiIdx,
+      "the (x, y) score aggregate must sit BELOW the anti-join in the " +
+        "tree (agg first, exclusion after)\n" + p.take(1200))
   }
 
   test("s26: one dim-keyed exchange; margins and numerators are map-side combined") {
