@@ -801,7 +801,7 @@ object DedupQueries {
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private[graft] def sharedClusters(s: SparkSession, d: String): DataFrame = {
-    evictStopped()
+    evictStale(s)
     clusterCache.computeIfAbsent((s, d),
       _ => dedupClusters(sharedCandidates(s, d)))
   }
@@ -824,6 +824,36 @@ object DedupQueries {
         while (it.hasNext) if (dead(it.next()._1)) it.remove()
       }
 
+  /** `isStopped` only covers harnesses that cycle the whole context
+    * (Bench). Sessions cycled via `SparkSession.newSession()` share one
+    * LIVE context, so without a second bound a newSession-per-request
+    * pattern grows the caches (and their checkpointed blocks) without
+    * limit (ADVICE r13). When more than [[MaxCachedSessions]] distinct
+    * live sessions accumulate, everything not owned by the session
+    * making the current call is dropped — safe because every cached
+    * table is a pure function of the corpus, so the worst case for a
+    * genuinely-concurrent session is one recompute, never a wrong
+    * result. */
+  private[graft] val MaxCachedSessions = 4
+  private[graft] def boundSessions(current: SparkSession): Unit =
+    Seq(clusterCache, candCache, shingleCache, sigCache, jacCache,
+        winnowCache)
+      .foreach { m =>
+        val distinct = new java.util.HashSet[SparkSession]
+        m.keySet().forEach(k => { distinct.add(k._1); () })
+        if (distinct.size > MaxCachedSessions) {
+          val it = m.keySet().iterator()
+          while (it.hasNext) if (it.next()._1 ne current) it.remove()
+        }
+      }
+
+  /** Per-accessor hygiene: purge stopped-context entries, then bound the
+    * distinct-session count for the shared-context cycling pattern. */
+  private def evictStale(current: SparkSession): Unit = {
+    evictStopped()
+    boundSessions(current)
+  }
+
   /** Test hook: entry counts across ALL session-shared caches
     * (clusters, candidates, shingles, signatures, jaccard pairs,
     * winnow fingerprints). */
@@ -843,7 +873,7 @@ object DedupQueries {
   private val candCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private[graft] def sharedCandidates(s: SparkSession, d: String): DataFrame = {
-    evictStopped()
+    evictStale(s)
     candCache.computeIfAbsent((s, d),
       _ => Materialize.frame(candidatesFromSig(sharedSignatures(s, d))))
   }
@@ -861,7 +891,7 @@ object DedupQueries {
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private[graft] def sharedShingles(s: SparkSession, d: String): DataFrame = {
-    evictStopped()
+    evictStale(s)
     shingleCache.computeIfAbsent((s, d),
       _ => Materialize.frame(shingleHashRows(docs(s, d)).distinct()))
   }
@@ -876,7 +906,7 @@ object DedupQueries {
   private val sigCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private[graft] def sharedSignatures(s: SparkSession, d: String): DataFrame = {
-    evictStopped()
+    evictStale(s)
     sigCache.computeIfAbsent((s, d),
       _ => Materialize.frame(signatureFromShingles(sharedShingles(s, d), 4)))
   }
@@ -890,7 +920,7 @@ object DedupQueries {
   private val jacCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private[graft] def sharedJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    evictStopped()
+    evictStale(s)
     jacCache.computeIfAbsent((s, d),
       _ => Materialize.frame(
         SimilarityJoin.prefixJoin(sharedShingles(s, d), 0.5)))
@@ -906,7 +936,7 @@ object DedupQueries {
   private val winnowCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private[graft] def sharedWinnowFps(s: SparkSession, d: String): DataFrame = {
-    evictStopped()
+    evictStale(s)
     winnowCache.computeIfAbsent((s, d),
       _ => Materialize.frame(TextAnalysis.winnowFingerprints(docs(s, d))))
   }

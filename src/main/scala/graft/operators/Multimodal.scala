@@ -189,10 +189,19 @@ object Multimodal {
       var ch, sr, br, ds = -1L
       while (i + 8 <= b.length) {
         val id = ascii(i, 4); val sz = le32(i + 4)
-        if (id == "fmt " && i + 24 <= b.length) {
-          ch = le16(i + 10); sr = le32(i + 12); br = le32(i + 16)
-        } else if (id == "data") ds = sz
-        i += 8 + sz.toInt + (sz.toInt % 2) // RIFF chunks pad to even
+        // sz comes from untrusted bytes: Int-truncating a value like
+        // 0xFFFFFFF8 gives -8, zeroing or reversing the step (infinite loop
+        // / negative index). Any chunk that overruns the buffer ends the
+        // walk; a declared-but-truncated tail data chunk still counts.
+        if (sz > (b.length - i - 8).toLong) {
+          if (id == "data") ds = sz
+          i = b.length
+        } else {
+          if (id == "fmt " && i + 24 <= b.length) {
+            ch = le16(i + 10); sr = le32(i + 12); br = le32(i + 16)
+          } else if (id == "data") ds = sz
+          i += 8 + sz.toInt + (sz.toInt % 2) // RIFF chunks pad to even
+        }
       }
       if (ch < 0 || br <= 0 || ds < 0) unknown
       else ("wav", None, None, Some(ch), Some(sr), Some(ds * 1000L / br))

@@ -49,4 +49,26 @@ class DedupCacheSpec extends SparkSpec {
     DedupQueries.sharedCandidates(s2, dir)
     assert(total == before + perSession)
   }
+
+  test("newSession-per-request on one LIVE context stays bounded (ADVICE r13)") {
+    val dir = sf("sf0.001")
+    // start from empty maps so entries == sessions below (other suites
+    // may have left multi-dir entries; they rebuild on demand)
+    DedupQueries.evictStopped(_ => true)
+    assert(total == 0)
+    // sessions cycled via newSession() share a live context, so
+    // isStopped never fires for them; the distinct-session bound must
+    // cap growth on its own. Run past the cap's worth of
+    // request-sessions without ever stopping anything.
+    (1 to 2 * DedupQueries.MaxCachedSessions + 1).foreach { _ =>
+      DedupQueries.sharedCandidates(spark.newSession(), dir).count()
+      // cacheSizes is per-map; each map holds at most cap+1 sessions'
+      // entries (the bound evicts when the count EXCEEDS the cap), and
+      // for single-dir traffic entries == sessions
+      DedupQueries.cacheSizes.foreach { n =>
+        assert(n <= DedupQueries.MaxCachedSessions + 1,
+          DedupQueries.cacheSizes.toString)
+      }
+    }
+  }
 }

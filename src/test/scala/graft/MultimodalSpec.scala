@@ -151,6 +151,24 @@ class MultimodalSpec extends SparkSpec {
     // JPEG SOI with no SOF before EOI
     val noSof = Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)
     assert(Multimodal.parseContainerHeader(noSof)._1 === "unknown")
+    // RIFF chunk whose declared size Int-truncates negative (0xFFFFFFF8 ->
+    // -8): an unguarded walk steps 0 (infinite loop) or indexes negative
+    val bomb = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bomb.put("RIFF".getBytes); bomb.putInt(16); bomb.put("WAVE".getBytes)
+    bomb.put("LIST".getBytes); bomb.putInt(0xFFFFFFF8); bomb.putInt(0)
+    assert(Multimodal.parseContainerHeader(bomb.array())._1 === "unknown")
+    // same bomb size on a data chunk after a valid fmt: the declared-but-
+    // truncated data size is still reported, walk still terminates
+    val tb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tb.put("RIFF".getBytes); tb.putInt(36); tb.put("WAVE".getBytes)
+    tb.put("fmt ".getBytes); tb.putInt(16)
+    tb.putShort(1); tb.putShort(1); tb.putInt(8000); tb.putInt(16000)
+    tb.putShort(2); tb.putShort(16)
+    tb.put("data".getBytes); tb.putInt(32000) // claims 2 s, bytes absent
+    assert(Multimodal.parseContainerHeader(tb.array()) ===
+      (("wav", None, None, Some(1L), Some(8000L), Some(2000L))))
   }
 
   test("syntheticMedia containers parse back to their construction parameters") {

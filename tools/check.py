@@ -98,9 +98,16 @@ def drift(bench_paths):
     regression reproduces, noise lands somewhere else next run.
     """
     key = "queries"
-    if bench_paths and bench_paths[0] == "--scale":
-        scale = bench_paths[1]
-        bench_paths = bench_paths[2:]
+    # --scale may appear anywhere in the arg tail (before or between bench
+    # paths); consuming it positionally silently treated the flag as a
+    # bench filename and died on an unrelated open() error.
+    if "--scale" in bench_paths:
+        i = bench_paths.index("--scale")
+        if i + 1 >= len(bench_paths):
+            print("[FAIL] --scale requires a value (e.g. --scale sf1)")
+            sys.exit(2)
+        scale = bench_paths[i + 1]
+        bench_paths = bench_paths[:i] + bench_paths[i + 2:]
         key = "queries" if scale in ("sf0.1", "default") else f"queries_{scale}"
     base = json.load(open(os.path.join(os.path.dirname(__file__), "..",
                                        "BENCH_BASELINE.json")))
