@@ -126,6 +126,13 @@ object Plans {
         "frequency table BEFORE the pair explode, so the fan-out is " +
         "vocab-sized — the property that makes real BPE trainers " +
         "iterate cheaply — and the top-k is TakeOrderedAndProject."),
+    "t42_bpe_merges" ->
+      ("BPE merge loop: each of the 8 rounds reads the MATERIALIZED " +
+        "previous state (one vocab-table scan, no lineage re-derivation), " +
+        "partial-aggregates the pair counts map-side, takes the 1-row " +
+        "argmax via TakeOrderedAndProject, and broadcasts it back into " +
+        "a codegen'd per-row fold — the corpus is touched exactly once, " +
+        "by the (word, freq) reduce."),
     "y7_cdc_chunks" ->
       ("Content-defined chunking: the boundary flag is computed in the " +
         "scan projection, the running boundary count is a per-doc " +

@@ -91,6 +91,11 @@ object ScaleDemo {
         operators.Dedup.dedupClusters(operators.Dedup.minhashCandidates(d, 4))
           .count()),
       "simhash" -> (d => operators.Dedup.simhash(d).count()),
+      // vocab-sized state: replicating docs grows token COUNT but barely
+      // the vocab, so the merge loop's per-round cost should stay ~flat
+      // with the replication factor — the property that makes BPE
+      // training affordable at corpus scale
+      "bpe_merges" -> (d => operators.TextAnalysis.bpeMerges(d, 4).count()),
       "cms_sketch" -> (d => operators.Sketch.cmsSketch(d, 4, 64).count()),
       "langid" -> (d => operators.TextAnalysis.langId(d).count()),
       "hll_distinct" -> (d => operators.Stats.hllDistinctWords(d).count()),

@@ -392,6 +392,70 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair")).limit(k)
   }
 
+  /** Symbol-sequence delimiter for the BPE merge loop (U+001F unit
+    * separator — below every printable char, so ordering the joined
+    * pair string equals ordering the (lhs, rhs) tuple). A word's
+    * current segmentation is one string `s1s2...`;
+    * the greedy merge is then a single left-to-right string fold. */
+  private[operators] val BpeSep = "\u001f"
+
+  /** t42: the full iterative BPE merge loop (Sennrich et al. ACL'16) —
+    * what t12 computes the FIRST step of. Each round: (1) count
+    * frequency-weighted adjacent symbol pairs over the current
+    * segmentation of the distinct-word table, (2) pick the argmax pair
+    * (ties: lexicographic on (lhs, rhs)), (3) apply it greedily
+    * leftmost-non-overlapping to every word. The applied fold is
+    * `aggregate(syms, SEP, ...)` over the SEP-encoded segmentation:
+    * merge when the accumulator's last symbol is lhs and the next is
+    * rhs — exact greedy semantics incl. the lhs==rhs run case
+    * ([a,a,a] -> [aa,a], never [a,aa]), because a just-merged last
+    * symbol (lhs||rhs) can never string-equal lhs again.
+    *
+    * Scale shape: the training state is VOCAB-sized (distinct words),
+    * never corpus-sized — the token stream reduces to (word, freq)
+    * once, then each of the k rounds is one vocab-table scan (pair
+    * explode fans out ~word-length per row), one partial-agg'd pair
+    * count, a 1-row TakeOrdered winner broadcast back, and a codegen'd
+    * per-row fold. Each round's state and winner are Materialize'd
+    * (the dedupClusters iteration-frame discipline) so round k+1 reads
+    * stored rows instead of re-deriving k rounds of lineage. At 100 TB
+    * the (word, freq) reduce is the only corpus-touching stage. */
+  def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    val S = BpeSep
+    val wf = docs.select(explode(expr(tokensExpr)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    var state = wf.select(col("f"),
+      concat(lit(S),
+        array_join(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"), S),
+        lit(S)).as("enc"))
+    var merges = Vector.empty[DataFrame]
+    for (round <- 1 to rounds) {
+      val syms = Materialize.frame(state).select(col("f"),
+        expr(s"filter(split(enc, '$S'), s -> s != '')").as("syms"))
+      val pairs = syms.where(size(col("syms")) >= 2)
+        .select(col("f"), explode(expr(
+          s"""transform(sequence(1, size(syms) - 1),
+             |  j -> concat(element_at(syms, j), '$S', element_at(syms, j + 1)))""".stripMargin))
+          .as("pr"))
+      val counts = pairs.groupBy("pr").agg(sum(col("f")).as("n"))
+        .select(expr(s"split_part(pr, '$S', 1)").as("lhs"),
+          expr(s"split_part(pr, '$S', 2)").as("rhs"), col("n"))
+      val winner = Materialize.frame(
+        counts.orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1))
+      merges :+= winner.withColumn("merge_round", lit(round))
+      if (round < rounds)
+        state = syms.crossJoin(broadcast(winner.select("lhs", "rhs")))
+          .select(col("f"), expr(
+            s"""aggregate(syms, '$S', (acc, x) ->
+               |  CASE WHEN x = rhs AND endswith(acc, concat('$S', lhs, '$S'))
+               |  THEN concat(substring(acc, 1, length(acc) - length(lhs) - 1), lhs, rhs, '$S')
+               |  ELSE concat(acc, x, '$S') END)""".stripMargin).as("enc"))
+    }
+    merges.reduce(_ union _)
+      .select(col("merge_round"), col("lhs"), col("rhs"), col("n").as("pair_n"))
+      .orderBy("merge_round")
+  }
+
   /** TF-IDF: top-k terms per doc by tf·ln(N/df), pround-ed so ordering is
     * engine-stable; ties broken by word. */
   def tfidfTop(docs: DataFrame, k: Int): DataFrame = {
@@ -1311,6 +1375,46 @@ object TextAnalysisQueries {
   private val toksSql = "list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '')"
   private val stopSql = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** Merge-round count for t42 — enough that later rounds provably
+    * consume earlier products (round 6 at sf0.01 merges 'm'+'er'). */
+  private[operators] val BpeMergeRounds = 8
+
+  /** Oracle twin of [[TextAnalysis.bpeMerges]]: the k rounds unrolled as
+    * CTE triples (s_i symbols, p_i pair counts, w_i argmax, v_i merged
+    * state); the merge application is a `list_reduce` fold over the
+    * SEP-prepended symbol list with the same accumulator rule as the
+    * Spark-side `aggregate` lambda (merge when acc ends with SEP·lhs·SEP
+    * and x = rhs). */
+  private def bpeMergesSql(k: Int): String = {
+    val S = BpeSep
+    val rounds = (1 to k).map { i =>
+      val prev = if (i == 1) "v0" else s"v${i - 1}"
+      s"""s$i AS (SELECT f, list_filter(string_split(enc, '$S'), s -> s <> '') AS syms FROM $prev),
+         |p$i AS (SELECT split_part(pr, '$S', 1) AS lhs, split_part(pr, '$S', 2) AS rhs,
+         |               CAST(sum(f) AS BIGINT) AS n
+         |        FROM (SELECT f, unnest(list_transform(range(1, len(syms)),
+         |                     j -> syms[j] || '$S' || syms[j+1])) AS pr
+         |              FROM s$i WHERE len(syms) >= 2)
+         |        GROUP BY 1, 2),
+         |w$i AS (SELECT lhs, rhs, n FROM p$i ORDER BY n DESC, lhs, rhs LIMIT 1),
+         |v$i AS (SELECT f, list_reduce(list_prepend('$S', syms),
+         |          (acc, x) -> CASE WHEN x = rhs AND ends_with(acc, '$S' || lhs || '$S')
+         |                      THEN substr(acc, 1, length(acc) - length(lhs) - 1) || lhs || rhs || '$S'
+         |                      ELSE acc || x || '$S' END) AS enc
+         |        FROM s$i, w$i)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to k)
+      .map(i => s"SELECT $i AS merge_round, lhs, rhs, n AS pair_n FROM w$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH tok AS (SELECT unnest($toksSql) AS w FROM documents),
+       |wf AS (SELECT w, count(*) AS f FROM tok GROUP BY w),
+       |v0 AS (SELECT f, '$S' || array_to_string(list_transform(range(1, length(w) + 1),
+       |             i -> substr(w, i, 1)), '$S') || '$S' AS enc FROM wf),
+       |$rounds
+       |$finals
+       |ORDER BY merge_round""".stripMargin
+  }
+
   /** The per-doc Gopher flag CTE chain — the oracle twin of
     * [[TextAnalysis.gopherFlags]], shared by t19 and t36 so the two
     * rule censuses cannot drift. */
@@ -1625,6 +1729,17 @@ object TextAnalysisQueries {
       doc = "BPE merge statistics: frequency-weighted adjacent character " +
         "pairs over the distinct-word table (vocab-sized per iteration); " +
         "the top row is the next merge"),
+
+    Q("t42_bpe_merges",
+      (s, d) => bpeMerges(docs(s, d), BpeMergeRounds),
+      Some(bpeMergesSql(BpeMergeRounds)),
+      doc = "the full iterative BPE merge loop (tokenizer training): " +
+        s"$BpeMergeRounds unrolled rounds of count-pairs -> argmax -> " +
+        "greedy leftmost merge over the vocab-sized word-frequency " +
+        "table; each round's state is materialized and the 1-row " +
+        "winner broadcasts back (the dedupClusters iteration shape). " +
+        "Oracle: the same rounds as unrolled DuckDB CTEs with a " +
+        "list_reduce fold sharing the merge-application semantics"),
 
     Q("t9_oov_rate",
       (s, d) => oovRate(docs(s, d), 10).orderBy("doc_id"),

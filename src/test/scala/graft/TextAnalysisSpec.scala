@@ -146,6 +146,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === List(("ab", 3L), ("bc", 1L)))
   }
 
+  test("t42 bpe merges: the classic low/lower corpus, 4 hand-computed rounds") {
+    // wf: low x3, lower x2
+    // r1 pairs: (l,o)=5 (o,w)=5 (w,e)=2 (e,r)=2 -> tie at 5, lhs 'l'<'o'
+    //   -> merge (l,o,5):   low -> [lo,w], lower -> [lo,w,e,r]
+    // r2 pairs: (lo,w)=5 (w,e)=2 (e,r)=2      -> (lo,w,5)
+    //   -> low -> [low], lower -> [low,e,r]
+    // r3 pairs: (low,e)=2 (e,r)=2             -> tie at 2, 'e'<'low'
+    //   -> merge (e,r,2): lower -> [low,er]
+    // r4 pairs: (low,er)=2                    -> (low,er,2)
+    val tiny = Seq((0L, "low low low lower lower")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(tiny, 4)
+      .as[(Int, String, String, Long)].collect().toList
+    assert(got === List((1, "l", "o", 5L), (2, "lo", "w", 5L),
+      (3, "e", "r", 2L), (4, "low", "er", 2L)))
+  }
+
+  test("t42 bpe merges: lhs==rhs runs merge greedily leftmost, never overlap") {
+    // 'aaaa': r1 (a,a)=3 -> [aa,aa] (NOT [a,aa,a]); r2 (aa,aa)=1
+    val tiny = Seq((0L, "aaaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(tiny, 2)
+      .as[(Int, String, String, Long)].collect().toList
+    assert(got === List((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
+
   test("surprisal: hand-computed micro-nat values on a 2-doc corpus") {
     // N=4 tokens; p(a)=3/4, p(b)=1/4
     val tiny = Seq((0L, "a a a"), (1L, "b")).toDF("doc_id", "text")
