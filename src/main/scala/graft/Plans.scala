@@ -126,6 +126,16 @@ object Plans {
         "frequency table BEFORE the pair explode, so the fan-out is " +
         "vocab-sized — the property that makes real BPE trainers " +
         "iterate cheaply — and the top-k is TakeOrderedAndProject."),
+    "q50_bucketed_revenue" ->
+      ("The bucketed-layout lever exercised end to end: orders and " +
+        "lineitem are written bucketed+sorted by the order key (one " +
+        "file per bucket — the write-time repartition shares the " +
+        "bucket-id hash), so the fact-fact SortMergeJoin's children " +
+        "are bucket scans with ZERO exchange; the only shuffles in the " +
+        "query move the 5-row priority aggregate. Compare q5's shape, " +
+        "which pays a full hashpartitioning(orderkey) exchange on both " +
+        "sides every run — at 100 TB the bucketed layout amortizes " +
+        "that shuffle into the ingest write."),
     "t42_bpe_merges" ->
       ("BPE merge loop: each of the 8 rounds reads the MATERIALIZED " +
         "previous state (one vocab-table scan, no lineage re-derivation), " +

@@ -2160,5 +2160,30 @@ object RelationalQueries {
       doc = "grouped OLS (x29 per return-flag segment): exact basis-" +
         "point/integer moments with map-side combine, one IEEE slope " +
         "division per group, constant-variance guard null, |flags| rows"),
+
+    Q("q50_bucketed_revenue",
+      (s, d) => graft.sources.Bucketing.bucketedOrderLineitemJoin(s, d)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          (sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * 10000.0 + 0.5))
+            .cast("double") / 10000.0).as("revenue"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |       CAST(count(*) AS BIGINT) AS n_items,
+             |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      doc = "revenue per order priority over the session-shared BUCKETED " +
+        "orders/lineitem layout (sources/Bucketing): the fact-fact join " +
+        "is a SortMergeJoin whose children are one-file-per-bucket " +
+        "bucket scans — ZERO Exchange below the join (pinned in " +
+        "PlanAuditSpec); write-time bucketing is the last time the " +
+        "order key is ever shuffled. The in-partition Sorts remain " +
+        "(Spark 3+ stopped trusting written sort order by default — " +
+        "spark.sql.legacy.bucketedTableScan.outputOrdering) but are " +
+        "shuffle-free and linear over the already-sorted files. First " +
+        "consumer per session pays the build (the shared-ladder " +
+        "accounting); the q5 fixed-point revenue arithmetic"),
   )
 }

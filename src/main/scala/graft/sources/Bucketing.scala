@@ -1,6 +1,9 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.Tables
 
 /** Bucketed-table utilities: pre-shuffle data once at write time so
   * repeated joins/aggregations on the bucket key run with NO exchange.
@@ -14,13 +17,26 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed managed table (parquet, overwrite). */
+  /** Write `df` as a bucketed table (parquet, overwrite). `path`, when
+    * given, makes the table EXTERNAL (data at `path`, only metadata in
+    * the session catalog) — the production layout, and what keeps
+    * harness runs from littering the working directory's warehouse.
+    *
+    * The pre-write `repartition(buckets, key)` uses the same Murmur3
+    * `pmod(hash, n)` as the bucket-id assignment, so every task holds
+    * exactly one bucket's rows and each bucket lands in ONE file: that
+    * is what lets the scan report the `sortBy` order back to the
+    * planner (multi-file buckets lose it) — a bucketed+sorted join then
+    * skips both the exchange AND the sort — and it is the small-files
+    * discipline a 1000-writer cluster job needs anyway. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int, sortCols: Seq[String] = Seq.empty): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      buckets: Int, sortCols: Seq[String] = Seq.empty,
+      path: Option[String] = None): Unit = {
+    val w0 = df.repartition(buckets, col(key))
+      .write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, key)
-    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
-      .saveAsTable(table)
+    val w1 = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*) else w0
+    path.fold(w1)(p => w1.option("path", p)).saveAsTable(table)
   }
 
   /** True when the physical plan of `df` contains no shuffle exchange —
@@ -32,4 +48,56 @@ object Bucketing {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Bucket count for the shared orders/lineitem layout. Locally this
+    * doubles as the scan parallelism (one task per bucket); on a real
+    * cluster you size it to the target per-bucket file size
+    * (~128-512 MB), thousands of buckets at 100 TB. */
+  val OrderBuckets = 32
+
+  /** Session-shared bucketed (orders, lineitem) layout, both bucketed +
+    * sorted by the order key: built ONCE per (session, dir) — the
+    * write-time shuffle is the LAST time this join key is ever
+    * shuffled; every subsequent orderkey join or aggregate in the
+    * session is exchange-free. The first consumer query in a session
+    * pays the build (the DedupQueries.shared* accounting); at warehouse
+    * scale these are the ingest-time physical tables, not a query-time
+    * step. Registered as EXTERNAL tables over a per-build temp dir so
+    * no `spark-warehouse` litter lands in the working directory. */
+  private val bucketedTables =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]
+  private[graft] def sharedBucketedOrderTables(
+      s: SparkSession, d: String): (String, String) =
+    bucketedTables.computeIfAbsent((s, d), _ => {
+      val suffix = java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory("graft_buckets_")
+      val (to, tl) = (s"graft_b_orders_$suffix", s"graft_b_lineitem_$suffix")
+      writeBucketed(
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+        to, "o_orderkey", OrderBuckets, sortCols = Seq("o_orderkey"),
+        path = Some(s"$base/orders"))
+      writeBucketed(
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        tl, "l_orderkey", OrderBuckets, sortCols = Seq("l_orderkey"),
+        path = Some(s"$base/lineitem"))
+      (to, tl)
+    })
+
+  /** The zero-shuffle fact-fact join over the shared bucketed layout:
+    * orders ⋈ lineitem on the order key as a SortMergeJoin whose
+    * children are bucket scans — no Exchange anywhere below the join.
+    * In-partition Sort nodes remain: Spark 3+ no longer reports written
+    * bucket sort order to the planner by default
+    * (spark.sql.legacy.bucketedTableScan.outputOrdering=false, guarding
+    * against multi-file buckets); they are shuffle-free and linear over
+    * the already-sorted single-file buckets. The `merge` hint keeps the
+    * plan scale-stable: without it a small scale factor broadcasts and
+    * the physical property this layout buys goes unexercised. Pinned
+    * exchange-free in PlanAuditSpec. */
+  def bucketedOrderLineitemJoin(s: SparkSession, d: String): DataFrame = {
+    val (to, tl) = sharedBucketedOrderTables(s, d)
+    s.table(to).hint("merge")
+      .join(s.table(tl), col("o_orderkey") === col("l_orderkey"))
+  }
 }

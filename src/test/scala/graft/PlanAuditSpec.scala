@@ -840,4 +840,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchangeKeys(p).toSet.subsetOf(Set("doc_id", "norm", "band")),
       exchangeKeys(p).toString)
   }
+
+  test("q50: the bucketed fact-fact join runs with ZERO exchange below the SMJ") {
+    // the engine's core 100 TB physical lever: write-time bucketing is
+    // the last time the order key is ever shuffled
+    val joined = graft.sources.Bucketing
+      .bucketedOrderLineitemJoin(spark, sf("sf0.001"))
+    assert(graft.sources.Bucketing.isExchangeFree(joined),
+      joined.queryExecution.executedPlan.toString.take(2000))
+    val pj = joined.queryExecution.executedPlan.toString
+    assert(pj.contains("SortMergeJoin"), "merge hint must hold\n" + pj.take(600))
+    assert(pj.contains("Bucketed: true"), pj.take(2000))
+    // the full query's only exchanges are on the 5-row priority aggregate
+    val p = plan("q50_bucketed_revenue")
+    assert(!p.contains("hashpartitioning(o_orderkey")
+      && !p.contains("hashpartitioning(l_orderkey"),
+      "the join key must never shuffle at query time\n" + p.take(2000))
+    assert(p.contains("SortMergeJoin") && p.contains("partial_"),
+      "SMJ over bucket scans + map-side combine\n" + p.take(2000))
+  }
 }
