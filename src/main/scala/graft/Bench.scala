@@ -1,15 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import graft.operators.Materialize
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // optional comma-separated name filter — scale probes (e.g. the sf10
+    // top-20 sweep) time a subset without paying the full surface
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // optional reliable-checkpoint mode: forwards to Materialize.ConfKey
+    // so the whole sweep runs the production material path (DFS
+    // checkpoint) instead of executor-local blocks
+    val ckptDir = sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty)
     def freshSession(): SparkSession = {
-      val spark = SparkSession.builder()
+      val b = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.extensions", "graft.plans.GraftExtensions")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false")
+      val spark = ckptDir.fold(b)(d => b.config(Materialize.ConfKey, d))
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       // Untimed warmup: JIT + codegen + parquet footer/file-index caches,
@@ -32,6 +42,7 @@ object Bench {
     // decouples one query's garbage from the next query's clock.
     val passes = 2
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val times = Array.fill(passes)(Map.empty[String, (Boolean, Double)])
     for (p <- 0 until passes) {
       // Each pass gets a FRESH SparkSession (r11's 8 phantom drift flags
