@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pre-size the heap when asked: a fresh JVM growing 1g -> tens of GB
+  // under the first heavy hash-agg pays a GC/commit storm that looks
+  // like a 5-9x slowdown of that one stage (r14 G23Diag attribution)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_XMS", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))}",
 )
