@@ -46,7 +46,10 @@ object Bench {
     // that min-of-2 cannot shrink. Separated passes give each query two
     // independent memory contexts; a GC+settle between queries further
     // decouples one query's garbage from the next query's clock.
-    val passes = 2
+    // SPARK_GRAFT_PASSES=1 is for growth-shape scale probes (sf10),
+    // where a second pass doubles hours of runtime for noise-shrink the
+    // probe doesn't need; gated steadies stay min-of-2.
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val times = Array.fill(passes)(Map.empty[String, (Boolean, Double)])
