@@ -36,6 +36,26 @@ object Bench {
       spark
     }
     var failed = List.empty[String]
+    // per-query failure reason (exception class + first message line) —
+    // VERDICT r14 item 7: the sf10 tier artifacts listed bare names
+    // under `errors` while also recording a time, so a failed artifact
+    // couldn't be read without guessing what broke
+    var failReason = Map.empty[String, String]
+    // reliable-checkpoint hygiene (ADVICE r14): Spark never deletes
+    // reliable checkpoints (cleanCheckpoints unset), so a full-surface
+    // sweep used to leave every pass's Materialize'd intermediates on
+    // disk; purge the dir after each pass's session stops
+    def purgeCkptDir(): Unit = ckptDir.foreach { d =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(d)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .filter(_ != p)
+            .foreach(f => try { java.nio.file.Files.deleteIfExists(f); () }
+              catch { case _: java.io.IOException => () })
+      } catch { case _: java.io.IOException => () }
+    }
     // Host load varies wildly between runs of identical code (observed
     // 34s vs 85s an hour apart), so each query is timed in TWO passes
     // and the min reported — scheduler noise shrinks, real work doesn't.
@@ -50,8 +70,19 @@ object Bench {
     // where a second pass doubles hours of runtime for noise-shrink the
     // probe doesn't need; gated steadies stay min-of-2.
     val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2)
+    // loud-fail guards (ADVICE r14): passes<=0 used to yield an empty
+    // runs array and throw on .max; a typo'd ONLY filter used to emit a
+    // {"total":0} artifact indistinguishable from a fast pass
+    require(passes >= 1, s"SPARK_GRAFT_PASSES must be >= 1, got $passes")
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    require(names.nonEmpty,
+      s"SPARK_GRAFT_ONLY matched zero registered queries: ${only.getOrElse(Set.empty).mkString(",")}")
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val times = Array.fill(passes)(Map.empty[String, (Boolean, Double)])
     for (p <- 0 until passes) {
       // Each pass gets a FRESH SparkSession (r11's 8 phantom drift flags
@@ -69,7 +100,10 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
             if (!failed.contains(name)) failed ::= name
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            val msg = Option(e.getMessage).getOrElse("")
+              .linesIterator.toSeq.headOption.getOrElse("").take(160)
+            failReason += name -> s"${e.getClass.getSimpleName}: $msg"
+            System.err.println(s"[bench] $name FAILED (pass ${p + 1}): ${e.getMessage}")
             false
         }
         val sec = (System.nanoTime() - t0) / 1e9
@@ -79,7 +113,7 @@ object Bench {
         System.gc()
         name -> (ok, sec)
       }.toMap
-      if (p < passes - 1) spark.stop()
+      if (p < passes - 1) { spark.stop(); purgeCkptDir() }
     }
     val results = names.map { case (name, _) =>
       val runs = (0 until passes).map(p => times(p)(name))
@@ -100,8 +134,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def jesc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    }
+    // reasons ride in a separate object so existing `errors` consumers
+    // keep parsing; present only when something failed
+    val reasons = if (failReason.isEmpty) "" else
+      failReason.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"$k\":\"${jesc(v)}\"" }
+        .mkString(""","error_reasons":{""", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"runs_per_query":$passes,"agg":"min_across_separated_passes","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs$reasons,"runs_per_query":$passes,"agg":"min_across_separated_passes","sf":"$sfDir"}"""
     println(line)
     // The driver's stdout capture keeps only the last ~2-5 KB; past ~200
     // queries the one-line JSON outgrows it and the per-query timings
@@ -113,5 +159,6 @@ object Bench {
       System.err.println(s"[bench] full-artifact write skipped: ${e.getMessage}")
     }
     SparkSession.getActiveSession.foreach(_.stop())
+    purgeCkptDir()
   }
 }

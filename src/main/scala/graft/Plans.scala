@@ -588,6 +588,21 @@ object Plans {
       ("Shingle-index near-dup: df-capped inverted index bounds any " +
         "shingle's emission at cap²/2; intersection counts reduce on " +
         "the pair key; top-k is TakeOrderedAndProject."),
+    "g26_cap_recommendation" ->
+      ("Density-derived df-cap pick: one combinable df groupBy, then a " +
+        "≤cap-row histogram whose cumulative window and 1-row joins are " +
+        "driver-trivial at any corpus size — the budget rule prices the " +
+        "df² tail before any join pays it."),
+    "g27_winnow_jaccard" ->
+      ("The g4 ranking over the winnowed fingerprint index (~2/(w+1) " +
+        "density): same df-cap discipline, same pair-key reductions, " +
+        "TakeOrderedAndProject top-k — the default candidate plan at " +
+        "100 TB; g28 grades its recall vs the exact join."),
+    "g29_bucketed_jaccard" ->
+      ("g4 over the bucketed shingle index: the df groupBy, df " +
+        "join-back and inverted-index self-join inherit the sh_h bucket " +
+        "layout — zero sh_h exchange at query time (write-time " +
+        "bucketing was the last); only pair/doc keys ever shuffle."),
     "k4_maximin_seeds" ->
       ("Farthest-point seeding: k−1 bounded driver rounds, each a " +
         "map-only pass against the ≤k broadcast seed set + combinable " +
@@ -707,6 +722,10 @@ object Plans {
         operators.SimilarityJoin.minhashQuality(docs, 4, 0.5),
       "t15_winnow" -> operators.TextAnalysis.winnowFingerprints(docs),
       "y9_winnow_candidates" -> operators.TextAnalysis.winnowCandidates(docs),
+      "g26_cap_recommendation" -> operators.Dedup.recommendShingleDfCap(
+        operators.Dedup.shingleHashRows(docs).distinct()),
+      "g27_winnow_jaccard" -> operators.TextAnalysis.winnowJaccardJoin(
+        operators.TextAnalysis.winnowFingerprints(docs), 20),
     )
   }
 

@@ -267,8 +267,17 @@ object Dedup {
     * The cap sits far above any organic bucket at test scales (sf0.1
     * max bucket = 20; the 20× replica sweep ≈ 400), so capped and
     * uncapped answers coincide there — the DuckDB oracles apply the
-    * same cap, checking the capped semantics end-to-end. */
-  val DefaultBucketDfCap = 1000
+    * same cap, checking the capped semantics end-to-end.
+    *
+    * SCALE LEVER (r15, from the r14 sf10 finding): overridable via
+    * `SPARK_GRAFT_BUCKET_DF_CAP`, read once at class load and
+    * interpolated into BOTH the Spark plans and every DuckDB oracle
+    * string from this same val — the two engines cannot desync. Like
+    * `SPARK_GRAFT_SHUFFLE_PARTITIONS`, the value is part of the
+    * recorded measurement context; re-baseline before gating under a
+    * new one. */
+  val DefaultBucketDfCap: Int =
+    sys.env.getOrElse("SPARK_GRAFT_BUCKET_DF_CAP", "1000").toInt
 
   /** doc_id offset for g25's exact-copy probes — interpolated into both
     * the Scala augmentation and the oracle SQL so they cannot desync. */
@@ -539,8 +548,24 @@ object Dedup {
     * per-shingle emission at cap²/2 and is the standard lossy contract
     * for a top-k near-dup ranking: a shingle shared by >cap documents
     * carries ~no Jaccard signal (same reason prefix filtering excludes
-    * high-df shingles from the index, SimilarityJoin.scala:28-33). */
-  val DefaultShingleDfCap = 1000
+    * high-df shingles from the index, SimilarityJoin.scala:28-33).
+    *
+    * A FIXED cap constant is scale-UNSAFE — the r14 sf10 probe proved
+    * it: at a 100× corpus the organic df of cross-group shingles
+    * crosses the dup-group size (~100) and the df ∈ (group, cap] tail,
+    * admitted by cap=1000, emits df² pairs per shingle and exhausts
+    * ~70 GB of shuffle disk (BENCH_sf10_tier2 errors). Two scale paths
+    * (r15):
+    *  - `SPARK_GRAFT_SHINGLE_DF_CAP` overrides this val at class load;
+    *    it is interpolated into both the Spark plans and the DuckDB
+    *    oracle strings from the same val, so the engines stay in
+    *    lockstep. Part of the measurement context, like
+    *    `SPARK_GRAFT_SHUFFLE_PARTITIONS`.
+    *  - [[recommendShingleDfCap]] (g26) derives the cap from the
+    *    corpus's own df density under a linear per-document pair
+    *    budget — the number a pipeline feeds into this lever. */
+  val DefaultShingleDfCap: Int =
+    sys.env.getOrElse("SPARK_GRAFT_SHINGLE_DF_CAP", "1000").toInt
 
   /** G4: n-gram Jaccard over distinct 3-shingles, computed with an
     * inverted-index join (pairs sharing >= 1 shingle only), restricted
@@ -675,6 +700,68 @@ object Dedup {
       .agg(count(lit(1)).as("n_shingles"), sum("df").as("postings"),
         sum(expr("df * (df - 1) div 2")).as("pair_candidates"))
       .orderBy("df_digits")
+
+  /** Per-document candidate-pair budget for [[recommendShingleDfCap]]:
+    * the admitted inverted-index emission is bounded at budget × |docs|
+    * — LINEAR in corpus size by construction. Sized from the r14 sf10
+    * measurement: the genuine dup mass of a 100×-duplicated corpus is
+    * ~4k pairs/doc, so 8192 affords full recall on that density with
+    * 2× headroom while the df² cross-group tail (the ~70 GB shuffle
+    * killer) blows the budget and gets cut. */
+  val DefaultCapBudgetPerDoc = 8192L
+
+  /** Recall floor for [[recommendShingleDfCap]]: the cap never drops
+    * below this, so dup groups up to ~64 copies keep their
+    * discriminative shingles even on corpora whose organic density
+    * would price the budget rule lower. */
+  val DefaultCapFloor = 64
+
+  /** g26: density-derived shingle df-cap recommendation — the
+    * scale-aware replacement for a fixed cap constant, priced from the
+    * corpus's own df distribution (the r14 sf10 finding: cap=1000
+    * admits the df ∈ (dup-group-size, cap] tail whose emission is df²
+    * per shingle). Rule: walk df levels ascending and admit while the
+    * cumulative UNCAPPED pair mass Σ n_shingles(df)·df(df−1)/2 stays
+    * within a LINEAR per-document budget; the recommendation is the
+    * largest admitted df, clamped to [floorCap, ceilCap]. Low-df
+    * (discriminative, recall-bearing) shingles are admitted first, so
+    * the rule cuts exactly the quadratic tail and nothing else.
+    *
+    * Scale shape: the df table is one combinable groupBy over the
+    * shingle index; the histogram is ≤ ceilCap rows, so its cumulative
+    * window and the 1-row joins after it are driver-trivial at ANY
+    * corpus size. Output: one row — n_docs, budget_pairs,
+    * recommended_cap, admitted_pairs (the emission the cap buys). */
+  def recommendShingleDfCap(shingleSet: DataFrame,
+      budgetPerDoc: Long = DefaultCapBudgetPerDoc,
+      floorCap: Int = DefaultCapFloor,
+      ceilCap: Int = DefaultShingleDfCap): DataFrame = {
+    val dfTab = shingleSet.groupBy("sh_h").agg(count(lit(1)).as("df"))
+    val hist = dfTab.where(col("df").between(2, ceilCap))
+      .groupBy("df")
+      .agg((count(lit(1)) * expr("df * (df - 1) div 2")).as("pairs"))
+    // ≤ ceilCap rows: the single-partition cumulative window is bounded
+    // by the cap ceiling, never by corpus size
+    val cw = Window.orderBy("df")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.select(col("df"), sum("pairs").over(cw).as("cum_pairs"))
+    val nd = shingleSet.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val rec0 = cum.crossJoin(broadcast(nd))
+      .where(col("cum_pairs") <= col("n_docs") * budgetPerDoc)
+      .agg(max(col("df")).as("rec0"))
+    val rec = nd.crossJoin(broadcast(rec0))
+      .select(col("n_docs"),
+        (col("n_docs") * budgetPerDoc).as("budget_pairs"),
+        greatest(lit(floorCap.toLong), least(lit(ceilCap.toLong),
+          coalesce(col("rec0"), lit(floorCap.toLong))))
+          .as("recommended_cap"))
+    // admitted_pairs reports the mass at the FINAL (clamped) cap — when
+    // the floor overrides the budget rule, the over-budget cost of the
+    // recall floor is visible in-result, not hidden
+    rec.join(cum, col("df") <= col("recommended_cap"), "left")
+      .groupBy("n_docs", "budget_pairs", "recommended_cap")
+      .agg(coalesce(max("cum_pairs"), lit(0L)).as("admitted_pairs"))
+  }
 
   /** The lazy capped inverted-index Jaccard join over a distinct
     * (doc_id, sh_h) shingle table. The per-doc sizes table is one row
@@ -816,13 +903,25 @@ object DedupQueries {
     * is stopped) and is injectable ONLY so the spec can exercise the
     * purge without killing the suite-shared context. */
   private[graft] def evictStopped(
-      dead: SparkSession => Boolean = _.sparkContext.isStopped): Unit =
+      dead: SparkSession => Boolean = _.sparkContext.isStopped): Unit = {
     Seq(clusterCache, candCache, shingleCache, sigCache, jacCache,
         winnowCache)
       .foreach { m =>
         val it = m.keySet().iterator()
         while (it.hasNext) if (dead(it.next()._1)) it.remove()
       }
+    // bucketed-layout entries also own an on-disk temp dir: purge it
+    // with the entry (ADVICE r14 — dead-session dirs otherwise
+    // accumulate full shingle-index projections in /tmp)
+    val bit = bucketedShingleTables.entrySet().iterator()
+    while (bit.hasNext) {
+      val e = bit.next()
+      if (dead(e.getKey._1)) {
+        graft.sources.Bucketing.purgeDir(e.getValue._2); bit.remove()
+      }
+    }
+    graft.sources.Bucketing.evictStopped(dead)
+  }
 
   /** `isStopped` only covers harnesses that cycle the whole context
     * (Bench). Sessions cycled via `SparkSession.newSession()` share one
@@ -835,7 +934,7 @@ object DedupQueries {
     * genuinely-concurrent session is one recompute, never a wrong
     * result. */
   private[graft] val MaxCachedSessions = 4
-  private[graft] def boundSessions(current: SparkSession): Unit =
+  private[graft] def boundSessions(current: SparkSession): Unit = {
     Seq(clusterCache, candCache, shingleCache, sigCache, jacCache,
         winnowCache)
       .foreach { m =>
@@ -846,6 +945,20 @@ object DedupQueries {
           while (it.hasNext) if (it.next()._1 ne current) it.remove()
         }
       }
+    locally {
+      val distinct = new java.util.HashSet[SparkSession]
+      bucketedShingleTables.keySet().forEach(k => { distinct.add(k._1); () })
+      if (distinct.size > MaxCachedSessions) {
+        val it = bucketedShingleTables.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getKey._1 ne current) {
+            graft.sources.Bucketing.purgeDir(e.getValue._2); it.remove()
+          }
+        }
+      }
+    }
+  }
 
   /** Per-accessor hygiene: purge stopped-context entries, then bound the
     * distinct-session count for the shared-context cycling pattern. */
@@ -941,6 +1054,35 @@ object DedupQueries {
       _ => Materialize.frame(TextAnalysis.winnowFingerprints(docs(s, d))))
   }
 
+  /** Session-shared BUCKETED shingle index (VERDICT r14 item 6): the
+    * distinct (doc_id, sh_h) table written ONCE per (session, dir) as a
+    * parquet table bucketed+sorted by sh_h — the q50 write-time-shuffle
+    * lever applied to the dedup ladder. Every sh_h-keyed step of the
+    * candidate build (the df groupBy, the df join-back, the inverted-
+    * index self-join) then runs with ZERO Exchange below the pair
+    * aggregation, because every operator's required distribution is
+    * already the bucket layout. At 100 TB this is THE recurring cost
+    * the ladder pays per session today: the shingle index re-shuffles
+    * on sh_h once per join — bucketing at ingest pays that shuffle
+    * exactly once, at write time. Temp dir tracked/purged via
+    * [[graft.sources.Bucketing]] hygiene. */
+  private val bucketedShingleTables =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (String, java.nio.file.Path)]
+  private[graft] def sharedBucketedShingles(s: SparkSession, d: String): DataFrame = {
+    evictStale(s)
+    val (t, _) = bucketedShingleTables.computeIfAbsent((s, d), _ => {
+      val name = s"graft_b_shingles_${java.util.UUID.randomUUID().toString.take(8)}"
+      val base = graft.sources.Bucketing.trackedTempDir()
+      graft.sources.Bucketing.writeBucketed(
+        sharedShingles(s, d), name, "sh_h",
+        graft.sources.Bucketing.OrderBuckets, sortCols = Seq("sh_h"),
+        path = Some(s"$base/shingles"))
+      (name, base)
+    })
+    s.table(t)
+  }
+
   private val toksSql = "list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '')"
 
   /** Shared DuckDB CTE chain producing the 4-band minhash signature
@@ -980,6 +1122,31 @@ object DedupQueries {
        |  FROM toks)""".stripMargin
 
   private[operators] val shinglesSqlCte = shinglesSqlCteOn("documents")
+
+  /** g4's oracle — a named val because g29 (the bucketed-layout variant)
+    * returns the same ANSWER from a different physical plan, and sharing
+    * the text keeps the two gates from drifting. */
+  private[operators] lazy val g4OracleSql =
+    s"""WITH $shinglesSqlCte,
+       |ss0 AS (SELECT DISTINCT doc_id,
+       |         ('0x' || substr(md5(sh), 1, 14))::BIGINT AS sh_h FROM sh),
+       |dfq AS (SELECT sh_h, count(*) AS df FROM ss0 GROUP BY sh_h),
+       |ss AS (SELECT ss0.doc_id, ss0.sh_h FROM ss0
+       |       JOIN dfq ON ss0.sh_h = dfq.sh_h
+       |       WHERE dfq.df <= ${Dedup.DefaultShingleDfCap}),
+       |sz AS (SELECT doc_id, count(*) AS n FROM ss GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+       |  FROM ss x JOIN ss y ON x.sh_h = y.sh_h AND x.doc_id < y.doc_id
+       |  GROUP BY doc_a, doc_b),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(inter AS DOUBLE) / CAST(a.n + b.n - inter AS DOUBLE) AS jac
+       |  FROM inter
+       |  JOIN sz a ON a.doc_id = doc_a
+       |  JOIN sz b ON b.doc_id = doc_b)
+       |SELECT doc_a, doc_b, floor(jac * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+       |FROM j ORDER BY jac DESC, doc_a, doc_b LIMIT 20""".stripMargin
 
   val qs: Seq[Q] = Seq(
     Q("g1_exact_dedup",
@@ -1174,31 +1341,63 @@ object DedupQueries {
       // semantics end-to-end (at sf0.01 the cap is never hit — every
       // shingle's df <= corpus size << cap — so this also equals the
       // uncapped answer)
-      Some(s"""WITH $shinglesSqlCte,
-              |ss0 AS (SELECT DISTINCT doc_id,
-              |         ('0x' || substr(md5(sh), 1, 14))::BIGINT AS sh_h FROM sh),
-              |dfq AS (SELECT sh_h, count(*) AS df FROM ss0 GROUP BY sh_h),
-              |ss AS (SELECT ss0.doc_id, ss0.sh_h FROM ss0
-              |       JOIN dfq ON ss0.sh_h = dfq.sh_h
-              |       WHERE dfq.df <= ${Dedup.DefaultShingleDfCap}),
-              |sz AS (SELECT doc_id, count(*) AS n FROM ss GROUP BY doc_id),
-              |inter AS (
-              |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
-              |  FROM ss x JOIN ss y ON x.sh_h = y.sh_h AND x.doc_id < y.doc_id
-              |  GROUP BY doc_a, doc_b),
-              |j AS (
-              |  SELECT doc_a, doc_b,
-              |         CAST(inter AS DOUBLE) / CAST(a.n + b.n - inter AS DOUBLE) AS jac
-              |  FROM inter
-              |  JOIN sz a ON a.doc_id = doc_a
-              |  JOIN sz b ON b.doc_id = doc_b)
-              |SELECT doc_a, doc_b, floor(jac * 1000000.0 + 0.5) / 1000000.0 AS jaccard
-              |FROM j ORDER BY jac DESC, doc_a, doc_b LIMIT 20""".stripMargin),
+      Some(g4OracleSql),
       doc = "G4 n-gram Jaccard via df-capped inverted-index join (never " +
         "all-pairs; hot shingles with df > cap excluded — documented-" +
         "lossy top-k contract). EAGER: building this DataFrame runs the " +
         "job (viaSharedScan checkpoint) — keep it out of explain()/" +
         "plan-dump paths"),
+
+    Q("g26_cap_recommendation",
+      (s, d) => recommendShingleDfCap(sharedShingles(s, d)),
+      Some(s"""WITH $shinglesSqlCte,
+              |ss AS (SELECT DISTINCT doc_id,
+              |         ('0x' || substr(md5(sh), 1, 14))::BIGINT AS sh_h FROM sh),
+              |dfq AS (SELECT sh_h, count(*) AS df FROM ss GROUP BY sh_h),
+              |hist AS (SELECT df,
+              |           CAST(count(*) * (df * (df - 1) // 2) AS BIGINT) AS pairs
+              |         FROM dfq
+              |         WHERE df BETWEEN 2 AND ${Dedup.DefaultShingleDfCap}
+              |         GROUP BY df),
+              |cum AS (SELECT df, CAST(sum(pairs) OVER (ORDER BY df) AS BIGINT)
+              |               AS cum_pairs FROM hist),
+              |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM ss),
+              |rec AS (SELECT n_docs,
+              |          CAST(n_docs * ${Dedup.DefaultCapBudgetPerDoc} AS BIGINT)
+              |            AS budget_pairs,
+              |          CAST(greatest(${Dedup.DefaultCapFloor},
+              |            least(${Dedup.DefaultShingleDfCap},
+              |              coalesce((SELECT max(df) FROM cum CROSS JOIN nd
+              |                        WHERE cum_pairs <= n_docs * ${Dedup.DefaultCapBudgetPerDoc}),
+              |                       ${Dedup.DefaultCapFloor}))) AS BIGINT)
+              |            AS recommended_cap
+              |        FROM nd)
+              |SELECT rec.n_docs, rec.budget_pairs, rec.recommended_cap,
+              |       CAST(coalesce(max(cum.cum_pairs), 0) AS BIGINT) AS admitted_pairs
+              |FROM rec LEFT JOIN cum ON cum.df <= rec.recommended_cap
+              |GROUP BY 1, 2, 3""".stripMargin),
+      doc = "G26 density-derived shingle df-cap recommendation (the r14 " +
+        "sf10 fix): admit df levels ascending while the cumulative " +
+        "uncapped pair mass stays within a LINEAR per-doc budget " +
+        s"(${Dedup.DefaultCapBudgetPerDoc} pairs/doc), clamp to " +
+        s"[${Dedup.DefaultCapFloor}, cap-ceiling] — keeps the " +
+        "recall-bearing low-df shingles, cuts exactly the df² tail; " +
+        "histogram is <= ceiling rows so everything after the df " +
+        "groupBy is driver-trivial at any corpus size"),
+
+    Q("g29_bucketed_jaccard",
+      (s, d) => ngramJaccardJoin(sharedBucketedShingles(s, d), 20),
+      // same answer as g4 by construction — the oracle TEXT is shared so
+      // the two registrations cannot drift; what g29 changes is the
+      // PHYSICAL plan (bucketed scan, zero Exchange below the pair agg)
+      Some(g4OracleSql),
+      doc = "g4 over the session-shared BUCKETED shingle index (q50's " +
+        "write-time-shuffle lever on the dedup ladder): the df groupBy, " +
+        "df join-back and inverted-index self-join all inherit the " +
+        "sh_h bucket layout — ZERO Exchange below the pair aggregation " +
+        "(pinned in PlanAuditSpec). EAGER: first access writes the " +
+        "bucketed table (the ingest-time cost the exchange-free join " +
+        "amortizes)"),
 
     Q("g15_containment",
       (s, d) => containmentJoin(sharedShingles(s, d), 20),

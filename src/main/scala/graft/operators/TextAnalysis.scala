@@ -661,6 +661,43 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** g27: winnow-estimated Jaccard top-k — the g4 shape with the
+    * winnowed fingerprint index in place of the full shingle index:
+    * score = |shared fps| / |fp-set union|, an unbiased-enough estimate
+    * of shingle Jaccard at ~2/(w+1) of g4's index size (fingerprints
+    * ARE shingle hashes, min-selected per window, so shared text runs
+    * select shared fingerprints — the MOSS guarantee). This is the
+    * DEFAULT candidate path at 100 TB (VERDICT r14 item 4): the r14
+    * 20× row already measured the winnow index doing ~30% of the full
+    * join's pairs at 13% of its cost, and g28 grades its recall against
+    * the exact truth set, so the full-shingle join becomes the
+    * verification oracle, not the production plan. Same df-cap lever
+    * as g4 ([[Dedup.DefaultShingleDfCap]]). */
+  private[graft] def winnowJaccardJoin(fps: DataFrame, k: Int,
+      dfCap: Int = Dedup.DefaultShingleDfCap): DataFrame = {
+    val fp = fps.select(col("doc_id"), col("fp")).distinct()
+    val docFreq = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+    val bounded = fp.join(docFreq.where(col("df") <= dfCap), "fp")
+      .select("doc_id", "fp")
+    val sizes = bounded.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = bounded.as("a").join(bounded.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
+      .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
+      .limit(k)
+      .select(col("doc_a"), col("doc_b"),
+        pround(col("jac"), 6).as("winnow_jaccard"))
+  }
+
   /** Per-source unigram KL divergence vs the corpus distribution —
     * the standard domain-shift / source-quality signal in pretraining
     * data audits (which sources' token distributions deviate most from
@@ -1792,11 +1829,14 @@ object TextAnalysisQueries {
     Q("y9_winnow_candidates",
       (s, d) => candidatesFromFps(DedupQueries.sharedWinnowFps(s, d))
         .orderBy("doc_a", "doc_b"),
+      // the cap is interpolated from the SAME val the Spark side reads,
+      // so the SPARK_GRAFT_SHINGLE_DF_CAP lever cannot desync the gate
       Some(s"""WITH $winnowSqlCte,
               |f AS (SELECT DISTINCT doc_id, fp FROM wfp),
               |dfq AS (SELECT fp, count(*) AS df FROM f GROUP BY fp),
               |bd AS (SELECT f.doc_id, f.fp FROM f
-              |       JOIN dfq ON f.fp = dfq.fp WHERE df <= 1000)
+              |       JOIN dfq ON f.fp = dfq.fp
+              |       WHERE df <= ${Dedup.DefaultShingleDfCap})
               |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
               |       count(*) AS n_shared
               |FROM bd a JOIN bd b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -1806,6 +1846,34 @@ object TextAnalysisQueries {
         "only - the same candidate discipline as g4 at ~2/(w+1) the " +
         "index size, with shared-fingerprint evidence counts in-result. " +
         "EAGER: reads the session-shared winnow table t15 returns"),
+
+    Q("g27_winnow_jaccard",
+      (s, d) => winnowJaccardJoin(DedupQueries.sharedWinnowFps(s, d), 20),
+      Some(s"""WITH $winnowSqlCte,
+              |f AS (SELECT DISTINCT doc_id, fp FROM wfp),
+              |dfq AS (SELECT fp, count(*) AS df FROM f GROUP BY fp),
+              |bd AS (SELECT f.doc_id, f.fp FROM f
+              |       JOIN dfq ON f.fp = dfq.fp
+              |       WHERE df <= ${Dedup.DefaultShingleDfCap}),
+              |sz AS (SELECT doc_id, count(*) AS n FROM bd GROUP BY doc_id),
+              |inter AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              |  FROM bd a JOIN bd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |  GROUP BY doc_a, doc_b),
+              |j AS (
+              |  SELECT doc_a, doc_b,
+              |         CAST(inter AS DOUBLE) / CAST(a.n + b.n - inter AS DOUBLE) AS jac
+              |  FROM inter
+              |  JOIN sz a ON a.doc_id = doc_a
+              |  JOIN sz b ON b.doc_id = doc_b)
+              |SELECT doc_a, doc_b,
+              |       floor(jac * 1000000.0 + 0.5) / 1000000.0 AS winnow_jaccard
+              |FROM j ORDER BY jac DESC, doc_a, doc_b LIMIT 20""".stripMargin),
+      doc = "g27 winnow-estimated Jaccard top-k: the g4 ranking over the " +
+        "~2/(w+1)-density winnowed fingerprint index — the DEFAULT " +
+        "candidate plan at 100 TB (the full-shingle join is the " +
+        "verification oracle, graded by g28); same df-cap lever as g4. " +
+        "EAGER: reads the session-shared winnow table"),
 
     Q("t18_source_kl",
       (s, d) => sourceUnigramKl(docs(s, d)).orderBy("source"),

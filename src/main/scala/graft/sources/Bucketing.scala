@@ -55,6 +55,58 @@ object Bucketing {
     * (~128-512 MB), thousands of buckets at 100 TB. */
   val OrderBuckets = 32
 
+  /** Temp-dir hygiene (ADVICE r14): every bucketed build writes its
+    * parquet under a TRACKED temp dir — a JVM shutdown hook removes
+    * whatever is still registered at exit, and [[evictStopped]] purges
+    * a dir as soon as its owning session dies, so per-pass Bench
+    * sessions stop accumulating full table projections in /tmp (at
+    * sf10 that compounds the already-tight shuffle-disk budget). */
+  private val tempDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tempDirs.forEach(p => deleteTree(p))
+    }))
+  private[graft] def trackedTempDir(): java.nio.file.Path = {
+    hookInstalled
+    val p = java.nio.file.Files.createTempDirectory("graft_buckets_")
+    tempDirs.add(p)
+    p
+  }
+  /** Test hook: the temp dirs currently tracked for cleanup. */
+  private[graft] def trackedDirs: Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    tempDirs.asScala.toSeq
+  }
+
+  /** Best-effort recursive delete + untrack (exit paths must not throw). */
+  private[graft] def purgeDir(p: java.nio.file.Path): Unit = {
+    deleteTree(p)
+    tempDirs.remove(p)
+    ()
+  }
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch {
+            case _: java.io.IOException => ()
+          })
+    } catch { case _: java.io.IOException => () }
+
+  /** Purge entries (and their temp dirs) owned by stopped sessions —
+    * the DedupQueries.evictStopped discipline applied to the bucketed
+    * layouts. The `dead` predicate is injectable only for the spec. */
+  private[graft] def evictStopped(
+      dead: SparkSession => Boolean = _.sparkContext.isStopped): Unit = {
+    val it = bucketedTables.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (dead(e.getKey._1)) { purgeDir(e.getValue._3); it.remove() }
+    }
+  }
+
   /** Session-shared bucketed (orders, lineitem) layout, both bucketed +
     * sorted by the order key: built ONCE per (session, dir) — the
     * write-time shuffle is the LAST time this join key is ever
@@ -65,12 +117,14 @@ object Bucketing {
     * step. Registered as EXTERNAL tables over a per-build temp dir so
     * no `spark-warehouse` litter lands in the working directory. */
   private val bucketedTables =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (String, String, java.nio.file.Path)]
   private[graft] def sharedBucketedOrderTables(
-      s: SparkSession, d: String): (String, String) =
-    bucketedTables.computeIfAbsent((s, d), _ => {
+      s: SparkSession, d: String): (String, String) = {
+    evictStopped()
+    val (to, tl, _) = bucketedTables.computeIfAbsent((s, d), _ => {
       val suffix = java.util.UUID.randomUUID().toString.take(8)
-      val base = java.nio.file.Files.createTempDirectory("graft_buckets_")
+      val base = trackedTempDir()
       val (to, tl) = (s"graft_b_orders_$suffix", s"graft_b_lineitem_$suffix")
       writeBucketed(
         Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
@@ -81,8 +135,10 @@ object Bucketing {
           .select("l_orderkey", "l_extendedprice", "l_discount"),
         tl, "l_orderkey", OrderBuckets, sortCols = Seq("l_orderkey"),
         path = Some(s"$base/lineitem"))
-      (to, tl)
+      (to, tl, base)
     })
+    (to, tl)
+  }
 
   /** The zero-shuffle fact-fact join over the shared bucketed layout:
     * orders ⋈ lineitem on the order key as a SortMergeJoin whose

@@ -55,4 +55,21 @@ class BucketingSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"))
     assert(Bucketing.isExchangeFree(agg))
   }
+
+  test("evictStopped purges dead-session layouts AND their temp dirs (ADVICE r14)") {
+    // populate both tracked layouts (orders/lineitem + shingle index)
+    Bucketing.sharedBucketedOrderTables(spark, sf("sf0.001"))
+    graft.operators.DedupQueries
+      .sharedBucketedShingles(spark, sf("sf0.001")).count()
+    val before = Bucketing.trackedDirs
+    assert(before.nonEmpty)
+    before.foreach(p => assert(java.nio.file.Files.exists(p), p.toString))
+    // treat every session as dead: entries AND their on-disk dirs go
+    graft.operators.DedupQueries.evictStopped(_ => true)
+    assert(Bucketing.trackedDirs.isEmpty)
+    before.foreach(p => assert(!java.nio.file.Files.exists(p), p.toString))
+    // rebuild-on-demand: the accessor recreates a purged layout
+    val (to, _) = Bucketing.sharedBucketedOrderTables(spark, sf("sf0.001"))
+    assert(spark.table(to).count() > 0)
+  }
 }

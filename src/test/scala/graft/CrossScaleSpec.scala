@@ -34,9 +34,21 @@ class CrossScaleSpec extends SparkSpec {
 
   private lazy val copy0Ready: Unit = {
     val base = sf("sf0.001")
-    if (!Files.exists(Paths.get(s"$ScaledDir/embeddings.parquet"))) {
+    // Cache keyed on the GENERATOR's content hash (ADVICE r14): a
+    // presence-only check kept validating stale output of an old
+    // gen_sf1.py after the script changed — defeating the gate's whole
+    // purpose of catching generator regressions.
+    val genHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(Files.readAllBytes(Paths.get("tools/gen_sf1.py")))
+      .map("%02x".format(_)).mkString
+    val stamp = Paths.get(s"$ScaledDir/.gen_sf1.md5")
+    val fresh = Files.exists(Paths.get(s"$ScaledDir/embeddings.parquet")) &&
+      Files.exists(stamp) &&
+      new String(Files.readAllBytes(stamp), "UTF-8") == genHash
+    if (!fresh) {
       val rc = Seq("python3", "tools/gen_sf1.py", base, ScaledDir, "10").!
       assert(rc == 0, "tools/gen_sf1.py failed")
+      Files.write(stamp, genHash.getBytes("UTF-8"))
     }
     TableKeys.foreach { case (t, k) =>
       val baseKeys = spark.read.parquet(s"$base/$t.parquet")

@@ -256,4 +256,49 @@ class DedupSpec extends SparkSpec {
     // threshold-1 volume is exactly the candidate-pair count
     assert(rows(1L)._2 == Dedup.minhashCandidates(df, 4).count())
   }
+
+  test("g26 budget rule: admits ascending df levels within the per-doc budget") {
+    import spark.implicits._
+    // 100 docs; 10 rare shingles with df=2 (1 pair each, cum 10 at df=2);
+    // 1 hot shingle with df=100 (C(100,2)=4950 pairs, cum 4960 at df=100)
+    val rare = (0 until 10).flatMap(i => Seq((2L * i, 1000L + i), (2L * i + 1, 1000L + i)))
+    val hot = (0 until 100).map(d => (d.toLong, 1L))
+    val sh = (rare ++ hot).toDF("doc_id", "sh_h")
+    def rec(budget: Long, floor: Int, ceil: Int) = {
+      val r = Dedup.recommendShingleDfCap(sh, budget, floor, ceil).collect()(0)
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("budget_pairs"),
+        r.getAs[Long]("recommended_cap"), r.getAs[Long]("admitted_pairs"))
+    }
+    // budget 1/doc (=100): the df=2 level fits (10 <= 100), the df=100
+    // level (cum 4960) does not -> cap lands between them
+    assert(rec(1L, 1, 1000) === ((100L, 100L, 2L, 10L)))
+    // budget 50/doc (=5000) affords everything -> cap = densest level
+    assert(rec(50L, 1, 1000) === ((100L, 5000L, 100L, 4960L)))
+    // the recall floor overrides a tighter budget pick, and the result
+    // reports the mass actually admitted at the CLAMPED cap
+    assert(rec(1L, 64, 1000) === ((100L, 100L, 64L, 10L)))
+    // levels above the ceiling are never admitted, whatever the budget
+    assert(rec(50L, 1, 80) === ((100L, 5000L, 2L, 10L)))
+  }
+
+  test("g26: all-unique corpus recommends the floor with zero admitted mass") {
+    import spark.implicits._
+    val uniq = (0 until 20).map(d => (d.toLong, 5000L + d)).toDF("doc_id", "sh_h")
+    val r = Dedup.recommendShingleDfCap(uniq, 10L, 64, 1000).collect()(0)
+    assert(r.getAs[Long]("n_docs") === 20L)
+    assert(r.getAs[Long]("recommended_cap") === 64L)
+    assert(r.getAs[Long]("admitted_pairs") === 0L)
+  }
+
+  test("g26 recommendation composes with cappedShingles: the hot tail is cut") {
+    import spark.implicits._
+    val rare = (0 until 10).flatMap(i => Seq((2L * i, 1000L + i), (2L * i + 1, 1000L + i)))
+    val hot = (0 until 100).map(d => (d.toLong, 1L))
+    val sh = (rare ++ hot).toDF("doc_id", "sh_h")
+    val cap = Dedup.recommendShingleDfCap(sh, 1L, 1, 1000)
+      .collect()(0).getAs[Long]("recommended_cap").toInt
+    // under the recommended cap the inverted-index join emits exactly
+    // the 10 rare pairs — the 4950-pair hot tail is gone
+    assert(Dedup.ngramCandidates(sh, cap).count() === 10L)
+  }
 }

@@ -859,4 +859,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") && p.contains("partial_"),
       "SMJ over bucket scans + map-side combine\n" + p.take(2000))
   }
+
+  test("g29: the bucketed shingle index never re-shuffles on sh_h") {
+    import graft.operators.{Dedup, DedupQueries}
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val b = DedupQueries.sharedBucketedShingles(spark, sf("sf0.001"))
+    // The candidate front (df groupBy -> df join-back -> inverted-index
+    // self-join) built over the bucketed scan, SMJ-hinted like q50 so
+    // the small scale doesn't broadcast away the property being pinned:
+    // ZERO exchange anywhere — the bucket layout satisfies every step's
+    // required distribution.
+    val bdf = b.groupBy("sh_h").agg(count(lit(1)).as("df"))
+    val capped = b.hint("merge")
+      .join(bdf.where(col("df") <= Dedup.DefaultShingleDfCap).hint("merge"),
+        "sh_h")
+      .select("doc_id", "sh_h")
+    val cand = capped.as("x").join(capped.hint("merge").as("y"),
+      col("x.sh_h") === col("y.sh_h") && col("x.doc_id") < col("y.doc_id"))
+    assert(graft.sources.Bucketing.isExchangeFree(cand),
+      cand.queryExecution.executedPlan.toString.take(2000))
+    val pc = cand.queryExecution.executedPlan.toString
+    assert(pc.contains("SortMergeJoin") && pc.contains("Bucketed: true"),
+      pc.take(2000))
+    // and the registered query (whatever join strategies the small scale
+    // picks) must never shuffle on the shingle key — write-time
+    // bucketing was the last sh_h shuffle ever
+    val p = plan("g29_bucketed_jaccard")
+    assert(!p.contains("hashpartitioning(sh_h"),
+      "sh_h must never re-shuffle at query time\n" + p.take(2000))
+    assert(p.contains("Bucketed: true"), p.take(2000))
+  }
 }

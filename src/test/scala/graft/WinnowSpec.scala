@@ -100,4 +100,31 @@ class WinnowSpec extends SparkSpec {
     assert(TextAnalysis.winnowCandidates(docs, W, dfCap = 2).count() === 0L)
     assert(TextAnalysis.winnowCandidates(docs, W, dfCap = 5).count() === 10L)
   }
+
+  test("g27: identical docs score winnow-Jaccard 1.0; disjoint docs never pair") {
+    val docs = docsDF(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      3L -> "one two three four five six seven eight nine ten")
+    val top = TextAnalysis
+      .winnowJaccardJoin(TextAnalysis.winnowFingerprints(docs, W), 10)
+      .collect()
+    assert(top.length === 1, top.mkString(","))
+    assert(top(0).getLong(0) === 1L && top(0).getLong(1) === 2L)
+    assert(top(0).getDouble(2) === 1.0)
+  }
+
+  test("g27 estimates track true containment direction: near-dups above strangers") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = docsDF(
+      1L -> s"$shared tail one two three",
+      2L -> s"$shared other four five six",
+      3L -> "entirely disjoint vocabulary for the control document here now")
+    val rows = TextAnalysis
+      .winnowJaccardJoin(TextAnalysis.winnowFingerprints(docs, W), 10)
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    val j = rows(0).getDouble(2)
+    assert(j > 0.3 && j < 1.0, s"shared-run pair should score mid-range: $j")
+  }
 }
