@@ -703,12 +703,17 @@ object Dedup {
 
   /** Per-document candidate-pair budget for [[recommendShingleDfCap]]:
     * the admitted inverted-index emission is bounded at budget × |docs|
-    * — LINEAR in corpus size by construction. Sized from the r14 sf10
-    * measurement: the genuine dup mass of a 100×-duplicated corpus is
-    * ~4k pairs/doc, so 8192 affords full recall on that density with
-    * 2× headroom while the df² cross-group tail (the ~70 GB shuffle
-    * killer) blows the budget and gets cut. */
-  val DefaultCapBudgetPerDoc = 8192L
+    * — LINEAR in corpus size by construction. Sized from the r15 sf10
+    * g19 census: a 100×-duplicated corpus measures ~68 GENUINE dup
+    * pairs/doc (the df < group-size bins hold 34M of the 5.5G uncapped
+    * pairs; everything above is the df² cross-group tail that melted
+    * the r14 run), so 256/doc affords full recall on that density with
+    * ~4× headroom. Cost meaning: budget × |docs| × 16 B is the shuffle
+    * the candidate join ships — 256/doc keeps a 1e9-doc corpus at
+    * ~4 TB cluster-wide, while the r14 failure (cap 1000 ≈ 11000
+    * admitted pairs/doc at sf10) is exactly what an over-generous
+    * budget reproduces. */
+  val DefaultCapBudgetPerDoc = 256L
 
   /** Recall floor for [[recommendShingleDfCap]]: the cap never drops
     * below this, so dup groups up to ~64 copies keep their
