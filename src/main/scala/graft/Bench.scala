@@ -100,8 +100,13 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
             if (!failed.contains(name)) failed ::= name
+            // Spark's stage-failure message carries the ROOT cause on a
+            // later line ("Lost task ...: SparkOutOfMemoryError: ...") —
+            // keep the first few lines, collapsed, so the artifact is
+            // self-explaining without the full log
             val msg = Option(e.getMessage).getOrElse("")
-              .linesIterator.toSeq.headOption.getOrElse("").take(160)
+              .linesIterator.take(4).mkString(" ")
+              .replaceAll("\\s+", " ").take(280)
             failReason += name -> s"${e.getClass.getSimpleName}: $msg"
             System.err.println(s"[bench] $name FAILED (pass ${p + 1}): ${e.getMessage}")
             false

@@ -46,63 +46,135 @@ object SimilarityJoin {
     Dedup.viaSharedScan(Dedup.shingleHashRows(docs).distinct())(prefixJoin(_, t))
   }
 
-  /** The lazy prefix-filtered join over a distinct (doc_id, sh_h) shingle
+  /** Transient-disk slicing for the exact join (r15 sf10 finding): at a
+    * 100×-duplicated corpus the qualifying pairs are genuinely ~F² —
+    * candidate emission plus the verify join's two set-array shipments
+    * held >56 GB of shuffle at once and exhausted the local disk
+    * (BENCH_sf10 g14 errors, r14 and the r15 probe). With N slices the
+    * driver partitions the candidate space by doc_a hash and runs one
+    * bounded job per slice, materializing each result before the next
+    * starts — peak transient shuffle divides by N while total work is
+    * unchanged (the prefix index and doc-set arrays are materialized
+    * once and re-read per slice). A real cluster has aggregate disk and
+    * doesn't need this; a single box (or a skew-hit executor) does —
+    * it is the batch-verify discipline, env-exposed like the other
+    * scale levers. Default 1 = the single-shot lazy plan, so the
+    * correctness gate, plan fingerprints and small-scale baselines are
+    * byte-identical with the lever unset. */
+  private[graft] val Y4Slices: Int =
+    sys.env.getOrElse("SPARK_GRAFT_Y4_SLICES", "1").toInt
+
+  /** Second verify lever: broadcast the per-doc set arrays into the
+    * verify joins. The default plan deliberately carries NO broadcast
+    * hint — docSets is corpus-sized (430 GB at 1e9 docs) and an
+    * unconditional hint would OOM the driver — but when the corpus is
+    * known to fit (the sf10 gate: 500k docs × ~52 shingles ≈ 215 MB)
+    * broadcasting turns the verify from a 2×77 GB array shuffle into a
+    * flat scan of the candidate stream: the r15 measured difference
+    * between exhausting the local disk and finishing. Production
+    * analog: a bounded dedup shard or AQE choosing broadcast from
+    * measured stats. */
+  private[graft] val Y4BroadcastVerify: Boolean =
+    sys.env.get("SPARK_GRAFT_Y4_BROADCAST").contains("1")
+
+  /** The prefix-filtered join over a distinct (doc_id, sh_h) shingle
     * table — split out from [[jaccardThresholdJoin]] so its plan can be
-    * audited (the public entry wraps it in an eager checkpoint). */
-  private[graft] def prefixJoin(ss: DataFrame, t: Double): DataFrame = {
-      // document frequency as a map-side-combinable groupBy joined back —
-      // NOT a Window.partitionBy(sh_h) count: a window puts every (doc,
-      // shingle) row of a given shingle into ONE task, so a stopword-like
-      // shingle ("one of the", df 10^8-10^9 on a web corpus) serializes
-      // its whole partition through a single window task. The groupBy
-      // collapses that key to one row at the mappers (partial agg), and
-      // the join back is AQE-skew-splittable. Per-doc n and r stay
-      // windows: their partition key doc_id is bounded by document
-      // length, so they share one safe doc_id exchange.
-      val docFreq = ss.groupBy("sh_h").agg(count(lit(1)).as("df"))
-      val ranked = ss
-        .join(docFreq, "sh_h")
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-        .withColumn("r", row_number().over(
-          Window.partitionBy("doc_id").orderBy("df", "sh_h")))
-      val prefix = ranked
-        .where(col("r") <= col("n") - ceil(col("n") * t) + 1)
-        .select("doc_id", "sh_h", "n", "r")
-      // positional filter (PPJoin): a qualifying pair needs true overlap
-      // alpha = ceil(t/(1+t) * (na+nb)); its smallest shared shingle in
-      // the global (df, sh_h) order sits at minimal position in BOTH
-      // prefixes, and everything overlapping lies at-or-after it, so
-      // overlap <= 1 + min(na-ra, nb-rb) holds for that row. Keeping a
-      // pair when ANY collision row passes the bound is therefore
-      // lossless (the minimal row always passes for a true pair), while
-      // late-prefix-only collisions generate no candidate at all.
-      val cand = prefix.as("a").join(prefix.as("b"),
-          col("a.sh_h") === col("b.sh_h") &&
-            col("a.doc_id") < col("b.doc_id") &&
-            col("b.n") >= ceil(col("a.n") * t) &&
-            col("a.n") >= ceil(col("b.n") * t) &&
-            (lit(1) + least(col("a.n") - col("a.r"), col("b.n") - col("b.r"))) >=
-              ceil((col("a.n") + col("b.n")) * (t / (1 + t))))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      // verify EXACTLY with per-doc shingle-set arrays: one row per
-      // candidate pair (array_intersect of two element-distinct arrays),
-      // never the candidates-x-shingles row explosion of a third
-      // inverted-index join. At warehouse scale these two joins shuffle
-      // |cand| rows on the doc ids; the array payload is the same bytes
-      // the exploded form would have moved as rows.
-      val docSets = ss.groupBy("doc_id")
-        .agg(collect_list(col("sh_h")).as("set"), count(lit(1)).as("n"))
-      cand
-        .join(docSets.select(col("doc_id").as("doc_a"),
-          col("set").as("sa"), col("n").as("na")), "doc_a")
-        .join(docSets.select(col("doc_id").as("doc_b"),
-          col("set").as("sb"), col("n").as("nb")), "doc_b")
-        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-        .withColumn("jac", col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double"))
-        .where(col("jac") >= t)
-        .select(col("doc_a"), col("doc_b"), pround(col("jac"), 6).as("jaccard"))
+    * audited (the public entry wraps it in an eager checkpoint). Lazy
+    * in the default single-slice mode; with [[Y4Slices]] > 1 it runs
+    * the slices eagerly (see above) and returns their union. */
+  private[graft] def prefixJoin(ss: DataFrame, t: Double): DataFrame =
+    prefixJoinSliced(ss, t, Y4Slices)
+
+  private[graft] def prefixJoinSliced(ss: DataFrame, t: Double,
+      slices: Int): DataFrame = {
+    require(slices >= 1, s"slices must be >= 1, got $slices")
+    if (slices == 1) {
+      val prefix = prefixTable(ss, t)
+      verifyCandidates(candidatesFromPrefix(prefix, prefix, t),
+        docSetsTable(ss), t)
+    } else {
+      // materialize the shared fronts once; each slice re-reads stored
+      // rows instead of re-running the df join + per-doc windows, and
+      // each slice's shuffle files become collectable before the next
+      // slice starts
+      val prefixM = Materialize.frame(prefixTable(ss, t))
+      val setsM = Materialize.frame(docSetsTable(ss))
+      (0 until slices).map { sl =>
+        // slicing on doc_a partitions the qualifying-pair space exactly
+        // (doc_a determines the slice), so the union is the single-shot
+        // answer with no dup and no loss
+        Materialize.frame(verifyCandidates(
+          candidatesFromPrefix(
+            prefixM.where(pmod(hash(col("doc_id")), lit(slices)) === sl),
+            prefixM, t),
+          setsM, t))
+      }.reduce(_.unionByName(_))
+    }
+  }
+
+  /** The df-ranked prefix index. Document frequency is a map-side-
+    * combinable groupBy joined back — NOT a Window.partitionBy(sh_h)
+    * count: a window puts every (doc, shingle) row of a given shingle
+    * into ONE task, so a stopword-like shingle ("one of the", df
+    * 10^8-10^9 on a web corpus) serializes its whole partition through
+    * a single window task. The groupBy collapses that key to one row at
+    * the mappers (partial agg), and the join back is AQE-skew-
+    * splittable. Per-doc n and r stay windows: their partition key
+    * doc_id is bounded by document length, so they share one safe
+    * doc_id exchange. */
+  private def prefixTable(ss: DataFrame, t: Double): DataFrame =
+    ss.join(ss.groupBy("sh_h").agg(count(lit(1)).as("df")), "sh_h")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "sh_h")))
+      .where(col("r") <= col("n") - ceil(col("n") * t) + 1)
+      .select("doc_id", "sh_h", "n", "r")
+
+  /** The candidate join with size + positional filters. Positional
+    * filter (PPJoin): a qualifying pair needs true overlap
+    * alpha = ceil(t/(1+t) * (na+nb)); its smallest shared shingle in
+    * the global (df, sh_h) order sits at minimal position in BOTH
+    * prefixes, and everything overlapping lies at-or-after it, so
+    * overlap <= 1 + min(na-ra, nb-rb) holds for that row. Keeping a
+    * pair when ANY collision row passes the bound is therefore
+    * lossless (the minimal row always passes for a true pair), while
+    * late-prefix-only collisions generate no candidate at all. */
+  private def candidatesFromPrefix(pa: DataFrame, pb: DataFrame,
+      t: Double): DataFrame =
+    pa.as("a").join(pb.as("b"),
+        col("a.sh_h") === col("b.sh_h") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") >= ceil(col("a.n") * t) &&
+          col("a.n") >= ceil(col("b.n") * t) &&
+          (lit(1) + least(col("a.n") - col("a.r"), col("b.n") - col("b.r"))) >=
+            ceil((col("a.n") + col("b.n")) * (t / (1 + t))))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+  private def docSetsTable(ss: DataFrame): DataFrame =
+    ss.groupBy("doc_id")
+      .agg(collect_list(col("sh_h")).as("set"), count(lit(1)).as("n"))
+
+  /** Verify EXACTLY with per-doc shingle-set arrays: one row per
+    * candidate pair (array_intersect of two element-distinct arrays),
+    * never the candidates-x-shingles row explosion of a third
+    * inverted-index join. At warehouse scale these two joins shuffle
+    * |cand| rows on the doc ids; the array payload is the same bytes
+    * the exploded form would have moved as rows. */
+  private def verifyCandidates(cand: DataFrame, docSets: DataFrame,
+      t: Double): DataFrame = {
+    val hint: DataFrame => DataFrame =
+      if (Y4BroadcastVerify) broadcast(_) else identity
+    cand
+      .join(hint(docSets.select(col("doc_id").as("doc_a"),
+        col("set").as("sa"), col("n").as("na"))), "doc_a")
+      .join(hint(docSets.select(col("doc_id").as("doc_b"),
+        col("set").as("sb"), col("n").as("nb"))), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
+      .where(col("jac") >= t)
+      .select(col("doc_a"), col("doc_b"), pround(col("jac"), 6).as("jaccard"))
   }
 
   /** g14: LSH quality census — precision/recall of the banded MinHash

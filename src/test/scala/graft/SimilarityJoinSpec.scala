@@ -90,4 +90,20 @@ class SimilarityJoinSpec extends SparkSpec {
     assert(r.getDouble(4) === 1.0)
     assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
   }
+
+  test("sliced verify (the sf10 transient-disk lever) equals the single-shot join") {
+    // slicing partitions the candidate space by doc_a hash and runs one
+    // bounded job per slice — the union must be bit-identical to the
+    // lazy single-shot plan on real data
+    val ss = Dedup.shingleHashRows(Tables.documents(spark, sf("sf0.001")))
+      .distinct()
+    def pairs(slices: Int) =
+      SimilarityJoin.prefixJoinSliced(ss, 0.5, slices)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val single = pairs(1)
+    assert(single.nonEmpty, "fixture must produce qualifying pairs")
+    assert(pairs(4) === single)
+    assert(pairs(3) === single)
+  }
 }
