@@ -45,16 +45,23 @@ object Bench {
     // reliable checkpoints (cleanCheckpoints unset), so a full-surface
     // sweep used to leave every pass's Materialize'd intermediates on
     // disk; purge the dir after each pass's session stops
+    // NonFatal + stream close (ADVICE r15): walking a vanishing dir
+    // throws UncheckedIOException (a RuntimeException IOException
+    // misses), and an unclosed walk stream leaks directory fds
     def purgeCkptDir(): Unit = ckptDir.foreach { d =>
+      import scala.util.control.NonFatal
       try {
         import scala.jdk.CollectionConverters._
         val p = java.nio.file.Paths.get(d)
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        if (java.nio.file.Files.exists(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          try walk.iterator().asScala.toSeq.reverse
             .filter(_ != p)
             .foreach(f => try { java.nio.file.Files.deleteIfExists(f); () }
-              catch { case _: java.io.IOException => () })
-      } catch { case _: java.io.IOException => () }
+              catch { case NonFatal(_) => () })
+          finally walk.close()
+        }
+      } catch { case NonFatal(_) => () }
     }
     // Host load varies wildly between runs of identical code (observed
     // 34s vs 85s an hour apart), so each query is timed in TWO passes
@@ -69,11 +76,11 @@ object Bench {
     // SPARK_GRAFT_PASSES=1 is for growth-shape scale probes (sf10),
     // where a second pass doubles hours of runtime for noise-shrink the
     // probe doesn't need; gated steadies stay min-of-2.
-    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2)
-    // loud-fail guards (ADVICE r14): passes<=0 used to yield an empty
-    // runs array and throw on .max; a typo'd ONLY filter used to emit a
-    // {"total":0} artifact indistinguishable from a fast pass
-    require(passes >= 1, s"SPARK_GRAFT_PASSES must be >= 1, got $passes")
+    // loud-fail guards (ADVICE r14/r15): a malformed or non-positive
+    // passes value fails naming the env var (Env.posInt); a typo'd ONLY
+    // filter used to emit a {"total":0} artifact indistinguishable from
+    // a fast pass
+    val passes = Env.posInt("SPARK_GRAFT_PASSES", 2)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     require(names.nonEmpty,
@@ -163,6 +170,11 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] full-artifact write skipped: ${e.getMessage}")
     }
+    // Final SHORT self-describing line (VERDICT r15 item 8): past ~200
+    // queries the full line outgrows the driver's ~2-5 KB stdout tail
+    // and arrives truncated/unparseable — this one always fits, parses,
+    // and names the machine-readable full artifact explicitly.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_errors":${failed.size},"runs_per_query":$passes,"sf":"$sfDir","full_artifact":"BENCH_FULL_latest.json"}""")
     SparkSession.getActiveSession.foreach(_.stop())
     purgeCkptDir()
   }

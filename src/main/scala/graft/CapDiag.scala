@@ -28,7 +28,7 @@ object CapDiag {
     caps.foreach { cap =>
       val t0 = System.nanoTime()
       val n = Dedup.ngramJaccardJoin(
-        DedupQueries.sharedShingles(spark, sfDir), 20, dfCap = cap).count()
+        DedupQueries.sharedShingles(spark, sfDir), 20, dfCap = Some(cap)).count()
       println(f"[capdiag] dfCap=$cap rows=$n time=${(System.nanoTime() - t0) / 1e9}%.1f s")
       spark.catalog.clearCache()
       System.gc()

@@ -86,7 +86,7 @@ object ScaleDemo {
       // ngram_candidates_cap16) that the bucket-df cap, not luck,
       // bounds per-bucket emission at cap²/2 at any corpus size
       "minhash_pairs_cap16" -> (d =>
-        operators.Dedup.minhashCandidates(d, 4, bucketCap = 16).count()),
+        operators.Dedup.minhashCandidates(d, 4, bucketCap = Some(16)).count()),
       "dedup_clusters" -> (d =>
         operators.Dedup.dedupClusters(operators.Dedup.minhashCandidates(d, 4))
           .count()),
@@ -151,13 +151,13 @@ object ScaleDemo {
       // any exact emitter produces at least that), not hot-shingle blowup
       "ngram_candidates" -> (d => operators.Dedup.ngramCandidates(
         operators.Dedup.shingleHashRows(d).distinct(),
-        operators.Dedup.DefaultShingleDfCap).count()),
+        Some(operators.Dedup.DefaultShingleDfCap)).count()),
       // the same index under a cap BELOW the replication factor: every
       // replicated shingle is now "hot" and excluded, so the candidate
       // count collapses — the direct demonstration that the cap, not
       // luck, bounds per-shingle emission (at cap²/2) at any corpus size
       "ngram_candidates_cap16" -> (d => operators.Dedup.ngramCandidates(
-        operators.Dedup.shingleHashRows(d).distinct(), 16).count()),
+        operators.Dedup.shingleHashRows(d).distinct(), Some(16)).count()),
       // per-word moments + TakeOrdered cap: F× docs widen the explode,
       // never the |vocab|-row moment table or the top-k
       "burstiness" -> (d => operators.TextAnalysis.wordBurstiness(d).count()),

@@ -62,20 +62,49 @@ object SimilarityJoin {
     * correctness gate, plan fingerprints and small-scale baselines are
     * byte-identical with the lever unset. */
   private[graft] val Y4Slices: Int =
-    sys.env.getOrElse("SPARK_GRAFT_Y4_SLICES", "1").toInt
+    graft.Env.posInt("SPARK_GRAFT_Y4_SLICES", 1)
 
   /** Second verify lever: broadcast the per-doc set arrays into the
-    * verify joins. The default plan deliberately carries NO broadcast
-    * hint — docSets is corpus-sized (430 GB at 1e9 docs) and an
-    * unconditional hint would OOM the driver — but when the corpus is
-    * known to fit (the sf10 gate: 500k docs × ~52 shingles ≈ 215 MB)
+    * verify joins. An UNCONDITIONAL hint would OOM the driver — docSets
+    * is corpus-sized (430 GB at 1e9 docs) — but when the table is known
+    * to fit (the sf10 gate: 500k docs × ~52 shingles ≈ 215 MB)
     * broadcasting turns the verify from a 2×77 GB array shuffle into a
     * flat scan of the candidate stream: the r15 measured difference
-    * between exhausting the local disk and finishing. Production
-    * analog: a bounded dedup shard or AQE choosing broadcast from
-    * measured stats. */
-  private[graft] val Y4BroadcastVerify: Boolean =
-    sys.env.get("SPARK_GRAFT_Y4_BROADCAST").contains("1")
+    * between exhausting the local disk and finishing.
+    *
+    * r16 (VERDICT r15 item 5): the choice is AUTO by default — the
+    * AQE-style decision the r15 comment invoked, made for real. The
+    * join is only ever built through eager entry points (the session-
+    * shared y4 table, viaSharedScan), so the build ALREADY runs jobs;
+    * one more 1-row aggregate over the materialized shingle index
+    * (docs + postings counts → a bytes estimate for the set-array
+    * table) is the measured-stats read AQE would have made, and it is
+    * the only driver-side read in the operator family. Env remains the
+    * override: `SPARK_GRAFT_Y4_BROADCAST=1` forces the hint, `=0`
+    * forces the r14 unhinted shuffle plan, unset = decide from the
+    * estimate vs [[Y4BroadcastMaxBytes]]. */
+  private[graft] val Y4BroadcastVerify: Option[Boolean] =
+    graft.Env.triState("SPARK_GRAFT_Y4_BROADCAST")
+
+  /** Auto-broadcast ceiling for the verify-side set-array table.
+    * 512 MB: the measured sf10 table (215 MB) broadcasts with 2×
+    * headroom, while anything approaching executor/driver memory
+    * falls back to the shuffle plan. Env-overridable like every other
+    * recorded-measurement-context lever. */
+  private[graft] val Y4BroadcastMaxBytes: Long =
+    graft.Env.posLong("SPARK_GRAFT_Y4_BROADCAST_MAX_BYTES", 512L << 20)
+
+  /** Estimated on-wire bytes of [[docSetsTable]] from one combinable
+    * aggregate over the (materialized) shingle index: 8 B per posting
+    * (the sh_h longs inside the arrays) + ~32 B per doc (id, count,
+    * array header). Deliberately a cheap upper-bound shape estimate —
+    * the decision only needs order-of-magnitude accuracy against a
+    * ceiling with 2× headroom. */
+  private[graft] def docSetsBytesEstimate(ss: DataFrame): Long = {
+    val r = ss.agg(count(lit(1)).as("postings"),
+      countDistinct(col("doc_id")).as("docs")).head()
+    8L * r.getAs[Long]("postings") + 32L * r.getAs[Long]("docs")
+  }
 
   /** The prefix-filtered join over a distinct (doc_id, sh_h) shingle
     * table — split out from [[jaccardThresholdJoin]] so its plan can be
@@ -83,15 +112,20 @@ object SimilarityJoin {
     * in the default single-slice mode; with [[Y4Slices]] > 1 it runs
     * the slices eagerly (see above) and returns their union. */
   private[graft] def prefixJoin(ss: DataFrame, t: Double): DataFrame =
-    prefixJoinSliced(ss, t, Y4Slices)
+    prefixJoinSliced(ss, t, Y4Slices, Y4BroadcastVerify)
 
   private[graft] def prefixJoinSliced(ss: DataFrame, t: Double,
-      slices: Int): DataFrame = {
+      slices: Int,
+      broadcastVerify: Option[Boolean] = Some(false)): DataFrame = {
     require(slices >= 1, s"slices must be >= 1, got $slices")
+    // None = auto: one measured-stats read decides the verify strategy
+    // (see Y4BroadcastVerify). Some(b) pins the plan for specs/levers.
+    val bcast = broadcastVerify.getOrElse(
+      docSetsBytesEstimate(ss) <= Y4BroadcastMaxBytes)
     if (slices == 1) {
       val prefix = prefixTable(ss, t)
       verifyCandidates(candidatesFromPrefix(prefix, prefix, t),
-        docSetsTable(ss), t)
+        docSetsTable(ss), t, bcast)
     } else {
       // materialize the shared fronts once; each slice re-reads stored
       // rows instead of re-running the df join + per-doc windows, and
@@ -107,7 +141,7 @@ object SimilarityJoin {
           candidatesFromPrefix(
             prefixM.where(pmod(hash(col("doc_id")), lit(slices)) === sl),
             prefixM, t),
-          setsM, t))
+          setsM, t, bcast))
       }.reduce(_.unionByName(_))
     }
   }
@@ -162,9 +196,9 @@ object SimilarityJoin {
     * |cand| rows on the doc ids; the array payload is the same bytes
     * the exploded form would have moved as rows. */
   private def verifyCandidates(cand: DataFrame, docSets: DataFrame,
-      t: Double): DataFrame = {
+      t: Double, broadcastVerify: Boolean): DataFrame = {
     val hint: DataFrame => DataFrame =
-      if (Y4BroadcastVerify) broadcast(_) else identity
+      if (broadcastVerify) broadcast(_) else identity
     cand
       .join(hint(docSets.select(col("doc_id").as("doc_a"),
         col("set").as("sa"), col("n").as("na"))), "doc_a")
@@ -288,7 +322,8 @@ object SimilarityJoinQueries {
 
     Q("g28_winnow_recall",
       (s, d) => minhashQualityFromParts(
-        TextAnalysis.candidatesFromFps(DedupQueries.sharedWinnowFps(s, d))
+        TextAnalysis.candidatesFromDistinctFps(
+            DedupQueries.sharedBucketedWinnowFps(s, d))
           .select("doc_a", "doc_b"),
         DedupQueries.sharedJaccardPairs(s, d)),
       // candidates = y9's winnow inverted-index join; truth = the y4
@@ -297,10 +332,8 @@ object SimilarityJoinQueries {
       // MEASURED recall number instead of a claim (VERDICT r14 item 4)
       Some(s"""WITH ${TextAnalysisQueries.winnowSqlCte},
               |f AS (SELECT DISTINCT doc_id, fp FROM wfp),
-              |wdf AS (SELECT fp, count(*) AS df FROM f GROUP BY fp),
-              |wbd AS (SELECT f.doc_id, f.fp FROM f
-              |        JOIN wdf ON f.fp = wdf.fp
-              |        WHERE df <= ${Dedup.DefaultShingleDfCap}),
+              |${DedupQueries.autoCappedSqlCtes("f", Seq("fp"), "w")},
+              |wbd AS (SELECT doc_id, fp FROM wcapped),
               |cand AS (
               |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               |  FROM wbd a JOIN wbd b ON a.fp = b.fp AND a.doc_id < b.doc_id),

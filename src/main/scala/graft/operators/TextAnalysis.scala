@@ -642,19 +642,26 @@ object TextAnalysis {
     * is the winnowed ~2/(w+1) subset instead of every shingle — the
     * practical near-dup path when full shingle indexing is too big. */
   def winnowCandidates(docs: DataFrame, w: Int = 4,
-      dfCap: Int = Dedup.DefaultShingleDfCap): DataFrame =
+      dfCap: Option[Int] = None): DataFrame =
     candidatesFromFps(winnowFingerprints(docs, w), dfCap)
 
   /** [[winnowCandidates]]' inverted-index join over an existing
     * fingerprint table — the registered y9 reads the session-shared
     * winnow build ([[DedupQueries.sharedWinnowFps]]) instead of
-    * re-winnowing the corpus. */
+    * re-winnowing the corpus. The fp index is density-capped by default
+    * ([[Dedup.autoCapped]] — same budget rule, same ceiling). */
   private[graft] def candidatesFromFps(fps: DataFrame,
-      dfCap: Int = Dedup.DefaultShingleDfCap): DataFrame = {
-    val fp = fps.select(col("doc_id"), col("fp"))
-      .distinct()
-    val docFreq = fp.groupBy("fp").agg(count(lit(1)).as("df"))
-    val bounded = fp.join(docFreq.where(col("df") <= dfCap), "fp")
+      dfCap: Option[Int] = None): DataFrame =
+    candidatesFromDistinctFps(
+      fps.select(col("doc_id"), col("fp")).distinct(), dfCap)
+
+  /** [[candidatesFromFps]] over an ALREADY-DISTINCT (doc_id, fp) table —
+    * the entry the bucketed winnow layout feeds (the distinct ran once,
+    * at write time; re-applying it here would put an exchange back under
+    * every read). */
+  private[graft] def candidatesFromDistinctFps(fp: DataFrame,
+      dfCap: Option[Int] = None): DataFrame = {
+    val bounded = Dedup.autoCapped(fp, Seq("fp"), dfCap)
     bounded.as("a").join(bounded.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -674,11 +681,15 @@ object TextAnalysis {
     * verification oracle, not the production plan. Same df-cap lever
     * as g4 ([[Dedup.DefaultShingleDfCap]]). */
   private[graft] def winnowJaccardJoin(fps: DataFrame, k: Int,
-      dfCap: Int = Dedup.DefaultShingleDfCap): DataFrame = {
-    val fp = fps.select(col("doc_id"), col("fp")).distinct()
-    val docFreq = fp.groupBy("fp").agg(count(lit(1)).as("df"))
-    val bounded = fp.join(docFreq.where(col("df") <= dfCap), "fp")
-      .select("doc_id", "fp")
+      dfCap: Option[Int] = None): DataFrame =
+    winnowJaccardJoinDistinct(
+      fps.select(col("doc_id"), col("fp")).distinct(), k, dfCap)
+
+  /** [[winnowJaccardJoin]] over an already-distinct (doc_id, fp) table
+    * (the bucketed winnow layout — see candidatesFromDistinctFps). */
+  private[graft] def winnowJaccardJoinDistinct(fp: DataFrame, k: Int,
+      dfCap: Option[Int] = None): DataFrame = {
+    val bounded = Dedup.autoCapped(fp, Seq("fp"), dfCap)
     val sizes = bounded.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = bounded.as("a").join(bounded.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
@@ -1482,10 +1493,12 @@ object TextAnalysisQueries {
        |  FROM tok GROUP BY doc_id)""".stripMargin
 
   /** The t15 winnowing pipeline as a DuckDB CTE chain ending in `wfp`
-    * (doc_id, fp_pos, fp) — shared between t15's and y9's oracles so
-    * the fingerprint definition cannot drift between them. */
-  private[operators] val winnowSqlCte =
-    s"""wt AS (SELECT doc_id, $toksSql AS t FROM documents),
+    * (doc_id, fp_pos, fp) — shared between t15's, y9's and g30's oracles
+    * so the fingerprint definition cannot drift between them. The
+    * `On(table)` form runs the chain over an arbitrary (doc_id, text)
+    * relation (g30 winnows an AUGMENTED corpus CTE). */
+  private[operators] def winnowSqlCteOn(table: String): String =
+    s"""wt AS (SELECT doc_id, $toksSql AS t FROM $table),
        |wsp AS (
        |  SELECT doc_id, i AS pos,
        |    ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 14))::BIGINT AS h
@@ -1502,6 +1515,8 @@ object TextAnalysisQueries {
        |wfp AS (
        |  SELECT DISTINCT doc_id, -sel.np AS fp_pos, sel.h AS fp
        |  FROM ww WHERE cnt = 4 OR (pos = 1 AND n_sh < 4))""".stripMargin
+
+  private[operators] val winnowSqlCte = winnowSqlCteOn("documents")
 
   /** The t2 quality score over the `st` CTE — shared with g11's oracle
     * so the two engines' formulas can't drift apart. */
@@ -1827,16 +1842,18 @@ object TextAnalysisQueries {
         "fingerprint table (also read by y9)"),
 
     Q("y9_winnow_candidates",
-      (s, d) => candidatesFromFps(DedupQueries.sharedWinnowFps(s, d))
+      // r16: reads the BUCKETED distinct (doc_id, fp) layout — the fp
+      // df groupBy, join-back and self-join inherit the bucket
+      // distribution (PlanAuditSpec pins the exchange-free front)
+      (s, d) => candidatesFromDistinctFps(
+          DedupQueries.sharedBucketedWinnowFps(s, d))
         .orderBy("doc_a", "doc_b"),
-      // the cap is interpolated from the SAME val the Spark side reads,
-      // so the SPARK_GRAFT_SHINGLE_DF_CAP lever cannot desync the gate
+      // the derived-cap chain interpolates the SAME budget/floor/ceiling
+      // vals the Spark side reads, so the engines cannot desync
       Some(s"""WITH $winnowSqlCte,
               |f AS (SELECT DISTINCT doc_id, fp FROM wfp),
-              |dfq AS (SELECT fp, count(*) AS df FROM f GROUP BY fp),
-              |bd AS (SELECT f.doc_id, f.fp FROM f
-              |       JOIN dfq ON f.fp = dfq.fp
-              |       WHERE df <= ${Dedup.DefaultShingleDfCap})
+              |${DedupQueries.autoCappedSqlCtes("f", Seq("fp"), "w")},
+              |bd AS (SELECT doc_id, fp FROM wcapped)
               |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
               |       count(*) AS n_shared
               |FROM bd a JOIN bd b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -1848,13 +1865,12 @@ object TextAnalysisQueries {
         "EAGER: reads the session-shared winnow table t15 returns"),
 
     Q("g27_winnow_jaccard",
-      (s, d) => winnowJaccardJoin(DedupQueries.sharedWinnowFps(s, d), 20),
+      (s, d) => winnowJaccardJoinDistinct(
+        DedupQueries.sharedBucketedWinnowFps(s, d), 20),
       Some(s"""WITH $winnowSqlCte,
               |f AS (SELECT DISTINCT doc_id, fp FROM wfp),
-              |dfq AS (SELECT fp, count(*) AS df FROM f GROUP BY fp),
-              |bd AS (SELECT f.doc_id, f.fp FROM f
-              |       JOIN dfq ON f.fp = dfq.fp
-              |       WHERE df <= ${Dedup.DefaultShingleDfCap}),
+              |${DedupQueries.autoCappedSqlCtes("f", Seq("fp"), "w")},
+              |bd AS (SELECT doc_id, fp FROM wcapped),
               |sz AS (SELECT doc_id, count(*) AS n FROM bd GROUP BY doc_id),
               |inter AS (
               |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter

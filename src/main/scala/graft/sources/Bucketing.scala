@@ -85,19 +85,29 @@ object Bucketing {
     tempDirs.remove(p)
     ()
   }
+  /** Best-effort tree delete. Catches NonFatal, not just IOException
+    * (ADVICE r15: iterating a Files.walk stream surfaces disk errors as
+    * UncheckedIOException, a RuntimeException — an exit path or live
+    * query path must not throw on cleanup), and closes the walk stream
+    * (it holds directory fds). */
   private def deleteTree(p: java.nio.file.Path): Unit =
     try {
       import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch {
-            case _: java.io.IOException => ()
-          })
-    } catch { case _: java.io.IOException => () }
+      import scala.util.control.NonFatal
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(f => try { java.nio.file.Files.deleteIfExists(f); () }
+            catch { case NonFatal(_) => () })
+        finally walk.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
-  /** Purge entries (and their temp dirs) owned by stopped sessions —
+  /** Purge entries (and their temp dirs) owned by STOPPED sessions —
     * the DedupQueries.evictStopped discipline applied to the bucketed
-    * layouts. The `dead` predicate is injectable only for the spec. */
+    * layouts. Eager dir deletion is safe here and only here: a stopped
+    * context can run no query, so no live DataFrame can still read the
+    * files. The `dead` predicate is injectable only for the spec. */
   private[graft] def evictStopped(
       dead: SparkSession => Boolean = _.sparkContext.isStopped): Unit = {
     val it = bucketedTables.entrySet().iterator()
@@ -105,7 +115,58 @@ object Bucketing {
       val e = it.next()
       if (dead(e.getKey._1)) { purgeDir(e.getValue._3); it.remove() }
     }
+    val st = sharedTables.entrySet().iterator()
+    while (st.hasNext) {
+      val e = st.next()
+      if (dead(e.getKey._1)) { purgeDir(e.getValue._2); st.remove() }
+    }
   }
+
+  /** Bound the distinct-session count for the shared-context
+    * newSession() cycling pattern (the DedupQueries.boundSessions
+    * discipline). LIVE sessions' entries are dropped from the MAP ONLY —
+    * their backing dirs stay on disk until the shutdown hook (ADVICE
+    * r15: eager deletion under a still-live session turned the
+    * documented "one recompute, never a wrong result" contract into a
+    * mid-query FileNotFoundException; a dropped entry just recomputes —
+    * and rebuilds into a fresh dir — on next access). */
+  private[graft] def boundSessions(current: SparkSession,
+      maxSessions: Int): Unit = {
+    val distinct = new java.util.HashSet[SparkSession]
+    sharedTables.keySet().forEach(k => { distinct.add(k._1); () })
+    if (distinct.size > maxSessions) {
+      val it = sharedTables.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 ne current) it.remove()
+    }
+  }
+
+  /** Generic session-shared bucketed layout: ONE bucketed+sorted
+    * parquet table per (session, dir, kind), written on first access
+    * and read by every later consumer in the session — the q50
+    * write-time-shuffle lever as reusable machinery. At warehouse scale
+    * these are ingest-time physical tables; here the first consumer
+    * query pays the write (the DedupQueries.shared* accounting) and the
+    * key column is never shuffled again below any consumer's first
+    * aggregation. `kind` must be lowercase-alpha (the fingerprint
+    * normalizer strips only `graft_b_[a-z]+_<hex>` suffixes). */
+  private val sharedTables =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String), (String, java.nio.file.Path)]
+  private[graft] def sharedBucketedTable(s: SparkSession, d: String,
+      kind: String, key: String, build: () => DataFrame): DataFrame = {
+    evictStopped()
+    val (t, _) = sharedTables.computeIfAbsent((s, d, kind), _ => {
+      val name = s"graft_b_${kind}_${java.util.UUID.randomUUID().toString.take(8)}"
+      val base = trackedTempDir()
+      writeBucketed(build(), name, key, OrderBuckets,
+        sortCols = Seq(key), path = Some(s"$base/$kind"))
+      (name, base)
+    })
+    s.table(t)
+  }
+
+  /** Test hook: entry count of the generic shared-table cache. */
+  private[graft] def sharedTableCount: Int = sharedTables.size()
 
   /** Session-shared bucketed (orders, lineitem) layout, both bucketed +
     * sorted by the order key: built ONCE per (session, dir) — the

@@ -72,4 +72,27 @@ class BucketingSpec extends SparkSpec {
     val (to, _) = Bucketing.sharedBucketedOrderTables(spark, sf("sf0.001"))
     assert(spark.table(to).count() > 0)
   }
+
+  test("boundSessions drops LIVE sessions' entries but never their files (ADVICE r15)") {
+    // a still-live evicted session may hold a DataFrame over the
+    // bucketed files: eviction must only force a recompute on next
+    // access, never a mid-query FileNotFoundException — dirs are left
+    // for the shutdown hook (or a later evictStopped once truly dead)
+    val df1 = graft.operators.DedupQueries
+      .sharedBucketedShingles(spark, sf("sf0.001"))
+    val n1 = df1.count()
+    val dirs = Bucketing.trackedDirs
+    assert(dirs.nonEmpty)
+    val other = spark.newSession()
+    // maxSessions=0 forces the bound: every non-`other` entry drops
+    Bucketing.boundSessions(other, 0)
+    // the files must survive the eviction...
+    dirs.foreach(p => assert(java.nio.file.Files.exists(p), p.toString))
+    // ...so the evicted session's already-returned frame still reads
+    assert(df1.count() === n1)
+    // and the accessor rebuilds into a FRESH dir on next access
+    val df2 = graft.operators.DedupQueries
+      .sharedBucketedShingles(spark, sf("sf0.001"))
+    assert(df2.count() === n1)
+  }
 }

@@ -90,10 +90,10 @@ class DedupSpec extends SparkSpec {
     // vanish, so the dup trio produces NO candidate pairs at all —
     // bounding the inverted-index emission is exactly the scale contract
     val ss = Dedup.shingleHashRows(docs).distinct()
-    assert(Dedup.ngramCandidates(ss, 2).count() === 0L)
-    assert(Dedup.ngramJaccardTop(docs, 5, dfCap = 2).count() === 0L)
+    assert(Dedup.ngramCandidates(ss, Some(2)).count() === 0L)
+    assert(Dedup.ngramJaccardTop(docs, 5, dfCap = Some(2)).count() === 0L)
     // a cap >= the max df is a no-op: identical to the uncapped ranking
-    val capped = Dedup.ngramJaccardTop(docs, 5, dfCap = 100)
+    val capped = Dedup.ngramJaccardTop(docs, 5, dfCap = Some(100))
       .as[(Long, Long, Double)].collect().toList
     val default = Dedup.ngramJaccardTop(docs, 5).as[(Long, Long, Double)]
       .collect().toList
@@ -121,10 +121,10 @@ class DedupSpec extends SparkSpec {
     // excluded, so the clique emits NO candidate pairs — the cap bounds
     // any bucket's emission at cap^2/2, the 100 TB boilerplate guard.
     val clique = (0L until 6L).map(i => (i, "a b c d e f g")).toDF("doc_id", "text")
-    assert(Dedup.minhashCandidates(clique, 4, bucketCap = 5).count() === 0L)
-    assert(Dedup.minhashNearDups(clique, 4, 1, bucketCap = 5).count() === 0L)
+    assert(Dedup.minhashCandidates(clique, 4, bucketCap = Some(5)).count() === 0L)
+    assert(Dedup.minhashNearDups(clique, 4, 1, bucketCap = Some(5)).count() === 0L)
     // a cap >= the max bucket df is a no-op: identical to the default
-    val capped = Dedup.minhashCandidates(clique, 4, bucketCap = 6)
+    val capped = Dedup.minhashCandidates(clique, 4, bucketCap = Some(6))
       .as[(Long, Long)].collect().toSet
     val default = Dedup.minhashCandidates(clique, 4).as[(Long, Long)].collect().toSet
     assert(capped === default)
@@ -151,7 +151,7 @@ class DedupSpec extends SparkSpec {
     // splits to singletons, and the census MEASURES the loss — the
     // outcome-level read of the documented-lossy bucket cap
     val capped = Dedup.dedupRecallCensus(docs,
-      Dedup.dedupClusters(Dedup.minhashCandidates(docs, 4, bucketCap = 3)))
+      Dedup.dedupClusters(Dedup.minhashCandidates(docs, 4, bucketCap = Some(3))))
       .collect().head
     assert(capped.getAs[Long]("n_intact_groups") == 1L)
     assert(capped.getAs[Long]("captured_pairs") == 1L)
@@ -196,7 +196,7 @@ class DedupSpec extends SparkSpec {
     // the default cap the batch doc collides in all 4 bands.
     val corpus = (0L until 4L).map(i => (i, "a b c d e f g")).toDF("doc_id", "text")
     val batch = Seq((10L, "a b c d e f g")).toDF("doc_id", "text")
-    assert(Dedup.minhashIncremental(corpus, batch, 4, bucketCap = 3).count() === 0L)
+    assert(Dedup.minhashIncremental(corpus, batch, 4, bucketCap = Some(3)).count() === 0L)
     val got = Dedup.minhashIncremental(corpus, batch, 4)
       .as[(Long, Long, Long)].collect().toList
     assert(got === List((10L, 4L, 0L)))
@@ -299,6 +299,6 @@ class DedupSpec extends SparkSpec {
       .collect()(0).getAs[Long]("recommended_cap").toInt
     // under the recommended cap the inverted-index join emits exactly
     // the 10 rare pairs — the 4950-pair hot tail is gone
-    assert(Dedup.ngramCandidates(sh, cap).count() === 10L)
+    assert(Dedup.ngramCandidates(sh, Some(cap)).count() === 10L)
   }
 }

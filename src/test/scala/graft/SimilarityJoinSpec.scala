@@ -91,6 +91,39 @@ class SimilarityJoinSpec extends SparkSpec {
     assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
   }
 
+  test("verify strategy: broadcast / shuffle / sliced plans are answer-identical; auto decides from measured bytes") {
+    val ss = Dedup.shingleHashRows(Tables.documents(spark, sf("sf0.001")))
+      .distinct()
+    def pairs(slices: Int, bcast: Option[Boolean]) =
+      SimilarityJoin.prefixJoinSliced(ss, 0.5, slices, bcast)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val shuffle = pairs(1, Some(false))
+    assert(shuffle.nonEmpty)
+    assert(pairs(1, Some(true)) === shuffle)
+    assert(pairs(1, None) === shuffle)
+    assert(pairs(3, Some(true)) === shuffle)
+    // the estimate is a sane upper-bound shape: 8 B/posting + 32 B/doc
+    val est = SimilarityJoin.docSetsBytesEstimate(ss)
+    val postings = ss.count()
+    assert(est >= 8L * postings && est <= 8L * postings + 64L * postings)
+    // plan identity: the lever OFF is the historic unhinted plan (no
+    // broadcast join on the verify side); ON broadcasts both set tables
+    // at toy scale the planner broadcasts the tiny sides anyway, so the
+    // physical plans coincide — pin the DECISION at the analyzed plan,
+    // where the hint is an explicit ResolvedHint node (at sf10 the hint
+    // is the measured difference between finishing and disk death)
+    def hinted(bcast: Option[Boolean]) =
+      SimilarityJoin.prefixJoinSliced(ss, 0.5, 1, bcast)
+        .queryExecution.analyzed.toString.contains("ResolvedHint")
+    assert(!hinted(Some(false)), "lever OFF must build the unhinted plan")
+    assert(hinted(Some(true)), "lever ON must hint both verify sides")
+    // at test scale the estimate is far under the ceiling, so AUTO must
+    // pick the broadcast plan — the sf10-measured decision, made by code
+    assert(est <= SimilarityJoin.Y4BroadcastMaxBytes)
+    assert(hinted(None), "auto under the ceiling must take the broadcast plan")
+  }
+
   test("sliced verify (the sf10 transient-disk lever) equals the single-shot join") {
     // slicing partitions the candidate space by doc_a hash and runs one
     // bounded job per slice — the union must be bit-identical to the

@@ -97,8 +97,8 @@ class WinnowSpec extends SparkSpec {
     // bounds per-fingerprint emission (the g4 discipline)
     val docs = docsDF((1 to 5).map(i =>
       i.toLong -> "the same boilerplate text repeated in every document"): _*)
-    assert(TextAnalysis.winnowCandidates(docs, W, dfCap = 2).count() === 0L)
-    assert(TextAnalysis.winnowCandidates(docs, W, dfCap = 5).count() === 10L)
+    assert(TextAnalysis.winnowCandidates(docs, W, dfCap = Some(2)).count() === 0L)
+    assert(TextAnalysis.winnowCandidates(docs, W, dfCap = Some(5)).count() === 10L)
   }
 
   test("g27: identical docs score winnow-Jaccard 1.0; disjoint docs never pair") {

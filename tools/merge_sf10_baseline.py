@@ -1,13 +1,15 @@
 #!/usr/bin/env python3
 """Merge sf10 bench artifacts into BENCH_BASELINE.json as `queries_sf10`.
 
-Usage: python3 tools/merge_sf10_baseline.py out.json artifact.json [...]
+Usage: python3 tools/merge_sf10_baseline.py artifact.json [...]
 
-Each artifact is a graft.Bench one-line JSON. For queries appearing in
-several artifacts the MIN is kept (the sweep-protocol aggregation);
-queries listed under `errors` in an artifact contribute nothing from
-that artifact. Writes the merged map into BENCH_BASELINE.json
-in-place and prints it.
+Every argument is an INPUT artifact (a graft.Bench one-line JSON); the
+output always goes to BENCH_BASELINE.json in-place (ADVICE r15: the
+old usage line named a phantom out.json argument, so following it
+merged a stale baseline file's contents as if it were an artifact).
+For queries appearing in several artifacts the MIN is kept (the
+sweep-protocol aggregation); queries listed under `errors` in an
+artifact contribute nothing from that artifact.
 """
 import json, sys
 
@@ -15,6 +17,8 @@ base_path = "BENCH_BASELINE.json"
 merged = {}
 for p in sys.argv[1:]:
     art = json.load(open(p))
+    if "queries" not in art:
+        sys.exit(f"{p}: not a graft.Bench artifact (no 'queries' key)")
     errs = set(art.get("errors", []))
     for q, t in art.get("queries", {}).items():
         if q in errs:
