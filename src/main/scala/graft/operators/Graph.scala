@@ -72,17 +72,47 @@ object Graph {
     * semi-join on the canonical (lo, hi) pair key — no inequality join
     * anywhere. The pair frame feeds four consumers (degrees,
     * orientation, closure probe, edge count), so it materializes once
-    * via [[Materialize]] — one LSH pass ever. */
-  def triangleCensus(rawPairs: DataFrame): DataFrame = {
+    * via [[Materialize]] — one LSH pass ever.
+    *
+    * r16 hub guard (the sf10 finding): degree orientation bounds work
+    * by the graph DEGENERACY — and a duplicate mega-clique of size c
+    * IS degeneracy c−1, so admitted cliques near the candidate cap
+    * (517 at sf10 by the budget rule) put ~c³/6 wedge rows through the
+    * join per clique and exhaust shuffle disk, exactly the r14 df²
+    * failure one level up. The guard is the same documented-lossy
+    * discipline as [[resourceAllocTop]]'s pivot cap: vertices with
+    * degree > `degCap` (default 256, mirrored in the oracle) are
+    * excluded from the ENUMERATION subgraph — a ~clique-member's
+    * triangles say nothing a g17 size census doesn't — while the FULL
+    * graph's node/edge/wedge counts stay in-result as the monitors,
+    * and `n_hub_nodes` makes the exclusion itself visible. The
+    * clustering coefficient is computed consistently over the capped
+    * subgraph (`n_wedges_capped` is its denominator). At organic test
+    * densities no vertex crosses the cap, so the census reads
+    * n_hub_nodes = 0 and the capped numbers equal the uncapped ones. */
+  val DefaultTriangleDegCap = 256
+  def triangleCensus(rawPairs: DataFrame,
+      degCap: Int = DefaultTriangleDegCap): DataFrame = {
     val p = Materialize.frame(rawPairs.select(col("doc_a"), col("doc_b")))
     val deg = p.select(explode(array(col("doc_a"), col("doc_b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val degStats = deg.agg(
       count(lit(1)).as("n_nodes"),
-      coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)).as("n_wedges"))
-    val oriented = p
-      .join(deg.select(col("node").as("doc_a"), col("deg").as("da")), "doc_a")
-      .join(deg.select(col("node").as("doc_b"), col("deg").as("db")), "doc_b")
+      coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)).as("n_wedges"),
+      coalesce(sum((col("deg") > degCap).cast("long")), lit(0L))
+        .as("n_hub_nodes"))
+    val keep = deg.where(col("deg") <= degCap).select(col("node"))
+    val pc = p
+      .join(keep.select(col("node").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(keep.select(col("node").as("doc_b")), Seq("doc_b"), "left_semi")
+    val degc = pc.select(explode(array(col("doc_a"), col("doc_b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val wedgeStats = degc.agg(
+      coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L))
+        .as("n_wedges_capped"))
+    val oriented = pc
+      .join(degc.select(col("node").as("doc_a"), col("deg").as("da")), "doc_a")
+      .join(degc.select(col("node").as("doc_b"), col("deg").as("db")), "doc_b")
       .select(when(col("da") < col("db") ||
             (col("da") === col("db") && col("doc_a") < col("doc_b")),
           struct(col("doc_a").as("u"), col("doc_b").as("v")))
@@ -93,16 +123,17 @@ object Graph {
       .join(oriented.select(col("u"), col("v").as("y")), "u")
       .where(col("x") < col("y"))
     val tri = wedges
-      .join(p, col("x") === col("doc_a") && col("y") === col("doc_b"),
+      .join(pc, col("x") === col("doc_a") && col("y") === col("doc_b"),
         "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     val ec = p.agg(count(lit(1)).as("n_edges"))
-    degStats.crossJoin(broadcast(ec)).crossJoin(broadcast(tri))
+    degStats.crossJoin(broadcast(ec)).crossJoin(broadcast(wedgeStats))
+      .crossJoin(broadcast(tri))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-        col("n_triangles"),
-        pround(when(col("n_wedges") > 0,
+        col("n_hub_nodes"), col("n_wedges_capped"), col("n_triangles"),
+        pround(when(col("n_wedges_capped") > 0,
           lit(3.0) * col("n_triangles").cast("double")
-            / col("n_wedges").cast("double")), 9).as("global_cc"))
+            / col("n_wedges_capped").cast("double")), 9).as("global_cc"))
   }
 
   /** g23: Resource-Allocation link prediction over the candidate graph —
@@ -240,26 +271,45 @@ object GraphQueries {
               |        FROM e GROUP BY 1),
               |ds AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
               |              CAST(coalesce(sum(deg * (deg - 1) // 2), 0)
-              |                   AS BIGINT) AS n_wedges
+              |                   AS BIGINT) AS n_wedges,
+              |              CAST(coalesce(sum(CASE WHEN deg > ${Graph.DefaultTriangleDegCap}
+              |                   THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hub_nodes
               |       FROM deg),
+              |keep AS (SELECT node FROM deg
+              |         WHERE deg <= ${Graph.DefaultTriangleDegCap}),
+              |pc AS (SELECT p.doc_a, p.doc_b FROM pairs p
+              |       JOIN keep ka ON p.doc_a = ka.node
+              |       JOIN keep kb ON p.doc_b = kb.node),
+              |ecp AS (SELECT doc_a AS node FROM pc
+              |        UNION ALL SELECT doc_b FROM pc),
+              |degc AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+              |         FROM ecp GROUP BY 1),
+              |dsc AS (SELECT CAST(coalesce(sum(deg * (deg - 1) // 2), 0)
+              |                    AS BIGINT) AS n_wedges_capped
+              |        FROM degc),
               |tr AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
-              |       FROM pairs p1
-              |       JOIN pairs p2 ON p2.doc_a = p1.doc_a
-              |                    AND p2.doc_b > p1.doc_b
-              |       JOIN pairs p3 ON p3.doc_a = p1.doc_b
-              |                    AND p3.doc_b = p2.doc_b),
+              |       FROM pc p1
+              |       JOIN pc p2 ON p2.doc_a = p1.doc_a
+              |                 AND p2.doc_b > p1.doc_b
+              |       JOIN pc p3 ON p3.doc_a = p1.doc_b
+              |                 AND p3.doc_b = p2.doc_b),
               |ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs)
-              |SELECT n_nodes, n_edges, n_wedges, n_triangles,
-              |       CASE WHEN n_wedges > 0 THEN
+              |SELECT n_nodes, n_edges, n_wedges, n_hub_nodes,
+              |       n_wedges_capped, n_triangles,
+              |       CASE WHEN n_wedges_capped > 0 THEN
               |         floor(3.0 * CAST(n_triangles AS DOUBLE)
-              |               / CAST(n_wedges AS DOUBLE)
+              |               / CAST(n_wedges_capped AS DOUBLE)
               |               * 1000000000.0 + 0.5) / 1000000000.0
               |       END AS global_cc
-              |FROM ds CROSS JOIN tr CROSS JOIN ec""".stripMargin),
+              |FROM ds CROSS JOIN dsc CROSS JOIN tr CROSS JOIN ec""".stripMargin),
       doc = "triangle census over the LSH candidate graph with " +
         "degree-orientation (out-degree bounded by degeneracy, not hub " +
-        "size): nodes/edges/wedges/triangles + global clustering " +
-        "coefficient; the oracle counts canonical a<b<c triples naively"),
+        "size) and the r16 hub guard (vertices with degree > " +
+        s"${Graph.DefaultTriangleDegCap} excluded from enumeration — a " +
+        "mega-dup-clique IS the degeneracy, ~c^3/6 wedges at sf10; " +
+        "n_hub_nodes reports the exclusion, full-graph counts stay as " +
+        "monitors, cc is consistent over n_wedges_capped); the oracle " +
+        "counts canonical a<b<c triples naively on the same subgraph"),
 
     Q("g23_link_predict",
       (s, d) => resourceAllocTop(DedupQueries.sharedCandidates(s, d), 15),

@@ -28,14 +28,43 @@ class GraphSpec extends SparkSpec {
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
       .toDF("doc_a", "doc_b")
     val r = Graph.triangleCensus(k4).collect()(0)
-    // K4: 4 nodes, 6 edges, C(3,2)*4 = 12 wedges, 4 triangles, cc = 1
-    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+    // K4: 4 nodes, 6 edges, C(3,2)*4 = 12 wedges, 4 triangles, cc = 1;
+    // all degrees 3 << cap, so capped == uncapped and no hubs
+    assert((r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+      r.getAs[Long]("n_wedges"), r.getAs[Long]("n_triangles")) ==
       ((4L, 6L, 12L, 4L)))
-    assert(r.getDouble(4) == 1.0)
+    assert(r.getAs[Long]("n_hub_nodes") == 0L)
+    assert(r.getAs[Long]("n_wedges_capped") == 12L)
+    assert(r.getAs[Double]("global_cc") == 1.0)
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
     val pr = Graph.triangleCensus(path).collect()(0)
-    assert(pr.getLong(2) == 2L && pr.getLong(3) == 0L)
-    assert(pr.getDouble(4) == 0.0)
+    assert(pr.getAs[Long]("n_wedges") == 2L && pr.getAs[Long]("n_triangles") == 0L)
+    assert(pr.getAs[Double]("global_cc") == 0.0)
+  }
+
+  test("triangle census hub guard: an over-cap vertex is excluded from enumeration, visibly") {
+    // hub 0 connects to cap+10 leaves, plus one organic triangle (1,2,3)
+    // among the leaves: the hub (degree > cap) drops from the
+    // enumeration subgraph — its wedges never reach the join — while
+    // the full-graph monitors still count it and n_hub_nodes reports it
+    val cap = Graph.DefaultTriangleDegCap
+    val n = cap + 10
+    val hub = (1 to n).map(i => (0L, i.toLong)) ++
+      Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val r = Graph.triangleCensus(hub.toDF("doc_a", "doc_b")).collect()(0)
+    assert(r.getAs[Long]("n_nodes") == n.toLong + 1)
+    assert(r.getAs[Long]("n_edges") == n.toLong + 3)
+    assert(r.getAs[Long]("n_hub_nodes") == 1L)
+    // capped subgraph: just the leaf triangle (leaves 1,2,3 have deg 2
+    // once the hub edges vanish with the hub vertex)
+    assert(r.getAs[Long]("n_wedges_capped") == 3L)
+    assert(r.getAs[Long]("n_triangles") == 1L)
+    assert(r.getAs[Double]("global_cc") == 1.0)
+    // and with the cap raised above the hub degree the full count returns
+    val full = Graph.triangleCensus(hub.toDF("doc_a", "doc_b"), degCap = n + 5)
+      .collect()(0)
+    assert(full.getAs[Long]("n_hub_nodes") == 0L)
+    assert(full.getAs[Long]("n_triangles") == 1L + 3L) // leaf tri + 3 hub tris
   }
 
   test("triangle census: hub star orients away from leaves, no false triangles") {
@@ -44,7 +73,8 @@ class GraphSpec extends SparkSpec {
     // the join enumerates ZERO candidate wedges at the quadratic hub
     val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("doc_a", "doc_b")
     val r = Graph.triangleCensus(star).collect()(0)
-    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+    assert((r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+      r.getAs[Long]("n_wedges"), r.getAs[Long]("n_triangles")) ==
       ((5L, 4L, 6L, 0L)))
   }
 
