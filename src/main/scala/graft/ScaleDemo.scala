@@ -115,12 +115,14 @@ object ScaleDemo {
       "dedup_recall" -> (d => operators.Dedup.dedupRecallCensus(d,
         operators.Dedup.dedupClusters(operators.Dedup.minhashCandidates(d, 4))).count()),
       // cap-bite probe (r13, VERDICT item 8): plant one dup group LARGER
-      // than the DEFAULT cap on top of the replicated corpus. The capped
-      // join must drop it wholesale (never a pairwise comparison), and
-      // the recorded value is the census's LOST pair mass — exactly
-      // C(1050, 2) = 550725 at EVERY factor while organic 20x buckets
-      // (df ≈ 400) stay under the cap and capture fully. A drifting
-      // value here means the cap stopped biting or began leaking.
+      // than the cap CEILING on top of the replicated corpus. The capped
+      // join must drop it wholesale (never a pairwise comparison); the
+      // recorded value is the census's LOST pair mass, and the planted
+      // C(1050, 2) = 550725 is always part of it. r16 note: the cap is
+      // now density-DERIVED, so at high replication factors the budget
+      // rule may also drop organic replica buckets (df ≈ 20×F) — the
+      // value then reads planted + organic loss; the probe's invariant
+      // is that it NEVER reads less than the planted mass.
       "dedup_recall_capbite" -> { d =>
         val aug = operators.Dedup.plantBoilerplate(
           d, operators.Dedup.DefaultBucketDfCap + 50)

@@ -1146,9 +1146,10 @@ object DedupQueries {
     * table keys fingerprints by position, and every candidate consumer
     * first collapses to the (doc_id, fp) set — pre-collapsing in the
     * layout removes that exchange from every read. At 100 TB this IS
-    * the persisted fingerprint index a MOSS-style pipeline maintains;
-    * the g28-measured 0.860 recall is what makes the winnow front the
-    * default candidate plan at scale. */
+    * the persisted fingerprint index a MOSS-style pipeline maintains
+    * (the cheap estimator lane — the r16 budget-matched g28/g30
+    * censuses adjudicated banded LSH the default candidate generator,
+    * winnow recall 0.754/0.579 vs LSH 0.878/0.995 at sf10). */
   private[graft] def sharedBucketedWinnowFps(s: SparkSession, d: String): DataFrame = {
     evictStale(s)
     graft.sources.Bucketing.sharedBucketedTable(s, d, "winnowfp", "fp",

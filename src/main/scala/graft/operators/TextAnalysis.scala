@@ -673,13 +673,13 @@ object TextAnalysis {
     * score = |shared fps| / |fp-set union|, an unbiased-enough estimate
     * of shingle Jaccard at ~2/(w+1) of g4's index size (fingerprints
     * ARE shingle hashes, min-selected per window, so shared text runs
-    * select shared fingerprints — the MOSS guarantee). This is the
-    * DEFAULT candidate path at 100 TB (VERDICT r14 item 4): the r14
-    * 20× row already measured the winnow index doing ~30% of the full
-    * join's pairs at 13% of its cost, and g28 grades its recall against
-    * the exact truth set, so the full-shingle join becomes the
-    * verification oracle, not the production plan. Same df-cap lever
-    * as g4 ([[Dedup.DefaultShingleDfCap]]). */
+    * select shared fingerprints — the MOSS guarantee). Role at 100 TB
+    * (r16 adjudication): the CHEAP ESTIMATOR and cross-check, not the
+    * default dedup candidate path — the budget-matched sf10 censuses
+    * read winnow pair recall 0.754 (g28) / outcome 0.579 (g30) against
+    * banded LSH's 0.878 / 0.995 under the same derived per-doc budget,
+    * reversing the r15 claim that was priced at mismatched caps. Same
+    * derived df-cap discipline as g4. */
   private[graft] def winnowJaccardJoin(fps: DataFrame, k: Int,
       dfCap: Option[Int] = None): DataFrame =
     winnowJaccardJoinDistinct(
@@ -1886,10 +1886,12 @@ object TextAnalysisQueries {
               |       floor(jac * 1000000.0 + 0.5) / 1000000.0 AS winnow_jaccard
               |FROM j ORDER BY jac DESC, doc_a, doc_b LIMIT 20""".stripMargin),
       doc = "g27 winnow-estimated Jaccard top-k: the g4 ranking over the " +
-        "~2/(w+1)-density winnowed fingerprint index — the DEFAULT " +
-        "candidate plan at 100 TB (the full-shingle join is the " +
-        "verification oracle, graded by g28); same df-cap lever as g4. " +
-        "EAGER: reads the session-shared winnow table"),
+        "~2/(w+1)-density winnowed fingerprint index — the cheap " +
+        "estimator/cross-check of the dedup ladder (r16 budget-matched " +
+        "censuses g28/g30 adjudicated banded LSH the recall winner, so " +
+        "winnow is NOT the default candidate plan); same derived " +
+        "df-cap discipline as g4. EAGER: reads the session-shared " +
+        "bucketed winnow layout"),
 
     Q("t18_source_kl",
       (s, d) => sourceUnigramKl(docs(s, d)).orderBy("source"),

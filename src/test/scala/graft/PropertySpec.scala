@@ -275,10 +275,14 @@ class PropertySpec extends SparkSpec {
         if adj(i, j) && adj(j, k) && adj(i, k)
       } yield 1).size.toLong
       val deg = nodes.map(n => edges.count(e => e._1 == n || e._2 == n).toLong)
-      assert(r.getLong(0) === nodes.size.toLong)
-      assert(r.getLong(1) === edges.size.toLong)
-      assert(r.getLong(2) === deg.map(d => d * (d - 1) / 2).sum)
-      assert(r.getLong(3) === tri, s"edges: $edges")
+      assert(r.getAs[Long]("n_nodes") === nodes.size.toLong)
+      assert(r.getAs[Long]("n_edges") === edges.size.toLong)
+      assert(r.getAs[Long]("n_wedges") === deg.map(d => d * (d - 1) / 2).sum)
+      // 10-node graphs: every degree is far under the hub cap, so the
+      // capped subgraph IS the graph and the census must say so
+      assert(r.getAs[Long]("n_hub_nodes") === 0L)
+      assert(r.getAs[Long]("n_wedges_capped") === deg.map(d => d * (d - 1) / 2).sum)
+      assert(r.getAs[Long]("n_triangles") === tri, s"edges: $edges")
     }
   }
 
