@@ -160,21 +160,24 @@ object Bench {
         .mkString(""","error_reasons":{""", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs$reasons,"runs_per_query":$passes,"agg":"min_across_separated_passes","sf":"$sfDir"}"""
-    println(line)
-    // The driver's stdout capture keeps only the last ~2-5 KB; past ~200
-    // queries the one-line JSON outgrows it and the per-query timings
-    // arrive truncated (ADVICE r10). Persist the full line to a file in
-    // the repo root so every timing survives in machine-readable form.
+    // The driver's stdout capture keeps only the last ~2-5 KB; at 300+
+    // queries the full per-query line is ~7 KB, so WHEREVER it is
+    // printed the captured tail lands mid-object and BENCH_r*.json
+    // arrives unparseable (VERDICT r16 item 5 — r15's trailing short
+    // line was present in the tail but the big line's truncated front
+    // still poisoned the parse). stdout therefore carries ONLY a
+    // compact line that always fits: the totals plus the top-20
+    // slowest per-query timings; the FULL per-query line goes to
+    // BENCH_FULL_latest.json, the artifact the drift gate reads.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL_latest.json"), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] full-artifact write skipped: ${e.getMessage}")
     }
-    // Final SHORT self-describing line (VERDICT r15 item 8): past ~200
-    // queries the full line outgrows the driver's ~2-5 KB stdout tail
-    // and arrives truncated/unparseable — this one always fits, parses,
-    // and names the machine-readable full artifact explicitly.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_errors":${failed.size},"runs_per_query":$passes,"sf":"$sfDir","full_artifact":"BENCH_FULL_latest.json"}""")
+    val top = results.toSeq.sortBy(-_._2).take(20)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_errors":${failed.size},"errors":$errs$reasons,"queries":$top,"queries_note":"top-20 slowest; all ${results.size} in full_artifact","runs_per_query":$passes,"agg":"min_across_separated_passes","sf":"$sfDir","full_artifact":"BENCH_FULL_latest.json"}""")
     SparkSession.getActiveSession.foreach(_.stop())
     purgeCkptDir()
   }

@@ -757,7 +757,11 @@ object Plans {
       // table — dumped here directly
       val ss = operators.Dedup
         .shingleHashRows(Tables.documents(spark, sfDir)).distinct()
-      val df = operators.SimilarityJoin.prefixJoin(ss, 0.5)
+      // verify strategy pinned to the unhinted shuffle plan (ADVICE r16):
+      // the auto default runs a measured-size aggregate at DataFrame
+      // construction, which would make the plan DUMP execute a job and
+      // the dumped plan depend on the dump corpus's size
+      val df = operators.SimilarityJoin.prefixJoinSliced(ss, 0.5, 1, Some(false))
       val note = "y4's lazy core (the registered query wraps it in an " +
         "eager shared-scan checkpoint): document frequency is a map-side-" +
         "combinable groupBy joined back — never a Window over sh_h, so a " +

@@ -293,8 +293,10 @@ object Dedup {
     * default ([[autoCapped]]; `cap = Some(c)` pins a fixed cap for
     * specs/diagnostics). */
   private[graft] def cappedSignature(sig: DataFrame,
-      cap: Option[Int] = None): DataFrame =
-    autoCapped(sig, Seq("band", "minh"), cap, ceilCap = DefaultBucketDfCap)
+      cap: Option[Int] = None,
+      capTab: Option[DataFrame] = None): DataFrame =
+    autoCapped(sig, Seq("band", "minh"), cap, ceilCap = DefaultBucketDfCap,
+      capTab = capTab)
 
   /** G2b: LSH candidate pairs — equality join on the (band, minh) bucket
     * key, restricted to buckets with <= bucketCap members (documented-
@@ -314,8 +316,9 @@ object Dedup {
     * shared signature table so the corpus is shingled and min-hashed
     * once per session, not once per candidate consumer. */
   private[graft] def candidatesFromSig(rawSig: DataFrame,
-      bucketCap: Option[Int] = None): DataFrame = {
-    val sig = cappedSignature(rawSig, bucketCap)
+      bucketCap: Option[Int] = None,
+      capTab: Option[DataFrame] = None): DataFrame = {
+    val sig = cappedSignature(rawSig, bucketCap, capTab)
     sig.as("a").join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.minh") === col("b.minh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -337,8 +340,9 @@ object Dedup {
     * table — the registered e4/e5 audits feed this from the shared
     * signature build instead of re-shingling per query. */
   private[graft] def nearDupsFromSig(rawSig: DataFrame, minShared: Int,
-      bucketCap: Option[Int] = None): DataFrame = {
-    val sig = cappedSignature(rawSig, bucketCap)
+      bucketCap: Option[Int] = None,
+      capTab: Option[DataFrame] = None): DataFrame = {
+    val sig = cappedSignature(rawSig, bucketCap, capTab)
     sig.as("a").join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.minh") === col("b.minh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -598,8 +602,9 @@ object Dedup {
     * argument as SimilarityJoin.prefixJoin: a hot shingle would
     * serialize through one window task). */
   private[graft] def cappedShingles(shingleSet: DataFrame,
-      dfCap: Option[Int] = None): DataFrame =
-    autoCapped(shingleSet, Seq("sh_h"), dfCap)
+      dfCap: Option[Int] = None,
+      capTab: Option[DataFrame] = None): DataFrame =
+    autoCapped(shingleSet, Seq("sh_h"), dfCap, capTab = capTab)
 
   private[graft] def ngramCandidates(shingleSet: DataFrame,
       dfCap: Option[Int] = None): DataFrame = {
@@ -667,8 +672,9 @@ object Dedup {
   /** [[bandAgreementCurve]] over an existing signature table (the
     * registered g24 reads the shared session signature build). */
   private[graft] def bandAgreementFromSig(sig: DataFrame,
-      bands: Int = 4): DataFrame = {
-    val hist = nearDupsFromSig(sig, 1)
+      bands: Int = 4,
+      capTab: Option[DataFrame] = None): DataFrame = {
+    val hist = nearDupsFromSig(sig, 1, capTab = capTab)
       .groupBy("shared_bands").agg(count(lit(1)).as("n"))
     val spine = sig.sparkSession.range(1, bands + 1)
       .select(col("id").as("min_bands"))
@@ -769,7 +775,8 @@ object Dedup {
     * diagnostics (CapDiag ladders) and specs that pin exact caps. */
   private[graft] def autoCapped(tbl: DataFrame, keys: Seq[String],
       fixedCap: Option[Int] = None,
-      ceilCap: Int = DefaultShingleDfCap): DataFrame = {
+      ceilCap: Int = DefaultShingleDfCap,
+      capTab: Option[DataFrame] = None): DataFrame = {
     val kc = keys.map(col)
     val outCols = col("doc_id") +: kc
     val dfTab = tbl.groupBy(kc: _*).agg(count(lit(1)).as("df"))
@@ -777,12 +784,29 @@ object Dedup {
       case Some(c) =>
         tbl.join(dfTab.where(col("df") <= c), keys).select(outCols: _*)
       case None =>
-        val nd = tbl.agg(countDistinct(col("doc_id")).as("n_docs"))
-        val cap = budgetCap(dfTab.select(col("df")), nd, ceilCap = ceilCap)
+        // capTab (VERDICT r16 item 1): the session-shared 1-row derived
+        // cap — value-identical to deriving here (CapDerivationSpec pins
+        // it), but the histogram + n_docs aggregates run once per
+        // session instead of once per query plan. Only passed when
+        // `tbl` IS the session-shared index the cap was derived from;
+        // subset/augmented inputs (g13, g25/g30) must keep the in-plan
+        // derivation because their density differs from the corpus's.
+        val cap = capTab.getOrElse(derivedCap(tbl, keys, ceilCap))
         tbl.join(dfTab, keys).crossJoin(broadcast(cap))
           .where(col("df") <= col("cap"))
           .select(outCols: _*)
     }
+  }
+
+  /** The in-plan cap derivation [[autoCapped]] applies when no
+    * precomputed cap is supplied — split out so the session-shared cap
+    * tables (DedupQueries.sharedShingleCap & co.) are built from the
+    * SAME code path and cannot drift from the per-plan rule. */
+  private[graft] def derivedCap(tbl: DataFrame, keys: Seq[String],
+      ceilCap: Int): DataFrame = {
+    val dfTab = tbl.groupBy(keys.map(col): _*).agg(count(lit(1)).as("df"))
+    val nd = tbl.agg(countDistinct(col("doc_id")).as("n_docs"))
+    budgetCap(dfTab.select(col("df")), nd, ceilCap = ceilCap)
   }
 
   /** g26: density-derived shingle df-cap recommendation — the
@@ -839,8 +863,9 @@ object Dedup {
     * still choose a broadcast at runtime from measured sizes, which is
     * fine; an unconditional hint OOMs the driver at 1e9 documents). */
   private[graft] def ngramJaccardJoin(shingleSet: DataFrame, k: Int,
-                                      dfCap: Option[Int] = None): DataFrame = {
-    val capped = cappedShingles(shingleSet, dfCap)
+                                      dfCap: Option[Int] = None,
+                                      capTab: Option[DataFrame] = None): DataFrame = {
+    val capped = cappedShingles(shingleSet, dfCap, capTab)
     val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = capped.as("x").join(capped.as("y"),
         col("x.sh_h") === col("y.sh_h") && col("x.doc_id") < col("y.doc_id"))
@@ -875,8 +900,9 @@ object Dedup {
     * are NOT broadcast-hinted (unbounded at corpus scale — the g4
     * argument verbatim). */
   private[graft] def containmentJoin(shingleSet: DataFrame, k: Int,
-                                     dfCap: Option[Int] = None): DataFrame = {
-    val capped = cappedShingles(shingleSet, dfCap)
+                                     dfCap: Option[Int] = None,
+                                     capTab: Option[DataFrame] = None): DataFrame = {
+    val capped = cappedShingles(shingleSet, dfCap, capTab)
     val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = capped.as("x").join(capped.as("y"),
         col("x.sh_h") === col("y.sh_h") && col("x.doc_id") < col("y.doc_id"))
@@ -958,8 +984,29 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private[graft] def sharedClusters(s: SparkSession, d: String): DataFrame = {
     evictStale(s)
-    clusterCache.computeIfAbsent((s, d),
-      _ => dedupClusters(sharedCandidates(s, d)))
+    cached(clusterCache, (s, d))(dedupClusters(sharedCandidates(s, d)))
+  }
+
+  /** Get-or-build WITHOUT ConcurrentHashMap.computeIfAbsent (ADVICE
+    * r16): build callbacks re-enter the shared-cache ladder, whose
+    * hygiene sweeps (evictStopped/boundSessions) remove entries from
+    * the SAME map — in-flight modification of the map being computed
+    * into is undefined behavior per the CHM contract, and the mapping
+    * lock would also block every other session for the full build
+    * (possibly a multi-minute Spark job). Compute outside the map and
+    * publish with putIfAbsent: a concurrent duplicate build is at worst
+    * one recompute of a pure function of the corpus — never a wrong
+    * result — and no lock is ever held across a job. */
+  private def cached(
+      m: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame],
+      k: (SparkSession, String))(build: => DataFrame): DataFrame = {
+    val hit = m.get(k)
+    if (hit != null) hit
+    else {
+      val built = build
+      val prev = m.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
   }
 
   /** Eviction (ADVICE/VERDICT r12): entries key on the owning
@@ -974,7 +1021,7 @@ object DedupQueries {
   private[graft] def evictStopped(
       dead: SparkSession => Boolean = _.sparkContext.isStopped): Unit = {
     Seq(clusterCache, candCache, shingleCache, sigCache, jacCache,
-        winnowCache)
+        winnowCache, capCache)
       .foreach { m =>
         val it = m.keySet().iterator()
         while (it.hasNext) if (dead(it.next()._1)) it.remove()
@@ -997,7 +1044,7 @@ object DedupQueries {
   private[graft] val MaxCachedSessions = 4
   private[graft] def boundSessions(current: SparkSession): Unit = {
     Seq(clusterCache, candCache, shingleCache, sigCache, jacCache,
-        winnowCache)
+        winnowCache, capCache)
       .foreach { m =>
         val distinct = new java.util.HashSet[SparkSession]
         m.keySet().forEach(k => { distinct.add(k._1); () })
@@ -1024,7 +1071,7 @@ object DedupQueries {
     * winnow fingerprints). */
   private[graft] def cacheSizes: Seq[Int] =
     Seq(clusterCache, candCache, shingleCache, sigCache, jacCache,
-        winnowCache)
+        winnowCache, capCache)
       .map(_.size())
 
   /** Session-shared materialized LSH candidate-pair table — the same
@@ -1039,8 +1086,9 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private[graft] def sharedCandidates(s: SparkSession, d: String): DataFrame = {
     evictStale(s)
-    candCache.computeIfAbsent((s, d),
-      _ => Materialize.frame(candidatesFromSig(sharedSignatures(s, d))))
+    cached(candCache, (s, d))(Materialize.frame(
+      candidatesFromSig(sharedSignatures(s, d),
+        capTab = Some(sharedBucketCap(s, d)))))
   }
 
   /** Session-shared materialized DISTINCT (doc_id, sh_h) shingle table —
@@ -1057,8 +1105,8 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private[graft] def sharedShingles(s: SparkSession, d: String): DataFrame = {
     evictStale(s)
-    shingleCache.computeIfAbsent((s, d),
-      _ => Materialize.frame(shingleHashRows(docs(s, d)).distinct()))
+    cached(shingleCache, (s, d))(Materialize.frame(
+      shingleHashRows(docs(s, d)).distinct()))
   }
 
   /** Session-shared materialized 4-band minhash signature table, built
@@ -1072,8 +1120,8 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private[graft] def sharedSignatures(s: SparkSession, d: String): DataFrame = {
     evictStale(s)
-    sigCache.computeIfAbsent((s, d),
-      _ => Materialize.frame(signatureFromShingles(sharedShingles(s, d), 4)))
+    cached(sigCache, (s, d))(Materialize.frame(
+      signatureFromShingles(sharedShingles(s, d), 4)))
   }
 
   /** Session-shared materialized exact threshold-Jaccard pair table
@@ -1086,13 +1134,12 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private[graft] def sharedJaccardPairs(s: SparkSession, d: String): DataFrame = {
     evictStale(s)
-    jacCache.computeIfAbsent((s, d),
-      // r16: reads the BUCKETED shingle index — the prefix table's df
-      // groupBy and df join-back inherit the sh_h bucket layout (zero
-      // Exchange until the per-doc windows), amortizing the one write
-      // across the y4/g14/g16 family
-      _ => Materialize.frame(
-        SimilarityJoin.prefixJoin(sharedBucketedShingles(s, d), 0.5)))
+    // r16: reads the BUCKETED shingle index — the prefix table's df
+    // groupBy and df join-back inherit the sh_h bucket layout (zero
+    // Exchange until the per-doc windows), amortizing the one write
+    // across the y4/g14/g16 family
+    cached(jacCache, (s, d))(Materialize.frame(
+      SimilarityJoin.prefixJoin(sharedBucketedShingles(s, d), 0.5)))
   }
 
   /** Session-shared materialized winnow-fingerprint table (t15's
@@ -1106,8 +1153,8 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private[graft] def sharedWinnowFps(s: SparkSession, d: String): DataFrame = {
     evictStale(s)
-    winnowCache.computeIfAbsent((s, d),
-      _ => Materialize.frame(TextAnalysis.winnowFingerprints(docs(s, d))))
+    cached(winnowCache, (s, d))(Materialize.frame(
+      TextAnalysis.winnowFingerprints(docs(s, d))))
   }
 
   /** Session-shared BUCKETED shingle index (VERDICT r14 item 6): the
@@ -1154,6 +1201,53 @@ object DedupQueries {
     evictStale(s)
     graft.sources.Bucketing.sharedBucketedTable(s, d, "winnowfp", "fp",
       () => sharedWinnowFps(s, d).select(col("doc_id"), col("fp")).distinct())
+  }
+
+  /** Session-shared 1-row derived-cap tables (VERDICT r16 item 1): the
+    * [[Dedup.autoCapped]] derivation — df histogram + n_docs + budget
+    * walk — is a pure function of the session-shared index it caps, yet
+    * it re-ran inside EVERY consumer's query plan (the measured bulk of
+    * the r16 +11.6% sf0.1 sweep creep, and several redundant 1-row jobs
+    * per sf10 query group). Each index's cap is now derived ONCE per
+    * (session, dir) through the same [[Dedup.derivedCap]] code path the
+    * per-plan rule uses (CapDerivationSpec pins shared ≡ per-plan),
+    * materialized as a 1-row table, and handed to consumers via
+    * `capTab` — their plans broadcast-crossJoin the stored row instead
+    * of re-aggregating the index. ONLY full-corpus consumers read these:
+    * g13 (doc-subset index side) and g25/g30 (augmented corpora) keep
+    * the in-plan derivation because their input density differs. Keyed
+    * `dir#kind` so the (session, dir)-shaped hygiene sweeps apply. */
+  private val capCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  /** Derived df cap for the shingle index (g4/g15/g29's `sh_h` key).
+    * Built from [[sharedShingles]] — the bucketed projection has
+    * identical content, so one cap serves both layouts. */
+  private[graft] def sharedShingleCap(s: SparkSession, d: String): DataFrame = {
+    evictStale(s)
+    cached(capCache, (s, d + "#sh_h"))(Materialize.frame(
+      Dedup.derivedCap(sharedShingles(s, d), Seq("sh_h"),
+        Dedup.DefaultShingleDfCap)))
+  }
+
+  /** Derived df cap for the LSH bucket index ((band, minh) — the
+    * candidate build, g24's agreement curve, e4/e5's near-dup rule). */
+  private[graft] def sharedBucketCap(s: SparkSession, d: String): DataFrame = {
+    evictStale(s)
+    cached(capCache, (s, d + "#bucket"))(Materialize.frame(
+      Dedup.derivedCap(sharedSignatures(s, d), Seq("band", "minh"),
+        Dedup.DefaultBucketDfCap)))
+  }
+
+  /** Derived df cap for the winnow fingerprint index (`fp` —
+    * y9/g27/g28), over the distinct (doc_id, fp) projection the
+    * bucketed layout stores. */
+  private[graft] def sharedWinnowCap(s: SparkSession, d: String): DataFrame = {
+    evictStale(s)
+    cached(capCache, (s, d + "#fp"))(Materialize.frame(
+      Dedup.derivedCap(
+        sharedWinnowFps(s, d).select(col("doc_id"), col("fp")).distinct(),
+        Seq("fp"), Dedup.DefaultShingleDfCap)))
   }
 
   private val toksSql = "list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x <> '')"
@@ -1431,7 +1525,8 @@ object DedupQueries {
         "clustering build)"),
 
     Q("g4_ngram_jaccard",
-      (s, d) => ngramJaccardJoin(sharedShingles(s, d), 20),
+      (s, d) => ngramJaccardJoin(sharedShingles(s, d), 20,
+        capTab = Some(sharedShingleCap(s, d))),
       // the oracle applies the SAME df cap, so the gate checks the capped
       // semantics end-to-end (at sf0.01 the cap is never hit — every
       // shingle's df <= corpus size << cap — so this also equals the
@@ -1481,7 +1576,8 @@ object DedupQueries {
         "groupBy is driver-trivial at any corpus size"),
 
     Q("g29_bucketed_jaccard",
-      (s, d) => ngramJaccardJoin(sharedBucketedShingles(s, d), 20),
+      (s, d) => ngramJaccardJoin(sharedBucketedShingles(s, d), 20,
+        capTab = Some(sharedShingleCap(s, d))),
       // same answer as g4 by construction — the oracle TEXT is shared so
       // the two registrations cannot drift; what g29 changes is the
       // PHYSICAL plan (bucketed scan, zero Exchange below the pair agg)
@@ -1499,7 +1595,8 @@ object DedupQueries {
       // (df groupBy + join-back + self-join all exchange-free below the
       // pair agg — PlanAuditSpec pins it); answer identical to the
       // unbucketed build by construction
-      (s, d) => containmentJoin(sharedBucketedShingles(s, d), 20),
+      (s, d) => containmentJoin(sharedBucketedShingles(s, d), 20,
+        capTab = Some(sharedShingleCap(s, d))),
       // same capped CTE chain as g4; the score is Broder containment
       // inter/min(|A|,|B|) instead of Jaccard
       Some(s"""WITH $shinglesSqlCte,
@@ -1627,7 +1724,8 @@ object DedupQueries {
         "combinable rollups, |bands| rows"),
 
     Q("g24_band_agreement",
-      (s, d) => Dedup.bandAgreementFromSig(sharedSignatures(s, d), 4),
+      (s, d) => Dedup.bandAgreementFromSig(sharedSignatures(s, d), 4,
+        capTab = Some(sharedBucketCap(s, d))),
       Some(s"""WITH $shinglesSqlCte,
               |$cappedSigSqlCtes,
               |ps AS (

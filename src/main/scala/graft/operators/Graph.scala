@@ -214,21 +214,85 @@ object Graph {
       .orderBy(col("ra_score").desc, col("doc_a"), col("doc_b"))
       .limit(k)
   }
+
+  /** g31: the hub-guard adjudication for the graph CONSUMERS (VERDICT
+    * r16 item 4). g22/g23 enumerate under a degree cap because a
+    * derived-cap mega-clique IS the graph degeneracy; g9 (pagerank) and
+    * g11 (cluster reps) still consume the FULL candidate graph — this
+    * census measures, at the outcome level, what adopting the same
+    * guard would change for them: (a) overlap of the top-k pagerank
+    * doc sets between the full graph and the guarded subgraph (every
+    * edge with a deg > degCap endpoint removed), and (b) the
+    * quality-aware representative sets of the two graphs' cluster
+    * labelings. One row; every branch reduces to a broadcast 1-row
+    * aggregate before the final crossJoins.
+    *
+    * The decision hinge this query exposes: hub vertices in the
+    * CANDIDATE graph are real duplicate mega-groups (not celebrity
+    * noise like a social graph's) — guarding them out splits those
+    * groups into singletons, so `n_reps_guarded - n_reps_common`
+    * counts the duplicate copies a guarded cluster build would
+    * re-admit as "representatives". That is the recall argument for
+    * keeping the full graph under g6/g11; rank_overlap_k prices the
+    * analytics side. */
+  def hubGuardAdjudication(docs: DataFrame, fullPairs: DataFrame,
+      fullClusters: DataFrame, degCap: Int = DefaultTriangleDegCap,
+      k: Int = 100): DataFrame = {
+    val p = fullPairs.select(col("doc_a"), col("doc_b"))
+    val deg = p.select(explode(array(col("doc_a"), col("doc_b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val degStats = deg.agg(count(lit(1)).as("n_nodes"),
+      coalesce(sum((col("deg") > degCap).cast("long")), lit(0L))
+        .as("n_hub_nodes"))
+    val keep = deg.where(col("deg") <= degCap).select(col("node"))
+    // 3 consumers (degree build inside pagerank, cluster build, edge
+    // count) — materialize once, the g22 discipline
+    val guarded = Materialize.frame(p
+      .join(keep.select(col("node").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(keep.select(col("node").as("doc_b")), Seq("doc_b"), "left_semi"))
+    val ecF = p.agg(count(lit(1)).as("n_edges_full"))
+    val ecG = guarded.agg(count(lit(1)).as("n_edges_guarded"))
+    // ranks are 6-dp-rounded and bit-stable vs the oracle (g9), so the
+    // (pagerank desc, doc_id) top-k cut is engine-deterministic
+    def topK(pr: DataFrame): DataFrame = pr
+      .orderBy(col("pagerank").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"))
+    val overlap = topK(pagerank(p, 3))
+      .join(topK(pagerank(guarded, 3)), Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("rank_overlap_k"))
+    val repsF = Dedup.clusterRepsFromLabels(docs, fullClusters)
+      .select(col("rep_doc_id"))
+    val repsG = Dedup.clusterRepsFromLabels(docs, Dedup.dedupClusters(guarded))
+      .select(col("rep_doc_id"))
+    val nF = repsF.agg(count(lit(1)).as("n_reps_full"))
+    val nG = repsG.agg(count(lit(1)).as("n_reps_guarded"))
+    val nC = repsF.join(repsG, Seq("rep_doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n_reps_common"))
+    degStats.crossJoin(broadcast(ecF)).crossJoin(broadcast(ecG))
+      .crossJoin(broadcast(overlap)).crossJoin(broadcast(nF))
+      .crossJoin(broadcast(nG)).crossJoin(broadcast(nC))
+  }
 }
 
 object GraphQueries {
   import Graph._
 
-  /** One unrolled oracle iteration: ranks `prev` -> new CTE `out`. */
-  private def iterSql(prev: String, out: String) =
+  /** One unrolled oracle iteration over edge table `e` / degree table
+    * `deg`: ranks `prev` -> new CTE `out`. Parameterized so g31 can
+    * unroll the same arithmetic over two graphs in one oracle. */
+  private def iterSqlOn(prev: String, out: String, e: String, deg: String) =
     s"""$out AS (
-       |  SELECT e.dst AS node,
+       |  SELECT $e.dst AS node,
        |         0.15 + 0.85 * CAST(sum(CAST(
        |             floor(p.r / CAST(d.deg AS DOUBLE) * 1000000000000.0 + 0.5)
        |               / 1000000000000.0 AS DECIMAL(38,12))) AS DOUBLE) AS r
-       |  FROM e JOIN $prev p ON e.src = p.node
-       |         JOIN deg d ON e.src = d.src
-       |  GROUP BY e.dst)""".stripMargin
+       |  FROM $e JOIN $prev p ON $e.src = p.node
+       |         JOIN $deg d ON $e.src = d.src
+       |  GROUP BY $e.dst)""".stripMargin
+
+  /** One unrolled oracle iteration: ranks `prev` -> new CTE `out`. */
+  private def iterSql(prev: String, out: String) =
+    iterSqlOn(prev, out, "e", "deg")
 
   /** The LSH candidate-pair CTE chain (shingles -> 4-band minhash ->
     * bucket-df cap -> canonical doc_a < doc_b pairs) — the SAME graph
@@ -343,5 +407,96 @@ object GraphQueries {
         "pairs: decimal-exact 1/deg pivot sums, 256-degree pivot cap " +
         "mirrored in the oracle (hub wedges are quadratic and worth " +
         "<= 1/257 each), anti-join edge exclusion, deterministic top-15"),
+
+    Q("g31_hub_guard_adjudication",
+      (s, d) => hubGuardAdjudication(graft.Tables.documents(s, d),
+        DedupQueries.sharedCandidates(s, d),
+        DedupQueries.sharedClusters(s, d)),
+      Some(s"""WITH RECURSIVE $candPairsSqlCtes,
+              |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+              |        FROM e GROUP BY 1),
+              |hs AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+              |              CAST(coalesce(sum(CASE WHEN deg > ${Graph.DefaultTriangleDegCap}
+              |                   THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hub_nodes
+              |       FROM deg),
+              |keepn AS (SELECT src AS node FROM deg
+              |          WHERE deg <= ${Graph.DefaultTriangleDegCap}),
+              |gp AS (SELECT p.doc_a, p.doc_b FROM pairs p
+              |       JOIN keepn ka ON p.doc_a = ka.node
+              |       JOIN keepn kb ON p.doc_b = kb.node),
+              |ge AS (SELECT doc_a AS src, doc_b AS dst FROM gp
+              |       UNION ALL SELECT doc_b, doc_a FROM gp),
+              |gdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+              |         FROM ge GROUP BY 1),
+              |r0 AS (SELECT src AS node, 1.0 AS r FROM deg),
+              |${iterSqlOn("r0", "r1", "e", "deg")},
+              |${iterSqlOn("r1", "r2", "e", "deg")},
+              |${iterSqlOn("r2", "r3", "e", "deg")},
+              |s0 AS (SELECT src AS node, 1.0 AS r FROM gdeg),
+              |${iterSqlOn("s0", "s1", "ge", "gdeg")},
+              |${iterSqlOn("s1", "s2", "ge", "gdeg")},
+              |${iterSqlOn("s2", "s3", "ge", "gdeg")},
+              |tf AS (SELECT node AS doc_id FROM r3
+              |       ORDER BY floor(r * 1000000.0 + 0.5) / 1000000.0 DESC,
+              |                node LIMIT 100),
+              |tg AS (SELECT node AS doc_id FROM s3
+              |       ORDER BY floor(r * 1000000.0 + 0.5) / 1000000.0 DESC,
+              |                node LIMIT 100),
+              |ov AS (SELECT CAST(count(*) AS BIGINT) AS rank_overlap_k
+              |       FROM tf JOIN tg USING (doc_id)),
+              |wf(node, lbl) AS (
+              |  SELECT src, src FROM e UNION
+              |  SELECT e.src, wf.lbl FROM e JOIN wf ON e.dst = wf.node),
+              |clf AS (SELECT node AS doc_id, min(lbl) AS cluster
+              |        FROM wf GROUP BY node),
+              |wg(node, lbl) AS (
+              |  SELECT src, src FROM ge UNION
+              |  SELECT ge.src, wg.lbl FROM ge JOIN wg ON ge.dst = wg.node),
+              |clg AS (SELECT node AS doc_id, min(lbl) AS cluster
+              |        FROM wg GROUP BY node),
+              |${TextAnalysisQueries.statsSqlCte},
+              |q AS (SELECT doc_id, ${TextAnalysisQueries.qualitySqlExpr} AS quality
+              |      FROM st),
+              |jf AS (SELECT coalesce(clf.cluster, d.doc_id) AS cluster,
+              |              d.doc_id, q.quality
+              |       FROM documents d
+              |       LEFT JOIN clf ON d.doc_id = clf.doc_id
+              |       JOIN q ON q.doc_id = d.doc_id),
+              |rpf AS (SELECT cluster, doc_id,
+              |          row_number() OVER (PARTITION BY cluster
+              |            ORDER BY quality DESC, doc_id) AS rn
+              |        FROM jf),
+              |repf AS (SELECT doc_id FROM rpf WHERE rn = 1),
+              |jg AS (SELECT coalesce(clg.cluster, d.doc_id) AS cluster,
+              |              d.doc_id, q.quality
+              |       FROM documents d
+              |       LEFT JOIN clg ON d.doc_id = clg.doc_id
+              |       JOIN q ON q.doc_id = d.doc_id),
+              |rpg AS (SELECT cluster, doc_id,
+              |          row_number() OVER (PARTITION BY cluster
+              |            ORDER BY quality DESC, doc_id) AS rn
+              |        FROM jg),
+              |repg AS (SELECT doc_id FROM rpg WHERE rn = 1),
+              |nf AS (SELECT CAST(count(*) AS BIGINT) AS n_reps_full FROM repf),
+              |ng AS (SELECT CAST(count(*) AS BIGINT) AS n_reps_guarded FROM repg),
+              |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_reps_common
+              |       FROM repf JOIN repg USING (doc_id)),
+              |ef AS (SELECT CAST(count(*) AS BIGINT) AS n_edges_full FROM pairs),
+              |eg2 AS (SELECT CAST(count(*) AS BIGINT) AS n_edges_guarded FROM gp)
+              |SELECT n_nodes, n_hub_nodes, n_edges_full, n_edges_guarded,
+              |       rank_overlap_k, n_reps_full, n_reps_guarded, n_reps_common
+              |FROM hs CROSS JOIN ef CROSS JOIN eg2 CROSS JOIN ov
+              |CROSS JOIN nf CROSS JOIN ng CROSS JOIN nc""".stripMargin),
+      doc = "g31 hub-guard adjudication for the graph consumers " +
+        "(VERDICT r16 item 4): top-100 pagerank overlap and " +
+        "quality-rep set diff between the full candidate graph (what " +
+        "g9/g11 consume) and the deg<=256 guarded subgraph (what " +
+        "g22/g23 enumerate) — in the CANDIDATE graph a hub is a real " +
+        "duplicate mega-group, so guarded clustering re-admits its " +
+        "copies as singleton reps; this row prices that recall loss " +
+        "against the analytics drift, the decision input for whether " +
+        "graph consumers may adopt the cheaper guarded graph"),
   )
 }

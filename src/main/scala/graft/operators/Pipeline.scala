@@ -325,7 +325,8 @@ object PipelineQueries {
         val q = TextAnalysis.qualityScore(Tables.documents(s, d))
           .select(col("doc_id"), col("quality"), col("n_tokens"))
         val dropped = Dedup.nearDupsFromSig(
-            DedupQueries.sharedSignatures(s, d), 4)
+            DedupQueries.sharedSignatures(s, d), 4,
+            capTab = Some(DedupQueries.sharedBucketCap(s, d)))
           .select(col("doc_b").as("doc_id")).distinct()
           .withColumn("dr", lit(1L))
         q.join(dropped, Seq("doc_id"), "left")
@@ -390,7 +391,8 @@ object PipelineQueries {
         val exactKept = Dedup.exactDedup(docs)
           .select(col("doc_id")).withColumn("ke", lit(1L))
         val nearDropped = Dedup.nearDupsFromSig(
-            DedupQueries.sharedSignatures(s, d), 4)
+            DedupQueries.sharedSignatures(s, d), 4,
+            capTab = Some(DedupQueries.sharedBucketCap(s, d)))
           .select(col("doc_b").as("doc_id")).distinct()
           .withColumn("nd", lit(1L))
         flags.join(exactKept, Seq("doc_id"), "left")

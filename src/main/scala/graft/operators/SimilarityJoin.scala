@@ -323,7 +323,8 @@ object SimilarityJoinQueries {
     Q("g28_winnow_recall",
       (s, d) => minhashQualityFromParts(
         TextAnalysis.candidatesFromDistinctFps(
-            DedupQueries.sharedBucketedWinnowFps(s, d))
+            DedupQueries.sharedBucketedWinnowFps(s, d),
+            capTab = Some(DedupQueries.sharedWinnowCap(s, d)))
           .select("doc_a", "doc_b"),
         DedupQueries.sharedJaccardPairs(s, d)),
       // candidates = y9's winnow inverted-index join; truth = the y4

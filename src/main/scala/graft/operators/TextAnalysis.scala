@@ -660,8 +660,9 @@ object TextAnalysis {
     * at write time; re-applying it here would put an exchange back under
     * every read). */
   private[graft] def candidatesFromDistinctFps(fp: DataFrame,
-      dfCap: Option[Int] = None): DataFrame = {
-    val bounded = Dedup.autoCapped(fp, Seq("fp"), dfCap)
+      dfCap: Option[Int] = None,
+      capTab: Option[DataFrame] = None): DataFrame = {
+    val bounded = Dedup.autoCapped(fp, Seq("fp"), dfCap, capTab = capTab)
     bounded.as("a").join(bounded.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -688,8 +689,9 @@ object TextAnalysis {
   /** [[winnowJaccardJoin]] over an already-distinct (doc_id, fp) table
     * (the bucketed winnow layout — see candidatesFromDistinctFps). */
   private[graft] def winnowJaccardJoinDistinct(fp: DataFrame, k: Int,
-      dfCap: Option[Int] = None): DataFrame = {
-    val bounded = Dedup.autoCapped(fp, Seq("fp"), dfCap)
+      dfCap: Option[Int] = None,
+      capTab: Option[DataFrame] = None): DataFrame = {
+    val bounded = Dedup.autoCapped(fp, Seq("fp"), dfCap, capTab = capTab)
     val sizes = bounded.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = bounded.as("a").join(bounded.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
@@ -1846,7 +1848,8 @@ object TextAnalysisQueries {
       // df groupBy, join-back and self-join inherit the bucket
       // distribution (PlanAuditSpec pins the exchange-free front)
       (s, d) => candidatesFromDistinctFps(
-          DedupQueries.sharedBucketedWinnowFps(s, d))
+          DedupQueries.sharedBucketedWinnowFps(s, d),
+          capTab = Some(DedupQueries.sharedWinnowCap(s, d)))
         .orderBy("doc_a", "doc_b"),
       // the derived-cap chain interpolates the SAME budget/floor/ceiling
       // vals the Spark side reads, so the engines cannot desync
@@ -1866,7 +1869,8 @@ object TextAnalysisQueries {
 
     Q("g27_winnow_jaccard",
       (s, d) => winnowJaccardJoinDistinct(
-        DedupQueries.sharedBucketedWinnowFps(s, d), 20),
+        DedupQueries.sharedBucketedWinnowFps(s, d), 20,
+        capTab = Some(DedupQueries.sharedWinnowCap(s, d))),
       Some(s"""WITH $winnowSqlCte,
               |f AS (SELECT DISTINCT doc_id, fp FROM wfp),
               |${DedupQueries.autoCappedSqlCtes("f", Seq("fp"), "w")},

@@ -120,7 +120,25 @@ object Bucketing {
       val e = st.next()
       if (dead(e.getKey._1)) { purgeDir(e.getValue._2); st.remove() }
     }
+    // dirs whose map entry was dropped while the owner still lived
+    // (boundSessions): purge as soon as the owner dies — without this
+    // sweep they survive to the JVM shutdown hook (ADVICE r16, a
+    // partial regression of the r14 /tmp fix under the sf10 disk budget)
+    val pd = pendingDirs.entrySet().iterator()
+    while (pd.hasNext) {
+      val e = pd.next()
+      if (dead(e.getKey)) { e.getValue.forEach(p => purgeDir(p)); pd.remove() }
+    }
   }
+
+  /** Bucketed dirs evicted from [[sharedTables]] while their owning
+    * session was still LIVE (the boundSessions path must not delete
+    * them — a live session's DataFrame may still read the files), held
+    * here keyed by owner so [[evictStopped]] can purge them the moment
+    * the owner dies instead of leaking them until JVM exit. */
+  private val pendingDirs =
+    new java.util.concurrent.ConcurrentHashMap[
+      SparkSession, java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]]
 
   /** Bound the distinct-session count for the shared-context
     * newSession() cycling pattern (the DedupQueries.boundSessions
@@ -135,8 +153,20 @@ object Bucketing {
     val distinct = new java.util.HashSet[SparkSession]
     sharedTables.keySet().forEach(k => { distinct.add(k._1); () })
     if (distinct.size > maxSessions) {
-      val it = sharedTables.keySet().iterator()
-      while (it.hasNext) if (it.next()._1 ne current) it.remove()
+      val it = sharedTables.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 ne current) {
+          // park the dir with its owner so evictStopped can purge it at
+          // the owner's death (ADVICE r16) — never delete it now: the
+          // live owner may still hold a DataFrame over these files
+          pendingDirs
+            .computeIfAbsent(e.getKey._1,
+              _ => new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path])
+            .add(e.getValue._2)
+          it.remove()
+        }
+      }
     }
   }
 
@@ -155,14 +185,26 @@ object Bucketing {
   private[graft] def sharedBucketedTable(s: SparkSession, d: String,
       kind: String, key: String, build: () => DataFrame): DataFrame = {
     evictStopped()
-    val (t, _) = sharedTables.computeIfAbsent((s, d, kind), _ => {
+    // NOT computeIfAbsent (ADVICE r16): build() re-enters the
+    // DedupQueries shared-cache ladder, whose hygiene sweeps call back
+    // into evictStopped/boundSessions and remove entries from THIS map —
+    // in-flight modification inside a computeIfAbsent callback is
+    // undefined behavior per the ConcurrentHashMap contract, and the
+    // mapping lock would stall every other session for the full bucketed
+    // write. Compute outside the map, publish with putIfAbsent; a lost
+    // race purges the duplicate build's dir and reads the winner.
+    val k = (s, d, kind)
+    val hit = sharedTables.get(k)
+    if (hit != null) s.table(hit._1)
+    else {
       val name = s"graft_b_${kind}_${java.util.UUID.randomUUID().toString.take(8)}"
       val base = trackedTempDir()
       writeBucketed(build(), name, key, OrderBuckets,
         sortCols = Seq(key), path = Some(s"$base/$kind"))
-      (name, base)
-    })
-    s.table(t)
+      val prev = sharedTables.putIfAbsent(k, (name, base))
+      if (prev != null) { purgeDir(base); s.table(prev._1) }
+      else s.table(name)
+    }
   }
 
   /** Test hook: entry count of the generic shared-table cache. */

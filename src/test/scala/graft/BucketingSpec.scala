@@ -95,4 +95,26 @@ class BucketingSpec extends SparkSpec {
       .sharedBucketedShingles(spark, sf("sf0.001"))
     assert(df2.count() === n1)
   }
+
+  test("live-evicted dirs are purged at owner death, not leaked to JVM exit (ADVICE r16)") {
+    // boundSessions parks a live session's dir with its owner; the next
+    // evictStopped sweep after the owner dies must reclaim it — without
+    // this, cycling >MaxCachedSessions live sessions accumulates full
+    // table projections in /tmp for the JVM lifetime (the sf10
+    // shuffle-disk budget cannot absorb that)
+    val preexisting = Bucketing.trackedDirs.toSet
+    val owner = spark.newSession()
+    graft.operators.DedupQueries
+      .sharedBucketedShingles(owner, sf("sf0.001")).count()
+    val ownerDirs = Bucketing.trackedDirs.toSet -- preexisting
+    assert(ownerDirs.nonEmpty)
+    val other = spark.newSession()
+    Bucketing.boundSessions(other, 0) // owner's entry dropped, dir parked
+    ownerDirs.foreach(p => assert(java.nio.file.Files.exists(p), p.toString))
+    // owner "dies": the parked dir is purged by the very next sweep
+    Bucketing.evictStopped(s => s eq owner)
+    val after = Bucketing.trackedDirs.toSet
+    assert(ownerDirs.intersect(after).isEmpty,
+      s"parked dirs must be reclaimed at owner death: $ownerDirs vs $after")
+  }
 }

@@ -101,6 +101,44 @@ class CapDerivationSpec extends SparkSpec {
     assert(auto === unc)
   }
 
+  test("session-shared caps are bit-identical to the per-plan derivation (VERDICT r16 item 1)") {
+    val d = sf("sf0.001")
+    // shingle cap: shared 1-row table == in-plan derivation over the
+    // same shared index == the registered g26 recommendation
+    val ss = DedupQueries.sharedShingles(spark, d)
+    val sharedSh = DedupQueries.sharedShingleCap(spark, d).head().getLong(0)
+    val perPlanSh = Dedup.derivedCap(ss, Seq("sh_h"),
+      Dedup.DefaultShingleDfCap).head().getLong(0)
+    assert(sharedSh === perPlanSh)
+    assert(sharedSh === Dedup.recommendShingleDfCap(ss).head()
+      .getAs[Long]("recommended_cap"))
+    // bucket cap over the shared signature table
+    val sig = DedupQueries.sharedSignatures(spark, d)
+    val sharedBk = DedupQueries.sharedBucketCap(spark, d).head().getLong(0)
+    val perPlanBk = Dedup.derivedCap(sig, Seq("band", "minh"),
+      Dedup.DefaultBucketDfCap).head().getLong(0)
+    assert(sharedBk === perPlanBk)
+    // winnow cap over the distinct (doc_id, fp) projection
+    val fp = DedupQueries.sharedWinnowFps(spark, d)
+      .select(col("doc_id"), col("fp")).distinct()
+    val sharedWn = DedupQueries.sharedWinnowCap(spark, d).head().getLong(0)
+    val perPlanWn = Dedup.derivedCap(fp, Seq("fp"),
+      Dedup.DefaultShingleDfCap).head().getLong(0)
+    assert(sharedWn === perPlanWn)
+  }
+
+  test("a consumer fed the shared capTab returns exactly the per-plan rows") {
+    val d = sf("sf0.001")
+    val ss = DedupQueries.sharedShingles(spark, d)
+    val withShared = Dedup.cappedShingles(ss,
+        capTab = Some(DedupQueries.sharedShingleCap(spark, d)))
+      .as[(Long, Long)].collect().toSet
+    val perPlan = Dedup.cappedShingles(ss)
+      .as[(Long, Long)].collect().toSet
+    assert(withShared === perPlan)
+    assert(withShared.nonEmpty)
+  }
+
   test("bucket-index derivation: a planted boilerplate blob is dropped wholesale at stock settings") {
     // g25's documented-lossy contract now fires from the DERIVED cap:
     // 500 identical docs saturate their (band, minh) buckets at df=500

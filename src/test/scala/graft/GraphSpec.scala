@@ -67,6 +67,31 @@ class GraphSpec extends SparkSpec {
     assert(full.getAs[Long]("n_triangles") == 1L + 3L) // leaf tri + 3 hub tris
   }
 
+  test("g31 hub-guard adjudication: mega-clique splits into singleton reps, guarded pr keeps the tail") {
+    // clique {1,2,3,4} (deg 3 each) over a degCap of 2 -> all four are
+    // hubs; organic pair (10,11) survives the guard; doc 20 is never in
+    // the graph. Same text everywhere -> quality ties -> min-id reps.
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L)
+      .map(id => (id, "the same words here", "en", 19L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val r = Graph.hubGuardAdjudication(docs, pairs,
+      operators.Dedup.dedupClusters(pairs), degCap = 2).collect()(0)
+    assert(r.getAs[Long]("n_nodes") == 6L)
+    assert(r.getAs[Long]("n_hub_nodes") == 4L)
+    assert(r.getAs[Long]("n_edges_full") == 7L)
+    assert(r.getAs[Long]("n_edges_guarded") == 1L)
+    // guarded pagerank ranks only {10, 11}; both are in the full top-k
+    assert(r.getAs[Long]("rank_overlap_k") == 2L)
+    // full reps: clique rep 1, pair rep 10, singleton 20
+    assert(r.getAs[Long]("n_reps_full") == 3L)
+    // guarded clustering re-admits every clique member as its own rep —
+    // the recall loss this census exists to price
+    assert(r.getAs[Long]("n_reps_guarded") == 6L)
+    assert(r.getAs[Long]("n_reps_common") == 3L)
+  }
+
   test("triangle census: hub star orients away from leaves, no false triangles") {
     // star K1,4 : wedges 6 at the hub, 0 triangles — the degree
     // orientation points every edge leaf->hub (out-degree 1 and 0), so

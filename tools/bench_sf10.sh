@@ -13,7 +13,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 P="${1:?pass label required (p1/p2)}"
+ROUND="${ROUND:-r17}"   # artifacts land in bench/$ROUND/ (VERDICT r16 item 6)
 SF=/tmp/sf10
+mkdir -p "bench/$ROUND"
 run() { # run <name> <shuffle_partitions> <queries>
   local name="$1" parts="$2" only="$3"
   echo "[sf10 $P] group $name (partitions $parts)"
@@ -21,8 +23,8 @@ run() { # run <name> <shuffle_partitions> <queries>
     SPARK_GRAFT_SHUFFLE_PARTITIONS="$parts" SPARK_GRAFT_PASSES=1 \
     SPARK_GRAFT_ONLY="$only" \
     sbt -batch "runMain graft.Bench" > "/tmp/sf10_${P}_${name}.log" 2>&1
-  cp BENCH_FULL_latest.json "BENCH_sf10_r16_${P}_${name}.json"
-  grep -o '"errors":\[[^]]*\]' "BENCH_sf10_r16_${P}_${name}.json" || true
+  cp BENCH_FULL_latest.json "bench/$ROUND/BENCH_sf10_${ROUND}_${P}_${name}.json"
+  grep -o '"errors":\[[^]]*\]' "bench/$ROUND/BENCH_sf10_${ROUND}_${P}_${name}.json" || true
 }
 run shingle 256 "e4_dedup_quality,g15_containment,g19_shingle_df_census,g21_lsh_bucket_census,g26_cap_recommendation,g27_winnow_jaccard,g29_bucketed_jaccard,g4_ngram_jaccard,t15_winnow,y9_winnow_candidates"
 run cluster 128 "g9_pagerank,g11_cluster_reps,g22_triangles,g23_link_predict"

@@ -11,14 +11,23 @@ For queries appearing in several artifacts the MIN is kept (the
 sweep-protocol aggregation); queries listed under `errors` in an
 artifact contribute nothing from that artifact.
 """
-import json, sys
+import json, os, sys
 
 base_path = "BENCH_BASELINE.json"
 merged = {}
 for p in sys.argv[1:]:
     art = json.load(open(p))
-    if "queries" not in art:
-        sys.exit(f"{p}: not a graft.Bench artifact (no 'queries' key)")
+    # Bench-shaped only (ADVICE r16): BENCH_BASELINE.json itself has a
+    # 'queries' key, so a bare key check let the exact misuse the
+    # docstring warns about through; and a wrong-scale artifact would
+    # silently min()-merge into the sf10 gate.
+    if "queries" not in art or art.get("metric") != "total" or "sf" not in art:
+        sys.exit(f"{p}: not a graft.Bench artifact "
+                 "(need 'queries', metric=='total' and 'sf')")
+    sf_name = os.path.basename(str(art["sf"]).rstrip("/"))
+    if sf_name != "sf10":
+        sys.exit(f"{p}: artifact sf is '{art['sf']}', not an sf10 run — "
+                 "refusing to merge into queries_sf10")
     errs = set(art.get("errors", []))
     for q, t in art.get("queries", {}).items():
         if q in errs:

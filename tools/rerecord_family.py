@@ -10,16 +10,26 @@ Queries listed under `errors` in an artifact contribute nothing from
 that artifact; a query erroring in EVERY artifact aborts the record
 (the gate must never be recorded from a failing run).
 """
-import json, sys
+import json, os, sys
 
 if len(sys.argv) < 4:
     sys.exit(__doc__)
 key, names_arg = sys.argv[1], sys.argv[2]
+# scale each baseline map is recorded at (ADVICE r16: reject wrong-scale
+# artifacts instead of silently min()-merging them into the gate)
+EXPECT_SF = {"queries": "sf0.1", "queries_sf1": "sf1", "queries_sf10": "sf10"}
+if key not in EXPECT_SF:
+    sys.exit(f"unknown baseline map '{key}' (one of {sorted(EXPECT_SF)})")
 merged, seen_err = {}, {}
 for p in sys.argv[3:]:
     art = json.load(open(p))
-    if "queries" not in art:
-        sys.exit(f"{p}: not a graft.Bench artifact (no 'queries' key)")
+    if "queries" not in art or art.get("metric") != "total" or "sf" not in art:
+        sys.exit(f"{p}: not a graft.Bench artifact "
+                 "(need 'queries', metric=='total' and 'sf')")
+    sf_name = os.path.basename(str(art["sf"]).rstrip("/"))
+    if sf_name != EXPECT_SF[key]:
+        sys.exit(f"{p}: artifact sf is '{art['sf']}' but '{key}' records "
+                 f"{EXPECT_SF[key]} runs — refusing to merge")
     errs = set(art.get("errors", []))
     for q, t in art["queries"].items():
         if q in errs:
