@@ -77,20 +77,27 @@ object StreamSoak {
       val lastState = ps.lastOption.toSeq.flatMap(_.stateOperators)
       val stateRows = lastState.map(_.numRowsTotal).sum
       val stateBytes = lastState.map(_.memoryUsedBytes).sum
+      // bounded-state evidence: the PEAK state row count across the run —
+      // a plateau reads peak ≈ final; state growing with the stream
+      // would read peak ≫ watermark-window bound and final ≈ peak ∝ input
+      val peakStateRows =
+        (0L +: ps.map(_.stateOperators.map(_.numRowsTotal).sum)).max
       val maxBatchMs = (0L +: ps.flatMap(p =>
         Option(p.durationMs.get("triggerExecution")).map(_.toLong))).max
       // watermark lag: batch wall-clock timestamp minus the watermark it
       // carried — how far event-time completeness trails arrival
       val lags = ps.flatMap { p =>
         val wm = Option(p.eventTime.get("watermark")).filter(_.nonEmpty)
-        wm.map(w => java.time.Instant.parse(p.timestamp).toEpochMilli -
-          java.time.Instant.parse(w).toEpochMilli)
+          .map(java.time.Instant.parse(_).toEpochMilli)
+          .filter(_ > 0L) // first batches carry the unset epoch-0 watermark
+        wm.map(java.time.Instant.parse(p.timestamp).toEpochMilli - _)
       }
       val maxLagMs = (0L +: lags).max
       graft.sources.Bucketing.purgeDir(java.nio.file.Paths.get(ckpt))
       s""""$name":{"n_batches":${ps.length},"input_rows":$rows,""" +
         s""""processed_rows_per_sec":${fmt(throughput)},""" +
         s""""max_batch_ms":$maxBatchMs,"state_rows":$stateRows,""" +
+        s""""peak_state_rows":$peakStateRows,""" +
         s""""state_bytes":$stateBytes,"max_watermark_lag_ms":$maxLagMs}"""
     }
 

@@ -51,7 +51,14 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
 F = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-BOILER_N = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+# comma-list plants several groups: "2000,400" -> group 0 of 2000 docs
+# (vocab boilerplate_probe_token_*, offset 900000000 — identical to the
+# single-int form) and group 1 of 400 docs (per-group vocab
+# boilerplate_probe_g1_token_*, offset 910000000). Disjoint vocab per
+# group, so planted buckets never intersect across groups or with the
+# organic corpus and each group's census contribution is exact.
+BOILER_NS = [int(x) for x in sys.argv[4].split(",")] if len(sys.argv) > 4 else []
+BOILER_N = BOILER_NS[0] if BOILER_NS else 0
 
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
@@ -146,14 +153,17 @@ sink("events", f"""
 # across copies is preserved (~0.8 Jaccard to the original).
 # boilerplate: exact copies of one disjoint-vocab doc (cap-stress)
 boiler_sql = ""
-if BOILER_N > 0:
-    btext = " ".join(f"boilerplate_probe_token_{i}" for i in range(1, 13))
-    boiler_sql = f"""
+for g, bn in enumerate(BOILER_NS):
+    if bn <= 0:
+        continue
+    tok = "boilerplate_probe_token" if g == 0 else f"boilerplate_probe_g{g}_token"
+    btext = " ".join(f"{tok}_{i}" for i in range(1, 13))
+    boiler_sql += f"""
   UNION ALL
-  SELECT 900000000 + u.i AS doc_id, '{btext}' AS text,
+  SELECT {900000000 + g * 10000000} + u.i AS doc_id, '{btext}' AS text,
          'xx' AS lang, 'probe' AS source,
          CAST({len(btext)} AS BIGINT) AS n_chars
-  FROM (SELECT unnest(range(0, {BOILER_N})) AS i) u"""
+  FROM (SELECT unnest(range(0, {bn})) AS i) u"""
 
 sink("documents", f"""
   WITH toks AS (
