@@ -54,11 +54,28 @@ F = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 # comma-list plants several groups: "2000,400" -> group 0 of 2000 docs
 # (vocab boilerplate_probe_token_*, offset 900000000 — identical to the
 # single-int form) and group 1 of 400 docs (per-group vocab
-# boilerplate_probe_g1_token_*, offset 910000000). Disjoint vocab per
+# boilerplate_probe_g1_token_*, offset 940000000). Disjoint vocab per
 # group, so planted buckets never intersect across groups or with the
-# organic corpus and each group's census contribution is exact.
-BOILER_NS = [int(x) for x in sys.argv[4].split(",")] if len(sys.argv) > 4 else []
-BOILER_N = BOILER_NS[0] if BOILER_NS else 0
+# organic corpus and each group's census contribution is exact. Group
+# offsets step by 40M because g25/g30 re-key their %5 exact-copy probes
+# at doc_id + RecallProbeOffset (10M): a 10M step would land group g's
+# ids exactly on group g-1's probe copies, giving 80 doc_ids two texts
+# and corrupting both groups' census contribution (measured: the first
+# dense run's g25 captured_pairs was off by exactly C(80,2)).
+#
+# A trailing 'u' ("2000u,400u") plants the same doc COUNT at the same
+# ids but with a UNIQUE 12-token vocabulary per doc — the CONTROL
+# corpus for tools/dense_census.py: identical document cardinality
+# (hence identical derived-cap budgets, which grow with n_docs) and
+# zero planted index mass (df-1 keys are outside every histogram), so
+# the dense-vs-control census deltas are purely the planted duplicate
+# structure. (Comparing dense against the PLAIN organic corpus instead
+# is off by a budget boundary: the planted docs raise n_docs, which
+# re-admits organic df levels just over the organic cap — measured at
+# sf1 as +24 captured pairs in the winnow lane when its aug cap moved
+# 82 -> 84.)
+BOILER_SPECS = sys.argv[4].split(",") if len(sys.argv) > 4 else []
+BOILER_N = int(BOILER_SPECS[0].rstrip("u")) if BOILER_SPECS else 0
 
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
@@ -153,16 +170,24 @@ sink("events", f"""
 # across copies is preserved (~0.8 Jaccard to the original).
 # boilerplate: exact copies of one disjoint-vocab doc (cap-stress)
 boiler_sql = ""
-for g, bn in enumerate(BOILER_NS):
+for g, spec in enumerate(BOILER_SPECS):
+    bn = int(spec.rstrip("u"))
     if bn <= 0:
         continue
-    tok = "boilerplate_probe_token" if g == 0 else f"boilerplate_probe_g{g}_token"
-    btext = " ".join(f"{tok}_{i}" for i in range(1, 13))
+    if spec.endswith("u"):
+        # unique per-doc vocab: zero shared shingles/buckets/fps
+        btext = " || ' ' || ".join(
+            f"'bp_g{g}_d' || u.i || '_t{j}'" for j in range(1, 13))
+        text_expr, nch = f"({btext})", f"CAST(length({btext}) AS BIGINT)"
+    else:
+        tok = ("boilerplate_probe_token" if g == 0
+               else f"boilerplate_probe_g{g}_token")
+        bt = " ".join(f"{tok}_{i}" for i in range(1, 13))
+        text_expr, nch = f"'{bt}'", f"CAST({len(bt)} AS BIGINT)"
     boiler_sql += f"""
   UNION ALL
-  SELECT {900000000 + g * 10000000} + u.i AS doc_id, '{btext}' AS text,
-         'xx' AS lang, 'probe' AS source,
-         CAST({len(btext)} AS BIGINT) AS n_chars
+  SELECT {900000000 + g * 40000000} + u.i AS doc_id, {text_expr} AS text,
+         'xx' AS lang, 'probe' AS source, {nch} AS n_chars
   FROM (SELECT unnest(range(0, {bn})) AS i) u"""
 
 sink("documents", f"""
