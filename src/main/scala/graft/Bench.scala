@@ -81,6 +81,30 @@ object Bench {
     // filter used to emit a {"total":0} artifact indistinguishable from
     // a fast pass
     val passes = Env.posInt("SPARK_GRAFT_PASSES", 2)
+    // I/O sentinel (VERDICT r17 item 2): a raw sequential read of the
+    // biggest table file, timed BEFORE any Spark work touches the page
+    // cache. The sf10 drift gate normalizes per-query times by
+    // sentinel_sec/baseline-sentinel so a disk-regime flip (r16->r17:
+    // uniform 1.1-2.7x on plan-unchanged queries at ~102 MB/s cold
+    // parquet) rescales the tolerance band instead of invalidating the
+    // whole baseline. Raw FileChannel, not a Spark scan: no
+    // plan/codegen/JIT component — it measures the bytes/sec the box
+    // delivers right now, which is exactly the regime variable.
+    val sentinel: Option[(Double, Long)] = {
+      import java.nio.file.{Files, Paths}
+      val p = Paths.get(s"$sfDir/lineitem.parquet")
+      if (Files.isRegularFile(p)) {
+        val ch = java.nio.channels.FileChannel.open(p)
+        try {
+          val buf = java.nio.ByteBuffer.allocateDirect(4 << 20)
+          val t0 = System.nanoTime()
+          var n = 0L
+          var r = ch.read(buf)
+          while (r >= 0) { n += r; buf.clear(); r = ch.read(buf) }
+          Some(((System.nanoTime() - t0) / 1e9, n))
+        } finally ch.close()
+      } else None
+    }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     require(names.nonEmpty,
@@ -159,7 +183,10 @@ object Bench {
         .map { case (k, v) => s"\"$k\":\"${jesc(v)}\"" }
         .mkString(""","error_reasons":{""", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs$reasons,"runs_per_query":$passes,"agg":"min_across_separated_passes","sf":"$sfDir"}"""
+    val sent = sentinel.map { case (s, b) =>
+      s""","sentinel_sec":${fmt(s)},"sentinel_mbps":${fmt(b / 1048576.0 / math.max(s, 1e-9))},"sentinel_bytes":$b"""
+    }.getOrElse("")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs$reasons$sent,"runs_per_query":$passes,"agg":"min_across_separated_passes","sf":"$sfDir"}"""
     // The driver's stdout capture keeps only the last ~2-5 KB; at 300+
     // queries the full per-query line is ~7 KB, so WHEREVER it is
     // printed the captured tail lands mid-object and BENCH_r*.json
@@ -177,7 +204,7 @@ object Bench {
     val top = results.toSeq.sortBy(-_._2).take(20)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_errors":${failed.size},"errors":$errs$reasons,"queries":$top,"queries_note":"top-20 slowest; all ${results.size} in full_artifact","runs_per_query":$passes,"agg":"min_across_separated_passes","sf":"$sfDir","full_artifact":"BENCH_FULL_latest.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_errors":${failed.size},"errors":$errs$reasons$sent,"queries":$top,"queries_note":"top-20 slowest; all ${results.size} in full_artifact","runs_per_query":$passes,"agg":"min_across_separated_passes","sf":"$sfDir","full_artifact":"BENCH_FULL_latest.json"}""")
     SparkSession.getActiveSession.foreach(_.stop())
     purgeCkptDir()
   }

@@ -49,7 +49,15 @@ object CapsReport {
     }
     val (sh, bk, wn) = caps(docs)
     val (ash, abk, awn) = caps(aug)
-    val line = s"""{"dir":"$dir","shingle_cap":$sh,"bucket_cap":$bk,""" +
+    // dir is user input — escape it so a path with quotes/backslashes
+    // can't break the JSON that dense_census.py json.load()s (ADVICE r17)
+    val dirJson = dir.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+    val line = s"""{"dir":"$dirJson","shingle_cap":$sh,"bucket_cap":$bk,""" +
       s""""winnow_cap":$wn,"aug_shingle_cap":$ash,""" +
       s""""aug_bucket_cap":$abk,"aug_winnow_cap":$awn}"""
     println(line)

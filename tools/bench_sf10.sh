@@ -27,7 +27,19 @@ run() { # run <name> <shuffle_partitions> <queries>
   grep -o '"errors":\[[^]]*\]' "bench/$ROUND/BENCH_sf10_${ROUND}_${P}_${name}.json" || true
 }
 run shingle 256 "e4_dedup_quality,g15_containment,g19_shingle_df_census,g21_lsh_bucket_census,g26_cap_recommendation,g27_winnow_jaccard,g29_bucketed_jaccard,g4_ngram_jaccard,t15_winnow,y9_winnow_candidates"
-run cluster 128 "g9_pagerank,g11_cluster_reps,g22_triangles,g23_link_predict,g31_hub_guard_adjudication"
+run cluster 128 "g9_pagerank,g11_cluster_reps,g22_triangles,g23_link_predict"
+# settled-adjudication tier (VERDICT r17 item 5): queries that re-prove
+# a RECORDED decision (g31) run at sf10 only when the plans their
+# verdict depends on drifted vs the fingerprints frozen at recording —
+# tools/settled_tier.py prints the stale ones (empty = skip; the
+# skipped steady is carried forward by tighten_sf10.py). After
+# re-recording a stale one: settled_tier.py --refresh, commit.
+SETTLED="$(python3 tools/settled_tier.py)"
+if [ -n "$SETTLED" ]; then
+  run settled 128 "$SETTLED"
+else
+  echo "[sf10 $P] settled tier unchanged (plan fingerprints match) — skipped"
+fi
 run recall  128 "g25_dedup_recall,g30_winnow_dedup_recall,m9_phash_neardup"
 run exact   128 "g14_minhash_quality,y4_jaccard_threshold,g28_winnow_recall"
 run tier1   128 "g1_exact_dedup,q44_also_bought,q45_basket_lift,q47_next_purchase,q50_bucketed_revenue,t16_bigram_surprisal,t21_dsir_weights,t22_ngram_novelty,t31_pmi_collocations,t42_bpe_merges,t6_normalize_stopwords,w1_wordcount,x43_theil_sen,x52_decile_shift"

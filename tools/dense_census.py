@@ -73,6 +73,13 @@ if len(sys.argv) < 7:
 ORG, CTL, DEN, ORG_CAPS_PATH, CTL_CAPS_PATH, CAPS_PATH = sys.argv[1:7]
 N1 = int(sys.argv[7]) if len(sys.argv) > 7 else 2000
 N2 = int(sys.argv[8]) if len(sys.argv) > 8 else 400
+# The %5 probe count below is N//5 only when 5 | N (planted doc_ids are
+# consecutive from the group offset, so the true count is ceil(N/5));
+# a non-multiple group size would make every recall-lane prediction off
+# by one and fail with a misleading MISMATCH (ADVICE r17). Insist.
+if N1 % 5 or N2 % 5:
+    sys.exit(f"group sizes must be multiples of 5 (the %5 probe "
+             f"predictions assume it): n1={N1} n2={N2}")
 A = N1 + N1 // 5   # effective size inside the %5-augmented recall corpora
 B = N2 + N2 // 5
 AUGPAIRS = N1 // 5 + N2 // 5  # the control's own captured exact pairs
