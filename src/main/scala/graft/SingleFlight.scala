@@ -1,0 +1,62 @@
+package graft
+
+import java.util.concurrent.{ConcurrentHashMap, CountDownLatch}
+
+/** Single-flight get-or-build for the session-shared structural caches
+  * (VERDICT r17 item 3).
+  *
+  * The r17 compute-then-`putIfAbsent` discipline is correct but lets
+  * two concurrent sessions both pay a multi-minute build (e.g. the sf10
+  * bucketed write) and purge the loser. This keeps that discipline's
+  * two invariants — no `ConcurrentHashMap` mapping lock is ever held
+  * across a Spark job, and build callbacks may freely re-enter the
+  * cache ladder's hygiene sweeps (`evictStopped`/`boundSessions`
+  * mutate the SAME result maps, which is undefined inside a
+  * `computeIfAbsent` callback) — while making late arrivals await the
+  * one in-flight builder on a per-key latch instead of duplicating the
+  * work.
+  *
+  * Protocol per call: result-map hit returns immediately; otherwise
+  * race for the key's latch. The winner re-checks the map (a previous
+  * builder may have published between our miss and the latch win),
+  * builds with no lock held, publishes, then releases the latch in a
+  * `finally`. Losers `await` the latch — a plain latch wait, not a map
+  * lock — and loop: normally the re-check now hits; if the builder
+  * FAILED (latch released, nothing published) exactly one waiter wins
+  * the next latch and retries, so a transient build failure never
+  * strands the key. Values must be pure functions of the key (the
+  * caches' existing contract), so a rebuild after an eviction race is
+  * at worst one recompute, never a wrong result.
+  */
+private[graft] final class SingleFlight[K] {
+  private val inflight = new ConcurrentHashMap[K, CountDownLatch]
+
+  def apply[V](m: ConcurrentHashMap[K, V], k: K)(build: => V): V = {
+    while (true) {
+      val hit = m.get(k)
+      if (hit != null) return hit
+      val latch = new CountDownLatch(1)
+      val race = inflight.putIfAbsent(k, latch)
+      if (race == null) {
+        try {
+          // a prior builder may have published while we raced for the
+          // latch — build only on a genuine re-checked miss
+          val again = m.get(k)
+          if (again != null) return again
+          val built = build
+          val prev = m.putIfAbsent(k, built)
+          return if (prev != null) prev else built
+        } finally {
+          inflight.remove(k, latch)
+          latch.countDown()
+        }
+      } else {
+        race.await()
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Test hook: number of in-flight builds (0 when quiescent). */
+  private[graft] def inflightCount: Int = inflight.size()
+}

@@ -993,21 +993,42 @@ object DedupQueries {
     * the SAME map — in-flight modification of the map being computed
     * into is undefined behavior per the CHM contract, and the mapping
     * lock would also block every other session for the full build
-    * (possibly a multi-minute Spark job). Compute outside the map and
-    * publish with putIfAbsent: a concurrent duplicate build is at worst
-    * one recompute of a pure function of the corpus — never a wrong
-    * result — and no lock is ever held across a job. */
+    * (possibly a multi-minute Spark job). Since r18 the compute runs
+    * under a per-(map,key) [[graft.SingleFlight]] latch (VERDICT r17
+    * item 3): concurrent callers for the same key await the one
+    * builder instead of both paying the build, still with no lock held
+    * across a Spark job. The flight registry is PER RESULT MAP: the
+    * ladder is a DAG (clusters → candidates → signatures → shingles),
+    * so a builder for one map re-entering `cached` for its input map
+    * lands in a different latch namespace — same-thread re-entry can
+    * never await its own latch. */
+  // IDENTITY-keyed registry, never a ConcurrentHashMap keyed by the
+  // cache maps: CHM equality is CONTENT-based, so two empty caches are
+  // EQUAL keys and would share one flight — a nested build
+  // (candidates → signatures) then awaits its own latch and deadlocks
+  // (caught by DedupCacheSpec hanging on first wiring). The registry
+  // lock covers only the lookup, never a build.
+  private val flights = new java.util.IdentityHashMap[
+    AnyRef, graft.SingleFlight[(SparkSession, String)]]
   private def cached(
       m: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame],
       k: (SparkSession, String))(build: => DataFrame): DataFrame = {
-    val hit = m.get(k)
-    if (hit != null) hit
-    else {
-      val built = build
-      val prev = m.putIfAbsent(k, built)
-      if (prev != null) prev else built
+    val f = flights.synchronized {
+      var x = flights.get(m)
+      if (x == null) {
+        x = new graft.SingleFlight[(SparkSession, String)]
+        flights.put(m, x)
+      }
+      x
     }
+    f.apply(m, k)(build)
   }
+  /** Test hook (CacheLatchSpec): single-flight entry point with the
+    * production flight registry, usable on a spec-owned map. */
+  private[graft] def cachedForTest(
+      m: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame],
+      k: (SparkSession, String))(build: => DataFrame): DataFrame =
+    cached(m, k)(build)
 
   /** Eviction (ADVICE/VERDICT r12): entries key on the owning
     * SparkSession, so a harness that cycles sessions (Bench runs each
