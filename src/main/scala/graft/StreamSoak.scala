@@ -22,6 +22,18 @@ import org.apache.spark.sql.streaming.Trigger
   *    5 s watermark) — the A12 lane live.
   *  - monitor_sessions: [[graft.streaming.MonitorStream.sessionWindows]]
   *    (native session_window state with gap merge) on the same samples.
+  *  - stream_join (r18, VERDICT r17 item 4):
+  *    [[graft.streaming.StreamJoin.attributionJoin]] — the interval
+  *    join's DOUBLE-sided buffer; state must plateau at
+  *    ~rate × (horizon + watermark) rows, not grow with either stream.
+  *  - stream_funnel: [[graft.streaming.StreamFunnel.liveStages]] —
+  *    mapGroupsWithState per-user state; plateaus at the live key
+  *    space (the soak drives a bounded 2 000-user population).
+  *  - stream_upsert: [[graft.streaming.StreamUpsert.maintain]] —
+  *    foreachBatch snapshot maintenance; the bounded quantity is the
+  *    SNAPSHOT (rows = live key space regardless of patch volume),
+  *    reported as snapshot_rows/snapshot_bytes/n_versions instead of
+  *    state-store rows (foreachBatch has no state operator).
   *
   * Usage: runMain graft.StreamSoak [seconds]   (default 60)
   * Env: SPARK_GRAFT_SOAK_RPS — source rows/sec (default 20000).
@@ -36,6 +48,10 @@ object StreamSoak {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      // default retention is 100 progress objects; a >=300 s soak at 1 s
+      // triggers needs the full run retained so peak_state_rows is the
+      // TRUE peak, not the peak of the last 100 batches
+      .config("spark.sql.streaming.numRecentProgressUpdates", "1000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -60,16 +76,16 @@ object StreamSoak {
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
         .underlying.stripTrailingZeros.toPlainString
 
-    def soak(name: String, df: DataFrame): String = {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory(s"graft_soak_$name").toString
-      val q = df.writeStream.format("noop")
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.ProcessingTime("1 second"))
-        .start()
+    def drive(q: org.apache.spark.sql.streaming.StreamingQuery)
+        : Array[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
       try Thread.sleep(secs * 1000L) finally q.stop()
       q.awaitTermination()
-      val ps = q.recentProgress.filter(_.numInputRows > 0)
+      q.recentProgress.filter(_.numInputRows > 0)
+    }
+
+    def metrics(name: String,
+        ps: Array[org.apache.spark.sql.streaming.StreamingQueryProgress],
+        extra: String = ""): String = {
       val rows = ps.map(_.numInputRows).sum
       val execMs = ps.flatMap(p =>
         Option(p.durationMs.get("triggerExecution")).map(_.toLong)).sum
@@ -93,13 +109,86 @@ object StreamSoak {
         wm.map(java.time.Instant.parse(p.timestamp).toEpochMilli - _)
       }
       val maxLagMs = (0L +: lags).max
-      graft.sources.Bucketing.purgeDir(java.nio.file.Paths.get(ckpt))
       s""""$name":{"n_batches":${ps.length},"input_rows":$rows,""" +
         s""""processed_rows_per_sec":${fmt(throughput)},""" +
         s""""max_batch_ms":$maxBatchMs,"state_rows":$stateRows,""" +
         s""""peak_state_rows":$peakStateRows,""" +
-        s""""state_bytes":$stateBytes,"max_watermark_lag_ms":$maxLagMs}"""
+        s""""state_bytes":$stateBytes,"max_watermark_lag_ms":$maxLagMs$extra}"""
     }
+
+    def soak(name: String, df: DataFrame, mode: String = "append"): String = {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_soak_$name").toString
+      val q = df.writeStream.format("noop")
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime("1 second"))
+        .start()
+      val ps = drive(q)
+      graft.sources.Bucketing.purgeDir(java.nio.file.Paths.get(ckpt))
+      metrics(name, ps)
+    }
+
+    // snapshot-maintenance lane: foreachBatch has no state operator, so
+    // the bounded quantity is the SNAPSHOT itself — rows stay at the
+    // live key space no matter how many patch rows streamed through
+    def soakUpsert(): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_soak_upsert").toString
+      val patches = rate().select(
+        (col("value") % 10000).as("doc_id"),
+        concat(lit("src-"), (col("value") % 3).cast("string")).as("source"),
+        (col("value") % 1000).as("n_chars"))
+      val q = graft.streaming.StreamUpsert.maintain(patches, dir)
+      val ps = drive(q)
+      val snap = graft.streaming.StreamUpsert.currentSnapshot(spark, dir)
+      val snapRows = snap.count()
+      val p = java.nio.file.Paths.get(dir)
+      val versions = java.nio.file.Files.list(p)
+      val (nVersions, bytes) = try {
+        import scala.jdk.CollectionConverters._
+        val vs = versions.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.startsWith("v"))
+        val latest = vs.sortBy(_.getFileName.toString.drop(1).toLong).lastOption
+        val b = latest.map { d =>
+          val w = java.nio.file.Files.walk(d)
+          try w.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size).sum
+          finally w.close()
+        }.getOrElse(0L)
+        (vs.size, b)
+      } finally versions.close()
+      graft.sources.Bucketing.purgeDir(p)
+      metrics("stream_upsert", ps,
+        s""","snapshot_rows":$snapRows,"snapshot_bytes":$bytes,""" +
+          s""""n_versions":$nVersions""")
+    }
+
+    // interval-join lane: 4/5 of one rate source are views, 1/5 of a
+    // second are purchases over a 10k-user key space — both sides
+    // buffer in state until the watermark clears view_ts + horizon, so
+    // the plateau bound is ~rate × (horizon + watermark) rows
+    val viewStream = rate().where(col("value") % 5 =!= 0).select(
+      (col("value") % 10000).as("user_id"),
+      col("timestamp").as("view_ts"),
+      concat(lit("page-"), (col("value") % 7).cast("string")).as("page"))
+    val purchaseStream = rate().where(col("value") % 5 === 0).select(
+      (col("value") % 10000).as("user_id"),
+      col("timestamp").as("buy_ts"),
+      (col("value") % 500).cast("double").as("amount"))
+
+    // funnel lane: 2 000 live users; stages rotate in 2 000-value blocks
+    // so each user's view/click/purchase arrive at strictly increasing
+    // event times (consecutive rate values can share a millisecond, and
+    // FunnelState.advance requires strict progression)
+    import spark.implicits._
+    val funnelEvents = rate().select(
+      col("timestamp").as("ts"),
+      (col("value") % 2000).as("user_id"),
+      element_at(array(lit("view"), lit("click"), lit("purchase")),
+        (((col("value") / 2000) % 3) + 1).cast("int")).as("event_type"))
+      .as[graft.streaming.StreamFunnel.FunnelEvent]
 
     val parts = Seq(
       soak("stream_dedup",
@@ -109,7 +198,14 @@ object StreamSoak {
           .windowedClusterAvg(sampleStream, "10 seconds", "5 seconds")),
       soak("monitor_sessions",
         graft.streaming.MonitorStream
-          .sessionWindows(sampleStream, "3 seconds", "5 seconds")))
+          .sessionWindows(sampleStream, "3 seconds", "5 seconds")),
+      soak("stream_join",
+        graft.streaming.StreamJoin.attributionJoin(
+          viewStream, purchaseStream, "10 seconds", "10 seconds")),
+      soak("stream_funnel",
+        graft.streaming.StreamFunnel.liveStages(funnelEvents).toDF(),
+        mode = "update"),
+      soakUpsert())
 
     val line = s"""{"metric":"streaming_soak","duration_s":$secs,""" +
       s""""source_rows_per_sec":$rps,"cpus":$cpus,""" +
