@@ -64,10 +64,24 @@ forms per group of effective size n:
   each group's df-digit bin.
 
 Exit 1 on any mismatch between predicted and measured deltas.
+
+--skip-g22-if-invalid: when the g22 organic-baseline validity check
+fails STRUCTURALLY — the organic corpus's own uncapped max bucket
+exceeds a derived cap, so no group sizing can make the organic
+candidate graphs comparable — record the lane as skipped (with the
+measured evidence) instead of aborting, and gate on the remaining
+lanes. This is the sf10 situation: at 100x density the organic corpus
+itself carries super-cap buckets (max 1363 vs cap ~519), which is the
+very condition the derived-cap discipline exists to bound; the g22
+closed forms remain proven at sf1 where the organic baseline is valid.
+Without the flag the check stays a hard failure (the sf1 protocol).
 """
 import sys, glob, json
 import duckdb
 
+argv = [a for a in sys.argv if a != "--skip-g22-if-invalid"]
+SKIP_G22_IF_INVALID = len(argv) != len(sys.argv)
+sys.argv = argv
 if len(sys.argv) < 7:
     sys.exit(__doc__)
 ORG, CTL, DEN, ORG_CAPS_PATH, CTL_CAPS_PATH, CAPS_PATH = sys.argv[1:7]
@@ -159,26 +173,33 @@ for q, lane, cap in (
 # g21 census measures it directly)
 bcap = CAPS["bucket_cap"]
 org_max_bucket = int(read(ORG, "g21_lsh_bucket_census").max_bucket.max())
-if org_max_bucket > min(bcap, ORG_CAPS["bucket_cap"]):
+g22_invalid = org_max_bucket > min(bcap, ORG_CAPS["bucket_cap"])
+if g22_invalid and not SKIP_G22_IF_INVALID:
     sys.exit(f"organic baseline invalid for g22: organic max bucket "
              f"{org_max_bucket} exceeds a derived cap "
              f"(organic {ORG_CAPS['bucket_cap']}, dense {bcap}) — "
              "organic candidate edges differ between the runs")
-adm = [n for n in (N1, N2) if n <= bcap]  # admitted cliques in the raw graph
-o, d = row1(ORG, "g22_triangles"), row1(DEN, "g22_triangles")
-g22 = f"candidate graph (g22) cap={bcap}"
-check(g22, "n_hub_nodes delta (admitted cliques past deg 256)",
-      sum(n for n in adm if n - 1 > DEG_CAP), int(d.n_hub_nodes - o.n_hub_nodes))
-check(g22, "n_nodes delta", sum(adm), int(d.n_nodes - o.n_nodes))
-check(g22, "n_edges delta", sum(C(n) for n in adm), int(d.n_edges - o.n_edges))
-check(g22, "n_wedges delta", sum(n * C(n - 1) for n in adm),
-      int(d.n_wedges - o.n_wedges))
-check(g22, "n_wedges_capped delta (sub-cap cliques only)",
-      sum(n * C(n - 1) for n in adm if n - 1 <= DEG_CAP),
-      int(d.n_wedges_capped - o.n_wedges_capped))
-check(g22, "n_triangles delta (sub-cap cliques only)",
-      sum(n * (n - 1) * (n - 2) // 6 for n in adm if n - 1 <= DEG_CAP),
-      int(d.n_triangles - o.n_triangles))
+if g22_invalid:
+    rows.append((f"candidate graph (g22) cap={bcap}",
+                 f"SKIPPED: organic max bucket {org_max_bucket} > cap — "
+                 "organic baseline structurally invalid at this density; "
+                 "closed forms proven at sf1", "-", "-", "report"))
+else:
+    adm = [n for n in (N1, N2) if n <= bcap]  # admitted cliques in the raw graph
+    o, d = row1(ORG, "g22_triangles"), row1(DEN, "g22_triangles")
+    g22 = f"candidate graph (g22) cap={bcap}"
+    check(g22, "n_hub_nodes delta (admitted cliques past deg 256)",
+          sum(n for n in adm if n - 1 > DEG_CAP), int(d.n_hub_nodes - o.n_hub_nodes))
+    check(g22, "n_nodes delta", sum(adm), int(d.n_nodes - o.n_nodes))
+    check(g22, "n_edges delta", sum(C(n) for n in adm), int(d.n_edges - o.n_edges))
+    check(g22, "n_wedges delta", sum(n * C(n - 1) for n in adm),
+          int(d.n_wedges - o.n_wedges))
+    check(g22, "n_wedges_capped delta (sub-cap cliques only)",
+          sum(n * C(n - 1) for n in adm if n - 1 <= DEG_CAP),
+          int(d.n_wedges_capped - o.n_wedges_capped))
+    check(g22, "n_triangles delta (sub-cap cliques only)",
+          sum(n * (n - 1) * (n - 2) // 6 for n in adm if n - 1 <= DEG_CAP),
+          int(d.n_triangles - o.n_triangles))
 
 # ---- g21: per-band bucket census (the planted mass going IN) ----
 og, dg = read(ORG, "g21_lsh_bucket_census"), read(DEN, "g21_lsh_bucket_census")
