@@ -90,10 +90,19 @@ object Bench {
     // whole baseline. Raw FileChannel, not a Spark scan: no
     // plan/codegen/JIT component — it measures the bytes/sec the box
     // delivers right now, which is exactly the regime variable.
+    // The read warms the OS page cache for lineitem before pass 1, so
+    // it only runs where the gate consumes it — the sf10 tier (or under
+    // SPARK_GRAFT_SENTINEL=1 for regime diagnostics at other scales);
+    // small-scale benches stay untouched (ADVICE r18). The warm-cache
+    // bias is pass-ward only (norm clamps at >=1) and is noted in the
+    // BENCH_BASELINE sentinel_sf10 provenance.
+    val wantSentinel =
+      new java.io.File(sfDir).getName.contains("sf10") ||
+        sys.env.get("SPARK_GRAFT_SENTINEL").contains("1")
     val sentinel: Option[(Double, Long)] = {
       import java.nio.file.{Files, Paths}
       val p = Paths.get(s"$sfDir/lineitem.parquet")
-      if (Files.isRegularFile(p)) {
+      if (wantSentinel && Files.isRegularFile(p)) {
         val ch = java.nio.channels.FileChannel.open(p)
         try {
           val buf = java.nio.ByteBuffer.allocateDirect(4 << 20)
@@ -104,6 +113,35 @@ object Bench {
           Some(((System.nanoTime() - t0) / 1e9, n))
         } finally ch.close()
       } else None
+    }
+    // CPU-regime probe (VERDICT r18 item 2): a fixed, single-threaded,
+    // allocation-free integer loop timed before any Spark work. The I/O
+    // sentinel above covers exactly one of the two regime axes this box
+    // exhibits — r18's p5 sf10 probe ran compute-heavy queries 4-5x
+    // over steady while the sentinel read norm=1.0 (disk FASTER than
+    // the steady regime), so host-compute state needs its own witness.
+    // Adjudication evidence only for now: the gate does NOT normalize
+    // by it until two rounds of recorded data exist (the r18 brief's
+    // own prescription). xorshift64* over 4e8 iterations: ~1 s at this
+    // box's steady clock, pure ALU, no memory pressure, deterministic
+    // work per run; one untimed pass first so JIT compilation isn't
+    // charged to the measurement.
+    val cpuProbe: Double = {
+      def pass(): Long = {
+        var x = 0x9E3779B97F4A7C15L; var acc = 0L; var i = 0
+        while (i < 400000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; acc += x; i += 1
+        }
+        acc
+      }
+      val warm = pass()
+      val t0 = System.nanoTime()
+      val acc = pass()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // consume both accumulators so neither loop can be dead-code
+      // eliminated (the value is fixed; printing it would be noise)
+      if (warm + acc == 42L) System.err.println("[bench] cpu probe sum")
+      sec
     }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
@@ -185,7 +223,7 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sent = sentinel.map { case (s, b) =>
       s""","sentinel_sec":${fmt(s)},"sentinel_mbps":${fmt(b / 1048576.0 / math.max(s, 1e-9))},"sentinel_bytes":$b"""
-    }.getOrElse("")
+    }.getOrElse("") + s""","cpu_probe_sec":${fmt(cpuProbe)}"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs$reasons$sent,"runs_per_query":$passes,"agg":"min_across_separated_passes","sf":"$sfDir"}"""
     // The driver's stdout capture keeps only the last ~2-5 KB; at 300+
     // queries the full per-query line is ~7 KB, so WHEREVER it is

@@ -45,6 +45,19 @@ private[graft] final class SingleFlight[K] {
           if (again != null) return again
           val built = build
           val prev = m.putIfAbsent(k, built)
+          if (prev != null) {
+            // Unreachable while every publish to `m` goes through this
+            // latch: we hold the key's flight and re-checked the map
+            // after winning it. A hit here means some code path wrote
+            // to the result map directly — for the bucketed-table
+            // caches that regression would silently leak the loser's
+            // write dir + temp table until JVM exit (ADVICE r18), so
+            // make it loud instead of quietly returning the winner.
+            System.err.println(
+              s"[single-flight] DUPLICATE publish for key $k: a build " +
+                "completed outside the flight protocol; returning the " +
+                "published value, this builder's side effects may leak")
+          }
           return if (prev != null) prev else built
         } finally {
           inflight.remove(k, latch)

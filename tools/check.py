@@ -22,9 +22,11 @@ a silent perf regression fails the same gate a wrong answer does.
 
 At sf10 the gate is I/O-sentinel-normalized: each artifact's band
 scales by clamp(sentinel_sec / BENCH_BASELINE sentinel_sf10.sec, 1,
-10). Pre-r18 artifacts lack sentinel_sec; inject one (seconds for the
-pinned lineitem read, e.g. from a dd probe) with `--sentinel X`.
-Cross-regime validation: tools/validate_sentinel.py.
+10), weighted per query by its recorded I/O sensitivity
+(io_frac_sf10, tools/io_frac.py — a pure-CPU query keeps its absolute
+band in any disk regime). Pre-r18 artifacts lack sentinel_sec; inject
+one (seconds for the pinned lineitem read, e.g. from a dd probe) with
+`--sentinel X`. Cross-regime validation: tools/validate_sentinel.py.
 
 `--scale sf1` gates against the `queries_sf1` baseline (two-pass
 steadies of the organic-10x sweep over /tmp/sf1, gen_sf1.py) instead
@@ -90,7 +92,7 @@ def _bench_times(bench_path):
     # driver-recorded wrapper: re-parse the (possibly truncated) tail
     meta = {"value", "runs_per_query", "sf", "n", "rc", "cpus",
             "sentinel_sec", "sentinel_mbps", "sentinel_bytes",
-            "n_queries", "n_errors"}
+            "cpu_probe_sec", "n_queries", "n_errors"}
     tail = raw.get("tail", "")
     sent = re.search(r'"sentinel_sec":([0-9.]+)', tail)
     return ({m.group(1): float(m.group(2)) for m in
@@ -161,6 +163,18 @@ def drift(bench_paths):
     norms = [1.0] * len(runs)
     base_sent = (base.get(f"sentinel_{key[len('queries_'):]}") or {}
                  ).get("sec") if key == "queries_sf10" else None
+    # Per-query I/O sensitivity (ADVICE r18): the artifact-level sentinel
+    # ratio measures only bytes/sec, but disk and CPU regimes swing
+    # independently on this box — scaling EVERY query's band by the disk
+    # ratio lets a compute regression on a CPU-bound query hide under a
+    # slow-disk round's widened band. `io_frac_sf10` (recorded by
+    # tools/io_frac.py from the r16->r17 disk-regime flip) weights each
+    # query's norm: norm_q = 1 + frac*(norm-1), so a pure-CPU query
+    # (frac 0) keeps its absolute band in any disk regime while a
+    # scan-dominated one (frac 1) gets the full rescale. Queries without
+    # a recorded fraction default to 1.0 — the pre-r19 behavior.
+    io_frac = base.get("io_frac_sf10", {}).get("fractions", {}) \
+        if key == "queries_sf10" else {}
     if base_sent:
         for i, s in enumerate(sents):
             if s is None:
@@ -181,7 +195,8 @@ def drift(bench_paths):
         if q not in steady:
             unknown.append(q)
             continue
-        limits = [tol.get(q, 1.5) * steady[q] * n + 0.3 for n in norms]
+        qnorms = [1.0 + io_frac.get(q, 1.0) * (n - 1.0) for n in norms]
+        limits = [tol.get(q, 1.5) * steady[q] * n + 0.3 for n in qnorms]
         ts = [r[q] for r in runs]
         if all(t > lim for t, lim in zip(ts, limits)):
             flags.append((q, max(ts), steady[q], max(limits)))

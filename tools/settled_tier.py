@@ -19,10 +19,16 @@ gated on plan change. tools/tighten_sf10.py carries a skipped settled
 query's existing steady/override forward so gate coverage never
 shrinks.
 
-Usage: settled_tier.py            -> stale settled queries (csv)
-       settled_tier.py --refresh  -> re-freeze every settled query's
-                                     fingerprints at HEAD (run after
-                                     re-recording a stale one)
+Usage: settled_tier.py                      -> stale settled queries (csv)
+       settled_tier.py --refresh <query...> -> re-freeze the NAMED
+                                     settled queries' fingerprints at
+                                     HEAD (run after re-recording each)
+       settled_tier.py --refresh            -> only legal when at most
+                                     ONE entry is stale; with several,
+                                     a bare refresh would mark entries
+                                     you did NOT re-record as fresh,
+                                     defeating the staleness gate
+                                     (ADVICE r18) — name them instead.
 """
 import json, os, sys
 
@@ -34,21 +40,39 @@ base = json.load(open(BASELINE))
 fps = json.load(open(FPS))
 settled = base.get("settled_sf10", {})
 
+
+def stale_of(rec):
+    return [k for k, fp in rec["fingerprints"].items() if fps.get(k) != fp]
+
+
 if "--refresh" in sys.argv:
-    for q, rec in settled.items():
+    named = [a for a in sys.argv[1:] if a != "--refresh"]
+    unknown = [q for q in named if q not in settled]
+    if unknown:
+        sys.exit(f"not in settled_sf10: {unknown}")
+    if not named:
+        all_stale = [q for q, rec in sorted(settled.items()) if stale_of(rec)]
+        if len(all_stale) > 1:
+            sys.exit("bare --refresh refused: several settled entries are "
+                     f"stale ({all_stale}) and a blanket re-freeze would "
+                     "mark the ones you did not re-record as fresh — name "
+                     "the re-recorded one(s): --refresh <query...>")
+        named = all_stale or list(settled)
+    for q in named:
+        rec = settled[q]
         missing = [k for k in rec["fingerprints"] if k not in fps]
         if missing:
             sys.exit(f"{q}: fingerprint keys absent from PLAN_FINGERPRINTS"
                      f".json: {missing}")
         rec["fingerprints"] = {k: fps[k] for k in rec["fingerprints"]}
     json.dump(base, open(BASELINE, "w"), indent=1)
-    print(f"refroze {len(settled)} settled entries at HEAD")
+    print(f"refroze {len(named)} settled entr{'y' if len(named)==1 else 'ies'}"
+          f" at HEAD: {sorted(named)}")
     sys.exit(0)
 
 stale = []
 for q, rec in sorted(settled.items()):
-    drifted = [k for k, fp in rec["fingerprints"].items()
-               if fps.get(k) != fp]
+    drifted = stale_of(rec)
     if drifted:
         stale.append(q)
         print(f"[stale] {q}: plan drift in {drifted}", file=sys.stderr)

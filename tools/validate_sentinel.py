@@ -18,15 +18,21 @@ wholesale sf10 re-record, against both gate variants:
      over lineitem — the same witness the r17 adjudication used), i.e.
      norm_p = clamp(t_q44(pass p) / steady_q44(r16), 1, 10).
 
+  4. WEIGHTED gate (the r19 rule): per-query norm_q = 1 +
+     io_frac*(norm_p - 1) with the io_frac_sf10 fractions recorded in
+     BENCH_BASELINE.json (tools/io_frac.py; absent queries default to
+     1.0 like check.py). This is the variant that closes ADVICE r18's
+     CPU-bound-query hole; it must ALSO absorb the disk flip.
+
 Expected: the absolute gate flags a large fraction of the surface (the
-false-flag storm), the normalized gate flags ZERO — the regime flip is
-absorbed by the sentinel instead of invalidating the baseline. q44 is
-excluded from the flag census in BOTH variants (as the proxy it is
-normalized by construction; excluding it from the absolute count too
-keeps the comparison like-for-like).
+false-flag storm), the normalized AND weighted gates flag ZERO — the
+regime flip is absorbed by the sentinel instead of invalidating the
+baseline. q44 is excluded from the flag census in every variant (as
+the proxy it is normalized by construction; excluding it from the
+absolute count too keeps the comparison like-for-like).
 
 Usage: validate_sentinel.py   (reads bench/r16 and bench/r17 in-repo)
-Exit 0 iff the normalized gate reports zero flags.
+Exit 0 iff the normalized and weighted gates both report zero flags.
 """
 import glob, json, os, sys
 
@@ -85,6 +91,14 @@ normalized = [q for q in sorted(common)
               if all(r17[p][q] > TOL * steady[q] * norm[p] + 0.3
                      for p in passes)]
 
+# 4. per-query io_frac-weighted gate (the r19 check.py rule)
+io_frac = json.load(open(os.path.join(HERE, "..", "BENCH_BASELINE.json"))) \
+    .get("io_frac_sf10", {}).get("fractions", {})
+weighted = [q for q in sorted(common)
+            if all(r17[p][q] > TOL * steady[q]
+                   * (1.0 + io_frac.get(q, 1.0) * (norm[p] - 1.0)) + 0.3
+                   for p in passes)]
+
 print(f"r16 steadies: {len(steady)} queries; r17 passes: {passes}; "
       f"common (minus proxy): {len(common)}")
 print(f"proxy {PROXY}: r16 steady {steady[PROXY]:.1f}s, r17 "
@@ -94,4 +108,6 @@ print(f"ABSOLUTE   gate (pre-r18 rule): {len(absolute)} flags"
       + (f" — {absolute}" if absolute else ""))
 print(f"NORMALIZED gate (r18 rule):     {len(normalized)} flags"
       + (f" — {normalized}" if normalized else ""))
-sys.exit(1 if normalized else 0)
+print(f"WEIGHTED   gate (r19 rule, {len(io_frac)} io_fracs): "
+      f"{len(weighted)} flags" + (f" — {weighted}" if weighted else ""))
+sys.exit(1 if normalized or weighted else 0)
