@@ -34,6 +34,19 @@ import org.apache.spark.sql.streaming.Trigger
   *    SNAPSHOT (rows = live key space regardless of patch volume),
   *    reported as snapshot_rows/snapshot_bytes/n_versions instead of
   *    state-store rows (foreachBatch has no state operator).
+  *  - stream_trends (r19, VERDICT r18 item 5):
+  *    [[graft.streaming.StreamTrends.trendingTerms]] — windowed
+  *    (window, token) counts whose soak vocabulary GROWS with the
+  *    stream (one fresh numeric token per 5 source rows), so a plateau
+  *    proves the watermark actually drops closed windows' state: live
+  *    rows ≈ tokens per window × live windows, not total vocabulary.
+  *  - stream_topk: [[graft.streaming.StreamTopK.heavyHitters]] — the
+  *    sharded SpaceSaving sketch; state must hold at EXACTLY
+  *    nShards × capacity counters (256) no matter how many distinct
+  *    cold tokens stream through.
+  *  - stream_anomaly: [[graft.streaming.StreamAnomaly.anomalies]] —
+  *    per-type Welford moments; state = one row per event type (5),
+  *    forever, while ~1/1000 spiked values emit as outliers.
   *
   * Usage: runMain graft.StreamSoak [seconds]   (default 60)
   * Env: SPARK_GRAFT_SOAK_RPS — source rows/sec (default 20000).
@@ -190,6 +203,30 @@ object StreamSoak {
         (((col("value") / 2000) % 3) + 1).cast("int")).as("event_type"))
       .as[graft.streaming.StreamFunnel.FunnelEvent]
 
+    // top-k lane: 30% of rows hit 3 hot tokens, the rest spread over a
+    // 100k cold vocabulary — far beyond the 8×32 counter budget, so the
+    // plateau at exactly 256 state rows is the SpaceSaving contract
+    val tokStream = rate().select(
+      col("timestamp").as("ts"),
+      when(col("value") % 10 < 3,
+        concat(lit("hot-"), (col("value") % 3).cast("string")))
+        .otherwise(
+          concat(lit("cold-"), (col("value") % 100000).cast("string")))
+        .as("token"))
+      .as[graft.streaming.StreamTopK.Tok]
+
+    // anomaly lane: per-type uniform values with a +10000 spike every
+    // 1000th row — ~rate/1000 outliers/s emitted against 5 moment rows
+    val anomalyStream = rate().select(
+      col("timestamp").as("ts"),
+      col("value").as("event_id"),
+      concat(lit("type-"), (col("value") % 5).cast("string"))
+        .as("event_type"),
+      ((col("value") % 100).cast("double") +
+        when(col("value") % 1000 === 999, lit(10000.0)).otherwise(lit(0.0)))
+        .as("value"))
+      .as[graft.streaming.StreamAnomaly.ValueEvent]
+
     val parts = Seq(
       soak("stream_dedup",
         graft.streaming.StreamDedup.dedupStream(docStream, "10 seconds")),
@@ -205,6 +242,13 @@ object StreamSoak {
       soak("stream_funnel",
         graft.streaming.StreamFunnel.liveStages(funnelEvents).toDF(),
         mode = "update"),
+      soak("stream_trends",
+        graft.streaming.StreamTrends
+          .trendingTerms(docStream, "10 seconds", "5 seconds")),
+      soak("stream_topk",
+        graft.streaming.StreamTopK.heavyHitters(tokStream).toDF()),
+      soak("stream_anomaly",
+        graft.streaming.StreamAnomaly.anomalies(anomalyStream).toDF()),
       soakUpsert())
 
     val line = s"""{"metric":"streaming_soak","duration_s":$secs,""" +
