@@ -1780,7 +1780,20 @@ object DedupQueries {
           .unionByName(docs(s, d).where(col("doc_id") % 5 === 0)
             .select((col("doc_id") + Dedup.RecallProbeOffset).as("doc_id"),
               col("text")))
-        dedupRecallCensus(aug, dedupClusters(minhashCandidates(aug, 4)))
+        // r19: the augmented corpus's signature table is DERIVED from the
+        // session-shared organic build instead of re-shingling + re-min-
+        // hashing the 1.2× corpus per run: minhashSignature is per-doc
+        // deterministic (min per band over the doc's own shingles), so an
+        // exact copy's signature rows are the original's with the probe
+        // offset added — value-identical to minhashSignature(aug, 4),
+        // proven by the unchanged oracle. The cap stays derived IN-PLAN
+        // over the augmented table (its density differs from the
+        // corpus's), exactly as before.
+        val sig = sharedSignatures(s, d)
+        val sigAug = sig.unionByName(
+          sig.where(col("doc_id") % 5 === 0)
+            .withColumn("doc_id", col("doc_id") + Dedup.RecallProbeOffset))
+        dedupRecallCensus(aug, dedupClusters(Dedup.candidatesFromSig(sigAug)))
       }},
       Some(s"""WITH RECURSIVE
               |aug AS (
@@ -1845,9 +1858,22 @@ object DedupQueries {
           .unionByName(docs(s, d).where(col("doc_id") % 5 === 0)
             .select((col("doc_id") + Dedup.RecallProbeOffset).as("doc_id"),
               col("text")))
+        // r19: the augmented corpus's distinct (doc_id, fp) table is
+        // DERIVED from the session-shared winnow build instead of
+        // re-winnowing the 1.2× corpus per run: winnowFingerprints is
+        // per-doc deterministic (windows partitioned by doc_id over the
+        // doc's own shingle sequence), so an exact copy selects exactly
+        // the original's fingerprints — the offset-shifted union is
+        // value-identical to winnowFingerprints(aug)'s distinct
+        // projection, proven by the unchanged oracle. Reads the bucketed
+        // layout (already distinct at write time); the cap stays derived
+        // IN-PLAN over the augmented table, exactly as before.
+        val fp = sharedBucketedWinnowFps(s, d)
+        val fpAug = fp.unionByName(
+          fp.where(col("doc_id") % 5 === 0)
+            .withColumn("doc_id", col("doc_id") + Dedup.RecallProbeOffset))
         dedupRecallCensus(aug,
-          dedupClusters(TextAnalysis.candidatesFromFps(
-              TextAnalysis.winnowFingerprints(aug))
+          dedupClusters(TextAnalysis.candidatesFromDistinctFps(fpAug)
             .select("doc_a", "doc_b")))
       }},
       Some(s"""WITH RECURSIVE

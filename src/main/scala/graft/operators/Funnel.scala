@@ -45,7 +45,10 @@ object Funnel {
     * bounded table and join back as a broadcast. The probability is a
     * shared-tree division over exact counts. */
   def markovMatrix(events: DataFrame): DataFrame = {
-    val t = eventTransitions(events)
+    // EAGER (r19): the |types|²-row transition table feeds both the row
+    // totals and the probability projection — without storage the
+    // user_id window + count shuffle ran once per consumer.
+    val t = Materialize.frame(eventTransitions(events))
     val tot = t.groupBy("prev_type").agg(sum("n").as("row_n"))
     t.join(broadcast(tot), "prev_type")
       .select(col("prev_type"), col("event_type"), col("n"),
@@ -91,8 +94,11 @@ object Funnel {
     * that table to |distinct depths| rows, with the total joined back as
     * a broadcast one-row aggregate. */
   def sessionDepthHistogram(events: DataFrame, gapSec: Long): DataFrame = {
-    val depth = gapSessions(events, gapSec)
-      .groupBy("n_events").agg(count(lit(1)).as("n_sessions"))
+    // EAGER (r19): the |distinct depths|-row histogram feeds both the
+    // total and the share projection — without storage the f3
+    // sessionization (window + two shuffles) ran once per consumer.
+    val depth = Materialize.frame(gapSessions(events, gapSec)
+      .groupBy("n_events").agg(count(lit(1)).as("n_sessions")))
     val tot = depth.agg(sum("n_sessions").as("t"))
     depth.crossJoin(broadcast(tot))
       .select(col("n_events"), col("n_sessions"),
@@ -415,6 +421,11 @@ object Funnel {
       .agg(max("day").as("last_day"), count(lit(1)).as("freq"),
         sum(when(col("event_type") === "purchase", col("c"))
           .otherwise(0L)).as("mon"))
+      // EAGER (r19): the per-user RFM table feeds the reference row,
+      // three quartile maps AND the segment join — five consumers of
+      // one fact shuffle; stored it is a |users|-bounded table (the
+      // same per-user profile a warehouse persists).
+      .transform(Materialize.frame)
     val ref = per.agg(max("last_day").as("ref_day"),
       count(lit(1)).as("n_users"))
     val m = per.crossJoin(broadcast(ref))
@@ -490,9 +501,12 @@ object Funnel {
     * the alternative per-day range join re-scans activity 7×), then one
     * distinct + count per day. Early days are true partial windows. */
   def rollingActive(events: DataFrame, window: Int = 7): DataFrame = {
-    val du = events
+    // EAGER (r19): the distinct (day, user) table feeds both the DAU
+    // and the exploded WAU rollups — without storage the fact scan and
+    // the distinct's shuffle ran once per consumer.
+    val du = Materialize.frame(events
       .select(expr("unix_timestamp(ts) div 86400").as("day"), col("user_id"))
-      .distinct()
+      .distinct())
     val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
     val wau = du
       .select(explode(expr(s"sequence(day, day + ${window - 1})")).as("day"),

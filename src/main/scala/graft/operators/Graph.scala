@@ -39,7 +39,14 @@ object Graph {
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // EAGER degree table (r19): every iteration joins it, and the lazy
+    // form re-ran the edge-table shuffle once per round (plus once for
+    // the rank init) — the table is node-bounded, so storing it is safe
+    // at any graph size; the edge frame itself deliberately stays lazy
+    // (storing an edge-scale frame measured 6× slower at the 20×
+    // replication density — see the g22 note below).
+    val deg = Materialize.frame(
+      edges.groupBy("src").agg(count(lit(1)).as("deg")))
     var ranks = deg.select(col("src").as("node"), lit(1.0).as("r"))
     (1 to iters).foreach { _ =>
       val contrib = edges

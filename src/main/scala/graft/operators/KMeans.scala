@@ -236,9 +236,19 @@ object KMeans {
     val fixed = Similarity.withFixed(vecs)
       .select(col("vec_id"), col("f"), col("nrm"))
     val distExpr = s"na + nb - 2 * ${Similarity.dotExpr(s, "fa", "fb")}"
-    var seeds = fixed.where(col("vec_id") === 0)
+    // r19: the seed set is Materialize'd per round (the dedupClusters
+    // iteration-frame discipline). The lazy chain re-evaluated every
+    // prior round inside each new round's plan — round r's subtree held
+    // TWO copies of round r-1's (the crossJoin and the anti-join), so
+    // the k=4 plan carried 106 parquet scans and 13 nested-loop joins
+    // where the operator's contract is k-1 map-only corpus passes
+    // against a <= k-row broadcast seed table. Storing the tiny seed
+    // frame each round makes every broadcast read stored rows: exactly
+    // 2 corpus passes per round (min-dist pass + the 1-row seed
+    // lookup), linear lineage, identical values.
+    var seeds = Materialize.frame(fixed.where(col("vec_id") === 0)
       .select(col("vec_id"), col("f"), col("nrm"),
-        lit(1L).as("seed_rank"), lit(0L).as("maximin_dist"))
+        lit(1L).as("seed_rank"), lit(0L).as("maximin_dist")))
     for (r <- 2 to k) {
       // anti-join out the chosen ids: with exact duplicates in the
       // corpus every distance can be 0, and without the exclusion the
@@ -254,10 +264,10 @@ object KMeans {
         .agg(max(struct(col("mind"), (-col("vec_id")).as("nid"))).as("m"))
         .select((-col("m.nid")).as("vec_id"),
           col("m.mind").as("maximin_dist"))
-      seeds = seeds.union(
+      seeds = Materialize.frame(seeds.union(
         pick.join(fixed, Seq("vec_id"))
           .select(col("vec_id"), col("f"), col("nrm"),
-            lit(r.toLong).as("seed_rank"), col("maximin_dist")))
+            lit(r.toLong).as("seed_rank"), col("maximin_dist"))))
     }
     seeds.select(col("seed_rank"), col("vec_id"), col("maximin_dist"))
       .orderBy("seed_rank")

@@ -366,8 +366,14 @@ object Multimodal {
          |  acc + (CASE WHEN 16 * $b + j < length(text)
          |      AND ascii(substring(text, 16 * $b + j + 1, 1)) % 2 = 1
          |    THEN shiftleft(1, j) ELSE 0 END)) as bigint)""".stripMargin)
-    val ph = docs.select(col("doc_id"), band(0).as("b0"), band(1).as("b1"),
-      band(2).as("b2"), band(3).as("b3"))
+    // EAGER (r19): the phash table is |docs| × 5 longs — tiny next to
+    // the media payloads it digests — and both join sides consume it;
+    // storing it runs the interpreted higher-order band folds ONCE over
+    // the corpus instead of once per side (exchange reuse did not dedup
+    // the two sides' band computation).
+    val ph = Materialize.frame(
+      docs.select(col("doc_id"), band(0).as("b0"), band(1).as("b1"),
+        band(2).as("b2"), band(3).as("b3")))
     val bands = ph.select(col("doc_id"), col("b0"), col("b1"), col("b2"),
       col("b3"), explode(expr(
         "array(struct(0 as bi, b0 as bv), struct(1 as bi, b1 as bv), " +
@@ -377,15 +383,18 @@ object Multimodal {
         col("bd.bi").as("bi"), col("bd.bv").as("bv"))
     val l = bands.toDF("doc_a", "a0", "a1", "a2", "a3", "bi", "bv")
     val r = bands.toDF("doc_b", "c0", "c1", "c2", "c3", "bi", "bv")
+    // r19: hamming + threshold BEFORE the pair dedup — a pair sharing k
+    // bands appears k times with the SAME hamming (it is a function of
+    // the pair), so filtering first and deduping (doc_a, doc_b, hamming)
+    // is row-identical while the distinct's exchange carries 3 columns
+    // of threshold survivors instead of 10 columns of every collision.
     l.join(r, Seq("bi", "bv")).where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "a0", "a1", "a2", "a3",
-        "c0", "c1", "c2", "c3")
-      .distinct() // a pair sharing k bands appears k times
       .select(col("doc_a"), col("doc_b"), expr(
         """cast(bit_count(a0 ^ c0) + bit_count(a1 ^ c1)
           |  + bit_count(a2 ^ c2) + bit_count(a3 ^ c3) as bigint)"""
           .stripMargin).as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .distinct() // a pair sharing k bands appears k times
       .orderBy("doc_a", "doc_b")
   }
 }

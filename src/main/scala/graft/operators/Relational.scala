@@ -635,6 +635,11 @@ object RelationalQueries {
           .groupBy("n_name")
           .agg(sum(pround(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
             .cast(DecimalType(28, 4))).as("rev"))
+          // EAGER (r19): the |nations|-row reduced table feeds both the
+          // scalar total and the share projection — without storage the
+          // full lineitem⋈orders⋈customer join ran once per consumer
+          // (exchange reuse does not span the broadcast boundary here).
+          .transform(Materialize.frame)
         val tot = rev.agg(sum(col("rev")).as("tot"))
         rev.crossJoin(broadcast(tot))
           .select(col("n_name"), col("rev").cast("double").as("revenue"),
@@ -674,9 +679,14 @@ object RelationalQueries {
         // partkey; `ps*ns > 2*p` compares exact integer quantity-cents
         // (q15's integer-adds discipline — per-part sums stay far below
         // 2^53). The supplier dim broadcasts AFTER the reduce.
-        val ps = Tables.lineitem(s, d)
+        // EAGER (r19): the (part, supplier) reduction is consumed by the
+        // per-part rollup AND the join back — storing it runs the fact
+        // scan + shuffle once instead of once per consumer; the stored
+        // table is key-space-bounded (|part×supplier| pairs), the same
+        // persisted-intermediate a warehouse keeps.
+        val ps = Materialize.frame(Tables.lineitem(s, d)
           .groupBy("l_partkey", "l_suppkey")
-          .agg(sum(floor(col("l_quantity") * 100.0 + 0.5)).as("ps_qty"))
+          .agg(sum(floor(col("l_quantity") * 100.0 + 0.5)).as("ps_qty")))
         val p = ps.groupBy("l_partkey")
           .agg(sum(col("ps_qty")).as("p_qty"), count(lit(1)).as("ns"))
         ps.join(p, "l_partkey")
@@ -785,8 +795,12 @@ object RelationalQueries {
           .agg(min(col("cost_c")).as("cost_c"))
         val sized = Tables.part(s, d).where(col("p_size") <= 5)
           .select("p_partkey", "p_name")
-        val pc = ps.join(regSupp, col("l_suppkey") === col("s_suppkey"))
-          .join(sized, col("l_partkey") === col("p_partkey"))
+        // EAGER (r19): pc feeds both the per-part min and the argmin
+        // join back — storing the (part,supplier)-bounded reduced join
+        // runs the fact shuffle + dim joins once instead of twice.
+        val pc = Materialize.frame(
+          ps.join(regSupp, col("l_suppkey") === col("s_suppkey"))
+            .join(sized, col("l_partkey") === col("p_partkey")))
         val mc = pc.groupBy(col("l_partkey").as("m_partkey"))
           .agg(min(col("cost_c")).as("min_c"))
         pc.join(mc, col("l_partkey") === col("m_partkey") &&
@@ -2064,10 +2078,14 @@ object RelationalQueries {
           expr("unix_timestamp(o_orderdate) div 86400").as("day"),
           expr("cast(floor(o_totalprice * 100.0 + 0.5) as bigint)").as("c"))
         val mm = o.agg(min("day").as("dmin"), max("day").as("dmax"))
-        val pc = o.crossJoin(broadcast(mm))
+        // EAGER (r19): the per-(half, customer) spend table feeds both
+        // the cut-point windows and the segment join — customer-bounded,
+        // stored once instead of re-running the fact shuffle per
+        // consumer.
+        val pc = Materialize.frame(o.crossJoin(broadcast(mm))
           .select((col("day") * 2 <= col("dmin") + col("dmax"))
             .cast("long").as("g"), col("o_custkey"), col("c"))
-          .groupBy("g", "o_custkey").agg(sum("c").as("spend"))
+          .groupBy("g", "o_custkey").agg(sum("c").as("spend")))
         val cw = Window.partitionBy("g").orderBy("spend")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val cm = pc.groupBy("g", "spend").agg(count(lit(1)).as("cnt"))

@@ -217,7 +217,11 @@ object Sampling {
     * table ever crosses the driver. */
   def temperatureMix(docs: DataFrame, alpha: Double = 0.3,
                      targetFrac: Double = 0.5): DataFrame = {
-    val census = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    // EAGER (r19): the |langs|-row census feeds the total, the p^α
+    // normalizer and the rate table — without storage the corpus scan
+    // + lang shuffle ran once per consumer.
+    val census = Materialize.frame(
+      docs.groupBy("lang").agg(count(lit(1)).as("n")))
     val tot = census.agg(sum(col("n")).as("nt"))
     val pa = census.crossJoin(broadcast(tot))
       .withColumn("paq", expr(

@@ -1339,10 +1339,15 @@ object Stats {
     * Percentile convention pinned explicitly: lo/hi = smallest cent
     * value whose cumulative count reaches ceil(0.05n)/ceil(0.95n). */
   def winsorizedMean(events: DataFrame): DataFrame = {
-    val bins = events
+    // EAGER bins (r19): the (group, cent) bin table has four distinct
+    // consumers (cumulative window, totals, and the final clamp pass) —
+    // runtime exchange reuse only partially dedups them (measured
+    // 1.39 s lazy vs 0.96 s stored at sf0.1), and the table is value-
+    // domain-bounded, so storing it is safe at any corpus size.
+    val bins = Materialize.frame(events
       .select(col("event_type").as("g"),
         expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("v"))
-      .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+      .groupBy("g", "v").agg(count(lit(1)).as("cnt")))
     val w = Window.partitionBy("g").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = bins.withColumn("cum", sum("cnt").over(w))
@@ -1376,10 +1381,12 @@ object Stats {
     * day-total join is broadcast (the day table is calendar-bounded).
     * Convention pinned: p = smallest cent value reaching ceil(q·n). */
   def dailyPercentiles(events: DataFrame): DataFrame = {
-    val bins = events
+    // EAGER bins (r19): same multi-consumer rationale as x33 — the
+    // (day, cent) bin table is calendar × value-domain bounded.
+    val bins = Materialize.frame(events
       .select(expr("unix_timestamp(ts) div 86400").as("day"),
         expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("v"))
-      .groupBy("day", "v").agg(count(lit(1)).as("cnt"))
+      .groupBy("day", "v").agg(count(lit(1)).as("cnt")))
     val w = Window.partitionBy("day").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = bins.withColumn("cum", sum("cnt").over(w))
@@ -1448,10 +1455,13 @@ object Stats {
     * second median costs another bins-sized pass. Convention: lower
     * median (smallest value reaching ceil(n/2)), matching x33/x34. */
   def madValue(events: DataFrame): DataFrame = {
-    val bins = events
+    // EAGER bins (r19): x36 re-reads the bin table FIVE times (median
+    // window, totals, the deviation re-bin, and the final joins) — the
+    // x33 storage rationale, doubled.
+    val bins = Materialize.frame(events
       .select(col("event_type").as("g"),
         expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("v"))
-      .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+      .groupBy("g", "v").agg(count(lit(1)).as("cnt")))
     val tot = bins.groupBy("g").agg(sum("cnt").as("n"))
     val w = Window.partitionBy("g").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1698,16 +1708,52 @@ object Stats {
       .select(expr(
         """cast(floor(cast(r2 - r1 as double) / cast(d2 - d1 as double)
           |  * 1000000.0) as bigint)""".stripMargin).as("sl"))
-    val np = pairs.agg(count(lit(1)).as("n_pairs"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("sl")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val med = pairs.groupBy("sl").agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum("cnt").over(w))
-      .crossJoin(broadcast(np))
+    // r19: the pair grid reduces ONCE to the (sl, cnt) slope table; the
+    // pair count, the slope extrema, and both median passes all read that
+    // one groupBy — the pre-r19 shape re-evaluated the |days|²/2 nested-
+    // loop grid under np, med AND the final projection (3 BNLJ passes,
+    // 7 parquet scans in the physical plan). The exact lower median then
+    // runs TWO-LEVEL: a ≤4096-row bucket histogram locates the median's
+    // bucket (integer width over the broadcast extrema), and the in-
+    // bucket cumulative window scans only that bucket's slopes — the
+    // former single-partition window over EVERY distinct slope was the
+    // measured bulk of the query and is the wrong shape at scale (the
+    // grid is calendar-quadratic: a decade is ~6.7M pairs).
+    // EAGER: the raw slope rows are stored ONCE (pair-bounded — ≤
+    // |days|²/2 rows, ~6.7M for a decade — 8 B each) and every consumer
+    // (extrema row, bucket histogram, in-bucket median pass) reads the
+    // stored rows; exchange reuse does not dedup the grid across them
+    // (measured: the lazy shape re-ran the nested-loop grid per
+    // consumer). Storing RAW rows instead of the (sl, cnt) groupBy also
+    // deletes the 2.9M-mostly-unique-key exchange that grouping paid:
+    // the bucket histogram partial-aggregates map-side to ≤4097 rows,
+    // and only the median's OWN bucket is ever grouped by slope.
+    val pr = Materialize.frame(pairs)
+    val np = pr.agg(count(lit(1)).as("n_pairs"),
+      min("sl").as("mn"), max("sl").as("mx"))
+    val bucketed = pr.crossJoin(broadcast(np))
+      .select(col("sl"), col("n_pairs"),
+        expr("(sl - mn) div ((mx - mn) div 4096 + 1)").as("b"))
+    val wb = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tb = bucketed.groupBy("b").agg(count(lit(1)).as("bc"),
+        max("n_pairs").as("n_pairs"))
+      .withColumn("cumb", sum("bc").over(wb))
+      .where(col("cumb") >= expr("(n_pairs + 1) div 2"))
+      .agg(min(struct(col("b"), (col("cumb") - col("bc")).as("before")))
+        .as("t"))
+      .select(col("t.b").as("tb"), col("t.before").as("cum_before"))
+    val wi = Window.orderBy("sl")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = bucketed.crossJoin(broadcast(tb))
+      .where(col("b") === col("tb"))
+      .groupBy("sl").agg(count(lit(1)).as("cnt"),
+        max("n_pairs").as("n_pairs"), max("cum_before").as("cum_before"))
+      .withColumn("cum", sum("cnt").over(wi) + col("cum_before"))
       .where(col("cum") >= expr("(n_pairs + 1) div 2"))
       .agg(min("sl").as("slope_micro_p50"))
-    daily.agg(count(lit(1)).as("n_days")).crossJoin(broadcast(np))
+    daily.agg(count(lit(1)).as("n_days"))
+      .crossJoin(broadcast(np.select(col("n_pairs"))))
       .crossJoin(broadcast(med))
       .select(col("n_days"), col("n_pairs"), col("slope_micro_p50"))
   }
@@ -1960,6 +2006,12 @@ object Stats {
       sum("c").over(Window.partitionBy("g")).as("n"))
     val spine = lineitem.sparkSession.range(1, 10)
       .select(col("id").as("decile"))
+    // Deliberately LAZY (r19 measured): storing the ≤2×9-row decile
+    // table looks like the q19/f11 shared-reduction win, but the two
+    // final branches carry COMPLEMENTARY g filters that Catalyst pushes
+    // below the g-partitioned windows into each branch's scan — the
+    // eager form computes both groups in one unfiltered front and
+    // measured 0.5 s SLOWER at sf0.1 (1.86 → 2.35 s).
     val dec = cum.crossJoin(broadcast(spine))
       .where(col("cum") >= expr("(n * decile + 9) div 10"))
       .groupBy("g", "decile").agg(min("cents").as("v"))

@@ -313,8 +313,12 @@ object TextAnalysis {
     * so aggregation order cannot shift the result. */
   def bigramSurprisal(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(expr(tokensExpr)).as("w"))
-    val n = toks.select(count(lit(1)).as("n_total"))
     val uni = toks.groupBy("w").agg(count(lit(1)).as("fw"))
+    // r19: n_total = Σ fw over the unigram table — the pre-r19 shape ran
+    // a SECOND tokenize+explode pass over the corpus just to count
+    // tokens; summing the already-reduced vocabulary table is the same
+    // exact integer and shares uni's one exchange.
+    val n = uni.agg(coalesce(sum("fw"), lit(0L)).as("n_total"))
     val ev = docs.select(col("doc_id"), expr(tokensExpr).as("t"))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(t) >= 2
