@@ -408,6 +408,36 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("slope_micro_p50") == 133333333L)
   }
 
+  test("theil-sen two-level median equals the brute-force lower median " +
+    "(r19: degenerate single bucket + mixed-sign multi-bucket)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def run(cents: Seq[Long]): (Long, Long) = {
+      val df = cents.zipWithIndex.map { case (c, i) =>
+        (new Timestamp((i.toLong + 1) * 86400000L), c / 100.0)
+      }.toDF("o_orderdate", "o_totalprice")
+      val r = Stats.theilSen(df).collect().head
+      (r.getAs[Long]("n_pairs"), r.getAs[Long]("slope_micro_p50"))
+    }
+    def brute(cents: Seq[Long]): (Long, Long) = {
+      val days = cents.indices.map(_.toLong)
+      val slopes = for {
+        i <- cents.indices; j <- cents.indices if i < j
+      } yield math.floor(
+        (cents(j) - cents(i)).toDouble / (days(j) - days(i)) * 1e6).toLong
+      val sorted = slopes.sorted
+      (slopes.size.toLong, sorted(((slopes.size + 1) / 2 - 1).toInt))
+    }
+    // degenerate: perfectly linear series -> every slope identical, the
+    // whole grid lands in ONE bucket (mx == mn -> width 1, bucket 0)
+    val lin = (1L to 12L).map(_ * 250L)
+    assert(run(lin) == brute(lin))
+    // mixed-sign slopes spread over many buckets, even pair count, ties
+    val mixed = Seq(1000L, 40L, 980L, 40L, 2500L, 10L, 10L, 1990L, 770L,
+      33L, 33L, 5000L, 120L)
+    assert(run(mixed) == brute(mixed))
+  }
+
   test("jarque-bera: symmetric group skew 0 / kurtosis 1.5; constant group null") {
     import spark.implicits._
     // A: 1,2,3 -> m2=2/3, m3=0, m4=2/3 -> g1=0, g2=1.5,
