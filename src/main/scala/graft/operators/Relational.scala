@@ -84,6 +84,22 @@ object Relational {
     items.withColumn("rn", row_number().over(capW))
       .where(col("rn") <= cap).drop("rn")
   }
+
+  /** Session-shared BUCKETED capped-basket layout (r19): q44/q45/q47
+    * each rebuilt the identical kernel — a lineitem distinct + per-order
+    * cap window — once per query (q45/q47 additionally storing their
+    * own copy). One bucketed+sorted-by-l_orderkey write per (session,
+    * dir) now serves all three, and because every consumer's next step
+    * keys on l_orderkey (the q44/q45 pair self-joins, q47's order-
+    * sequence attach), the basket side of those joins needs NO exchange
+    * — the q50/g15 write-time-shuffle lever applied to the basket
+    * kernel. Content identical to [[cappedBasketItems]] by
+    * construction; hygiene (stopped-session eviction, temp-dir
+    * tracking) rides the shared [[graft.sources.Bucketing]] machinery. */
+  private[operators] def sharedCappedBasket(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.sources.Bucketing.sharedBucketedTable(s, d, "basket",
+      "l_orderkey", () => cappedBasketItems(Tables.lineitem(s, d)))
 }
 
 object RelationalQueries {
@@ -1862,10 +1878,11 @@ object RelationalQueries {
         // parts, but real carts are unbounded, so a documented
         // per-order cap (row_number <= 64, id-ordered so the kept
         // subset is deterministic) bounds the worst basket at 2016
-        // pairs. The self-join shares ONE l_orderkey shuffle with the
-        // cap window; top-20 with a full tiebreak lands on
-        // TakeOrderedAndProject — no global sort.
-        val capped = cappedBasketItems(Tables.lineitem(s, d))
+        // pairs. Since r19 the kernel is the session-shared BUCKETED
+        // basket layout (sortedBy l_orderkey), so the self-join runs
+        // with ZERO exchange below the pair aggregation; top-20 with a
+        // full tiebreak lands on TakeOrderedAndProject — no global sort.
+        val capped = sharedCappedBasket(s, d)
         capped.select(col("l_orderkey"), col("l_partkey").as("part_a"))
           .join(capped.select(col("l_orderkey"), col("l_partkey").as("part_b")),
             "l_orderkey")
@@ -1902,14 +1919,14 @@ object RelationalQueries {
         // q44 ranks pairs by raw support, which just surfaces popular
         // items; lift = P(a,b)/(P(a)P(b)) normalizes away item
         // popularity — the association measure recommenders actually
-        // rank by. The basket kernel is SHARED with q44 (cappedBasket-
-        // Items) and materialized once for its three consumers (pair
-        // expansion, item frequencies, order total). A support floor
+        // rank by. The basket kernel is the session-shared bucketed
+        // layout (r19: one write serves q44/q45/q47 AND this query's
+        // three consumers — pair expansion, item frequencies, order
+        // total — with the pair self-join exchange-free). A support floor
         // (>= 3 co-orders) keeps 1-count flukes from topping the
         // ranking; lift divides exact integer products only at the end,
         // so ordering agrees bit-for-bit with the oracle.
-        val capped = Materialize.frame(
-          cappedBasketItems(Tables.lineitem(s, d)))
+        val capped = sharedCappedBasket(s, d)
         val pairs = capped
           .select(col("l_orderkey"), col("l_partkey").as("part_a"))
           .join(capped.select(col("l_orderkey"), col("l_partkey").as("part_b")),
@@ -2021,7 +2038,7 @@ object RelationalQueries {
             expr("unix_timestamp(o_orderdate) div 86400").as("day"))
           .withColumn("rnk", row_number().over(
             Window.partitionBy("o_custkey").orderBy(col("day"), col("o_orderkey"))))
-        val items = cappedBasketItems(Tables.lineitem(s, d))
+        val items = sharedCappedBasket(s, d)
         val withSeq = Materialize.frame(
           items.join(seq, col("l_orderkey") === col("o_orderkey"))
             .select(col("o_custkey"), col("rnk"), col("l_partkey")))

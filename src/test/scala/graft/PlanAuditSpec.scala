@@ -662,10 +662,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1000))
   }
 
-  test("q44: basket self-join shares the l_orderkey exchange; top-k is TakeOrdered") {
+  test("q44: basket self-join reads the bucketed layout with no l_orderkey " +
+    "exchange; top-k is TakeOrdered") {
     val p = plan("q44_also_bought")
-    assert(p.contains("hashpartitioning(l_orderkey"),
-      "cap window and pair join must key on l_orderkey\n" + p.take(1000))
+    // r19: the capped-basket kernel is the session-shared BUCKETED table
+    // (sorted by l_orderkey) — the join key is never shuffled at read
+    // time; the only remaining exchange is the (part_a, part_b) pair
+    // aggregation.
+    assert(p.contains("Bucketed: true"),
+      "basket sides must read the shared bucketed layout\n" + p.take(1000))
+    assert(!p.contains("hashpartitioning(l_orderkey"),
+      "the bucketed layout must remove the l_orderkey exchange\n" + p.take(1000))
     assert(p.contains("TakeOrderedAndProject"))
     assert(!p.contains("CartesianProduct"))
   }
