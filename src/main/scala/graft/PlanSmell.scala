@@ -38,7 +38,11 @@ object PlanSmell {
           println(s"[smell] ${q.name},$ex,$sp,$bnlj,$smj,$scans,$win,$gen")
       } catch {
         case e: Throwable =>
-          println(s"[smell] ${q.name},ERR,${e.getClass.getSimpleName}")
+          // padded to the header's 8 columns so a CSV parse of the
+          // survey stays uniform on failing queries (ADVICE r19); the
+          // exception class rides in the last column
+          println(s"[smell] ${q.name},ERR,ERR,ERR,ERR,ERR,ERR," +
+            e.getClass.getSimpleName)
       }
     }
     spark.stop()

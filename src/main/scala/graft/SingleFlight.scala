@@ -43,7 +43,23 @@ private[graft] final class SingleFlight[K] {
           // latch — build only on a genuine re-checked miss
           val again = m.get(k)
           if (again != null) return again
-          val built = build
+          // Shared-build attribution (VERDICT r19 item 3): every
+          // session-shared structural build (bucketed writes, the dedup
+          // ladder) runs inside a SingleFlight build closure, so timing
+          // here captures the whole first-payer cost; Bench reads the
+          // clock's delta around each query to decompose the q44-style
+          // first-payer rows into build + query components. The ladder
+          // is a DAG (clusters → candidates → signatures → shingles)
+          // whose builds NEST on one thread — only the OUTERMOST build
+          // adds its elapsed time, else the inner stages double-count.
+          val outer = SingleFlight.depth.get == 0
+          SingleFlight.depth.set(SingleFlight.depth.get + 1)
+          val t0 = System.nanoTime()
+          val built = try build finally {
+            SingleFlight.depth.set(SingleFlight.depth.get - 1)
+            if (outer) SingleFlight.buildNanos.addAndGet(System.nanoTime() - t0)
+            ()
+          }
           val prev = m.putIfAbsent(k, built)
           if (prev != null) {
             // Unreachable while every publish to `m` goes through this
@@ -72,4 +88,19 @@ private[graft] final class SingleFlight[K] {
 
   /** Test hook: number of in-flight builds (0 when quiescent). */
   private[graft] def inflightCount: Int = inflight.size()
+}
+
+private[graft] object SingleFlight {
+  /** JVM-wide nanoseconds spent INSIDE shared-build closures (all
+    * SingleFlight instances). Monotone; consumers (Bench) read deltas
+    * around a timed region. Waiters who `await` a builder are NOT
+    * counted — only the one thread that pays the build adds time, so a
+    * single-threaded bench's delta is exactly the build seconds its
+    * query paid. */
+  private[graft] val buildNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def buildSecondsTotal: Double = buildNanos.get() / 1e9
+  /** Per-thread build-nesting depth: nested ladder builds must not
+    * double-count into [[buildNanos]]. */
+  private val depth: ThreadLocal[Int] =
+    ThreadLocal.withInitial(() => 0)
 }

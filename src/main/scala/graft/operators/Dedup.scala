@@ -87,9 +87,14 @@ object Dedup {
   val MinhashMixer = 2654435761L
 
   /** SQL fragment: 56-bit md5-prefix long of string column/expr `c` — the
-    * engine-portable hash (DuckDB mirror: ('0x'||substr(md5(c),1,14))::BIGINT). */
-  def md5Long56(c: String): String =
-    s"cast(conv(substr(md5($c), 1, 14), 16, 10) as bigint)"
+    * engine-portable hash (DuckDB mirror: ('0x'||substr(md5(c),1,14))::BIGINT).
+    * r20: emits the native [[graft.plans.Md5Long56]] expression (registered
+    * by GraftExtensions in every first-party session — Bench/Verify/
+    * ProfileQuery/specs), bit-identical to the former composed form
+    * `cast(conv(substr(md5(c), 1, 14), 16, 10) as bigint)` but with no
+    * per-row hex encode / substring / radix re-parse — this fragment is
+    * the per-shingle kernel of every corpus-scale dedup pass. */
+  def md5Long56(c: String): String = s"md5_long56($c)"
 
   /** SQL fragment: the j-th affine permutation of non-negative long `h`.
     * The per-band offset is XOR-mixed into `h` BEFORE the mod so two
@@ -469,9 +474,24 @@ object Dedup {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .transform(Materialize.frame)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("cluster"))
-      .transform(Materialize.frame)
+    // r20 (VERDICT r19 item 5): the node-scale label table is no longer
+    // composed (joined + materialized) inside every round — each round
+    // only stores its cluster-keyed relabel map, and ONE backward
+    // composition after the loop rebuilds the final labels. Proof the
+    // left-join composition is exact: edges are symmetric, so round r's
+    // map domain dom(j_r) = all endpoints of edges_r; every map VALUE is
+    // itself an endpoint (least of src and edge dsts, jump targets are
+    // map values), so image(j_r) ⊆ dom(j_r); and round r+1's endpoints
+    // are j_r-images, so dom(j_{r+1}) ⊆ dom(j_r). Hence a label leaving
+    // any map's domain can never re-enter a later map, and
+    // T_r = j_r ∘ T_{r+1} with "missing ⇒ keep j_r's value" (the left
+    // join + coalesce below) equals the old per-round compose chain
+    // f_k(…f_1(node)). Round 1's map domain = every node, so T_1 IS the
+    // final label table. Saves one node-scale shuffle join +
+    // localCheckpoint per round; the compose chain joins only the
+    // shrinking per-round maps and is materialized once for the cluster
+    // family's three consumers.
+    var maps = List.empty[DataFrame] // most recent round's map first
     var iter = 0
     while (!edges.isEmpty && iter < maxIter) {
       // every endpoint appears as src (edges are symmetric), so the
@@ -499,12 +519,7 @@ object Dedup {
           least(col("lu"), coalesce(col("l2"), col("lu"))).as("lu"))
       val jumped = (1 to (iter + 2)).foldLeft(step)((m, _) => jump(m))
         .transform(Materialize.frame)
-      // compose node labels through the relabel map
-      labels = labels
-        .join(jumped, col("cluster") === col("u"), "left")
-        .select(col("node"),
-          coalesce(col("lu"), col("cluster")).as("cluster"))
-        .transform(Materialize.frame)
+      maps ::= jumped
       // contract: map both endpoints, drop intra-cluster edges, dedupe.
       // Symmetry is preserved (both directions map pairwise).
       edges = edges
@@ -528,6 +543,25 @@ object Dedup {
         s"dedupClusters: $maxIter rounds exhausted with inter-cluster " +
           "edges remaining — the returned clustering is PARTIAL (labels " +
           "are valid upper approximations, components may stay split)")
+    val labels = maps match {
+      case Nil =>
+        // zero rounds ran (empty pair table, or maxIter = 0): the old
+        // identity-label table, unchanged
+        edges.select(col("src").as("node")).distinct()
+          .select(col("node"), col("node").as("cluster"))
+          .transform(Materialize.frame)
+      case last :: rest =>
+        // backward composition T_r = j_r ∘ T_{r+1} (see proof above);
+        // `rest` runs from round k−1 down to round 1, whose map domain
+        // is every node — so the fold's result is the label table
+        val total = rest.foldLeft(last) { (t, jr) =>
+          jr.join(t.select(col("u").as("u2"), col("lu").as("l2")),
+              col("lu") === col("u2"), "left")
+            .select(col("u"), coalesce(col("l2"), col("lu")).as("lu"))
+        }
+        Materialize.frame(
+          total.select(col("u").as("node"), col("lu").as("cluster")))
+    }
     (labels.withColumnRenamed("node", "doc_id"), iter)
   }
 

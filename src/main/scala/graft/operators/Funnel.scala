@@ -504,6 +504,13 @@ object Funnel {
     // EAGER (r19): the distinct (day, user) table feeds both the DAU
     // and the exploded WAU rollups — without storage the fact scan and
     // the distinct's shuffle ran once per consumer.
+    // Scale bound (ADVICE r19): unlike the other r19 materializations
+    // this table is |users × active days| — fact-adjacent, NOT
+    // key-space-bounded. It is still ~1/events_per_user_day of the raw
+    // stream and two narrow columns, but at extreme scale the
+    // localCheckpoint block budget is real; if that bites, drop the
+    // Materialize (the two consumers then share one exchange lazily)
+    // or gate it on a measured size threshold as g9's edge frame does.
     val du = Materialize.frame(events
       .select(expr("unix_timestamp(ts) div 86400").as("day"), col("user_id"))
       .distinct())

@@ -568,12 +568,50 @@ object Similarity {
     * restriction. */
   def ivfRecall(vecs: DataFrame, nCents: Int, nQueries: Int,
                 maxProbe: Int, k: Int): DataFrame = {
+    val s = vecs.sparkSession
     val truth = cosineTopK(vecs, nQueries, k)
       .select(col("q_id"), col("neighbor_id"))
-    val runs = (1 to maxProbe).map { p =>
-      ivfSearch(vecs, nCents, nQueries, p, k)
-        .select(lit(p).as("n_probe"), col("q_id"), col("neighbor_id"))
-    }.reduce(_ union _)
+    // r20 (VERDICT r19 item 4): the rungs used to be maxProbe separate
+    // ivfSearch plans, each re-deriving the corpus cell ASSIGNMENT (the
+    // one corpus×|cells| cosine pass) — 3 assignment passes for 3 probe
+    // depths. Probe sets are nested (rung p probes exactly the cells
+    // with probe-rank ≤ p), so ONE candidate pass at maxProbe, with the
+    // cell's probe rank `prn` carried through, replays every rung: a
+    // candidate scored in cell rank prn participates in rungs
+    // prn..maxProbe (a calendar-style bounded explode, factor ≤
+    // maxProbe), and the per-rung top-k window reproduces each
+    // ivfSearch(p) result set exactly — same centroids, same probe
+    // ranking, same tie order. The assignment subtree now appears ONCE
+    // in the plan; nothing corpus-scale is checkpointed.
+    val assigned = assignFixed(vecs, nCents)
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id"),
+        col("f").as("fb"), col("nrm").as("nb"))
+    val base = withFixed(vecs)
+    val cents = base.orderBy("vec_id").limit(nCents)
+      .select(col("vec_id").as("centroid_id"), col("f").as("fb"),
+        col("nrm").as("nb"))
+    val queries = base.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("f").as("fa"), col("nrm").as("na"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("centroid_id"))
+    val probes = broadcast(queries).crossJoin(broadcast(cents))
+      .select(col("q_id"), col("centroid_id"), col("fa"), col("na"),
+        expr(cosExpr(s)).as("cos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .where(col("prn") <= maxProbe)
+      .select(col("q_id"), col("centroid_id"), col("prn"),
+        col("fa"), col("na"))
+    val wRank = Window.partitionBy("n_probe", "q_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val runs = broadcast(probes).join(assigned, Seq("centroid_id"))
+      .where(col("q_id") =!= col("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"), col("prn"),
+        expr(cosExpr(s)).as("cos"))
+      .select(col("q_id"), col("neighbor_id"), col("cos"),
+        explode(expr(s"sequence(prn, $maxProbe)")).as("n_probe"))
+      .withColumn("rn", row_number().over(wRank))
+      .where(col("rn") <= k)
+      .select(col("n_probe"), col("q_id"), col("neighbor_id"))
     runs.join(truth, Seq("q_id", "neighbor_id"))
       .groupBy("n_probe")
       .agg(count(lit(1)).as("n_hits"))

@@ -1698,10 +1698,17 @@ object Stats {
     * convention over the |distinct slope| cumulative table, in integer
     * micro-cents/day (floor·1e6) so the pick is engine-exact. */
   def theilSen(orders: DataFrame): DataFrame = {
-    val daily = orders
+    // r20 (VERDICT r19 item 6): the day-reduced series is stored ONCE
+    // (calendar-bounded — one row per day). It has THREE consumers that
+    // exchange reuse cannot dedup across broadcast boundaries: both
+    // sides of the pair grid's nested-loop join and the final n_days
+    // count — the lazy form re-ran the orders scan + day groupBy for
+    // each (the n_days pass alone was a full extra fact scan in the
+    // before-plan).
+    val daily = Materialize.frame(orders
       .select(expr("unix_timestamp(o_orderdate) div 86400").as("day"),
         expr("cast(floor(o_totalprice * 100.0 + 0.5) as bigint)").as("c"))
-      .groupBy("day").agg(sum("c").as("rev"))
+      .groupBy("day").agg(sum("c").as("rev")))
     val pairs = daily.select(col("day").as("d1"), col("rev").as("r1"))
       .join(daily.select(col("day").as("d2"), col("rev").as("r2")),
         col("d1") < col("d2"))

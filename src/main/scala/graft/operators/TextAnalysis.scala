@@ -23,9 +23,11 @@ object TextAnalysis {
 
   import Dedup.tokensExpr // SQL-parsed tokenizer (escape caveat documented there)
 
-  /** Tiny English stopword list used by the n-gram language heuristic. */
-  val Stopwords = Seq("the", "a", "of", "and", "is", "to", "in", "that",
-    "it", "on")
+  /** Tiny English stopword list used by the n-gram language heuristic.
+    * Canonical list lives with the native gopher_stats expression (one
+    * source of truth for the codegen kernel, the HOF forms, and the
+    * oracle SQL it is interpolated into). */
+  val Stopwords: Seq[String] = graft.plans.GopherStats.Stopwords
 
   /** Per-doc token stats: total tokens, stopword hits, char sum. */
   private def tokenStats(docs: DataFrame): DataFrame =
@@ -757,16 +759,20 @@ object TextAnalysis {
     * per-source report and t36's ablation census both aggregate, so the
     * two views of the same rules cannot drift. */
   private[graft] def gopherFlags(docs: DataFrame): DataFrame = {
-    val stopArr = Stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    // r20 (VERDICT r19 item 1): the four per-doc token folds — formerly
+    // interpreted higher-order functions over a regex-split token array
+    // (size / aggregate(length) / filter(array_contains) /
+    // filter(rlike)) — now run as ONE native codegen byte pass,
+    // graft.plans.GopherStats (spec-pinned equal to the HOF form on the
+    // real corpus; see the expression's doc for the dialect note).
     val perDoc = docs
-      .select(col("doc_id"), col("source"), expr(tokensExpr).as("toks"))
       .select(col("doc_id"), col("source"),
-        expr("size(toks)").cast("long").as("n_tokens"),
-        expr("aggregate(toks, 0L, (s, x) -> s + length(x))").as("sum_wlen"),
-        expr(s"size(filter(toks, x -> array_contains($stopArr, x)))")
-          .cast("long").as("n_stop"),
-        expr("size(filter(toks, x -> x rlike '^[a-zA-Z]+$'))")
-          .cast("long").as("n_alpha"))
+        expr("gopher_stats(text)").as("gs"))
+      .select(col("doc_id"), col("source"),
+        col("gs.n_tokens").as("n_tokens"),
+        col("gs.sum_wlen").as("sum_wlen"),
+        col("gs.n_stop").as("n_stop"),
+        col("gs.n_alpha").as("n_alpha"))
     val meanW = col("sum_wlen").cast("double") / col("n_tokens").cast("double")
     val stopF = col("n_stop").cast("double") / col("n_tokens").cast("double")
     val alphaF = col("n_alpha").cast("double") / col("n_tokens").cast("double")

@@ -71,10 +71,19 @@ case class FixedDotProduct(left: Expression, right: Expression)
 /** Session extension registering graft's native functions; enable with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("fp_dot"),
       new ExpressionInfo(classOf[FixedDotProduct].getName, "fp_dot"),
       (children: Seq[Expression]) =>
         FixedDotProduct(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_long56"),
+      new ExpressionInfo(classOf[Md5Long56].getName, "md5_long56"),
+      (children: Seq[Expression]) => Md5Long56(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("gopher_stats"),
+      new ExpressionInfo(classOf[GopherStats].getName, "gopher_stats"),
+      (children: Seq[Expression]) => GopherStats(children.head)))
+  }
 }

@@ -98,6 +98,25 @@ class CacheLatchSpec extends AnyFunSuite {
       "re-entrant build across two flights deadlocked")
   }
 
+  test("SingleFlight build clock: nested builds count once (outermost only)") {
+    // r20 shared-build attribution: the ladder's nested builds
+    // (clusters → candidates → …) must not double-count — the clock's
+    // delta across an outer build that sleeps 50ms around an inner
+    // 50ms build must be ~100ms, not ~150ms.
+    val outer = new SingleFlight[String]
+    val inner = new SingleFlight[String]
+    val mo = new ConcurrentHashMap[String, Integer]
+    val mi = new ConcurrentHashMap[String, Integer]
+    val before = SingleFlight.buildSecondsTotal
+    outer(mo, "k") {
+      Thread.sleep(50)
+      Integer.valueOf(inner(mi, "k") { Thread.sleep(50); Integer.valueOf(1) }.intValue())
+    }
+    val delta = SingleFlight.buildSecondsTotal - before
+    assert(delta >= 0.09 && delta < 0.15,
+      s"nested build clock delta $delta s — expected ~0.1 (outermost only)")
+  }
+
   test("DedupQueries.cached: nested build across two EMPTY caches cannot deadlock (identity-keyed flights)") {
     // regression: a flight registry keyed by the cache maps via a
     // ConcurrentHashMap compares keys by CONTENT, so two empty caches

@@ -259,6 +259,30 @@ class SimilaritySpec extends SparkSpec {
     assert(full.last._3 == 1.0, s"all-cells probe recall ${full.last._3} != 1")
   }
 
+  test("ivf recall ladder: single-assignment-pass shape equals the union-of-ivfSearch form") {
+    // r20 restructure (VERDICT r19 item 4): one candidate pass at
+    // maxProbe with the probe rank exploded to sequence(prn, maxProbe)
+    // must reproduce EXACTLY the old shape — a union of independent
+    // ivfSearch rungs — because probe sets are nested and the per-rung
+    // top-k tie order is unchanged.
+    val (nc, nq, mp, k) = (8, 3, 3, 5)
+    val truth = Similarity.cosineTopK(vecs, nq, k)
+      .select($"q_id", $"neighbor_id")
+    val oldRuns = (1 to mp).map { p =>
+      Similarity.ivfSearch(vecs, nc, nq, p, k)
+        .select(org.apache.spark.sql.functions.lit(p).as("n_probe"),
+          $"q_id", $"neighbor_id")
+    }.reduce(_ union _)
+    val oldForm = oldRuns.join(truth, Seq("q_id", "neighbor_id"))
+      .groupBy("n_probe")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_hits"))
+      .as[(Int, Long)].collect().toMap
+    val newForm = Similarity.ivfRecall(vecs, nc, nq, mp, k)
+      .select($"n_probe", $"n_hits").as[(Int, Long)].collect().toMap
+    assert(newForm === oldForm)
+  }
+
   test("mrl recall: full-width rung is exactly 1, recall in (0,1], hits bounded") {
     val r = Similarity.mrlRecall(vecs, 3, 5).orderBy("dim")
       .collect().map(x => x.getAs[Int]("dim") ->

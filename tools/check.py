@@ -84,15 +84,26 @@ def compare(name, spark_df, oracle_df):
     return None
 
 def _bench_times(bench_path):
-    """-> (per-query times, sentinel_sec or None)."""
+    """-> (per-query times, sentinel_sec or None).
+
+    r20: artifacts carrying a `shared_build_sec` map (Bench decomposes
+    first-payer rows into build + query; VERDICT r19 item 3) are gated
+    on the QUERY component (time − build): which query alphabetically
+    happens to pay a session-shared build first is attribution, not a
+    regression, and it produced every drift false-lead since r18 (e5/
+    t16, q44). Totals and the `queries` map itself keep the historical
+    all-in meaning."""
     import re
     raw = json.load(open(bench_path))
     if "queries" in raw and isinstance(raw["queries"], dict):
-        return raw["queries"], raw.get("sentinel_sec")
+        builds = raw.get("shared_build_sec") or {}
+        times = {q: t - builds.get(q, 0.0) for q, t in raw["queries"].items()}
+        return times, raw.get("sentinel_sec")
     # driver-recorded wrapper: re-parse the (possibly truncated) tail
     meta = {"value", "runs_per_query", "sf", "n", "rc", "cpus",
             "sentinel_sec", "sentinel_mbps", "sentinel_bytes",
-            "cpu_probe_sec", "n_queries", "n_errors"}
+            "cpu_probe_sec", "n_queries", "n_errors",
+            "shared_build_total_sec"}
     tail = raw.get("tail", "")
     sent = re.search(r'"sentinel_sec":([0-9.]+)', tail)
     return ({m.group(1): float(m.group(2)) for m in

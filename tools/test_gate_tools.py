@@ -115,5 +115,39 @@ with tempfile.TemporaryDirectory() as tmp:
     rc, out = run(tmp, "settled_tier.py", "--refresh", "nope")
     check("unknown name rejected", rc != 0 and "nope" in out, out[-200:])
 
+# 5. bench-artifact parsing (VERDICT r19 items 3/7): the r20
+#    shared_build_sec decomposition must be consumed by the drift gate
+#    (query component = time − build), and the driver-recorded compact
+#    line (the tail PERF re-parses) must stay regex-parseable with the
+#    additive shared_build_total_sec key excluded from query names.
+import importlib.util
+spec = importlib.util.spec_from_file_location(
+    "checkmod", os.path.join(HERE, "check.py"))
+checkmod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(checkmod)
+with tempfile.TemporaryDirectory() as tmp:
+    full = os.path.join(tmp, "full.json")
+    with open(full, "w") as f:
+        json.dump({"metric": "total", "value": 5.0,
+                   "queries": {"qa": 3.0, "qb": 2.0},
+                   "shared_build_sec": {"qa": 2.1},
+                   "shared_build_total_sec": 2.1,
+                   "sentinel_sec": 7.5}, f)
+    times, sent = checkmod._bench_times(full)
+    check("full artifact subtracts shared build",
+          abs(times["qa"] - 0.9) < 1e-9 and times["qb"] == 2.0
+          and sent == 7.5, str(times))
+    tail_line = ('{"metric":"total","value":5.0,"unit":"sec",'
+                 '"n_queries":2,"n_errors":0,"errors":[],'
+                 '"cpu_probe_sec":0.8,"shared_build_total_sec":2.1,'
+                 '"queries":{"qa":3.0,"qb":2.0},'
+                 '"runs_per_query":2,"sf":"/tmp/sfX"}')
+    wrapper = os.path.join(tmp, "driver.json")
+    with open(wrapper, "w") as f:
+        json.dump({"n": 20, "rc": 0, "tail": tail_line}, f)
+    times, sent = checkmod._bench_times(wrapper)
+    check("driver-tail reparse ignores additive keys",
+          times == {"qa": 3.0, "qb": 2.0} and sent is None, str(times))
+
 print(f"\n{'ALL OK' if not fails else 'FAILURES: ' + str(fails)}")
 sys.exit(1 if fails else 0)
