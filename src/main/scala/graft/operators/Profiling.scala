@@ -88,11 +88,20 @@ object Profiling {
     * parents. Output is |relationships| rows. */
   def fkOrphans(child: DataFrame, childKey: String, parent: DataFrame,
                 parentKey: String, name: String): DataFrame = {
+    // ONE pass over the child (r20): the old shape scanned it twice —
+    // once for the row count, once for the anti-join — and crossJoined
+    // two 1-row aggregates (two extra SinglePartition exchanges). The
+    // parent side is key-DISTINCT, so a left join cannot fan out and
+    // count(marker is null) is exactly the anti-join count. At 100 TB
+    // the child is the fact table — halving its scans is the whole
+    // cost of this census.
     val keys = parent.select(col(parentKey)).distinct()
-    val orphans = child.select(col(childKey))
-      .join(keys, col(childKey) === col(parentKey), "left_anti")
-    child.agg(count(lit(1)).as("n_child"))
-      .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+      .withColumn("pk_hit", lit(1))
+    child.select(col(childKey))
+      .join(keys, col(childKey) === col(parentKey), "left")
+      .agg(count(lit(1)).as("n_child"),
+        coalesce(sum(when(col("pk_hit").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_orphans"))
       .select(lit(name).as("relationship"), col("n_child"), col("n_orphans"))
   }
 
